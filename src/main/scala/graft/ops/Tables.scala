@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver's test tables (TESTDATA.md).
+  *
+  * All columns arrive with their parquet types; the one exception is
+  * `events.ts`, which is nanosecond-precision parquet that Spark cannot
+  * represent as a timestamp — we read it as epoch-nanosecond Long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and expose an epoch-microsecond
+  * column (`ts_us`) that matches what DuckDB sees after its own ns→µs
+  * truncation.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events with `ts` replaced by `ts_us` (epoch microseconds, Long). */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+
+  // ---- oracle-parity numeric helpers -------------------------------------
+
+  /** Exact decimal view of a "clean" money/measure double column (source
+    * columns in the test data carry at most 2 decimal digits, so the
+    * double→decimal cast is unambiguous in both Spark and DuckDB).
+    * NEVER apply this to a *computed* double — engines disagree on
+    * rounding of arbitrary doubles; do the arithmetic in decimal instead.
+    */
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum of a clean 2-dp double column, surfaced as double
+    * (the final decimal→double conversion is deterministic and identical
+    * across engines, unlike float summation order). */
+  def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(dec2(c)).cast(DoubleType)
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each SparkEntry query result (already dumped by `graft.Verify` into
+OUTDIR/<name>/ as parquet) against its DuckDB oracle SQL from
+OUTDIR/oracle_sql.json, canonicalizes both result sets (columns sorted by
+name, rows sorted), and compares values exactly.
+
+Usage: python3 tools/check_oracle.py SFDIR OUTDIR
+"""
+import json, math, sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))
+            elif v is None:
+                vals.append("\x00NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [c for _, c in sorted(zip(range(len(cols)), [cols[i] for i in order]))], out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.execute(sql)
+            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        _, g = canon(got_rows, got_cols)
+        _, e = canon(exp_rows, exp_cols)
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+            n_fail += 1
+        elif g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            diff_g = [r for r in g if r not in set(e)][:3]
+            diff_e = [r for r in e if r not in set(g)][:3]
+            print(f"  only-spark: {diff_g}")
+            print(f"  only-duck : {diff_e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
