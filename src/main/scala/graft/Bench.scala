@@ -1,24 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line on stdout (driver contract) plus the same JSON to
+  * bench.json (belt-and-braces: the stdout line can get interleaved with
+  * sbt log noise — BENCH_r01 recorded "parsed": null for that reason).
+  *
+  * Each query is executed with a noop-format write so the full plan runs
+  * (a bare .count() lets Catalyst prune computed projections and
+  * under-measures select-heavy queries). Failures are NOT swallowed into
+  * fast timings: a failed query records -1 and is listed in "errors".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.build("graft-bench")
+
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val results = SparkEntry.registered.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          errors += q.name
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.name -> (if (errors.lastOption.contains(q.name)) -1.0 else sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
+    val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val errs = errors.map(e => s""""$e"""").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), json + "\n")
+    // single atomic stdout write so log interleaving can't split the line
+    System.out.println(json)
+    System.out.flush()
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

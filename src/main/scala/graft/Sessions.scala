@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place all engine entry points (Bench, Verify, tests) build their
+  * SparkSession: local[32] to mirror the driver's harness, 32 shuffle
+  * partitions (not the 200 default — sized for the local test scale while
+  * keeping every shuffle multi-partition), AQE on (default in Spark 4),
+  * and the nanos-as-long legacy flag required to read the `events` table's
+  * nanosecond-precision parquet timestamps.
+  */
+object Sessions {
+
+  def build(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Functions.register(spark)
+    spark
+  }
+}

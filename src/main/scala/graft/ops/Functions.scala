@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.text.RuText
+
+/** The engine's SQL-visible scalar function surface (SURVEY.md Q18/F1–F4):
+  * the reference's text functions (populate_db_ru_v1.py:38-89 standardize,
+  * :253-262 clean_number, :264-302 inspector canonicalization) registered
+  * as Spark SQL UDFs, plus the oracle-tested queries that exercise them.
+  */
+object Functions {
+
+  /** Idempotent; call once per session (Sessions.build does). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("standardize_text", (s: String) => RuText.standardizeText(s))
+    spark.udf.register("clean_number", (s: String) => RuText.cleanNumber(s))
+    spark.udf.register("canonical_inspector_name", (s: String) => RuText.canonicalInspectorName(s))
+    spark.udf.register("unescape_html", (s: String) => RuText.unescapeHtml(s))
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // Q18: a registered scalar UDF used from SQL. clean_number has no
+    // thousands separators to strip in this column, so the DuckDB oracle's
+    // plain digit-extraction is semantically identical on this data.
+    Q("q26_udf_clean_number",
+      (s, d) => {
+        register(s)
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, clean_number(o_orderpriority) AS prio_num
+                 FROM orders_v""")
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(nullif(regexp_replace(o_orderpriority, '[^0-9]', '', 'g'), '') AS INT) AS prio_num
+             |FROM orders""".stripMargin)),
+
+    // Q20: sampling for inspection. Bernoulli sampling is engine-specific
+    // (Spark's XORShiftRandom stream), so there is no cross-engine oracle —
+    // the driver records the weaker rows-only check, which is the point of
+    // the operator (cheap approximate inspection, not exact results).
+    Q("q27_sample",
+      (s, d) =>
+        Tables.part(s, d)
+          .sample(withReplacement = false, fraction = 0.1, seed = 42)
+          .select(col("p_partkey"), col("p_name"), col("p_type")),
+      None)
+  )
+}

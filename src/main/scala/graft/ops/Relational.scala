@@ -150,12 +150,16 @@ object Relational {
       (s, d) => customer(s, d).select(col("c_nationkey"), col("c_mktsegment")).distinct(),
       Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
 
-    // Q8: deterministic surrogate keys — row_number over a total order.
+    // Q8: deterministic surrogate keys over a total order. A bare
+    // Window.orderBy row_number funnels the whole table through one task;
+    // Ids.sequenceBy is the scale-safe two-phase equivalent (range
+    // partition → local rank → broadcast offsets).
     Q("q09_surrogate_rank",
       (s, d) =>
-        customer(s, d).select(
-          col("c_custkey"), col("c_acctbal"),
-          row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("rk")),
+        Ids.sequenceBy(
+            customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+            Seq(col("c_acctbal").desc, col("c_custkey")), "rk")
+          .withColumn("rk", col("rk").cast(IntegerType)),
       Some("""SELECT c_custkey, c_acctbal,
              |CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
              |FROM customer""".stripMargin)),
@@ -384,11 +388,13 @@ object Relational {
              |ON p.user_id = c.user_id AND c.ts_us <= p.ts_us""".stripMargin)),
 
     // Q9/Q15: event-time tumbling window (batch form), hour buckets in µs.
+    // ts_us - pmod(ts_us, N) == floor-division bucketing, matching DuckDB's
+    // `//` even for pre-1970 (negative) timestamps (`div` truncates to 0).
     Q("q22_event_hourly",
       (s, d) =>
         events(s, d)
           .groupBy(
-            (expr("ts_us div 3600000000") * 3600000000L).as("hour_us"),
+            (col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("hour_us"),
             col("event_type"))
           .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value")),
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, event_type,
@@ -413,7 +419,7 @@ object Relational {
              |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
              |         THEN 1 ELSE 0 END AS new_session
              |  FROM events)
-             |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+             |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
              |FROM g GROUP BY user_id""".stripMargin)),
 
     // Q15/semi-structured: JSON extraction from the events props column.

@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // NOTE: reading `events` requires spark.sql.legacy.parquet.nanosAsLong=true
+  // set at session build time (graft.Sessions.build / the test harness) —
+  // a conf flip inside a table loader would be an ordering hazard.
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -31,10 +31,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts` replaced by `ts_us` (epoch microseconds, Long). */
+  /** events with `ts` replaced by `ts_us` (epoch microseconds, Long).
+    * Floor division (ts - pmod) rather than `div` so pre-1970 (negative)
+    * nanos would still match DuckDB's epoch_us truncation semantics. */
   def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
       .drop("ts")
 
   // ---- oracle-parity numeric helpers -------------------------------------
