@@ -57,7 +57,7 @@ object MiniDom {
     }
 
     def getText(strip: Boolean): String =
-      if (strip) strings.map(_.trim).filter(_.nonEmpty).mkString("")
+      if (strip) strings.map(graft.text.RuText.pyStrip).filter(_.nonEmpty).mkString("")
       else strings.mkString("")
 
     /** Inner HTML: text re-escaped (&<> only), elements re-serialized. */
