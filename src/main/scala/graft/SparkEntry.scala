@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Functions, Q, Relational, TextOps}
+import graft.ops.{Functions, Q, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.ops.{Functions, Q, Relational, TextOps}
 object SparkEntry {
 
   def registered: Seq[Q] =
-    Relational.queries ++ TextOps.queries ++ Functions.queries
+    Relational.queries ++ TextOps.queries ++ Functions.queries ++
+      Similarity.queries ++ graft.etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
