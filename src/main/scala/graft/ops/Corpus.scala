@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Second wave of training-data-pipeline operators: SimHash near-dedup,
+  * n-gram language identification, winnowing document fingerprints, and
+  * multimodal metadata extraction. All four are oracle-tested — the hash
+  * primitive is md5 (bit-identical across engines), so even the sketch
+  * queries compare exactly.
+  *
+  * Scale notes:
+  *  - d09 joins on 15-bit simhash chunks (pigeonhole: hamming ≤ 3 over 4
+  *    chunks ⇒ ≥ 1 chunk equal), so candidate generation is an equi-join,
+  *    never all-pairs, and recall at the threshold is EXACT, not
+  *    probabilistic.
+  *  - d10/d11 are narrow per-doc pipelines (explode + window) that
+  *    partition by doc — no global state, no skew beyond document length.
+  *  - d12 keeps payloads as opaque binary and only ships metadata —
+  *    the decode stage itself is graft.streaming.Multimodal's stub.
+  */
+object Corpus {
+
+  private val tokCol = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  def queries: Seq[Q] = Seq(
+
+    // d09: SimHash near-duplicate pairs at hamming distance <= 3.
+    // 60-bit simhash from md5 token hashes; Spark side generates candidates
+    // by 15-bit chunk equality (exact by pigeonhole), oracle verifies by
+    // exhaustive pairs at test scale.
+    Q("d09_simhash",
+      (s, d) => {
+        val docs = documents(s, d)
+        val bits = docs
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("k"))
+          .groupBy(col("doc_id"), col("k"))
+          .agg(sum(when(expr("shiftright(h, k) & 1") === 1, 1).otherwise(-1)).as("s"))
+        val sh = bits
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L)).as("simhash"))
+          .cache()
+        val chunks = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents
+             |), th AS (
+             |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+             |), bits AS (
+             |  SELECT doc_id, k,
+             |         CASE WHEN sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+             |  FROM th, LATERAL (SELECT unnest(range(0, 60)) AS k) u
+             |  GROUP BY doc_id, k
+             |), sh AS (
+             |  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS simhash
+             |  FROM bits GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
+    // d10: language identification — stopword-profile scoring with a CJK
+    // character override; deterministic tie-break order en>de>es>fr.
+    Q("d10_langid",
+      (s, d) => {
+        val en = "'the','and','of','to','is','in','that','it'"
+        val de = "'der','die','und','das','ist','nicht','mit','ein'"
+        val es = "'el','la','que','y','en','los','se','por'"
+        val fr = "'le','les','des','et','est','une','dans','pour'"
+        documents(s, d)
+          .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+          .withColumn("en_n", expr(s"size(filter(toks, w -> w IN ($en)))"))
+          .withColumn("de_n", expr(s"size(filter(toks, w -> w IN ($de)))"))
+          .withColumn("es_n", expr(s"size(filter(toks, w -> w IN ($es)))"))
+          .withColumn("fr_n", expr(s"size(filter(toks, w -> w IN ($fr)))"))
+          .withColumn("zh_n", length(regexp_replace(col("text"), "[^一-鿿]", "")))
+          .select(col("doc_id"),
+            expr("""CASE WHEN zh_n > 0 THEN 'zh'
+                   |WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                   |WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                   |WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END""".stripMargin.replaceAll("\n", " "))
+              .as("predicted_lang"),
+            col("lang"),
+            expr("""CASE WHEN zh_n > 0 THEN 'zh'
+                   |WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                   |WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                   |WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END = lang""".stripMargin.replaceAll("\n", " "))
+              .as("correct"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter($tokCol, w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_n,
+              |    len(list_filter($tokCol, w -> w IN ('der','die','und','das','ist','nicht','mit','ein'))) AS de_n,
+              |    len(list_filter($tokCol, w -> w IN ('el','la','que','y','en','los','se','por'))) AS es_n,
+              |    len(list_filter($tokCol, w -> w IN ('le','les','des','et','est','une','dans','pour'))) AS fr_n,
+              |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh_n
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  CASE WHEN zh_n > 0 THEN 'zh'
+              |       WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+              |       WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+              |       WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS predicted_lang,
+              |  lang,
+              |  (CASE WHEN zh_n > 0 THEN 'zh'
+              |       WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+              |       WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+              |       WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END = lang) AS correct
+              |FROM scored""".stripMargin)),
+
+    // d11: winnowing document fingerprints — md5 8-gram hashes, min over a
+    // 4-gram sliding window, distinct per doc (Schleimer/Wilkerson/Aiken).
+    Q("d11_fingerprint",
+      (s, d) => {
+        val grams = documents(s, d)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .select(col("doc_id"),
+            explode(expr("sequence(1, greatest(length(t) - 7, 0))")).as("i"),
+            col("t"))
+          .select(col("doc_id"), col("i"), expr("substring(md5(substring(t, i, 8)), 1, 8)").as("h"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+        val n = Window.partitionBy(col("doc_id"))
+        grams
+          .withColumn("fp", min(col("h")).over(w))
+          .withColumn("cnt", count(lit(1)).over(n))
+          .where(col("i") <= col("cnt") - 3)
+          .select(col("doc_id"), col("fp"))
+          .distinct()
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, i, substring(md5(substring(t, i, 8)), 1, 8) AS h
+             |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |       LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u
+             |), wins AS (
+             |  SELECT doc_id, i,
+             |         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |         count(*) OVER (PARTITION BY doc_id) AS cnt
+             |  FROM grams
+             |)
+             |SELECT DISTINCT doc_id, fp FROM wins WHERE i <= cnt - 3""".stripMargin)),
+
+    // d12: multimodal metadata — payloads as opaque binary columns, only
+    // typed metadata extracted (the decode stage is the Multimodal stub;
+    // this query is the metadata/plumbing surface, exact via md5/length).
+    Q("d12_media_meta",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+          .select(col("doc_id"),
+            lit("text").as("modality"),
+            length(col("payload")).cast(LongType).as("n_bytes"),
+            md5(col("payload")).as("payload_md5")),
+      Some("""SELECT doc_id, 'text' AS modality,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |md5(text) AS payload_md5
+             |FROM documents""".stripMargin))
+  )
+}
