@@ -2,11 +2,19 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import java.util.Locale
+import graft.ops.Q
 
-/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line on stdout (driver contract) plus the same JSON to
+/** Benchmark main. Runs registered queries on SPARK_GRAFT_SF_DIR and emits
+  * ONE JSON line on stdout (driver contract) plus the same JSON to
   * bench.json (belt-and-braces: the stdout line can get interleaved with
   * sbt log noise — BENCH_r01 recorded "parsed": null for that reason).
+  *
+  * "value" totals the SAME query set BENCH_r01's 66.2 s baseline measured
+  * (the §2B relational + d01-d05 text surface), so round-over-round ratios
+  * stay apples-to-apples; operators added later (UDF/sampling, similarity,
+  * corpus ops) are timed in "extended" and totalled separately. The
+  * corpus-ETL e* queries run on the fixed reference corpus, not sfDir, so
+  * they are excluded from scaling benchmarks.
   *
   * Each query is executed with a noop-format write so the full plan runs
   * (a bare .count() lets Catalyst prune computed projections and
@@ -18,8 +26,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
 
+    val baselineSet: Seq[Q] = graft.ops.Relational.queries ++ graft.ops.TextOps.queries
+    val extendedSet: Seq[Q] =
+      graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++ graft.ops.Corpus.queries
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.registered.map { q =>
+    def time(qs: Seq[Q]): Seq[(String, Double)] = qs.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -31,12 +43,17 @@ object Bench {
       q.name -> (if (errors.lastOption.contains(q.name)) -1.0 else sec)
     }
 
+    val base = time(baselineSet)
+    val ext = time(extendedSet)
+
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
-    val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]): Double = rs.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.map(e => s""""$e"""").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
+        s""""extended_total":${f(tot(ext))},"extended":${obj(ext)},"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
     // single atomic stdout write so log interleaving can't split the line
     System.out.println(json)

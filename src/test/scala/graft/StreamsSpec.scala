@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Ev, SessionOut, Streams}
+
+/** Structured Streaming semantics: windowed counts under watermark and
+  * stateful gap sessionization closing sessions via event-time timeout.
+  */
+class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("streams-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private val H = 3600L * 1000000L // 1 hour in µs
+
+  test("hourlyCounts: tumbling event-time windows (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = in.toDF().toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val q = Streams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        (1L, 10L * H + 1L, 1L, "click", 0.0, ""),
+        (2L, 10L * H + 2L, 2L, "click", 0.0, ""),
+        (3L, 11L * H + 1L, 1L, "view", 0.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .selectExpr("unix_micros(hour_start) AS hs", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((10L * H, "click", 2L)))
+      assert(rows.contains((11L * H, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap sessions close when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sessions = Streams.sessionize(spark, in.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence.
+      in.addData(Ev(1L, 10L * H, "a"), Ev(1L, 10L * H + 600L * 1000000L, "b"))
+      q.processAllAvailable()
+      // Advance the watermark far past the gap: session must close.
+      in.addData(Ev(2L, 20L * H, "c"))
+      q.processAllAvailable()
+      in.addData(Ev(2L, 30L * H, "d")) // push watermark again to flush
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionOut].collect().filter(_.userId == 1L)
+      assert(out.length == 1)
+      assert(out.head.startUs == 10L * H)
+      assert(out.head.endUs == 10L * H + 600L * 1000000L)
+      assert(out.head.nEvents == 2L)
+    } finally q.stop()
+  }
+}
