@@ -11,12 +11,18 @@ import graft.text.RuText
   */
 object Functions {
 
-  /** Idempotent; call once per session (Sessions.build does). */
+  /** Idempotent; call once per session (Sessions.build does).
+    *
+    * standardize_text / clean_number / canonical_inspector_name are
+    * injected as native codegen'd expressions by graft.plans
+    * .GraftExtensions; registering same-named UDFs here would shadow
+    * them, so only the remaining scalar (unescape_html) is a UDF. It
+    * decodes via MiniDom.unescapeEntities (Python html.unescape
+    * semantics incl. numeric refs — commons-text unescapeHtml4 misses
+    * &apos;/HTML5 names).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("standardize_text", (s: String) => RuText.standardizeText(s))
-    spark.udf.register("clean_number", (s: String) => RuText.cleanNumber(s))
-    spark.udf.register("canonical_inspector_name", (s: String) => RuText.canonicalInspectorName(s))
-    spark.udf.register("unescape_html", (s: String) => RuText.unescapeHtml(s))
+    spark.udf.register("unescape_html", (s: String) => graft.parse.MiniDom.unescapeEntities(s))
   }
 
   def queries: Seq[Q] = Seq(

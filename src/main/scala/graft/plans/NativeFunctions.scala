@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.RuText
+
+/** Static JVM entry points the generated code calls (SURVEY.md §4.1's
+  * optional codegen upgrade for F1/F2/E4): keeping the logic in one
+  * compiled method and the codegen a thin call keeps bytecode small while
+  * staying inside whole-stage codegen (the same pattern Spark's own regexp
+  * expressions use).
+  */
+object NativeFns {
+  def standardize(s: UTF8String): UTF8String = {
+    val r = RuText.standardizeText(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def cleanNumber(s: UTF8String): Integer = RuText.cleanNumber(s.toString)
+  def canonicalName(s: UTF8String): UTF8String = {
+    val r = RuText.canonicalInspectorName(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
+/** Base for the three native text expressions: null-in → null-out, and a
+  * possibly-null result for non-null input (handled in both eval paths).
+  */
+abstract class RuTextExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+  protected def staticCall: String
+  protected def resultJavaType: String
+  protected def unbox(v: String): String
+
+  protected def call(input: Any): Any
+
+  override def nullSafeEval(input: Any): Any = call(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |$resultJavaType $r = $staticCall($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ${unbox(r)}; }
+       """.stripMargin
+    })
+}
+
+/** F1 `standardize_text` as a native expression (codegen'd). */
+case class StandardizeText(child: Expression) extends RuTextExpression {
+  override def dataType: DataType = StringType
+  override protected def staticCall = "graft.plans.NativeFns.standardize"
+  override protected def resultJavaType = "UTF8String"
+  override protected def unbox(v: String): String = v
+  override protected def call(input: Any): Any =
+    NativeFns.standardize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): StandardizeText =
+    copy(child = newChild)
+  override def prettyName: String = "standardize_text"
+}
+
+/** F2 `clean_number` as a native expression. */
+case class CleanNumber(child: Expression) extends RuTextExpression {
+  override def dataType: DataType = IntegerType
+  override protected def staticCall = "graft.plans.NativeFns.cleanNumber"
+  override protected def resultJavaType = "java.lang.Integer"
+  override protected def unbox(v: String): String = s"$v.intValue()"
+  override protected def call(input: Any): Any =
+    NativeFns.cleanNumber(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): CleanNumber =
+    copy(child = newChild)
+  override def prettyName: String = "clean_number"
+}
+
+/** E4 `canonical_inspector_name` as a native expression. */
+case class CanonicalInspectorName(child: Expression) extends RuTextExpression {
+  override def dataType: DataType = StringType
+  override protected def staticCall = "graft.plans.NativeFns.canonicalName"
+  override protected def resultJavaType = "UTF8String"
+  override protected def unbox(v: String): String = v
+  override protected def call(input: Any): Any =
+    NativeFns.canonicalName(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): CanonicalInspectorName =
+    copy(child = newChild)
+  override def prettyName: String = "canonical_inspector_name"
+}
+
+/** Session extension registering the native expressions under the same
+  * SQL names the engine's UDF surface exposes — queries keep working, but
+  * the hot path stays inside whole-stage codegen instead of crossing a
+  * Scala-UDF boundary per row.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[StandardizeText].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("standardize_text"),
+      info("standardize_text", "pre-reform Cyrillic text normalization (reference F1)"),
+      (es: Seq[Expression]) => StandardizeText(es.head)))
+    ext.injectFunction((FunctionIdentifier("clean_number"),
+      info("clean_number", "dash/thousands-separator tolerant int parse (reference F2)"),
+      (es: Seq[Expression]) => CleanNumber(es.head)))
+    ext.injectFunction((FunctionIdentifier("canonical_inspector_name"),
+      info("canonical_inspector_name", "inspector-name canonicalization (reference E4)"),
+      (es: Seq[Expression]) => CanonicalInspectorName(es.head)))
+  }
+}
