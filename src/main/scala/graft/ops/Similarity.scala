@@ -218,27 +218,37 @@ object Similarity {
              |  FROM sim)
              |WHERE rank <= 3""".stripMargin)),
 
-    // d08: LSH-bucketed approximate neighbor search — the sub-quadratic
-    // scale path (16-bit random-hyperplane signature via seeded hashes;
-    // pairs only within a signature bucket). Engine-specific hash → the
-    // driver records the rows-only check; the recall-vs-d07 relationship
-    // is asserted in SimilaritySpec instead.
+    // d08: LSH-bucketed approximate nearest neighbor — the sub-quadratic
+    // scale path. 64 seeded random-hyperplane bits split into 8 tables of
+    // 8-bit signatures; candidates are bucket-mates only, each query
+    // reports its best candidate (sim DESC, id ASC). Deterministic given
+    // the seeded hyperplanes but engine-specific → rows-only check; the
+    // quality bound vs the exact d07 baseline is asserted in
+    // SimilaritySpec.
     Q("d08_ann_lsh",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        // signature bit b = sign of dot(v, r_b); r_b components are ±1
-        // derived from a seeded hash of (b, dim index) — broadcast-free.
+        // bit b of the signature = sign of dot(v, r_b); r_b components are
+        // +-1 from a seeded hash of (b, dim) — no broadcast needed.
         val sig = e.select(col("vec_id"), col("v"), expr(
-          """aggregate(sequence(0, 15), 0L, (acc, b) ->
+          """transform(sequence(0, 7), t -> aggregate(sequence(0, 7), 0L, (acc, j) ->
             |  acc * 2 + if(aggregate(sequence(0, size(v) - 1), cast(0 AS double),
-            |    (s2, i) -> s2 + element_at(v, i + 1) * if(pmod(hash(b * 131 + i), 2) = 0, 1.0D, -1.0D)) >= 0D, 1L, 0L))"""
-            .stripMargin.replaceAll("\n", " ")).as("sig"))
-        val pairs = sig.as("x").join(sig.as("y"),
-            col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+            |    (s2, i) -> s2 + element_at(v, i + 1) * if(pmod(hash((t * 8 + j) * 131 + i), 2) = 0, 1.0D, -1.0D)) >= 0D, 1L, 0L)))"""
+            .stripMargin.replaceAll("\n", " ")).as("sigs"))
+        val buckets = sig.select(col("vec_id"), col("v"),
+            posexplode(col("sigs")).as(Seq("t", "sig")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+              col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
-            (dotUdf(col("x.v"), col("y.v")) / (sqrt(dotUdf(col("x.v"), col("x.v"))) * sqrt(dotUdf(col("y.v"), col("y.v"))))).as("sim"))
-        pairs.where(col("sim") >= 0.8)
+            (dotUdf(col("x.v"), col("y.v")) /
+              (sqrt(dotUdf(col("x.v"), col("x.v"))) * sqrt(dotUdf(col("y.v"), col("y.v"))))).as("sim"))
+          .groupBy(col("vec_id"), col("neighbor_id"))
+          .agg(first(col("sim")).as("sim"))
+        cand.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+          .where(col("rn") === 1)
           .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       },
       None)

