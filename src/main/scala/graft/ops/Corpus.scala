@@ -155,6 +155,20 @@ object Corpus {
              |)
              |SELECT DISTINCT doc_id, fp FROM wins WHERE i <= cnt - 3""".stripMargin)),
 
+    // d13: sketched distinct counting (HLL++ via approx_count_distinct) —
+    // the Q9 "sketched variant": per-language distinct token estimate next
+    // to the exact count. Sketch values are engine-specific (rows-only
+    // check); CorpusSketchSpec bounds the estimate against the exact count.
+    Q("d13_distinct_sketch",
+      (s, d) =>
+        documents(s, d)
+          .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("tok")).as("exact_distinct"),
+            approx_count_distinct(col("tok"), 0.02).as("approx_distinct")),
+      None),
+
     // d12: multimodal metadata — payloads as opaque binary columns, only
     // typed metadata extracted (the decode stage is the Multimodal stub;
     // this query is the metadata/plumbing surface, exact via md5/length).

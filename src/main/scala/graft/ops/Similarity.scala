@@ -31,14 +31,15 @@ object Similarity {
 
   // ---- MinHash machinery (d06/d08) -----------------------------------------
 
-  /** 3-char shingles of lower(text), distinct per doc — pure Catalyst
-    * (sequence + substring), no UDF, codegen'd. */
+  /** 3-char shingles of lower(text), distinct per doc — pure Catalyst,
+    * no UDF. The shingle array is built and deduped per document BEFORE
+    * the explode, so the full text never rides an exploded row and no
+    * shuffle is needed for dedup (the key is (doc, gram); per-doc
+    * uniqueness IS global uniqueness). */
   private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(lower(text)) - 2, 0))")).as("i"),
-        lower(col("text")).as("t"))
-      .select(col("doc_id"), expr("substring(t, i, 3)").as("g"))
-      .distinct()
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3)))")).as("g"))
 
   private val NumHashes = 128
   private val Bands = 16
@@ -52,6 +53,36 @@ object Similarity {
     val n = a.length
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
+  })
+
+  /** 8 tables × 8-bit random-hyperplane signatures; hyperplane components
+    * are ±1 from a fixed-seed hash of (bit, dim) — deterministic across
+    * runs and executors, no broadcast needed. */
+  private val annSigUdf = udf((v: Seq[Double]) => {
+    val dim = v.length
+    val sigs = new Array[Long](8)
+    var t = 0
+    while (t < 8) {
+      var sig = 0L
+      var j = 0
+      while (j < 8) {
+        val bit = t * 8 + j
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          // xorshift-mixed (bit, dim) → ±1, fixed seed
+          var h = (bit * 131 + i) * -0x61c88647
+          h ^= h >>> 16
+          acc += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
+          i += 1
+        }
+        sig = sig * 2 + (if (acc >= 0.0) 1L else 0L)
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    sigs.toSeq
   })
 
   /** Fraction of agreeing minhash components — an unbiased Jaccard
@@ -95,21 +126,29 @@ object Similarity {
         .as("bb"))
       .select(col("doc_id"), col("mh"), col("bb.band"), col("bb.bucket"))
   }
+  // (bandBuckets keeps mh alongside the buckets; lshCandidates projects it
+  // away before the bucket self-join so the wide column stays out of the
+  // shuffle.)
 
   /** Candidate pairs: docs sharing any band bucket (never all-pairs),
     * pre-pruned by the minhash Jaccard estimate at 0.6 — far enough below
     * the 0.8 emission threshold that a true >= 0.8 pair failing it would
     * need a 5+ sigma minhash fluctuation (Binomial(128, 0.8) < 77). */
   def lshCandidates(docs: DataFrame): DataFrame = {
-    val b = bandBuckets(docs)
-    b.as("x").join(b.as("y"),
+    val b = bandBuckets(docs).cache()
+    // join bucket collisions on ids ONLY (the 128-long minhash array never
+    // rides the wide shuffle), then fetch the two arrays per distinct pair
+    // from the small per-doc sketch table via broadcast.
+    val mh = b.select(col("doc_id"), col("mh")).distinct()
+    val pairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.mh").as("mha"), col("y.mh").as("mhb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("mha")).as("mha"), first(col("mhb")).as("mhb"))
-      .where(mhAgreeUdf(col("mha"), col("mhb")) >= (NumHashes * 6) / 10)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(broadcast(mh.as("ma")), col("doc_a") === col("ma.doc_id"))
+      .join(broadcast(mh.as("mb")), col("doc_b") === col("mb.doc_id"))
+      .where(mhAgreeUdf(col("ma.mh"), col("mb.mh")) >= (NumHashes * 6) / 10)
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -219,34 +258,31 @@ object Similarity {
              |WHERE rank <= 3""".stripMargin)),
 
     // d08: LSH-bucketed approximate nearest neighbor — the sub-quadratic
-    // scale path. 64 seeded random-hyperplane bits split into 8 tables of
-    // 8-bit signatures; candidates are bucket-mates only, each query
-    // reports its best candidate (sim DESC, id ASC). Deterministic given
-    // the seeded hyperplanes but engine-specific → rows-only check; the
-    // quality bound vs the exact d07 baseline is asserted in
+    // scale path. 64 seeded random-hyperplane bits (compiled UDF) split
+    // into 8 tables of 8-bit signatures; the bucket self-join carries ids
+    // only, vectors are re-attached per candidate pair from the small
+    // broadcast table, and each query reports its best candidate
+    // (sim DESC, id ASC). Deterministic (fixed seed) but engine-specific
+    // → rows-only check; quality vs the exact d07 baseline is asserted in
     // SimilaritySpec.
     Q("d08_ann_lsh",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        // bit b of the signature = sign of dot(v, r_b); r_b components are
-        // +-1 from a seeded hash of (b, dim) — no broadcast needed.
-        val sig = e.select(col("vec_id"), col("v"), expr(
-          """transform(sequence(0, 7), t -> aggregate(sequence(0, 7), 0L, (acc, j) ->
-            |  acc * 2 + if(aggregate(sequence(0, size(v) - 1), cast(0 AS double),
-            |    (s2, i) -> s2 + element_at(v, i + 1) * if(pmod(hash((t * 8 + j) * 131 + i), 2) = 0, 1.0D, -1.0D)) >= 0D, 1L, 0L)))"""
-            .stripMargin.replaceAll("\n", " ")).as("sigs"))
-        val buckets = sig.select(col("vec_id"), col("v"),
-            posexplode(col("sigs")).as(Seq("t", "sig")))
-        val cand = buckets.as("x").join(buckets.as("y"),
+        val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
+        val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+        val pairs = buckets.as("x").join(buckets.as("y"),
             col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
               col("x.vec_id") =!= col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
-            (dotUdf(col("x.v"), col("y.v")) /
-              (sqrt(dotUdf(col("x.v"), col("x.v"))) * sqrt(dotUdf(col("y.v"), col("y.v"))))).as("sim"))
-          .groupBy(col("vec_id"), col("neighbor_id"))
-          .agg(first(col("sim")).as("sim"))
-        cand.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
+          .distinct()
+        val sim = pairs.as("p")
+          .join(broadcast(e.as("q")), col("p.vec_id") === col("q.vec_id"))
+          .join(broadcast(e.as("c")), col("p.neighbor_id") === col("c.vec_id"))
+          .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+            (dotUdf(col("q.v"), col("c.v")) /
+              (sqrt(dotUdf(col("q.v"), col("q.v"))) * sqrt(dotUdf(col("c.v"), col("c.v"))))).as("sim"))
+        sim.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
             .orderBy(col("sim").desc, col("neighbor_id"))))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
