@@ -30,6 +30,10 @@ object Bench {
     val extendedSet: Seq[Q] =
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++ graft.ops.Corpus.queries
 
+    // Warm the codegen/exec infrastructure (not the data) so the first
+    // timed query doesn't absorb one-time JVM compilation cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def time(qs: Seq[Q]): Seq[(String, Double)] = qs.map { q =>
       val t0 = System.nanoTime()
