@@ -152,6 +152,26 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH-candidate pairs exact-verified at Jaccard >= 0.8 — shared by
+    * d06 (which emits them) and d14 (which clusters them). */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = lshCandidates(docs)
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        (col("za.n") + col("zb.n") - col("inter_size")).as("union_size"))
+      .where(col("inter_size") * 5 >= col("union_size") * 4)
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.
@@ -160,23 +180,7 @@ object Similarity {
     // parity risk. The DuckDB oracle computes the same result by exhaustive
     // all-pairs (affordable at test scale; the Spark side stays LSH-pruned).
     Q("d06_minhash_lsh",
-      (s, d) => {
-        val docs = documents(s, d)
-        val sh = shingles(docs).cache()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val cand = lshCandidates(docs)
-        val inter = cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter_size"))
-        inter
-          .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-          .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), col("inter_size"),
-            (col("za.n") + col("zb.n") - col("inter_size")).as("union_size"))
-          .where(col("inter_size") * 5 >= col("union_size") * 4)
-      },
+      (s, d) => nearDupPairs(s, d),
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
              |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
@@ -287,6 +291,66 @@ object Similarity {
           .where(col("rn") === 1)
           .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       },
-      None)
+      None),
+
+    // d14: near-duplicate CLUSTERING — connected components over the d06
+    // pair graph via iterative min-label propagation (the driver loop runs
+    // O(component-diameter) rounds, each one shuffle of edges ⋈ labels —
+    // the standard Spark CC shape; large-star/small-star would cut rounds
+    // for giant components). Output: every clustered doc with its
+    // component id (= min doc_id in the component) and component size.
+    // DuckDB oracle computes the same closure with a recursive CTE.
+    Q("d14_dedup_components",
+      (s, d) => {
+        val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+        val edges = pairs
+          .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .cache()
+        var labels = edges.select(col("doc_a").as("v")).distinct()
+          .withColumn("lbl", col("v")).cache()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val prop = edges.as("e").join(labels.as("l"), col("e.doc_a") === col("l.v"))
+            .select(col("e.doc_b").as("v"), col("l.lbl"))
+            .unionAll(labels)
+            .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+            .cache()
+          val changed = prop.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+            .where(col("n.lbl") =!= col("o.lbl")).count()
+          labels.unpersist()
+          labels = prop
+          converged = changed == 0L
+          iter += 1
+        }
+        val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        labels.join(broadcast(sizes), "lbl")
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+             |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+             |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |np AS (
+             |  SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes za ON za.doc_id = doc_a
+             |  JOIN sizes zb ON zb.doc_id = doc_b
+             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION ALL SELECT doc_b, doc_a FROM np),
+             |nodes AS (SELECT DISTINCT a AS v FROM edges),
+             |reach AS (
+             |  SELECT v, v AS l FROM nodes
+             |  UNION
+             |  SELECT r.v, e.b AS l FROM reach r JOIN edges e ON e.a = r.l
+             |),
+             |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
+             |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+             |SELECT v AS doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM lab JOIN csz USING (cluster_id)""".stripMargin))
   )
 }
