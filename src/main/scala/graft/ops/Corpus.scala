@@ -169,6 +169,59 @@ object Corpus {
             approx_count_distinct(col("tok"), 0.02).as("approx_distinct")),
       None),
 
+    // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
+    // 0.4 threshold via the same broadcast-scan shape as d07 (each
+    // partition scans the broadcast candidate array, emitting only
+    // above-threshold pairs; at 100 TB this becomes a blocked matrix
+    // product over IVF cells). Identical double arithmetic to the oracle.
+    Q("d15_cosine_neardup",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .as[(Long, Array[Double])]
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var i = 0; var acc = 0.0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val cands = e.collect().map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+        val bc = s.sparkContext.broadcast(cands)
+        e.mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (qid, qv) =>
+            val qn = math.sqrt(dot(qv, qv))
+            cs.iterator.filter(_._1 > qid).flatMap { case (cid, cv, cn) =>
+              val sim = dot(qv, cv) / (qn * cn)
+              if (sim >= 0.4) Iterator.single((qid, cid, sim)) else Iterator.empty
+            }
+          }
+        }.toDF("vec_a", "vec_b", "sim_raw")
+          .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+             |       round(list_dot_product(q.v, c.v)
+             |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+             |FROM e q JOIN e c ON q.vec_id < c.vec_id
+             |WHERE list_dot_product(q.v, c.v)
+             |  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.4""".stripMargin)),
+
+    // d16: BPE-style pre-tokenizer counts (GPT-2-ish regex, written
+    // without lookaheads so Java regex and DuckDB's RE2 agree) next to the
+    // whitespace token count.
+    Q("d16_bpe_tokens",
+      (s, d) => {
+        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+        documents(s, d).select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast(LongType).as("n_bpe_tokens"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+             |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+             |FROM documents""".stripMargin)),
+
     // d12: multimodal metadata — payloads as opaque binary columns, only
     // typed metadata extracted (the decode stage is the Multimodal stub;
     // this query is the metadata/plumbing surface, exact via md5/length).

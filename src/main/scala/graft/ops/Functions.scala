@@ -1,8 +1,27 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.text.RuText
+
+/** Typed UDAF (SURVEY.md Q18): value of the first row under a total order
+  * — the set-oriented form of the reference's "first raw spelling by
+  * document order" semantics (get-or-create keeps the first-seen value,
+  * populate_db_ru_v1.py:240-245). Merge-safe partial aggregation: each
+  * buffer carries (minKey, value-at-minKey), so map-side combine works.
+  */
+class FirstByOrder extends Aggregator[(String, Long), (Long, String), String] {
+  override def zero: (Long, String) = (Long.MaxValue, null)
+  override def reduce(b: (Long, String), a: (String, Long)): (Long, String) =
+    if (a._2 < b._1) (a._2, a._1) else b
+  override def merge(x: (Long, String), y: (Long, String)): (Long, String) =
+    if (x._1 <= y._1) x else y
+  override def finish(r: (Long, String)): String = r._2
+  override def bufferEncoder: Encoder[(Long, String)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
 
 /** The engine's SQL-visible scalar function surface (SURVEY.md Q18/F1–F4):
   * the reference's text functions (populate_db_ru_v1.py:38-89 standardize,
@@ -23,6 +42,7 @@ object Functions {
     */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("unescape_html", (s: String) => graft.parse.MiniDom.unescapeEntities(s))
+    spark.udf.register("first_by_order", udaf(new FirstByOrder))
   }
 
   def queries: Seq[Q] = Seq(
@@ -40,6 +60,21 @@ object Functions {
       Some("""SELECT o_orderkey,
              |CAST(nullif(regexp_replace(o_orderpriority, '[^0-9]', '', 'g'), '') AS INT) AS prio_num
              |FROM orders""".stripMargin)),
+
+    // Q18 UDAF surface: the typed Aggregator from SQL, checked against
+    // DuckDB's built-in min_by (identical first-under-total-order
+    // semantics).
+    Q("q28_typed_udaf",
+      (s, d) => {
+        register(s)
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""SELECT c_nationkey, first_by_order(c_name, c_custkey) AS first_name,
+                 count(*) AS n_customers
+                 FROM customer_v GROUP BY c_nationkey""")
+      },
+      Some("""SELECT c_nationkey, min_by(c_name, c_custkey) AS first_name,
+             |count(*) AS n_customers
+             |FROM customer GROUP BY c_nationkey""".stripMargin)),
 
     // Q20: sampling for inspection. Bernoulli sampling is engine-specific
     // (Spark's XORShiftRandom stream), so there is no cross-engine oracle —
