@@ -327,21 +327,24 @@ object Similarity {
         labels.join(broadcast(sizes), "lbl")
           .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       },
-      Some("""WITH RECURSIVE sh AS (
-             |  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
-             |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
-             |       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
-             |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |inter AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
-             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |np AS (
+      // The heavy pair computation is hoisted into MATERIALIZED CTEs so
+      // DuckDB evaluates it once instead of per recursion step.
+      Some("""WITH RECURSIVE np AS MATERIALIZED (
+             |  WITH sh AS (
+             |    SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+             |    FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |         LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+             |  ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |  inter AS (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2)
              |  SELECT doc_a, doc_b FROM inter
              |  JOIN sizes za ON za.doc_id = doc_a
              |  JOIN sizes zb ON zb.doc_id = doc_b
-             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION ALL SELECT doc_b, doc_a FROM np),
+             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4
+             |),
+             |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM np UNION ALL SELECT doc_b, doc_a FROM np),
              |nodes AS (SELECT DISTINCT a AS v FROM edges),
              |reach AS (
              |  SELECT v, v AS l FROM nodes
