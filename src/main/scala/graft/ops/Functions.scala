@@ -76,6 +76,22 @@ object Functions {
              |count(*) AS n_customers
              |FROM customer GROUP BY c_nationkey""".stripMargin)),
 
+    // Skew-safe distinct aggregation: COUNT(DISTINCT key) over a
+    // low-cardinality group column would funnel each group through one
+    // task if done naively; the two-phase form (distinct on the full
+    // composite key — shuffle spread over BOTH columns — then a tiny
+    // count per group) has no skewed shuffle. Same result, same oracle.
+    Q("q29_skew_safe_distinct",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.select(col("l_returnflag"), col("l_partkey"))
+          .distinct() // phase 1: shuffle keyed by (flag, partkey) — no hot key
+          .groupBy(col("l_returnflag")) // phase 2: tiny per-group counts
+          .agg(count(lit(1)).as("n_parts"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Q20: sampling for inspection. Bernoulli sampling is engine-specific
     // (Spark's XORShiftRandom stream), so there is no cross-engine oracle —
     // the driver records the weaker rows-only check, which is the point of

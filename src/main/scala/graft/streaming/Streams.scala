@@ -41,6 +41,15 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup: drop repeated event_ids inside the watermark
+    * horizon (the state store only keeps ids newer than the watermark —
+    * bounded state, the standard streaming dedup for training pipelines). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
   /** Gap-based sessionization with typed state + event-time timeout
     * (streaming analog of q23_sessionize). A session closes when the
     * watermark passes its end + gap; closed sessions are appended. */
