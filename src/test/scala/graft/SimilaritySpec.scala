@@ -37,4 +37,19 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // assert it is far above chance (1/n would be ~0.2%)
     assert(agree.toDouble / annRows.length > 0.05, s"recall@1 = $agree/${annRows.length}")
   }
+
+  test("d17 IVF ANN covers all queries and beats chance recall") {
+    import spark.implicits._
+    val queries = graft.SparkEntry.queries
+    val exact = queries("d07_cosine_topk")(spark, sf)
+      .where($"rank" === 1)
+      .select($"vec_id", $"neighbor_id".as("exact_nn"))
+    val ivf = queries("d17_ivf_ann")(spark, sf)
+    val n = graft.ops.Tables.embeddings(spark, sf).count()
+    val rows = ivf.count()
+    assert(rows >= (n * 9) / 10, s"coverage $rows/$n")
+    val agree = ivf.as("a").join(exact.as("e"), "vec_id")
+      .where($"a.neighbor_id" === $"e.exact_nn").count()
+    assert(agree.toDouble / rows > 0.05, s"recall@1 = $agree/$rows")
+  }
 }
