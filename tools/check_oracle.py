@@ -7,6 +7,12 @@ OUTDIR/oracle_sql.json, canonicalizes both result sets (columns sorted by
 name, rows sorted), and compares values exactly.
 
 Usage: python3 tools/check_oracle.py SFDIR OUTDIR
+
+In addition to the value compare, result-column ARROW TYPES are compared
+(with small equivalences: timestamp timezone variants unify; everything
+else must match exactly). This is what catches the round-1 q23 failure
+mode locally: DuckDB sum(INTEGER) yields HUGEINT/int128, which str()-based
+value comparison masks but the driver's typed hash does not.
 """
 import json, math, sys
 
@@ -45,15 +51,30 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.execute(sql)
-            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+            got_tbl = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").arrow()
+            exp_tbl = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e)[:200]}")
             n_fail += 1
             continue
+        def typemap(tbl):
+            def canon_t(t):
+                ts = str(t)
+                if ts.startswith("timestamp"):
+                    return "timestamp"
+                return ts
+            return {f.name: canon_t(f.type) for f in tbl.schema}
+        gt, et = typemap(got_tbl), typemap(exp_tbl)
+        if gt != et and set(gt) == set(et):
+            bad = {k: (gt[k], et[k]) for k in gt if gt[k] != et[k]}
+            print(f"FAIL {name}: column types differ (spark vs duck): {bad}")
+            n_fail += 1
+            continue
+        got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
+        got_cols = got_tbl.schema.names
+        exp_rows = [tuple(r.values()) for r in exp_tbl.to_pylist()]
+        exp_cols = exp_tbl.schema.names
         _, g = canon(got_rows, got_cols)
         _, e = canon(exp_rows, exp_cols)
         if sorted(got_cols) != sorted(exp_cols):
