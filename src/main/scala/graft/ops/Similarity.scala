@@ -153,8 +153,16 @@ object Similarity {
   }
 
   /** LSH-candidate pairs exact-verified at Jaccard >= 0.8 — shared by
-    * d06 (which emits them) and d14 (which clusters them). */
-  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    * d06 (which emits them) and d14 (which clusters them). Memoized per
+    * (session, dir) and cached so the second consumer reuses the
+    * materialized pair set instead of re-paying the sketch pipeline. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.computeIfAbsent((s, d), _ => computeNearDupPairs(s, d).cache())
+
+  private def computeNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
