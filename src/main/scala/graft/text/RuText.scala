@@ -157,10 +157,7 @@ object RuText {
     else null
   }
 
-  /** HTML entity unescape (reference uses Python html.unescape; the corpus
-    * only carries &nbsp; + markup entities — commons-text ships in Spark's
-    * jar set).
-    */
-  def unescapeHtml(s: String): String =
-    if (s == null) null else org.apache.commons.text.StringEscapeUtils.unescapeHtml4(s)
+  // NOTE: HTML entity decoding lives in graft.parse.MiniDom.unescapeEntities
+  // (Python html.unescape semantics); an earlier commons-text-based helper
+  // was removed because unescapeHtml4 misses &apos;/HTML5 names.
 }

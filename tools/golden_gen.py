@@ -120,8 +120,27 @@ class NavigableString(str):
     pass
 
 
+def _assert_balanced(text, name="<input>"):
+    """Guard for the well-formedness assumption this DOM relies on.
+
+    The reference parses with BeautifulSoup(..., 'lxml'); lxml's error
+    recovery (implied end tags, table normalization) can produce a
+    different DOM on MALFORMED markup than stdlib html.parser does. The
+    golden outputs are only a faithful oracle while the corpus stays
+    balanced, machine-regular HTML — so fail loudly if that ever changes.
+    """
+    for tag in ("table", "tbody", "thead", "tr", "td", "th", "span"):
+        n_open = len(re.findall(rf"<{tag}[\s>]", text))
+        n_close = text.count(f"</{tag}>")
+        assert n_open == n_close, (
+            f"{name}: unbalanced <{tag}>: {n_open} open vs {n_close} close — "
+            "html.parser DOM may diverge from the reference's lxml DOM")
+
+
 def BeautifulSoup(f, parser=None):
     text = f.read() if hasattr(f, "read") else f
+    name = getattr(f, "name", "<input>")
+    _assert_balanced(text, name)
     text = re.sub(r"<!--.*?-->", "", text, flags=re.DOTALL)
     tb = TreeBuilder()
     tb.feed(text)
