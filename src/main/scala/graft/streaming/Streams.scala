@@ -25,11 +25,17 @@ private final case class SessionState(startUs: Long, endUs: Long, n: Long)
   */
 object Streams {
 
-  /** Streaming source over the events parquet layout (ts_us epoch-µs). */
+  /** Streaming source over the events parquet layout. The files carry
+    * nanosecond timestamps read as Long (spark.sql.legacy.parquet
+    * .nanosAsLong); expose the same epoch-µs `ts_us` the batch loader
+    * (graft.ops.Tables.events) exposes, so batch and streaming share one
+    * column contract. */
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      .drop("ts")
 
   /** Tumbling 1-hour event-time windows per event type, 2-hour watermark
     * (streaming analog of q22_event_hourly). */

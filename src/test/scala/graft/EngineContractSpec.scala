@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Cross-cutting engine contracts: driver smoke, filter/column pushdown
+  * reaching the parquet scan, and batch/stream parity of the event
+  * pipeline over the real test parquet.
+  */
+class EngineContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("engine-contract-spec")
+  private val sf = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = spark.stop()
+
+  test("driver smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filters and column selection are pushed down to the parquet scan") {
+    val df = graft.ops.Tables.lineitem(spark, sf)
+      .where(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters:") &&
+      formatted.contains("GreaterThan(l_quantity"), formatted)
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    // column pruning: none of the other 9 lineitem columns reach the scan
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("streaming hourly counts over the real events parquet match batch") {
+    // file-stream sources need a directory; stage the real file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = graft.streaming.Streams.eventStream(spark, dir.toString)
+    val q = graft.streaming.Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_real")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_real")
+        .groupBy(col("hour_start"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events")) // update mode: latest value
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ops.Tables.events(spark, sf)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
