@@ -222,6 +222,23 @@ object Corpus {
              |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
              |FROM documents""".stripMargin)),
 
+    // d18: corpus length distribution — exact interpolated percentiles
+    // per language (both engines use the standard (n-1)*p linear
+    // interpolation: Spark `percentile`, DuckDB `quantile_cont`).
+    Q("d18_length_quantiles",
+      (s, d) =>
+        documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            expr("percentile(n_chars, 0.5D)").as("p50"),
+            expr("percentile(n_chars, 0.9D)").as("p90"),
+            expr("percentile(n_chars, 0.99D)").as("p99")),
+      Some("""SELECT lang,
+             |quantile_cont(n_chars, 0.5) AS p50,
+             |quantile_cont(n_chars, 0.9) AS p90,
+             |quantile_cont(n_chars, 0.99) AS p99
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // d12: multimodal metadata — payloads as opaque binary columns, only
     // typed metadata extracted (the decode stage is the Multimodal stub;
     // this query is the metadata/plumbing surface, exact via md5/length).
