@@ -92,6 +92,28 @@ object Functions {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Salted join for hot-key skew: the small side is replicated across 8
+    // salt values, the large side picks a DETERMINISTIC salt from another
+    // column, and the join key becomes (key, salt) — a single hot product
+    // key now spreads over 8 reducers instead of one. Result identical to
+    // the plain join, which is exactly what the oracle runs.
+    Q("q30_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("salt", pmod(col("l_orderkey"), lit(8)).cast("int"))
+        val salts = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"),
+            explode(sequence(lit(0), lit(7))).as("salt"))
+        li.join(salts,
+            li("l_partkey") === salts("p_partkey") && li("salt") === salts("salt"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), Tables.decSum(col("l_quantity")).as("total_qty"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
     // Q20: sampling for inspection. Bernoulli sampling is engine-specific
     // (Spark's XORShiftRandom stream), so there is no cross-engine oracle —
     // the driver records the weaker rows-only check, which is the point of
