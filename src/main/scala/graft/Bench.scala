@@ -30,9 +30,12 @@ object Bench {
     val extendedSet: Seq[Q] =
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++ graft.ops.Corpus.queries
 
-    // Warm the codegen/exec infrastructure (not the data) so the first
-    // timed query doesn't absorb one-time JVM compilation cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // Warm with a REPRESENTATIVE query (real parquet scan + decimal agg):
+    // the r02 bench showed a trivial spark.range warmup lets the first
+    // timed query absorb ~6 s of one-time parquet/codegen/AQE setup,
+    // corrupting round-over-round per-query comparisons.
+    baselineSet.find(_.name == "q01_pricing_summary")
+      .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def time(qs: Seq[Q]): Seq[(String, Double)] = qs.map { q =>

@@ -27,4 +27,14 @@ object Sessions {
     graft.ops.Functions.register(spark)
     spark
   }
+
+  /** Run `evict` when `s`'s SparkContext ends — used by the session-keyed
+    * memo caches (Similarity.pairCache, EtlQueries) so a long-lived
+    * multi-session process doesn't hold strong refs to stopped sessions
+    * and their cached DataFrames forever. */
+  def onStop(s: SparkSession)(evict: () => Unit): Unit =
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict()
+    })
 }

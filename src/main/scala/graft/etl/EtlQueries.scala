@@ -18,6 +18,9 @@ object EtlQueries {
 
   private def tables(s: SparkSession): EtlTables =
     cache.computeIfAbsent(s, sess => {
+      // evict when the session stops — a long-lived multi-session process
+      // must not pin stopped sessions' cached DataFrames forever
+      graft.Sessions.onStop(sess)(() => cache.remove(sess))
       val t = ReferenceEtl.run(sess, Corpus)
       EtlTables(
         t.assignments.cache(), t.inspectors.cache(), t.locations.cache(),

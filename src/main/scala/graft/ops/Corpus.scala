@@ -170,33 +170,22 @@ object Corpus {
       None),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
-    // 0.4 threshold via the same broadcast-scan shape as d07 (each
-    // partition scans the broadcast candidate array, emitting only
-    // above-threshold pairs; at 100 TB this becomes a blocked matrix
-    // product over IVF cells). Identical double arithmetic to the oracle.
+    // 0.4 threshold as a broadcast-hinted nested-loop self-join (Spark's
+    // broadcast machinery ships the candidate side to executors — no
+    // driver-side collect()): the pair stream stays inside codegen'd
+    // vec_dot and only above-threshold pairs survive the filter. At
+    // 100 TB this becomes a blocked matrix product over IVF cells.
+    // Identical double arithmetic to the oracle.
     Q("d15_cosine_neardup",
       (s, d) => {
-        import s.implicits._
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .as[(Long, Array[Double])]
-        def dot(a: Array[Double], b: Array[Double]): Double = {
-          var i = 0; var acc = 0.0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          acc
-        }
-        val cands = e.collect().map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
-        val bc = s.sparkContext.broadcast(cands)
-        e.mapPartitions { it =>
-          val cs = bc.value
-          it.flatMap { case (qid, qv) =>
-            val qn = math.sqrt(dot(qv, qv))
-            cs.iterator.filter(_._1 > qid).flatMap { case (cid, cv, cn) =>
-              val sim = dot(qv, cv) / (qn * cn)
-              if (sim >= 0.4) Iterator.single((qid, cid, sim)) else Iterator.empty
-            }
-          }
-        }.toDF("vec_a", "vec_b", "sim_raw")
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        e.as("q").join(broadcast(e.as("c")), col("q.vec_id") < col("c.vec_id"))
+          .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+            (call_function("vec_dot", col("q.v"), col("c.v")) /
+              (col("q.nrm") * col("c.nrm"))).as("sim_raw"))
+          .where(col("sim_raw") >= 0.4)
           .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

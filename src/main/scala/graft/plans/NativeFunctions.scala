@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.RuText
@@ -25,6 +27,40 @@ object NativeFns {
     val r = RuText.canonicalInspectorName(s.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  /** Sequential (index-order) double dot product over two array<double>
+    * columns — bit-identical to DuckDB's list_dot_product fold and to a
+    * hand-written while-loop, but callable from codegen'd expressions. */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var acc = 0.0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** `vec_dot(array<double>, array<double>) -> double` as a native codegen'd
+  * expression: the hot arithmetic of the similarity-search family (d07/
+  * d08/d15/d17) without a Scala-UDF boundary (no per-row Seq boxing) —
+  * every pairwise cosine stays inside whole-stage codegen. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects two array<double> arguments, got ${left.dataType} / ${right.dataType}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NativeFns.vecDot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
 }
 
 /** Base for the three native text expressions: null-in → null-out, and a
@@ -107,5 +143,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("canonical_inspector_name"),
       info("canonical_inspector_name", "inspector-name canonicalization (reference E4)"),
       (es: Seq[Expression]) => CanonicalInspectorName(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "sequential double dot product of two array<double> vectors"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-3 similarity primitives: the native
+  * vec_dot expression, the bounded TopKAgg, and the exact d19 prefix
+  * join's agreement with brute-force set similarity.
+  */
+class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("simprim-spec")
+  private val sf = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = spark.stop()
+
+  test("vec_dot matches a sequential reference loop and handles nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(-0.3, 0.4))
+    ).toDF("a", "b")
+    val got = df.select(call_function("vec_dot", col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0)
+    assert(got(1) == 0.1 * -0.3 + -0.2 * 0.4)
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(withNull.select(call_function("vec_dot", col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("TopKAgg keeps the k best under (sim DESC, id ASC) across merges") {
+    val agg = new graft.ops.TopKAgg(3)
+    val items = Seq((0.5, 10L), (0.9, 7L), (0.9, 3L), (0.1, 1L), (0.7, 2L), (0.9, 5L))
+    // reduce in two different orders, then merge — result must be identical
+    val (l, r) = items.splitAt(2)
+    val b1 = l.foldLeft(agg.zero)(agg.reduce)
+    val b2 = r.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(b1, b2)
+    assert(merged.ids.toSeq == Seq(3L, 5L, 7L)) // three 0.9s, tie-broken by id
+    val other = items.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(other.ids.toSeq == merged.ids.toSeq)
+    assert(other.sims.toSeq == merged.sims.toSeq)
+  }
+
+  test("d19 prefix-filter join equals brute-force word-4-gram Jaccard") {
+    import spark.implicits._
+    val queries = SparkEntry.queries
+    val got = queries("d19_jaccard_prefix")(spark, sf)
+      .select($"doc_a", $"doc_b", $"inter_size", $"union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over the same gram domain
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+")
+      if (w.length < 4) Set.empty
+      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val g = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val expect = (for {
+      (a, ga) <- g.iterator
+      (b, gb) <- g.iterator if a < b
+      // inter > 0 mirrors the join semantics: a pair must share a gram to
+      // exist at all (this also excludes degenerate empty-vs-empty pairs)
+      inter = (ga & gb).size if inter > 0 && inter * 5 >= (ga.size + gb.size - inter) * 4
+    } yield (a, b, inter.toLong, (ga.size + gb.size - inter).toLong)).toSet
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+  }
+}
