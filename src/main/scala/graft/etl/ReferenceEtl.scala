@@ -209,9 +209,32 @@ object ReferenceEtl {
       .as[AsgRow]
 
     // E5: per-file sorted fold (cache + as-of DB fallback + backfill).
-    exploded.groupByKey(_.file).flatMapGroups { (_, it) =>
-      SeniorResolver.resolveFile(it.toVector.sortBy(r => (r.rowIdx, r.ord)))
+    //
+    // MEMORY BOUND: senior back-references are inherently sequential per
+    // source file (the reference walks one document's rows in order with a
+    // mutable seniors cache), so one file's exploded assignment rows are
+    // materialized in a single task. That is O(rows of the LARGEST file),
+    // not O(corpus) — parallelism is per-file and unaffected by corpus
+    // size. The guard below turns a pathological single file (one
+    // multi-GB document) into a diagnosable failure instead of a silent
+    // executor OOM; legitimate inputs are nowhere near it (the reference
+    // corpus' largest file is ~1.4k rows).
+    exploded.groupByKey(_.file).flatMapGroups { (f, it) =>
+      SeniorResolver.resolveFile(
+        guardFileRows(f, it.toVector).sortBy(r => (r.rowIdx, r.ord)))
     }
+  }
+
+  /** Max assignment rows E5 will hold in one task for a single source
+    * file (~500 B/row → ~1 GB at the cap, well inside executor memory). */
+  private[graft] val MaxFileRows = 2000000
+
+  private[graft] def guardFileRows(file: String, rows: Vector[AsgRow]): Vector[AsgRow] = {
+    require(rows.size <= MaxFileRows,
+      s"E5 senior resolution materializes one file's rows in a single task; " +
+        s"'$file' has ${rows.size} rows (cap $MaxFileRows). Split the input " +
+        s"document or raise MaxFileRows if the executor heap allows.")
+    rows
   }
 
   /** Full ETL: corpus directory → six star-schema tables (E1-E4, E6). */

@@ -28,6 +28,21 @@ class GoldenEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GoldenCheck.diff("assignments", t.assignments, s"$repo/tools/golden/assignments.json", "AssignmentID") == 0)
   }
 
+  test("E5 per-file guard: pathological single-file size fails fast, sane sizes pass") {
+    val row = graft.etl.AsgRow("f.html", 0, 1901, 0, 0L, 0,
+      null, null, null, null, null, null, null,
+      null, null, null, null, null, null, isVacancy = false, isActing = false,
+      null, null, null, null, null)
+    val small = Vector.fill(3)(row)
+    assert(graft.etl.ReferenceEtl.guardFileRows("f.html", small) eq small)
+    val e = intercept[IllegalArgumentException] {
+      // a Vector of one shared row object: large size, no real memory
+      graft.etl.ReferenceEtl.guardFileRows("big.html",
+        Vector.fill(graft.etl.ReferenceEtl.MaxFileRows + 1)(row))
+    }
+    assert(e.getMessage.contains("big.html"))
+  }
+
   test("parquet sinks round-trip (S5-S8): partitioned fact readable with same count") {
     assume(new java.io.File(corpus).isDirectory, "reference corpus not present")
     val out = java.nio.file.Files.createTempDirectory("graft-etl-out").toString
