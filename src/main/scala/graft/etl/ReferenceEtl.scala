@@ -268,7 +268,7 @@ object ReferenceEtl {
     val inspectors = firstSeenDim(
       resolved.where($"canonName".isNotNull).select($"canonName", $"orderKey"),
       Seq("canonName"), "InspectorID")
-      .select($"InspectorID", $"canonName".as("FullName"), lit(null: String).as("Notes"))
+      .select($"InspectorID", $"canonName".as("FullName"), lit(null).cast(org.apache.spark.sql.types.StringType).as("Notes"))
 
     // E1: Ranks / Professions — dictionary-enriched first-seen dims.
     def dotFlex(dict: Map[String, String]) =
@@ -279,7 +279,7 @@ object ReferenceEtl {
       Seq("stdRank"), "RankID")
       .select($"RankID", $"stdRank".as("Abbreviation"),
         dotFlex(D.knownRanksMap)($"stdRank").as("FullName_RU"),
-        lit(null: String).as("RankType"))
+        lit(null).cast(org.apache.spark.sql.types.StringType).as("RankType"))
 
     val professions = firstSeenDim(
       resolved.where($"emitted" && $"stdProf".isNotNull && !$"profRefused").select($"stdProf", $"orderKey"),

@@ -7,8 +7,8 @@ the corpus ETL against an independent oracle:
 
 Column types mirror what graft.Verify writes (ReferenceEtl's Dataset
 schemas): IDs int64, Year/statistics int32, flags bool, text utf8. The
-all-null Notes/RankType columns are bool (Spark encodes Option[Nothing]
-fields of the case classes as BooleanType via Option[Boolean]).
+all-null Notes/RankType columns are string (TEXT NULL in the reference
+DDL, populate_db_ru_v1.py:160-179).
 
 Run (dev-side; pyarrow ships with the driver tooling):
     python3 tools/golden_to_parquet.py
@@ -50,7 +50,7 @@ SCHEMAS = {
     "inspectors": pa.schema([
         ("InspectorID", pa.int64()),
         ("FullName", pa.string()),
-        ("Notes", pa.bool_()),
+        ("Notes", pa.string()),
     ]),
     "locations": pa.schema([
         ("LocationID", pa.int64()),
@@ -63,7 +63,7 @@ SCHEMAS = {
         ("RankID", pa.int64()),
         ("Abbreviation", pa.string()),
         ("FullName_RU", pa.string()),
-        ("RankType", pa.bool_()),
+        ("RankType", pa.string()),
     ]),
     "professions": pa.schema([
         ("ProfessionID", pa.int64()),
