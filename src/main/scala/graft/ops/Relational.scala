@@ -30,17 +30,39 @@ object Relational {
 
     Q("q01_pricing_summary",
       (s, d) => {
+        // Exact decimal semantics on the long fast path: the money/measure
+        // columns carry <= 2 decimal digits (Tables.dec2's contract), so
+        // x*100 is an exact integer ("cents") and every sum is exact long
+        // arithmetic inside whole-stage codegen — no BigDecimal per row.
+        // The final /100.0 (and /10000.0 for the cents*cents product) is a
+        // single correctly-rounded double division of an exact integer,
+        // which is bit-identical to DuckDB's CAST(DECIMAL-sum AS DOUBLE):
+        // both produce the nearest double to the same exact rational.
+        def cents(c: Column): Column = round(c * 100).cast(LongType)
         val li = lineitem(s, d)
+        // COUNT(DISTINCT) is split out of the main aggregate: mixed
+        // distinct aggregation plans an Expand (2x the input rows through
+        // every buffer); a separate distinct->count joined back on the 25
+        // tiny groups is one narrow pre-aggregated shuffle instead.
+        val dist = li.select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+          .distinct()
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_orders"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             count(lit(1)).as("n_rows"),
-            sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-            sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
-            sum(rev(li)).cast(DoubleType).as("sum_disc_price"),
-            (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
-            countDistinct(col("l_orderkey")).as("n_orders"),
+            (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0).as("sum_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .cast(DoubleType) / 10000.0).as("sum_disc_price"),
+            ((sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0) / count(lit(1)))
+              .as("avg_price"),
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"))
+          .join(dist, Seq("l_returnflag", "l_linestatus"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+            col("sum_qty"), col("sum_price"), col("sum_disc_price"), col("avg_price"),
+            col("n_orders"), col("min_qty"), col("max_qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |count(*) AS n_rows,
