@@ -33,6 +33,27 @@ class EngineContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("similarity family plan shapes: no forced broadcasts, no expand, bounded top-k") {
+    val queries = SparkEntry.registered.map(q => q.name -> q).toMap
+    // d06/d08/d17 re-attach sketches/vectors with id-keyed joins; a
+    // broadcast() hint anywhere would force a full-table broadcast the
+    // LSH/IVF designs exist to avoid (AQE may still choose broadcast at
+    // runtime when a side is measured small — that is the point).
+    for (name <- Seq("d06_minhash_lsh", "d08_ann_lsh", "d17_ivf_ann")) {
+      val plan = queries(name).fn(spark, sf).queryExecution.analyzed
+      val hints = plan.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"$name carries join hints: $hints")
+    }
+    // d07 is the one deliberate broadcast (brute-force baseline): a
+    // broadcast nested-loop self-join feeding a partial-aggregated
+    // bounded top-k — the N^2 pair stream must not hit a shuffle.
+    val d07 = queries("d07_cosine_topk").fn(spark, sf).queryExecution.executedPlan.toString
+    assert(d07.contains("BroadcastNestedLoopJoin"), d07)
+    assert(d07.contains("ObjectHashAggregate"), d07)
+  }
+
   test("streaming hourly counts over the real events parquet match batch") {
     // file-stream sources need a directory; stage the real file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
