@@ -249,26 +249,27 @@ object Similarity {
     * fluctuation (Binomial(128, 0.8) < 77). */
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val sk = memoized(s, d, "sketches")(
-      docGrams(s, d).select(col("doc_id"), minhashUdf(col("grams")).as("mh")))
-    // band buckets carry ids only — the 128-long signature never rides
-    // the bucket shuffle; signatures re-attach per distinct pair below.
-    val b = sk.select(col("doc_id"), explode(expr(
+      docGrams(s, d).select(col("doc_id"), size(col("grams")).as("n"),
+        minhashUdf(col("grams")).as("mh")))
+    // band buckets carry (id, gram count) only — the 128-long signature
+    // never rides the bucket shuffle (one int does; negligible), and the
+    // size-ratio prune (J >= 0.8 forces 5*min >= 4*max) sits INSIDE the
+    // self-join condition, so most false bucket collisions die before the
+    // pair set is even materialized for distinct.
+    val b = sk.select(col("doc_id"), col("n"), explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("n"), col("bb.band"), col("bb.bucket"))
     val pairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 5 >= greatest(col("x.n"), col("y.n")) * 4)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // cheap prune first: the size-ratio test kills most false bucket
-    // collisions before the (wider) signature join pays for them.
-    val sizes = docGrams(s, d).select(col("doc_id"), size(col("grams")).as("n"))
+    // signature re-attachment is id-keyed (AQE broadcasts when small);
+    // the agreement estimate prunes to near-final candidates before the
+    // exact verify pays for gram arrays.
     pairs
-      .join(sizes.as("pa"), col("doc_a") === col("pa.doc_id"))
-      .join(sizes.as("pb"), col("doc_b") === col("pb.doc_id"))
-      .where(least(col("pa.n"), col("pb.n")) * 5 >= greatest(col("pa.n"), col("pb.n")) * 4)
-      .select(col("doc_a"), col("doc_b"))
       .join(sk.as("ma"), col("doc_a") === col("ma.doc_id"))
       .join(sk.as("mb"), col("doc_b") === col("mb.doc_id"))
       .where(mhAgreeUdf(col("ma.mh"), col("mb.mh")) >= (NumHashes * 6) / 10)
