@@ -87,9 +87,9 @@ object Similarity {
 
   // ---- MinHash machinery (d06/d08) -----------------------------------------
 
-  private[ops] val NumHashes = 128
-  private val Bands = 16
-  private val RowsPerBand = 8 // NumHashes / Bands
+  private[graft] val NumHashes = 128
+  private[graft] val Bands = 16
+  private[graft] val RowsPerBand = 8 // NumHashes / Bands
 
   /** 128 fixed component seeds (splitmix64 stream from a constant) — the
     * minhash components are independent per-component mixes, NOT a
@@ -110,9 +110,10 @@ object Similarity {
 
   /** 128 min-hashes over a doc's gram set in one compiled pass: per gram
     * one 32-bit string hash then 128 independent splitmix finalizer mixes
-    * (xor-seeded). One UDF call per document — the gram array never
-    * leaves its task, so the sketch build needs NO shuffle at all. */
-  private val minhashUdf = udf((grams: Seq[String]) => {
+    * (xor-seeded). Pure — shared by the batch UDF (one call per document;
+    * the gram array never leaves its task, so the sketch build needs NO
+    * shuffle at all) and the streaming detector (NearDupStream). */
+  private[graft] def minhash(grams: Seq[String]): Array[Long] = {
     val out = new Array[Long](NumHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
     grams.foreach { g =>
@@ -127,8 +128,24 @@ object Similarity {
         i += 1
       }
     }
-    out.toSeq
-  })
+    out
+  }
+
+  private val minhashUdf = udf((grams: Seq[String]) => minhash(grams).toSeq)
+
+  /** Distinct char-3-grams of a document, pure form (streaming side). */
+  private[graft] def charGrams(text: String): Seq[String] = {
+    val t = text.toLowerCase
+    if (t.length < 3) Seq.empty
+    else (0 to t.length - 3).view.map(i => t.substring(i, i + 3)).distinct.toVector
+  }
+
+  /** Count of agreeing minhash components (Jaccard estimate x128), pure. */
+  private[graft] def mhAgreement(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var eq = 0
+    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq
+  }
 
   /** Native codegen'd dot product (graft.plans.VecDot, registered by
     * GraftExtensions) — the UDF-free hot path of the cosine family. */
@@ -167,12 +184,8 @@ object Similarity {
 
   /** Number of agreeing minhash components — an unbiased Jaccard estimate
     * (x128) used to prune candidates before exact verification. */
-  private val mhAgreeUdf = udf((a: Seq[Long], b: Seq[Long]) => {
-    var i = 0
-    var eq = 0
-    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
-    eq
-  })
+  private val mhAgreeUdf =
+    udf((a: Seq[Long], b: Seq[Long]) => mhAgreement(a.toArray, b.toArray))
 
   /** Memoized per-(session, dir) intermediates shared across the d06/d14/
     * d19 family within one session (evicted when the session stops). */
