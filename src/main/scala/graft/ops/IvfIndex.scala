@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index as a
+  * first-class build / save / load / search surface.
+  *
+  * d17 exposes the self-contained query form (build inline, search the
+  * same table); this object is the production path at scale: the coarse
+  * quantizer is trained ONCE, the inverted file is persisted partitioned
+  * by cell, and every later query batch probes a couple of cells —
+  * reading only those partitions, never the corpus.
+  *
+  * On-disk layout (parquet):
+  *   <dir>/centroids   (cell INT, v ARRAY<DOUBLE>)   — K rows
+  *   <dir>/cells       (vec_id LONG, v ARRAY<DOUBLE>), partitionBy(cell)
+  *
+  * Scale notes:
+  *  - training: deterministic init (K lowest vec_ids) + Lloyd iterations,
+  *    each one assign-shuffle plus a K-row aggregate; the only driver
+  *    materialization anywhere is the K centroid vectors;
+  *  - the inverted file is written `partitionBy(cell)`, so a probe of p
+  *    cells is p directory reads (partition pruning on the `cell IN (...)`
+  *    filter) — the index read cost is p/K of the corpus per query batch;
+  *  - search re-attaches vectors id-keyed and ranks with the same
+  *    (sim DESC, id ASC) total order as the exact baseline.
+  */
+object IvfIndex {
+
+  /** Trained quantizer (K centroid vectors) + the assigned inverted file
+    * (vec_id, cell, v). `cells` is unpersisted lineage — save() writes it. */
+  final case class Model(centroids: Array[Array[Double]], cells: DataFrame)
+
+  private[ops] def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  private[ops] def nearest(cents: Array[Array[Double]], v: Array[Double], skip: Int = -1): Int = {
+    var best = -1; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      if (c != skip) { val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c } }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the coarse quantizer and assign every vector to its cell.
+    * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). */
+  def build(spark: SparkSession, vectors: DataFrame, k: Int = 16, iters: Int = 3): Model = {
+    import spark.implicits._
+    val e = vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
+    var centroids = e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = e.map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
+      centroids = next
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = e.map { case (id, v) => (id, nearest(bc.value, v), v) }
+      .toDF("vec_id", "cell", "v")
+    Model(centroids, cells)
+  }
+
+  /** Persist the index: tiny centroid table + cell-partitioned inverted
+    * file (probes prune to their partitions on read). */
+  def save(model: Model, dir: String): Unit = {
+    val spark = model.cells.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  def load(spark: SparkSession, dir: String): Model = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("v")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val cells = spark.read.parquet(s"$dir/cells").select(col("vec_id"), col("cell"), col("v"))
+    Model(centroids, cells)
+  }
+
+  /** Best neighbor per query under (cosine DESC, id ASC), probing the
+    * `probes` nearest cells of each query vector. `queries` must be
+    * (vec_id LONG, v ARRAY<DOUBLE>). */
+  def search(spark: SparkSession, model: Model, queries: DataFrame, probes: Int = 2): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val probed = queries.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cents = bc.value
+        val excluded = new Array[Boolean](cents.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Int)]
+        var p = 0
+        while (p < math.min(probes, cents.length)) {
+          var best = -1; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            if (!excluded(c)) {
+              val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c }
+            }
+            c += 1
+          }
+          if (best >= 0) { excluded(best) = true; out += ((id, v, best)) }
+          p += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "qv", "cell")
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("vec_dot", a, b)
+    val sim = probed.join(model.cells.as("m"), "cell")
+      .where(col("q_id") =!= col("m.vec_id"))
+      .select(col("q_id").as("vec_id"), col("m.vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("m.v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("m.v"), col("m.v"))))).as("sim"))
+    // (q, neighbor) pairs are already unique: each neighbor lives in
+    // exactly one cell and a query probes distinct cells.
+    sim.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -563,73 +563,23 @@ object Similarity {
              |FROM lab JOIN csz USING (cluster_id)""".stripMargin)),
 
     // d17: IVF approximate neighbor search — the second ANN index family
-    // (k-means coarse quantizer). Centroids: deterministic init (16 lowest
-    // vec_ids) + 3 Lloyd iterations, each one assign-shuffle + tiny
-    // centroid aggregation (the only driver-side collect is K=16 centroid
-    // rows); search probes the query's 2 nearest cells only
-    // (sub-quadratic: candidates ~ 2/16 of the corpus per query), and
-    // candidate vectors re-attach with id-keyed joins.
-    // Rows-only check (float summation order makes borderline cell
-    // assignments engine-specific); quality vs the exact d07 baseline is
-    // asserted in SimilaritySpec.
+    // (k-means coarse quantizer), built on the first-class IvfIndex
+    // surface (build/save/load/search — the production path persists the
+    // index; this query form builds inline and searches the same table).
+    // Centroids: deterministic init (16 lowest vec_ids) + 3 Lloyd
+    // iterations, each one assign-shuffle + tiny centroid aggregation
+    // (the only driver-side collect is K=16 centroid rows); search probes
+    // the query's 2 nearest cells only (sub-quadratic: candidates ~ 2/16
+    // of the corpus per query), and candidate vectors re-attach
+    // id-keyed. Rows-only check (float summation order makes borderline
+    // cell assignments engine-specific); quality vs the exact d07
+    // baseline is asserted in SimilaritySpec.
     Q("d17_ivf_ann",
       (s, d) => {
-        import s.implicits._
-        val K = 16
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .as[(Long, Array[Double])]
-          .cache()
-        def dist2(a: Array[Double], b: Array[Double]): Double = {
-          var i = 0; var acc = 0.0
-          while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-          acc
-        }
-        def nearest(cents: Array[Array[Double]], v: Array[Double], skip: Int = -1): Int = {
-          var best = -1; var bestD = Double.MaxValue; var c = 0
-          while (c < cents.length) {
-            if (c != skip) { val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c } }
-            c += 1
-          }
-          best
-        }
-        // deterministic init + Lloyd refinement
-        var centroids = e.orderBy(col("vec_id")).limit(K).collect().map(_._2)
-        for (_ <- 1 to 3) {
-          val bc = s.sparkContext.broadcast(centroids)
-          val sums = e.map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
-            .groupByKey(_._1)
-            .mapValues(_._2)
-            .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
-            .collect()
-          val next = centroids.clone()
-          sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
-          centroids = next
-        }
-        val bc = s.sparkContext.broadcast(centroids)
-        val cells = e.map { case (id, v) => (id, nearest(bc.value, v)) }
-          .toDF("vec_id", "cell")
-        // probe the 2 nearest cells per query
-        val probes = e.map { case (id, v) =>
-          val c1 = nearest(bc.value, v)
-          (id, Seq(c1, nearest(bc.value, v, skip = c1)))
-        }.toDF("q_id", "probe_cells")
-          .select(col("q_id"), explode(col("probe_cells")).as("cell"))
-        val eDf = e.toDF("vec_id", "v")
-        val cand = probes.join(cells.as("m"), "cell")
-          .where(col("q_id") =!= col("m.vec_id"))
-          .select(col("q_id"), col("m.vec_id").as("neighbor_id"))
-          .distinct()
-        val sim = cand
-          .join(eDf.as("qv"), col("q_id") === col("qv.vec_id"))
-          .join(eDf.as("cv"), col("neighbor_id") === col("cv.vec_id"))
-          .select(col("q_id").as("vec_id"), col("neighbor_id"),
-            (vecDot(col("qv.v"), col("cv.v")) /
-              (sqrt(vecDot(col("qv.v"), col("qv.v"))) * sqrt(vecDot(col("cv.v"), col("cv.v"))))).as("sim"))
-        sim.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(col("sim").desc, col("neighbor_id"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        val model = IvfIndex.build(s, e, k = 16, iters = 3)
+        IvfIndex.search(s, model, e, probes = 2)
       },
       None)
   )

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+import graft.ops.IvfIndex
+
+/** IvfIndex persistence contract: a saved+loaded index answers queries
+  * identically to the in-memory model, and the inverted file lands
+  * cell-partitioned so probes prune to their partitions.
+  */
+class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("ivf-index-spec")
+  private val sf = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = spark.stop()
+
+  test("save/load round-trip answers identically; cells are partitioned by cell") {
+    import spark.implicits._
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = IvfIndex.build(spark, e, k = 8, iters = 2)
+    val direct = IvfIndex.search(spark, model, e, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(model, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == 8)
+    assert(loaded.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) })
+    val viaDisk = IvfIndex.search(spark, loaded, e, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDisk == direct)
+
+    // partition layout: cell=N directories (partition pruning on probes)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "inverted file is not cell-partitioned")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
