@@ -18,6 +18,21 @@ final case class MediaFeatures(
     height: Int,
     embedding: Array[Float])
 
+/** A payload after resize: new dims + the (stub-)re-encoded bytes. */
+final case class ResizedMedia(
+    docId: Long,
+    modality: String,
+    width: Int,
+    height: Int,
+    payload: Array[Byte])
+
+/** One sampled frame of a video payload. */
+final case class FrameRow(
+    docId: Long,
+    frameIdx: Int,
+    nFrames: Int,
+    frameHash: String)
+
 /** Multimodal feature-extraction plumbing.
   *
   * The Spark-side shape is real: `mapPartitions` over batches of payload
@@ -63,6 +78,62 @@ object Multimodal {
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
           val (w, h, emb) = decodeStub(r.modality, payload)
           MediaFeatures(r.docId, r.modality, payload.length.toLong, sha256Hex(payload), w, h, emb)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: a real implementation re-encodes scaled pixels; the
+    * stub is deterministic in (payload, target dims) so the pipeline
+    * shape — narrow, batched, binary-in/binary-out — is testable. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val seed = java.util.Arrays.hashCode(payload) ^ (w * 31 + h)
+    val out = new Array[Byte](math.max(16, payload.length / 4))
+    var x = seed
+    var i = 0
+    while (i < out.length) {
+      x = x * 0x9e3779b1 + 1
+      out(i) = (x >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize to fixed target dims — the standard normalization
+    * step before a vision encoder. Same mapPartitions batch contract as
+    * extractFeatures; payload stays opaque binary end-to-end. */
+  def resizeAll(spark: SparkSession, rows: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+          ResizedMedia(r.docId, r.modality, targetW, targetH,
+            resizeStub(payload, targetW, targetH))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: emit `k` evenly-spaced frame
+    * indexes per video (a real implementation seeks the container; the
+    * stub derives a deterministic frame count and per-frame hash from the
+    * payload). Explodes rows INSIDE the executor pass — a doc's payload
+    * never rides more than one input row. */
+  def sampleFrames(spark: SparkSession, rows: Dataset[MediaRow], k: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    rows.filter(_.modality == "video").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+          val nFrames = 1 + math.floorMod(java.util.Arrays.hashCode(payload), 240)
+          val take = math.min(k, nFrames)
+          (0 until take).iterator.map { j =>
+            val idx = (j.toLong * nFrames / take).toInt // evenly spaced
+            FrameRow(r.docId, idx, nFrames,
+              sha256Hex(payload ++ BigInt(idx).toByteArray))
+          }
         }
       }
     }
