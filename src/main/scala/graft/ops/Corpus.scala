@@ -25,6 +25,50 @@ object Corpus {
 
   private val tokCol = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Winnowing fingerprints of one document (d11), computed in a single
+    * pass: md5-prefix hash per 8-char gram, minimum over each full
+    * 4-gram window, per-doc distinct (insertion order — the consumer is
+    * set-semantic). Matches the SQL/window formulation bit-for-bit: md5
+    * over UTF-8 bytes, first 8 hex chars, ASCII string min. */
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private val winnowUdf = udf((t: String) => {
+    val n = if (t == null) 0 else t.length - 7
+    if (n < 4) Array.empty[String]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // ASCII fast path: one UTF-8 encode, 8-byte windows == 8-char grams
+      var ascii = true
+      var c = 0
+      while (c < t.length && ascii) { if (t.charAt(c) >= 0x80) ascii = false; c += 1 }
+      val bytes = if (ascii) t.getBytes("UTF-8") else null
+      val hs = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        if (bytes != null) md.update(bytes, i, 8)
+        else md.update(t.substring(i, i + 8).getBytes("UTF-8"))
+        val dg = md.digest()
+        val cs = new Array[Char](8)
+        var b = 0
+        while (b < 4) {
+          cs(2 * b) = Hex((dg(b) >> 4) & 0xf); cs(2 * b + 1) = Hex(dg(b) & 0xf); b += 1
+        }
+        hs(i) = new String(cs)
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j <= n - 4) {
+        var m = hs(j)
+        var k = j + 1
+        while (k <= j + 3) { if (hs(k).compareTo(m) < 0) m = hs(k); k += 1 }
+        out.add(m)
+        j += 1
+      }
+      out.toArray(new Array[String](0))
+    }
+  })
+
   def queries: Seq[Q] = Seq(
 
     // d09: SimHash near-duplicate pairs at hamming distance <= 3.
@@ -127,22 +171,16 @@ object Corpus {
     // d11: winnowing document fingerprints — md5 8-gram hashes, min over a
     // 4-gram sliding window, distinct per doc (Schleimer/Wilkerson/Aiken).
     Q("d11_fingerprint",
-      (s, d) => {
-        val grams = documents(s, d)
-          .select(col("doc_id"), lower(col("text")).as("t"))
-          .select(col("doc_id"),
-            explode(expr("sequence(1, greatest(length(t) - 7, 0))")).as("i"),
-            col("t"))
-          .select(col("doc_id"), col("i"), expr("substring(md5(substring(t, i, 8)), 1, 8)").as("h"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
-        val n = Window.partitionBy(col("doc_id"))
-        grams
-          .withColumn("fp", min(col("h")).over(w))
-          .withColumn("cnt", count(lit(1)).over(n))
-          .where(col("i") <= col("cnt") - 3)
-          .select(col("doc_id"), col("fp"))
-          .distinct()
-      },
+      (s, d) =>
+        // Winnowing is per-document, so the whole computation — 8-char
+        // gram md5s, 4-wide sliding min, per-doc dedup — runs in ONE
+        // narrow pass (a UDF per document): zero shuffles, where the
+        // window formulation paid a (doc,i)-shuffle plus a distinct
+        // shuffle. Hash and tie semantics match the oracle exactly: md5
+        // over UTF-8 bytes, hex-prefix string min (ASCII = binary order).
+        documents(s, d)
+          .select(col("doc_id"), winnowUdf(lower(col("text"))).as("fps"))
+          .select(col("doc_id"), explode(col("fps")).as("fp")),
       Some("""WITH grams AS (
              |  SELECT doc_id, i, substring(md5(substring(t, i, 8)), 1, 8) AS h
              |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
