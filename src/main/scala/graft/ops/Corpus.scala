@@ -32,6 +32,30 @@ object Corpus {
     * over UTF-8 bytes, first 8 hex chars, ASCII string min. */
   private val Hex = "0123456789abcdef".toCharArray
 
+  /** 60-bit SimHash of a document's token list (d09) in one pass: per
+    * token the first 15 md5 hex chars as a 60-bit value (= first 7 bytes
+    * plus the high nibble of byte 8 — identical to the oracle's
+    * conv(substring(md5(tok),1,15),16,10)), +-1 votes per bit, bit set
+    * when the vote sum is >= 0. Empty tokens participate, matching the
+    * SQL split semantics. */
+  private val simhashUdf = udf((toks: Seq[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    toks.foreach { tok =>
+      val dg = md.digest((if (tok == null) "" else tok).getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dg(7) >> 4) & 0xfL)
+      var k = 0
+      while (k < 60) { if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1; k += 1 }
+    }
+    var sh = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) >= 0) sh |= 1L << k; k += 1 }
+    sh
+  })
+
   private val winnowUdf = udf((t: String) => {
     val n = if (t == null) 0 else t.length - 7
     if (n < 4) Array.empty[String]
@@ -78,16 +102,14 @@ object Corpus {
     Q("d09_simhash",
       (s, d) => {
         val docs = documents(s, d)
-        val bits = docs
-          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        // the 60-bit vote is per-document — one narrow UDF pass per doc
+        // (the earlier pure-SQL formulation exploded tokens x60 through a
+        // (doc, bit) shuffle: a 60x row blow-up that a large corpus
+        // cannot afford). Hash parity with the oracle is exact: md5 over
+        // UTF-8 bytes, first 15 hex chars as a 60-bit integer.
+        val sh = docs
           .select(col("doc_id"),
-            expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("k"))
-          .groupBy(col("doc_id"), col("k"))
-          .agg(sum(when(expr("shiftright(h, k) & 1") === 1, 1).otherwise(-1)).as("s"))
-        val sh = bits
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L)).as("simhash"))
+            simhashUdf(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
           .cache()
         val chunks = sh.select(col("doc_id"), col("simhash"),
           explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
