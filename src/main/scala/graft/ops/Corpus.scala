@@ -41,7 +41,7 @@ object Corpus {
   private val simhashUdf = udf((toks: Seq[String]) => {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
-    toks.foreach { tok =>
+    (if (toks == null) Seq.empty[String] else toks).foreach { tok =>
       val dg = md.digest((if (tok == null) "" else tok).getBytes("UTF-8"))
       var h = 0L
       var b = 0
@@ -107,7 +107,10 @@ object Corpus {
         // (doc, bit) shuffle: a 60x row blow-up that a large corpus
         // cannot afford). Hash parity with the oracle is exact: md5 over
         // UTF-8 bytes, first 15 hex chars as a 60-bit integer.
+        // null-text docs are absent from the SQL formulation (unnest of a
+        // null split emits no rows) — filter them to keep that semantics
         val sh = docs
+          .where(col("text").isNotNull)
           .select(col("doc_id"),
             simhashUdf(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
           .cache()
