@@ -34,8 +34,12 @@ object Bench {
     // the r02 bench showed a trivial spark.range warmup lets the first
     // timed query absorb ~6 s of one-time parquet/codegen/AQE setup,
     // corrupting round-over-round per-query comparisons.
-    baselineSet.find(_.name == "q01_pricing_summary")
+    // A warmup failure must not kill the run before the errors/timing
+    // contract exists — the same defect would then surface (and be
+    // recorded) when q01 runs timed.
+    try baselineSet.find(_.name == "q01_pricing_summary")
       .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def time(qs: Seq[Q]): Seq[(String, Double)] = qs.map { q =>

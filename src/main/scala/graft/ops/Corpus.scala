@@ -57,7 +57,11 @@ object Corpus {
   })
 
   private val winnowUdf = udf((t: String) => {
-    val n = if (t == null) 0 else t.length - 7
+    // gram positions count Unicode CODEPOINTS, matching SQL
+    // substring/length semantics (a UTF-16-unit loop would shift windows
+    // and split surrogate pairs on astral characters)
+    val cps = if (t == null) Array.empty[Int] else t.codePoints().toArray
+    val n = cps.length - 7
     if (n < 4) Array.empty[String]
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -70,7 +74,7 @@ object Corpus {
       var i = 0
       while (i < n) {
         if (bytes != null) md.update(bytes, i, 8)
-        else md.update(t.substring(i, i + 8).getBytes("UTF-8"))
+        else md.update(new String(cps, i, 8).getBytes("UTF-8"))
         val dg = md.digest()
         val cs = new Array[Char](8)
         var b = 0

@@ -39,10 +39,15 @@ object IvfIndex {
     acc
   }
 
-  private[ops] def nearest(cents: Array[Array[Double]], v: Array[Double], skip: Int = -1): Int = {
+  /** Index of the nearest centroid, optionally skipping excluded cells
+    * (the probe loop marks already-probed cells). */
+  private[ops] def nearest(cents: Array[Array[Double]], v: Array[Double],
+      excluded: Array[Boolean] = null): Int = {
     var best = -1; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
-      if (c != skip) { val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c } }
+      if (excluded == null || !excluded(c)) {
+        val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c }
+      }
       c += 1
     }
     best
@@ -104,13 +109,7 @@ object IvfIndex {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Int)]
         var p = 0
         while (p < math.min(probes, cents.length)) {
-          var best = -1; var bestD = Double.MaxValue; var c = 0
-          while (c < cents.length) {
-            if (!excluded(c)) {
-              val dd = dist2(cents(c), v); if (dd < bestD) { bestD = dd; best = c }
-            }
-            c += 1
-          }
+          val best = nearest(cents, v, excluded)
           if (best >= 0) { excluded(best) = true; out += ((id, v, best)) }
           p += 1
         }

@@ -53,7 +53,12 @@ object Relational {
             count(lit(1)).as("n_rows"),
             (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0).as("sum_qty"),
             (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0).as("sum_price"),
-            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            // the per-row product fits a long (~1e9) but its SUM does not
+            // at full scale (~1.5e11 rows/group x 1e9 >> 2^63): widen the
+            // accumulator to decimal(38,0) — one decimal add per row, the
+            // per-row arithmetic stays long
+            (sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+                .cast(DecimalType(38, 0)))
               .cast(DoubleType) / 10000.0).as("sum_disc_price"),
             ((sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0) / count(lit(1)))
               .as("avg_price"),

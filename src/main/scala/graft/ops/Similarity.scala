@@ -133,8 +133,10 @@ object Similarity {
 
   private val minhashUdf = udf((grams: Seq[String]) => minhash(grams).toSeq)
 
-  /** Distinct char-3-grams of a document, pure form (streaming side). */
+  /** Distinct char-3-grams of a document, pure form (streaming side) —
+    * same domain as docGrams: null or < 3 chars -> empty set. */
   private[graft] def charGrams(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
     val t = text.toLowerCase
     if (t.length < 3) Seq.empty
     else (0 to t.length - 3).view.map(i => t.substring(i, i + 3)).distinct.toVector
@@ -204,7 +206,10 @@ object Similarity {
       graft.Sessions.onStop(s)(() => memo.keySet.removeIf(_._1 eq s))
       val df = f.cache()
       val prev = memo.putIfAbsent(k, df)
-      if (prev != null) { df.unpersist(); prev } else df
+      // lost race: do NOT unpersist — CacheManager uncaches by logical
+      // plan, which would evict the winner's identical cached plan too;
+      // the loser's cache() was a no-op re-registration of the same plan.
+      if (prev != null) prev else df
     }
   }
 
@@ -214,11 +219,18 @@ object Similarity {
     * instead of a (doc, gram)-exploded self-join. Bound: one document's
     * gram set lives in one task — the same per-document bound every
     * shingling engine has. */
-  private def docGrams(s: SparkSession, d: String): DataFrame =
+  private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "grams3c")(
+      // the length guard is load-bearing twice over: null text must yield
+      // no grams (not [null] — the minhash UDF would NPE), and len < 3
+      // must yield an EMPTY set — Spark's sequence(1, 0) is DESCENDING
+      // ([1, 0]), which would emit phantom grams for 1-2-char docs where
+      // the DuckDB oracle's end-exclusive range(1, 1) emits none.
       documents(s, d).select(col("doc_id"), lower(col("text")).as("t"))
         .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3)))").as("grams")))
+          """CASE WHEN t IS NOT NULL AND length(t) >= 3
+            |  THEN array_distinct(transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)))
+            |  ELSE CAST(array() AS array<string>) END""".stripMargin).as("grams")))
 
   /** doc_id -> distinct word-4-gram array — d19's gram domain (word-level
     * n-grams have a long-tailed frequency distribution, which is what
@@ -241,7 +253,7 @@ object Similarity {
     * exact intersection with codegen'd array_intersect and apply the
     * integer threshold test. Work is proportional to candidates, never
     * to the corpus. */
-  private def verifyPairs(cand: DataFrame, grams: DataFrame): DataFrame =
+  private[graft] def verifyPairs(cand: DataFrame, grams: DataFrame): DataFrame =
     cand
       .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))

@@ -52,7 +52,15 @@ object NearDupStream {
     import spark.implicits._
 
     val fanout: Dataset[(Long, Long, Long, Array[Long])] = docs.flatMap { doc =>
-      val mh = Similarity.minhash(Similarity.charGrams(doc.text))
+      val grams = Similarity.charGrams(doc.text)
+      // no grams -> no sketch: an empty gram set's minhash is the
+      // all-MaxValue vector, which would make every pair of degenerate
+      // (null / < 3 chars) documents collide in all 16 bands with a
+      // perfect agreement estimate — matching batch, such docs simply
+      // never enter the index.
+      if (grams.isEmpty) Iterator.empty
+      else {
+      val mh = Similarity.minhash(grams)
       (0 until Similarity.Bands).iterator.map { b =>
         var h = 0x9747b28cL ^ b
         var i = b * Similarity.RowsPerBand
@@ -64,6 +72,7 @@ object NearDupStream {
           i += 1
         }
         (b.toLong, h, doc.docId, mh)
+      }
       }
     }
 
