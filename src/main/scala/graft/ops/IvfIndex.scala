@@ -125,9 +125,16 @@ object IvfIndex {
           (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("m.v"), col("m.v"))))).as("sim"))
     // (q, neighbor) pairs are already unique: each neighbor lives in
     // exactly one cell and a query probes distinct cells.
-    sim.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    bestNeighbor(sim)
   }
+
+  /** Best (sim DESC, neighbor_id ASC) row per vec_id as a hash aggregate:
+    * max of struct(sim, -neighbor_id) realizes the same total order as a
+    * row_number window but with map-side partial aggregation and no
+    * per-partition sort — shared by d08 and the IVF search. */
+  private[ops] def bestNeighbor(sim: DataFrame): DataFrame =
+    sim.groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("negId"))).as("best"))
+      .select(col("vec_id"), (-col("best.negId")).as("neighbor_id"),
+        round(col("best.sim"), 4).as("sim"))
 }

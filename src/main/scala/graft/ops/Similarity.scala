@@ -505,10 +505,7 @@ object Similarity {
           .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
             (vecDot(col("q.v"), col("c.v")) /
               (sqrt(vecDot(col("q.v"), col("q.v"))) * sqrt(vecDot(col("c.v"), col("c.v"))))).as("sim"))
-        sim.withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(col("sim").desc, col("neighbor_id"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        IvfIndex.bestNeighbor(sim)
       },
       None),
 
