@@ -463,19 +463,35 @@ object Relational {
     // Q3+Q9: multi-way star join (fact + 4 dims), the classic reporting shape.
     Q("q25_star_join",
       (s, d) => {
+        // Revenue partial-aggregates per order BEFORE the fact join (4x
+        // fewer join rows, and the decimal-exact arithmetic runs as long
+        // "cents" with a decimal(38,0) accumulator — see q01); the
+        // distinct customer count is split out of the main aggregate to
+        // avoid the mixed-distinct Expand, then joined back on the 35
+        // result groups.
+        def cents(c: Column): Column = round(c * 100).cast(LongType)
         val li = lineitem(s, d)
         val o = orders(s, d)
         val c = customer(s, d)
         val n = nation(s, d)
         val r = region(s, d)
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        val liAgg = li.groupBy(col("l_orderkey"))
+          .agg(sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast(DecimalType(38, 0))).as("rev_c"))
+        val joined = liAgg.join(o, col("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-          .groupBy(col("r_name"), year(col("o_orderdate")).cast(LongType).as("o_year"))
-          .agg(
-            sum(rev(li)).cast(DoubleType).as("revenue"),
-            countDistinct(col("c_custkey")).as("n_customers"))
+          .select(col("r_name"), year(col("o_orderdate")).cast(LongType).as("o_year"),
+            col("rev_c"), col("c_custkey"))
+        val base = joined.groupBy(col("r_name"), col("o_year"))
+          .agg((sum(col("rev_c")).cast(DoubleType) / 10000.0).as("revenue"))
+        val dist = joined.select(col("r_name"), col("o_year"), col("c_custkey"))
+          .distinct()
+          .groupBy(col("r_name"), col("o_year"))
+          .agg(count(lit(1)).as("n_customers"))
+        base.join(dist, Seq("r_name", "o_year"))
+          .select(col("r_name"), col("o_year"), col("revenue"), col("n_customers"))
       },
       Some("""SELECT r_name, EXTRACT(year FROM o_orderdate) AS o_year,
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
