@@ -371,6 +371,36 @@ object Similarity {
       .distinct()
   }
 
+  /** Distributed connected components over an (a, b) edge DataFrame:
+    * partition-local union-find contraction, then large-star/small-star
+    * alternation with localCheckpoint per round and a one-job symmetric-
+    * difference convergence check. Returns (v, lbl = component min,
+    * cluster_size) for every node that appears in an edge. Property-
+    * tested against an in-memory union-find on random graphs
+    * (SimilarityPrimitivesSpec) in addition to d14's DuckDB oracle. */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    var e = contract(s, pairs).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // set equality of canonical distinct edge sets, one job: the
+      // symmetric difference is empty iff no (a,b) appears exactly once
+      converged = next.unionAll(e).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c")).where(col("c") === 1).isEmpty
+      e = next
+      iter += 1
+    }
+    // at the star-forest fixpoint every b links to its component min a;
+    // groupBy-min is a no-op safety net, not a correctness crutch
+    val labels = e.select(col("b").as("v"), col("a").as("lbl"))
+      .unionAll(e.select(col("a").as("v"), col("a").as("lbl")))
+      .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v"), col("lbl"), col("cluster_size"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.
@@ -518,30 +548,10 @@ object Similarity {
     // with its component id (= min doc_id in the component) and component
     // size. DuckDB oracle computes the same closure with a recursive CTE.
     Q("d14_dedup_components",
-      (s, d) => {
-        val pairs = nearDupPairs(s, d)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        var e = contract(s, pairs).localCheckpoint()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 25) {
-          val next = smallStar(largeStar(e)).localCheckpoint()
-          // set equality of canonical distinct edge sets, one job: the
-          // symmetric difference is empty iff no (a,b) appears exactly once
-          converged = next.unionAll(e).groupBy(col("a"), col("b"))
-            .agg(count(lit(1)).as("c")).where(col("c") === 1).isEmpty
-          e = next
-          iter += 1
-        }
-        // at the star-forest fixpoint every b links to its component min a;
-        // groupBy-min is a no-op safety net, not a correctness crutch
-        val labels = e.select(col("b").as("v"), col("a").as("lbl"))
-          .unionAll(e.select(col("a").as("v"), col("a").as("lbl")))
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, "lbl")
-          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      },
+      (s, d) =>
+        connectedComponents(s,
+          nearDupPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size")),
       // The heavy pair computation is hoisted into MATERIALIZED CTEs so
       // DuckDB evaluates it once instead of per recursion step.
       Some("""WITH RECURSIVE np AS MATERIALIZED (

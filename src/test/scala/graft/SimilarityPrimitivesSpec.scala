@@ -42,6 +42,38 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other.sims.toSeq == merged.sims.toSeq)
   }
 
+  test("connectedComponents equals in-memory union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nNodes = 30 + trial * 20
+      val nEdges = nNodes + rng.nextInt(nNodes)
+      val edges = Seq.fill(nEdges) {
+        val a = rng.nextInt(nNodes).toLong
+        val b = rng.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // reference: plain union-find
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = touched.map { v =>
+        val root = touched.filter(w => find(w.toInt) == find(v.toInt)).min
+        (v, root)
+      }.toSet
+      val expectSizes = expect.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+      val got = graft.ops.Similarity.connectedComponents(spark,
+          edges.toDF("a", "b").repartition(7))
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(r => (r._1, r._2)).toSet == expect, s"labels differ (trial $trial)")
+      assert(got.forall(r => expectSizes(r._2) == r._3), s"sizes differ (trial $trial)")
+    }
+  }
+
   test("d19 prefix-filter join equals brute-force word-4-gram Jaccard") {
     import spark.implicits._
     val queries = SparkEntry.queries
