@@ -28,11 +28,15 @@ private final case class BucketState(ids: Array[Long], sigs: Array[Long])
   *  - one shuffle per micro-batch, keyed by (band, bucket) — the same key
   *    the batch bucket self-join uses, so hot buckets spread exactly as
   *    far as they do in batch;
-  *  - state is bounded: at most `maxPerBucket` sketches per bucket (ring
+  *  - state is bounded per bucket: at most `maxPerBucket` sketches (ring
   *    eviction, oldest first) — the documented trade: a true duplicate of
   *    a document evicted from all 16 of its buckets is missed, which at
   *    the default 64/bucket x 16 bands needs 1024 later same-bucket
-  *    arrivals before the first repeat;
+  *    arrivals before the first repeat. TOTAL state grows with the number
+  *    of distinct buckets touched (O(min(corpus, 16 x 2^64)) keys, ~1 KB
+  *    each at the cap) — the inherent cost of remembering the stream; a
+  *    deployment that only needs recent-window dedup should add a state
+  *    TTL (GroupStateTimeout) to forget idle buckets;
   *  - candidates are emitted at-least-once (a pair colliding in several
   *    bands is emitted per band); consumers dedupe downstream, exactly
   *    like the batch pipeline's `distinct()`.
