@@ -185,9 +185,11 @@ object Similarity {
   })
 
   /** Number of agreeing minhash components — an unbiased Jaccard estimate
-    * (x128) used to prune candidates before exact verification. */
-  private val mhAgreeUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => mhAgreement(a.toArray, b.toArray))
+    * (x128) used to prune candidates before exact verification. Native
+    * codegen'd expression (graft.plans.ArrayAgree): runs once per
+    * candidate pair with no Seq boxing. */
+  private def mhAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("array_agree", a, b)
 
   /** Memoized per-(session, dir) intermediates shared across the d06/d14/
     * d19 family within one session (evicted when the session stops). */
@@ -297,7 +299,7 @@ object Similarity {
     pairs
       .join(sk.as("ma"), col("doc_a") === col("ma.doc_id"))
       .join(sk.as("mb"), col("doc_b") === col("mb.doc_id"))
-      .where(mhAgreeUdf(col("ma.mh"), col("mb.mh")) >= (NumHashes * 6) / 10)
+      .where(mhAgree(col("ma.mh"), col("mb.mh")) >= (NumHashes * 6) / 10)
       .select(col("doc_a"), col("doc_b"))
   }
 

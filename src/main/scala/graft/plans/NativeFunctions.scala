@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.RuText
@@ -38,6 +38,16 @@ object NativeFns {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Count of positions where two equal-length array<bigint> columns
+    * agree — the minhash Jaccard-estimate comparator (x components). */
+  def arrayAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0
+    var eq = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq
+  }
 }
 
 /** `vec_dot(array<double>, array<double>) -> double` as a native codegen'd
@@ -61,6 +71,30 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
+}
+
+/** `array_agree(array<bigint>, array<bigint>) -> int` as a native
+  * codegen'd expression: position-wise agreement count, the minhash
+  * estimate comparator of the similarity family (d06's candidate
+  * prefilter runs it per pair — a UDF here pays two Seq boxings per
+  * candidate). */
+case class ArrayAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"array_agree expects two array<bigint> arguments, got ${left.dataType} / ${right.dataType}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.arrayAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NativeFns.arrayAgree($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAgree =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_agree"
 }
 
 /** Base for the three native text expressions: null-in → null-out, and a
@@ -146,5 +180,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "sequential double dot product of two array<double> vectors"),
       (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("array_agree"),
+      info("array_agree", "position-wise agreement count of two array<bigint> columns"),
+      (es: Seq[Expression]) => ArrayAgree(es(0), es(1))))
   }
 }

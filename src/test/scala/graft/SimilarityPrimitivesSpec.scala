@@ -28,6 +28,13 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.isNullAt(0))
   }
 
+  test("array_agree counts position-wise equality") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L))).toDF("a", "b")
+    assert(df.select(call_function("array_agree", col("a"), col("b")))
+      .as[Int].head() == 2)
+  }
+
   test("TopKAgg keeps the k best under (sim DESC, id ASC) across merges") {
     val agg = new graft.ops.TopKAgg(3)
     val items = Seq((0.5, 10L), (0.9, 7L), (0.9, 3L), (0.1, 1L), (0.7, 2L), (0.9, 5L))
