@@ -446,10 +446,13 @@ object Similarity {
         val grams = docWordGrams(s, d)
         val sh = grams.select(col("doc_id"), explode(col("grams")).as("g"))
         val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        // per-doc gram count comes from the gram array (narrow), not a
+        // second window pass over the exploded rows
+        val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
         val ranked = sh.join(dfreq, "g")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .join(sizes, "doc_id")
         val prefix = ranked
           .where(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
           .select(col("doc_id"), col("g"))
