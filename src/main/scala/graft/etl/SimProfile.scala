@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.functions._
 
-/** Dev harness: stage-level timings for the similarity pipeline. */
+/** Dev harness: stage-level timings for the d06 similarity pipeline. */
 object SimProfile {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -11,15 +11,21 @@ object SimProfile {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = graft.ops.Tables.documents(spark, sf)
-    val sh = docs.select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3)))")).as("g"))
-    t("shingles")(sh.count())
-    val grams = sh.groupBy(col("doc_id")).agg(collect_set(col("g")).as("grams"))
-    t("collect_set+minhash input")(grams.count())
-    t("full d06")(graft.SparkEntry.queries("d06_minhash_lsh")(spark, sf).count())
-    t("full d08")(graft.SparkEntry.queries("d08_ann_lsh")(spark, sf).count())
+    // warm: real scan+agg
+    graft.SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+
+    val sk = graft.ops.Similarity.docSketches(spark, sf)
+    t("sketch table (UDF + cache)")(sk.count())
+    t("full d06 (first run)")(
+      graft.SparkEntry.queries("d06_minhash_lsh")(spark, sf)
+        .write.format("noop").mode("overwrite").save())
+    t("full d19 (first run)")(
+      graft.SparkEntry.queries("d19_jaccard_prefix")(spark, sf)
+        .write.format("noop").mode("overwrite").save())
+    t("full d14 (reuses pairs)")(
+      graft.SparkEntry.queries("d14_dedup_components")(spark, sf)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -108,16 +108,108 @@ object Similarity {
     }
   }
 
-  /** 128 min-hashes over a doc's gram set in one compiled pass: per gram
-    * one 32-bit string hash then 128 independent splitmix finalizer mixes
-    * (xor-seeded). Pure — shared by the batch UDF (one call per document;
-    * the gram array never leaves its task, so the sketch build needs NO
-    * shuffle at all) and the streaming detector (NearDupStream). */
-  private[graft] def minhash(grams: Seq[String]): Array[Long] = {
+  /** splitmix64-fold `s`'s UTF-16 chars into a running hash — the shared
+    * primitive of the gram-hash family. */
+  private def hashChars(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^= h >>> 31
+      i += 1
+    }
+    h
+  }
+
+  private val GramSeed = 0x9747b28c9747b28cL
+
+  /** Sort + in-place dedupe of a hash array (the gram-set normal form:
+    * ascending distinct, so intersections are one native merge scan —
+    * sorted_inter_count — instead of a per-pair hash set). */
+  private def sortedDistinct(hs: Array[Long], n: Int): Array[Long] = {
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(hs, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Distinct char-3-gram 64-bit hashes of an (already lowercased) text,
+    * sorted ascending: one O(L log L) pass, no substring allocation (the
+    * SQL-expression form paid a start-anchored UTF8String scan per gram —
+    * O(L^2) per document). null or < 3 chars -> empty. Grams are compared
+    * BY 64-BIT HASH throughout the near-dup family; a collision within a
+    * pair's gram union would perturb exact Jaccard counts, with
+    * probability ~(pair union size)^2 / 2^64 < 1e-13 — and any collision
+    * on a given corpus is caught deterministically by the DuckDB oracle
+    * gate, which computes the same counts from the gram STRINGS. */
+  private[graft] def charGramHashes(lowered: String): Array[Long] = {
+    if (lowered == null) return Array.emptyLongArray
+    val n = lowered.length
+    if (n < 3) return Array.emptyLongArray
+    val hs = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      var h = GramSeed
+      var j = i
+      while (j < i + 3) {
+        h ^= lowered.charAt(j)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= h >>> 31
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    sortedDistinct(hs, n - 2)
+  }
+
+  /** Distinct word-4-gram hashes of an (already lowercased AND trimmed)
+    * text, sorted ascending — d19's gram domain. Tokenization mirrors the
+    * oracle exactly: split on \s+, grams are the space-joined 4-token
+    * windows (hashed char-by-char, identical to hashing the joined
+    * string). < 4 tokens -> empty. */
+  private[graft] def wordGramHashes(trimmedLowered: String): Array[Long] = {
+    if (trimmedLowered == null) return Array.emptyLongArray
+    val w = trimmedLowered.split("\\s+")
+    if (w.length < 4) return Array.emptyLongArray
+    val hs = new Array[Long](w.length - 3)
+    var i = 0
+    while (i < w.length - 3) {
+      var h = hashChars(GramSeed, w(i))
+      var k = 1
+      while (k < 4) {
+        h ^= ' '
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= h >>> 31
+        h = hashChars(h, w(i + k))
+        k += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    sortedDistinct(hs, w.length - 3)
+  }
+
+  /** 128 min-hashes over a doc's gram-hash set in one compiled pass: per
+    * gram 128 independent splitmix finalizer mixes (xor-seeded). Pure —
+    * shared by the batch sketch UDF (one call per document; the gram
+    * array never leaves its task, so the sketch build needs NO shuffle at
+    * all) and the streaming detector (NearDupStream). */
+  private[graft] def minhashFromHashes(gramHashes: Array[Long]): Array[Long] = {
     val out = new Array[Long](NumHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
-    grams.foreach { g =>
-      val base = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c).toLong & 0xffffffffL
+    var g = 0
+    while (g < gramHashes.length) {
+      val base = gramHashes(g)
       var i = 0
       while (i < NumHashes) {
         var z = base ^ mhSeeds(i)
@@ -127,20 +219,20 @@ object Similarity {
         if (z < out(i)) out(i) = z
         i += 1
       }
+      g += 1
     }
     out
   }
 
-  private val minhashUdf = udf((grams: Seq[String]) => minhash(grams).toSeq)
+  /** Per-document gram set + minhash sketch, built in ONE compiled pass
+    * over the text (the UDF output feeds a single cached table; grams and
+    * sketch never require separate scans). */
+  private[graft] final case class GramSketch(grams: Array[Long], mh: Array[Long])
 
-  /** Distinct char-3-grams of a document, pure form (streaming side) —
-    * same domain as docGrams: null or < 3 chars -> empty set. */
-  private[graft] def charGrams(text: String): Seq[String] = {
-    if (text == null) return Seq.empty
-    val t = text.toLowerCase
-    if (t.length < 3) Seq.empty
-    else (0 to t.length - 3).view.map(i => t.substring(i, i + 3)).distinct.toVector
-  }
+  private val gramSketchUdf = udf((lowered: String) => {
+    val g = charGramHashes(lowered)
+    GramSketch(g, minhashFromHashes(g))
+  })
 
   /** Count of agreeing minhash components (Jaccard estimate x128), pure. */
   private[graft] def mhAgreement(a: Array[Long], b: Array[Long]): Int = {
@@ -215,44 +307,41 @@ object Similarity {
     }
   }
 
-  /** doc_id -> distinct char-3-gram array of lower(text) — built per
-    * document with NO shuffle (the text never leaves its task) and kept
-    * as an array so exact verification is a codegen'd array_intersect
-    * instead of a (doc, gram)-exploded self-join. Bound: one document's
-    * gram set lives in one task — the same per-document bound every
-    * shingling engine has. */
-  private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "grams3c")(
-      // the length guard is load-bearing twice over: null text must yield
-      // no grams (not [null] — the minhash UDF would NPE), and len < 3
-      // must yield an EMPTY set — Spark's sequence(1, 0) is DESCENDING
-      // ([1, 0]), which would emit phantom grams for 1-2-char docs where
-      // the DuckDB oracle's end-exclusive range(1, 1) emits none.
-      documents(s, d).select(col("doc_id"), lower(col("text")).as("t"))
-        .select(col("doc_id"), expr(
-          """CASE WHEN t IS NOT NULL AND length(t) >= 3
-            |  THEN array_distinct(transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)))
-            |  ELSE CAST(array() AS array<string>) END""".stripMargin).as("grams")))
+  /** doc_id -> (grams, n, mh): sorted-distinct char-3-gram hashes of
+    * lower(text), gram count, and the 128-component minhash sketch — ONE
+    * cached table for the whole d06/d14 family, built per document with
+    * NO shuffle (the text never leaves its task). Lowercasing stays in
+    * Catalyst (`lower()`) so case semantics are byte-identical to the SQL
+    * pipeline the oracle mirrors; null text lowers to null -> empty set.
+    * Bound: one document's gram set lives in one task — the same
+    * per-document bound every shingling engine has. */
+  private[graft] def docSketches(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "sketch3c")(
+      documents(s, d)
+        .select(col("doc_id"), gramSketchUdf(lower(col("text"))).as("gs"))
+        .select(col("doc_id"), col("gs.grams").as("grams"),
+          size(col("gs.grams")).as("n"), col("gs.mh").as("mh")))
 
-  /** doc_id -> distinct word-4-gram array — d19's gram domain (word-level
-    * n-grams have a long-tailed frequency distribution, which is what
-    * prefix filtering needs; char 3-grams on this corpus do not). */
+  /** doc_id -> sorted distinct char-3-gram hash array (projection of
+    * [[docSketches]]; the columnar cache prunes the unread mh column). */
+  private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
+    docSketches(s, d).select(col("doc_id"), col("grams"))
+
+  /** doc_id -> distinct word-4-gram hash array — d19's gram domain
+    * (word-level n-grams have a long-tailed frequency distribution, which
+    * is what prefix filtering needs; char 3-grams on this corpus do not). */
   private def docWordGrams(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "grams4w")(
       documents(s, d)
-        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-        .select(col("doc_id"), expr(
-          """array_distinct(CASE WHEN size(w) >= 4
-            |  THEN transform(sequence(1, size(w) - 3),
-            |         i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-            |                             element_at(w, i + 2), element_at(w, i + 3)))
-            |  ELSE CAST(array() AS array<string>) END)""".stripMargin).as("grams")))
+        .select(col("doc_id"),
+          udf(wordGramHashes _).apply(lower(trim(col("text")))).as("grams")))
 
-  /** Exact verification shared by d06 and d19: attach the two gram arrays
-    * per candidate pair (id-keyed joins — AQE broadcasts a small side,
-    * shuffles at scale), prune by the gram-count ratio (J >= 0.8 forces
-    * 5*min >= 4*max) before touching array contents, then compute the
-    * exact intersection with codegen'd array_intersect and apply the
+  /** Exact verification shared by d06 and d19: attach the two gram-hash
+    * arrays per candidate pair (id-keyed joins — AQE broadcasts a small
+    * side, shuffles at scale), prune by the gram-count ratio (J >= 0.8
+    * forces 5*min >= 4*max) before touching array contents, then compute
+    * the exact intersection size with the native sorted_inter_count merge
+    * scan (the arrays are sorted-distinct by construction) and apply the
     * integer threshold test. Work is proportional to candidates, never
     * to the corpus. */
   private[graft] def verifyPairs(cand: DataFrame, grams: DataFrame): DataFrame =
@@ -264,7 +353,8 @@ object Similarity {
         size(col("gb.grams")).cast(LongType).as("n_b"))
       .where(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        size(array_intersect(col("gsa"), col("gsb"))).cast(LongType).as("inter_size"))
+        call_function("sorted_inter_count", col("gsa"), col("gsb"))
+          .cast(LongType).as("inter_size"))
       .select(col("doc_a"), col("doc_b"), col("inter_size"),
         (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
       .where(col("inter_size") * 5 >= col("union_size") * 4)
@@ -275,14 +365,12 @@ object Similarity {
     * true >= 0.8 pair failing it would need a 5+ sigma minhash
     * fluctuation (Binomial(128, 0.8) < 77). */
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val sk = memoized(s, d, "sketches")(
-      docGrams(s, d).select(col("doc_id"), size(col("grams")).as("n"),
-        minhashUdf(col("grams")).as("mh")))
+    val sk = docSketches(s, d)
     // band buckets carry (id, gram count) only — the 128-long signature
     // never rides the bucket shuffle (one int does; negligible), and the
     // size-ratio prune (J >= 0.8 forces 5*min >= 4*max) sits INSIDE the
     // self-join condition, so most false bucket collisions die before the
-    // pair set is even materialized for distinct.
+    // pair set exists.
     val b = sk.select(col("doc_id"), col("n"), explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
         .as("bb"))
@@ -292,15 +380,17 @@ object Similarity {
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 5 >= greatest(col("x.n"), col("y.n")) * 4)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // signature re-attachment is id-keyed (AQE broadcasts when small);
-    // the agreement estimate prunes to near-final candidates before the
-    // exact verify pays for gram arrays.
+    // signature re-attachment is id-keyed (AQE broadcasts when small) and
+    // the agreement estimate prunes to near-final candidates BEFORE the
+    // dedupe shuffle: multi-band collisions are only ~6% of raw pairs
+    // (measured), so filtering first shrinks the distinct() input by the
+    // ~50% the estimate rejects instead of deduping everything.
     pairs
       .join(sk.as("ma"), col("doc_a") === col("ma.doc_id"))
       .join(sk.as("mb"), col("doc_b") === col("mb.doc_id"))
       .where(mhAgree(col("ma.mh"), col("mb.mh")) >= (NumHashes * 6) / 10)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
   }
 
   /** LSH-candidate pairs exact-verified at Jaccard >= 0.8 — shared by

@@ -28,8 +28,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "embeddings"))
+
+  /** Spread a small-file scan across the session's cores. The local test
+    * tables are one parquet file with ONE row group, so the scan is a
+    * single input split — and every CPU-bound narrow stage fed by it
+    * (sketching UDFs, per-pair cosine, quality scoring) would serialize
+    * on one core. The shuffle this inserts moves only the table's raw
+    * bytes once (~600 KB at sf0.1). At production scale the scan already
+    * has >= parallelism splits and this is a no-op — no shuffle appears
+    * in the plan. documents/embeddings get it because their consumers are
+    * compute-per-row heavy; the relational tables stay split-governed
+    * (their consumers are scan+agg, where a blanket shuffle costs more
+    * than single-split decode). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** events with `ts` replaced by `ts_us` (epoch microseconds, Long).
     * Floor division (ts - pmod) rather than `div` so pre-1970 (negative)

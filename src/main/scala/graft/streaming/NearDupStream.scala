@@ -56,7 +56,8 @@ object NearDupStream {
     import spark.implicits._
 
     val fanout: Dataset[(Long, Long, Long, Array[Long])] = docs.flatMap { doc =>
-      val grams = Similarity.charGrams(doc.text)
+      val grams = Similarity.charGramHashes(
+        if (doc.text == null) null else doc.text.toLowerCase)
       // no grams -> no sketch: an empty gram set's minhash is the
       // all-MaxValue vector, which would make every pair of degenerate
       // (null / < 3 chars) documents collide in all 16 bands with a
@@ -64,7 +65,7 @@ object NearDupStream {
       // never enter the index.
       if (grams.isEmpty) Iterator.empty
       else {
-      val mh = Similarity.minhash(grams)
+      val mh = Similarity.minhashFromHashes(grams)
       (0 until Similarity.Bands).iterator.map { b =>
         var h = 0x9747b28cL ^ b
         var i = b * Similarity.RowsPerBand
