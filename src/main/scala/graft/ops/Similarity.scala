@@ -393,6 +393,36 @@ object Similarity {
       .distinct()
   }
 
+  /** JVM/codegen warmup on synthetic in-memory rows: compiles the UDF,
+    * typed-aggregator, and native-expression classes this family uses
+    * WITHOUT touching any data directory — the (session, dir) memo caches
+    * stay cold, so a later timed query still pays its own pipeline. Called
+    * by Bench so the first timed similarity query measures the operator,
+    * not Janino compilation and class-loading. */
+  def warm(s: SparkSession): Unit = {
+    import s.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"warm doc $i lorem ipsum dolor sit amet " * 4)).toSeq
+      .toDF("doc_id", "text")
+    val sk = docs.select(col("doc_id"), gramSketchUdf(lower(col("text"))).as("gs"))
+      .select(col("doc_id"), col("gs.grams").as("grams"),
+        size(col("gs.grams")).as("n"), col("gs.mh").as("mh"))
+    val cand = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .where(mhAgree(col("a.mh"), col("b.mh")) >= 0)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyPairs(cand, sk.select(col("doc_id"), col("grams")))
+      .write.format("noop").mode("overwrite").save()
+    val topk = udaf(new TopKAgg(3))
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(j => (i + j).toDouble))).toSeq
+      .toDF("vec_id", "v")
+    vecs.as("q").join(broadcast(vecs.as("c")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"),
+        vecDot(col("q.v"), col("c.v")).as("sim"), col("c.vec_id").as("cid"))
+      .groupBy(col("vec_id")).agg(topk(col("sim"), col("cid")).as("t"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   /** LSH-candidate pairs exact-verified at Jaccard >= 0.8 — shared by
     * d06 (which emits them) and d14 (which clusters them): memoized per
     * (session, dir) so the second consumer reuses the materialized pair
@@ -619,11 +649,14 @@ object Similarity {
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
         val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
         val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+        // no distinct(): a pair colliding in several tables appears several
+        // times, but bestNeighbor's max-aggregation dedupes by construction
+        // — recomputing a few duplicate dot products is cheaper than a
+        // full dedupe shuffle of the candidate set.
         val pairs = buckets.as("x").join(buckets.as("y"),
             col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
               col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
-          .distinct()
         val sim = pairs.as("p")
           .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
           .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
