@@ -81,6 +81,98 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sorted_inter_count equals array_intersect size on random sorted sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted.toArray
+      val b = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted.toArray
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      call_function("sorted_inter_count", col("a"), col("b")).as[Int],
+      size(array_intersect(col("a"), col("b"))).as[Int]).collect()
+    got.foreach { case (m, ref) => assert(m == ref) }
+    val withNull = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+    assert(withNull.select(call_function("sorted_inter_count", col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("charGramHashes: sorted distinct, cardinality matches the string gram set") {
+    val rng = new scala.util.Random(11)
+    val alphabet = "абвгде abcxyz.,\n"
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rng.nextInt(50))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val hs = graft.ops.Similarity.charGramHashes(s)
+      val ref =
+        if (s.length < 3) Set.empty[String]
+        else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+      assert(hs.length == ref.size, s"cardinality for ${s.take(20)}…")
+      assert(hs.toSeq == hs.toSeq.sorted && hs.toSeq.distinct == hs.toSeq)
+    }
+    assert(graft.ops.Similarity.charGramHashes(null).isEmpty)
+    assert(graft.ops.Similarity.charGramHashes("ab").isEmpty)
+  }
+
+  test("wordGramHashes cardinality matches the string 4-gram set") {
+    val rng = new scala.util.Random(13)
+    val words = Seq("the", "cat", "sat", "on", "a", "mat", "и", "на")
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rng.nextInt(12))(words(rng.nextInt(words.length))).mkString(" ")
+      val hs = graft.ops.Similarity.wordGramHashes(s)
+      val w = s.split("\\s+")
+      val ref =
+        if (s.isEmpty || w.length < 4) Set.empty[String]
+        else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+      assert(hs.length == ref.size, s"cardinality for '$s'")
+    }
+    assert(graft.ops.Similarity.wordGramHashes(null).isEmpty)
+  }
+
+  test("gram hashing is collision-free on the test corpus (both domains)") {
+    import spark.implicits._
+    // the oracle computes gram counts from STRINGS; the engine from 64-bit
+    // hashes — equality of distinct-counts over the corpus proves no
+    // collision perturbs any count at test scale
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", lower($"text").as("t")).as[(Long, String)].collect()
+    val triStrings = docs.iterator.flatMap { case (_, t) =>
+      if (t == null || t.length < 3) Iterator.empty
+      else (0 to t.length - 3).iterator.map(i => t.substring(i, i + 3))
+    }.toSet
+    val triHashes = docs.iterator.flatMap { case (_, t) =>
+      graft.ops.Similarity.charGramHashes(t).iterator
+    }.toSet
+    assert(triStrings.size == triHashes.size)
+    val wordStrings = docs.iterator.flatMap { case (_, t) =>
+      if (t == null) Iterator.empty
+      else {
+        val w = t.trim.split("\\s+")
+        if (w.length < 4) Iterator.empty
+        else (0 to w.length - 4).iterator.map(i => w.slice(i, i + 4).mkString(" "))
+      }
+    }.toSet
+    val wordHashes = docs.iterator.flatMap { case (_, t) =>
+      graft.ops.Similarity.wordGramHashes(if (t == null) null else t.trim).iterator
+    }.toSet
+    assert(wordStrings.size == wordHashes.size)
+  }
+
+  test("minhashFromHashes is deterministic and exact on identical sets") {
+    val rng = new scala.util.Random(17)
+    val hs = Array.fill(300)(rng.nextLong()).distinct.sorted
+    val a = graft.ops.Similarity.minhashFromHashes(hs)
+    val b = graft.ops.Similarity.minhashFromHashes(hs)
+    assert(a.length == graft.ops.Similarity.NumHashes)
+    assert(a.toSeq == b.toSeq)
+    // disjoint sets should agree on almost no components
+    val other = graft.ops.Similarity.minhashFromHashes(
+      Array.fill(300)(rng.nextLong()).distinct.sorted)
+    val agree = a.zip(other).count { case (x, y) => x == y }
+    assert(agree < 16, s"disjoint sets agree on $agree/128 components")
+  }
+
   test("d19 prefix-filter join equals brute-force word-4-gram Jaccard") {
     import spark.implicits._
     val queries = SparkEntry.queries
