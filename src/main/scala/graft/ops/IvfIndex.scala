@@ -54,20 +54,47 @@ object IvfIndex {
   }
 
   /** Train the coarse quantizer and assign every vector to its cell.
-    * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). */
+    * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>).
+    *
+    * Each Lloyd iteration is ONE narrow pass: every partition folds its
+    * vectors into K local (sum, count) accumulators and emits at most K
+    * tiny rows, which the driver folds in partition order (deterministic
+    * given a fixed partitioning; K x dim doubles ~ kilobytes — the only
+    * thing ever collected). No shuffle of the vector set anywhere — the
+    * MLlib-KMeans aggregation shape, vs the groupByKey form whose
+    * per-iteration shuffle moves the whole corpus. */
   def build(spark: SparkSession, vectors: DataFrame, k: Int = 16, iters: Int = 3): Model = {
     import spark.implicits._
     val e = vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
     var centroids = e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = e.map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
-        .collect()
+      val parts = e.mapPartitions { it =>
+        val cents = bc.value
+        val sums = new Array[Array[Double]](cents.length)
+        val counts = new Array[Long](cents.length)
+        it.foreach { case (_, v) =>
+          val c = nearest(cents, v)
+          if (sums(c) == null) sums(c) = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        (0 until cents.length).iterator
+          .filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }.collect() // <= K rows per partition, driver-folded in partition order
       val next = centroids.clone()
-      sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
+      val acc = new Array[Array[Double]](k)
+      val n = new Array[Long](k)
+      parts.foreach { case (c, s, cnt) =>
+        if (acc(c) == null) acc(c) = new Array[Double](s.length)
+        var i = 0
+        while (i < s.length) { acc(c)(i) += s(i); i += 1 }
+        n(c) += cnt
+      }
+      (0 until k).foreach { c =>
+        if (n(c) > 0) next(c) = acc(c).map(_ / n(c))
+      }
       centroids = next
     }
     val bc = spark.sparkContext.broadcast(centroids)
