@@ -564,15 +564,14 @@ object Similarity {
     Q("d19_jaccard_prefix",
       (s, d) => {
         val grams = docWordGrams(s, d)
-        val sh = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+        // the per-doc gram count rides the exploded rows from the start —
+        // one narrow column instead of a sizes join after the window
+        val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
+          explode(col("grams")).as("g"))
         val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        // per-doc gram count comes from the gram array (narrow), not a
-        // second window pass over the exploded rows
-        val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
         val ranked = sh.join(dfreq, "g")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-          .join(sizes, "doc_id")
         val prefix = ranked
           .where(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
           .select(col("doc_id"), col("g"))
