@@ -121,13 +121,23 @@ object Corpus {
         val chunks = sh.select(col("doc_id"), col("simhash"),
           explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
           .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+        // hamming test BEFORE distinct: the filter runs map-side inside
+        // the join stage, so the dedupe shuffle carries only true
+        // near-dup pairs, not every chunk collision. Scale note (measured
+        // at 50k docs, graft.tools.ScaleSmoke): on corpora with
+        // homogeneous token distributions, simhash signatures cluster and
+        // hamming <= 3 matches a constant fraction of ALL pairs — the
+        // OUTPUT itself is then quadratic (the operator streams it, but
+        // production near-dup detection on such corpora should tighten
+        // the threshold or use d06/d19, whose Jaccard floor bounds the
+        // answer size).
         chunks.as("x").join(chunks.as("y"),
             col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-          .distinct()
           .where(col("hamming") <= 3)
+          .distinct()
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
