@@ -1,0 +1,127 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Corpus, IvfIndex, Similarity, TextOps}
+
+/** The engine's public DataFrame-in / DataFrame-out library surface.
+  *
+  * Every operator takes user-supplied DataFrames with a small documented
+  * column contract and returns a plain DataFrame — nothing here reads
+  * fixed paths or test tables (the driver-facing `SparkEntry.queries`
+  * bind these same operators to the test corpus). A user of the
+  * reference system maps their corpus onto two shapes and gets the whole
+  * pipeline:
+  *
+  *  - documents: `doc_id BIGINT, text STRING` (+ `lang`, `source`,
+  *    `n_chars` for the ops that aggregate by them — each method's
+  *    scaladoc lists exactly what it reads);
+  *  - embeddings: `vec_id BIGINT, embedding ARRAY<FLOAT|DOUBLE>`.
+  *
+  * Sessions should be built with [[graft.Sessions.build]] (or any session
+  * whose extensions include [[graft.plans.GraftExtensions]] — the
+  * similarity family's native expressions are registered there).
+  *
+  * Scale contracts are inherited from the underlying operators: no
+  * driver-side collect() of any unbounded table, no forced full-table
+  * broadcasts, candidate generation sub-quadratic everywhere a
+  * sub-quadratic algorithm exists (banded MinHash-LSH, PPJoin prefix
+  * filter, hyperplane-LSH buckets, IVF cells).
+  */
+object Graft {
+
+  // ---- deduplication -------------------------------------------------------
+
+  /** Exact dedup groups (content-hash, n_copies, keeper_doc_id, n_chars).
+    * Reads: doc_id, text, n_chars. */
+  def dedupExact(docs: DataFrame): DataFrame = TextOps.dedupExact(docs)
+
+  /** MinHash-LSH near-duplicate pairs, exact-verified at Jaccard >= 0.8
+    * over char-3-gram sets. Reads: doc_id, text. */
+  def nearDupPairs(docs: DataFrame): DataFrame = Similarity.nearDupPairs(docs)
+
+  /** Near-duplicate clusters: connected components over [[nearDupPairs]]
+    * → (doc_id, cluster_id, cluster_size). Reads: doc_id, text. */
+  def nearDupClusters(docs: DataFrame): DataFrame = Similarity.nearDupClusters(docs)
+
+  /** Exact word-4-gram Jaccard pairs at J >= 0.8 via PPJoin-style prefix
+    * filtering (exact recall, no sketch risk). Reads: doc_id, text. */
+  def jaccardPrefixPairs(docs: DataFrame): DataFrame = Similarity.jaccardPrefixPairs(docs)
+
+  /** SimHash near-duplicate pairs at hamming <= maxHamming (exact recall
+    * by 15-bit-chunk pigeonhole for maxHamming <= 3). Reads: doc_id, text. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Corpus.simhashPairs(docs, maxHamming)
+
+  /** Exact embedding-cosine near-duplicate pairs at `threshold`.
+    * Reads: vec_id, embedding. */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame =
+    Corpus.cosineNearDupPairs(vecs, threshold)
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Exact cosine top-k neighbors per vector (brute-force baseline).
+    * Reads: vec_id, embedding. */
+  def cosineTopK(vecs: DataFrame, k: Int = 3): DataFrame = Similarity.cosineTopK(vecs, k)
+
+  /** Best approximate neighbor per vector via random-hyperplane LSH.
+    * Reads: vec_id, embedding. */
+  def annBestNeighbor(vecs: DataFrame): DataFrame = Similarity.annBestNeighbor(vecs)
+
+  /** Train an IVF (inverted-file) coarse quantizer over (vec_id,
+    * v ARRAY<DOUBLE>). See [[graft.ops.IvfIndex]] for save/load and the
+    * cell-partitioned persisted index. */
+  def ivfBuild(spark: SparkSession, vectors: DataFrame, k: Int = 16,
+      iters: Int = 3): IvfIndex.Model = IvfIndex.build(spark, vectors, k, iters)
+
+  /** Probe an IVF index: best neighbor per query vector, probing the
+    * `probes` nearest cells. */
+  def ivfSearch(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
+      probes: Int = 2): DataFrame = IvfIndex.search(spark, model, queries, probes)
+
+  // ---- text analysis -------------------------------------------------------
+
+  /** Whitespace-token and punctuation counts per document.
+    * Reads: doc_id, text, n_chars. */
+  def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenStats(docs)
+
+  /** Corpus top-k word frequencies. Reads: text. */
+  def wordFreq(docs: DataFrame, k: Int = 100): DataFrame = TextOps.wordFreq(docs, k)
+
+  /** Quality signals (token count, mean token length, stopword ratio).
+    * Reads: doc_id, text. */
+  def qualityScore(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame =
+    TextOps.qualityScore(docs, stopwords)
+
+  /** Corpus composition by language x source. Reads: lang, source, n_chars. */
+  def composition(docs: DataFrame): DataFrame = TextOps.composition(docs)
+
+  /** Heuristic language identification (stopword profiles + CJK override).
+    * Reads: doc_id, text, lang (pass lit(null) lang for unlabeled data). */
+  def langId(docs: DataFrame): DataFrame = Corpus.langId(docs)
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken).
+    * Reads: doc_id, text. */
+  def fingerprints(docs: DataFrame): DataFrame = Corpus.fingerprints(docs)
+
+  /** BPE-style pre-tokenizer counts next to whitespace token counts.
+    * Reads: doc_id, text. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame = Corpus.bpeTokenCounts(docs)
+
+  /** Per-language distinct-token HLL++ estimate next to the exact count.
+    * Reads: lang, text. */
+  def distinctTokenSketch(docs: DataFrame): DataFrame = Corpus.distinctTokenSketch(docs)
+
+  /** Per-language length percentiles (p50/p90/p99, exact interpolation).
+    * Reads: lang, n_chars. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = Corpus.lengthQuantiles(docs)
+
+  // ---- multimodal ----------------------------------------------------------
+
+  /** Typed metadata over opaque binary payloads (byte size, md5).
+    * Reads: doc_id, payload BINARY. Decode/feature-extract plumbing lives
+    * in [[graft.streaming.Multimodal]]. */
+  def mediaMeta(media: DataFrame, modality: String): DataFrame =
+    Corpus.mediaMeta(media, modality)
+}

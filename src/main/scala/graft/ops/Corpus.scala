@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -97,48 +98,152 @@ object Corpus {
     }
   })
 
+  /** SimHash near-duplicate pairs at hamming distance <= `maxHamming`
+    * (d09). In: (doc_id, text).
+    *
+    * The 60-bit vote is per-document — one narrow UDF pass per doc
+    * (a pure-SQL formulation explodes tokens x60 through a (doc, bit)
+    * shuffle: a 60x row blow-up a large corpus cannot afford). Candidates
+    * come from 15-bit chunk equality — exact recall by pigeonhole for
+    * maxHamming <= 3 over 4 chunks, never all-pairs. The hamming test
+    * runs map-side inside the join stage, so the dedupe shuffle carries
+    * only true near-dup pairs, not every chunk collision.
+    *
+    * Scale note (measured at 50k docs, graft.tools.ScaleSmoke): on
+    * corpora with homogeneous token distributions, simhash signatures
+    * cluster and hamming <= 3 matches a constant fraction of ALL pairs —
+    * the OUTPUT itself is then quadratic (the operator streams it, but
+    * production near-dup detection on such corpora should tighten the
+    * threshold or use the MinHash/prefix-filter paths, whose Jaccard
+    * floor bounds the answer size). null-text docs are absent (matching
+    * SQL unnest-of-null semantics). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk-equality candidates are exact only for hamming <= 3")
+    val sh = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        simhashUdf(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
+      .cache()
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Winnowing document fingerprints (d11) — md5 8-gram hashes, min over
+    * a 4-char-gram sliding window, distinct per doc (Schleimer/Wilkerson/
+    * Aiken). In: (doc_id, text). Winnowing is per-document, so the whole
+    * computation runs in ONE narrow pass (a UDF per document): zero
+    * shuffles, where a window formulation pays a (doc, i)-shuffle plus a
+    * distinct shuffle. md5 over UTF-8 bytes, hex-prefix string min
+    * (ASCII = binary order). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), winnowUdf(lower(col("text"))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Per-language distinct-token estimate (HLL++, 2% rsd) next to the
+    * exact count (d13). In: (lang, text). */
+  def distinctTokenSketch(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+
+  /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):
+    * a broadcast-hinted nested-loop self-join (Spark's broadcast
+    * machinery ships the candidate side to executors — no driver-side
+    * collect()); the pair stream stays inside codegen'd vec_dot and only
+    * above-threshold pairs survive. In: (vec_id, embedding ARRAY<numeric>).
+    * At 100 TB this becomes a blocked matrix product over IVF cells
+    * (IvfIndex). */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    e.as("q").join(broadcast(e.as("c")), col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+        (call_function("vec_dot", col("q.v"), col("c.v")) /
+          (col("q.nrm") * col("c.nrm"))).as("sim_raw"))
+      .where(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** BPE-style pre-tokenizer counts (d16) — GPT-2-ish regex written
+    * without lookaheads (so Java regex and RE2 agree) next to the
+    * whitespace token count. In: (doc_id, text). */
+  def bpeTokenCounts(docs: DataFrame): DataFrame = {
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(pat)).cast(LongType).as("n_bpe_tokens"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"))
+  }
+
+  /** Per-language document-length distribution (d18): exact interpolated
+    * percentiles ((n-1)*p linear interpolation — a per-group sort;
+    * approx_percentile is the documented 100 TB fallback).
+    * In: (lang, n_chars). */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5D)").as("p50"),
+        expr("percentile(n_chars, 0.9D)").as("p90"),
+        expr("percentile(n_chars, 0.99D)").as("p99"))
+
+  /** Multimodal metadata extraction (d12): payloads stay opaque binary,
+    * only typed metadata (byte size, md5) ships — the decode stage is
+    * graft.streaming.Multimodal's stub. In: (doc_id, payload BINARY). */
+  def mediaMeta(media: DataFrame, modality: String): DataFrame =
+    media.select(col("doc_id"),
+      lit(modality).as("modality"),
+      length(col("payload")).cast(LongType).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+
+  /** Heuristic language identification (d10): stopword-profile scoring
+    * with a CJK character override; deterministic tie-break en>de>es>fr.
+    * In: (doc_id, text, lang) — `lang` is echoed with a `correct` flag
+    * for accuracy inspection; a corpus without reference labels can pass
+    * lit(null) as lang. Narrow per-doc pass, no shuffle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val en = "'the','and','of','to','is','in','that','it'"
+    val de = "'der','die','und','das','ist','nicht','mit','ein'"
+    val es = "'el','la','que','y','en','los','se','por'"
+    val fr = "'le','les','des','et','est','une','dans','pour'"
+    val decide =
+      """CASE WHEN zh_n > 0 THEN 'zh'
+        |WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+        |WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+        |WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END""".stripMargin.replaceAll("\n", " ")
+    docs
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("en_n", expr(s"size(filter(toks, w -> w IN ($en)))"))
+      .withColumn("de_n", expr(s"size(filter(toks, w -> w IN ($de)))"))
+      .withColumn("es_n", expr(s"size(filter(toks, w -> w IN ($es)))"))
+      .withColumn("fr_n", expr(s"size(filter(toks, w -> w IN ($fr)))"))
+      .withColumn("zh_n", length(regexp_replace(col("text"), "[^一-鿿]", "")))
+      .select(col("doc_id"),
+        expr(decide).as("predicted_lang"),
+        col("lang"),
+        expr(s"$decide = lang").as("correct"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d09: SimHash near-duplicate pairs at hamming distance <= 3.
-    // 60-bit simhash from md5 token hashes; Spark side generates candidates
-    // by 15-bit chunk equality (exact by pigeonhole), oracle verifies by
-    // exhaustive pairs at test scale.
+    // 60-bit simhash from md5 token hashes (parity with the oracle: md5
+    // over UTF-8 bytes, first 15 hex chars as a 60-bit integer); oracle
+    // verifies by exhaustive pairs at test scale.
     Q("d09_simhash",
-      (s, d) => {
-        val docs = documents(s, d)
-        // the 60-bit vote is per-document — one narrow UDF pass per doc
-        // (the earlier pure-SQL formulation exploded tokens x60 through a
-        // (doc, bit) shuffle: a 60x row blow-up that a large corpus
-        // cannot afford). Hash parity with the oracle is exact: md5 over
-        // UTF-8 bytes, first 15 hex chars as a 60-bit integer.
-        // null-text docs are absent from the SQL formulation (unnest of a
-        // null split emits no rows) — filter them to keep that semantics
-        val sh = docs
-          .where(col("text").isNotNull)
-          .select(col("doc_id"),
-            simhashUdf(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
-          .cache()
-        val chunks = sh.select(col("doc_id"), col("simhash"),
-          explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
-          .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
-        // hamming test BEFORE distinct: the filter runs map-side inside
-        // the join stage, so the dedupe shuffle carries only true
-        // near-dup pairs, not every chunk collision. Scale note (measured
-        // at 50k docs, graft.tools.ScaleSmoke): on corpora with
-        // homogeneous token distributions, simhash signatures cluster and
-        // hamming <= 3 matches a constant fraction of ALL pairs — the
-        // OUTPUT itself is then quadratic (the operator streams it, but
-        // production near-dup detection on such corpora should tighten
-        // the threshold or use d06/d19, whose Jaccard floor bounds the
-        // answer size).
-        chunks.as("x").join(chunks.as("y"),
-            col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-          .where(col("hamming") <= 3)
-          .distinct()
-      },
+      (s, d) => simhashPairs(documents(s, d)),
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |  FROM documents
@@ -161,31 +266,7 @@ object Corpus {
     // d10: language identification — stopword-profile scoring with a CJK
     // character override; deterministic tie-break order en>de>es>fr.
     Q("d10_langid",
-      (s, d) => {
-        val en = "'the','and','of','to','is','in','that','it'"
-        val de = "'der','die','und','das','ist','nicht','mit','ein'"
-        val es = "'el','la','que','y','en','los','se','por'"
-        val fr = "'le','les','des','et','est','une','dans','pour'"
-        documents(s, d)
-          .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-          .withColumn("en_n", expr(s"size(filter(toks, w -> w IN ($en)))"))
-          .withColumn("de_n", expr(s"size(filter(toks, w -> w IN ($de)))"))
-          .withColumn("es_n", expr(s"size(filter(toks, w -> w IN ($es)))"))
-          .withColumn("fr_n", expr(s"size(filter(toks, w -> w IN ($fr)))"))
-          .withColumn("zh_n", length(regexp_replace(col("text"), "[^一-鿿]", "")))
-          .select(col("doc_id"),
-            expr("""CASE WHEN zh_n > 0 THEN 'zh'
-                   |WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
-                   |WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
-                   |WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END""".stripMargin.replaceAll("\n", " "))
-              .as("predicted_lang"),
-            col("lang"),
-            expr("""CASE WHEN zh_n > 0 THEN 'zh'
-                   |WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
-                   |WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
-                   |WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END = lang""".stripMargin.replaceAll("\n", " "))
-              .as("correct"))
-      },
+      (s, d) => langId(documents(s, d)),
       Some(s"""WITH scored AS (
               |  SELECT doc_id, lang,
               |    len(list_filter($tokCol, w -> w IN ('the','and','of','to','is','in','that','it'))) AS en_n,
@@ -210,16 +291,7 @@ object Corpus {
     // d11: winnowing document fingerprints — md5 8-gram hashes, min over a
     // 4-gram sliding window, distinct per doc (Schleimer/Wilkerson/Aiken).
     Q("d11_fingerprint",
-      (s, d) =>
-        // Winnowing is per-document, so the whole computation — 8-char
-        // gram md5s, 4-wide sliding min, per-doc dedup — runs in ONE
-        // narrow pass (a UDF per document): zero shuffles, where the
-        // window formulation paid a (doc,i)-shuffle plus a distinct
-        // shuffle. Hash and tie semantics match the oracle exactly: md5
-        // over UTF-8 bytes, hex-prefix string min (ASCII = binary order).
-        documents(s, d)
-          .select(col("doc_id"), winnowUdf(lower(col("text"))).as("fps"))
-          .select(col("doc_id"), explode(col("fps")).as("fp")),
+      (s, d) => fingerprints(documents(s, d)),
       Some("""WITH grams AS (
              |  SELECT doc_id, i, substring(md5(substring(t, i, 8)), 1, 8) AS h
              |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
@@ -237,13 +309,7 @@ object Corpus {
     // to the exact count. Sketch values are engine-specific (rows-only
     // check); CorpusSketchSpec bounds the estimate against the exact count.
     Q("d13_distinct_sketch",
-      (s, d) =>
-        documents(s, d)
-          .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-          .groupBy(col("lang"))
-          .agg(
-            countDistinct(col("tok")).as("exact_distinct"),
-            approx_count_distinct(col("tok"), 0.02).as("approx_distinct")),
+      (s, d) => distinctTokenSketch(documents(s, d)),
       None),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
@@ -254,17 +320,7 @@ object Corpus {
     // 100 TB this becomes a blocked matrix product over IVF cells.
     // Identical double arithmetic to the oracle.
     Q("d15_cosine_neardup",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-        e.as("q").join(broadcast(e.as("c")), col("q.vec_id") < col("c.vec_id"))
-          .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
-            (call_function("vec_dot", col("q.v"), col("c.v")) /
-              (col("q.nrm") * col("c.nrm"))).as("sim_raw"))
-          .where(col("sim_raw") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
-      },
+      (s, d) => cosineNearDupPairs(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
              |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
              |       round(list_dot_product(q.v, c.v)
@@ -277,12 +333,7 @@ object Corpus {
     // without lookaheads so Java regex and DuckDB's RE2 agree) next to the
     // whitespace token count.
     Q("d16_bpe_tokens",
-      (s, d) => {
-        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
-        documents(s, d).select(col("doc_id"),
-          regexp_count(col("text"), lit(pat)).cast(LongType).as("n_bpe_tokens"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"))
-      },
+      (s, d) => bpeTokenCounts(documents(s, d)),
       Some("""SELECT doc_id,
              |CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens,
              |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
@@ -292,13 +343,7 @@ object Corpus {
     // per language (both engines use the standard (n-1)*p linear
     // interpolation: Spark `percentile`, DuckDB `quantile_cont`).
     Q("d18_length_quantiles",
-      (s, d) =>
-        documents(s, d)
-          .groupBy(col("lang"))
-          .agg(
-            expr("percentile(n_chars, 0.5D)").as("p50"),
-            expr("percentile(n_chars, 0.9D)").as("p90"),
-            expr("percentile(n_chars, 0.99D)").as("p99")),
+      (s, d) => lengthQuantiles(documents(s, d)),
       Some("""SELECT lang,
              |quantile_cont(n_chars, 0.5) AS p50,
              |quantile_cont(n_chars, 0.9) AS p90,
@@ -310,12 +355,10 @@ object Corpus {
     // this query is the metadata/plumbing surface, exact via md5/length).
     Q("d12_media_meta",
       (s, d) =>
-        documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
-          .select(col("doc_id"),
-            lit("text").as("modality"),
-            length(col("payload")).cast(LongType).as("n_bytes"),
-            md5(col("payload")).as("payload_md5")),
+        mediaMeta(
+          documents(s, d).select(col("doc_id"),
+            encode(col("text"), "UTF-8").cast(BinaryType).as("payload")),
+          modality = "text"),
       Some("""SELECT doc_id, 'text' AS modality,
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |md5(text) AS payload_md5

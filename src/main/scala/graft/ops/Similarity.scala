@@ -315,12 +315,16 @@ object Similarity {
     * pipeline the oracle mirrors; null text lowers to null -> empty set.
     * Bound: one document's gram set lives in one task — the same
     * per-document bound every shingling engine has. */
+  /** (doc_id, grams, n, mh) from any (doc_id, text) corpus — the uncached
+    * pure form of [[docSketches]]. */
+  private def sketchesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), gramSketchUdf(lower(col("text"))).as("gs"))
+      .select(col("doc_id"), col("gs.grams").as("grams"),
+        size(col("gs.grams")).as("n"), col("gs.mh").as("mh"))
+
   private[graft] def docSketches(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "sketch3c")(
-      documents(s, d)
-        .select(col("doc_id"), gramSketchUdf(lower(col("text"))).as("gs"))
-        .select(col("doc_id"), col("gs.grams").as("grams"),
-          size(col("gs.grams")).as("n"), col("gs.mh").as("mh")))
+    memoized(s, d, "sketch3c")(sketchesOf(documents(s, d)))
 
   /** doc_id -> sorted distinct char-3-gram hash array (projection of
     * [[docSketches]]; the columnar cache prunes the unread mh column). */
@@ -330,11 +334,12 @@ object Similarity {
   /** doc_id -> distinct word-4-gram hash array — d19's gram domain
     * (word-level n-grams have a long-tailed frequency distribution, which
     * is what prefix filtering needs; char 3-grams on this corpus do not). */
+  private def wordGramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      udf(wordGramHashes _).apply(lower(trim(col("text")))).as("grams"))
+
   private def docWordGrams(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "grams4w")(
-      documents(s, d)
-        .select(col("doc_id"),
-          udf(wordGramHashes _).apply(lower(trim(col("text")))).as("grams")))
+    memoized(s, d, "grams4w")(wordGramsOf(documents(s, d)))
 
   /** Exact verification shared by d06 and d19: attach the two gram-hash
     * arrays per candidate pair (id-keyed joins — AQE broadcasts a small
@@ -364,8 +369,10 @@ object Similarity {
     * estimate at 0.6 — far enough below the 0.8 emission threshold that a
     * true >= 0.8 pair failing it would need a 5+ sigma minhash
     * fluctuation (Binomial(128, 0.8) < 77). */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val sk = docSketches(s, d)
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidatesFrom(docSketches(s, d))
+
+  private def lshCandidatesFrom(sk: DataFrame): DataFrame = {
     // band buckets carry (id, gram count) only — the 128-long signature
     // never rides the bucket shuffle (one int does; negligible), and the
     // size-ratio prune (J >= 0.8 forces 5*min >= 4*max) sits INSIDE the
@@ -434,6 +441,26 @@ object Similarity {
     System.err.println(s"[graft] nearDupPairs($d) cache ${if (hit) "HIT" else "MISS"}")
     df
   }
+
+  /** MinHash-LSH near-duplicate pairs of any (doc_id, text) corpus,
+    * exact-verified at Jaccard >= 0.8 over char-3-gram sets — the
+    * DataFrame-in form of d06 (library surface; the dir-bound overload
+    * above adds per-(session, dir) memoization). The per-doc sketch table
+    * is cache()d: the band join, both signature re-attachments, and the
+    * exact verify read it — callers done with the result can release it
+    * via `spark.catalog.clearCache()` or by unpersisting the lineage. */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sk = sketchesOf(docs).cache()
+    verifyPairs(lshCandidatesFrom(sk), sk.select(col("doc_id"), col("grams")))
+  }
+
+  /** Near-duplicate clusters of any (doc_id, text) corpus: connected
+    * components over [[nearDupPairs]] — the DataFrame-in form of d14.
+    * Out: (doc_id, cluster_id = component min doc_id, cluster_size). */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(docs.sparkSession,
+      nearDupPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
 
   // ---- connected components (d14) ------------------------------------------
 
@@ -523,6 +550,79 @@ object Similarity {
       .select(col("v"), col("lbl"), col("cluster_size"))
   }
 
+  /** Exact n-gram Jaccard join at J >= 0.8 over word-4-gram sets via
+    * PPJoin-style prefix filtering — the DataFrame-in form of d19.
+    * In: (doc_id, text). Under a global rarest-first gram order, any pair
+    * at J >= 0.8 MUST share one of each doc's first n-ceil(0.8n)+1 grams:
+    * exact recall with sub-quadratic candidates. */
+  def jaccardPrefixPairs(docs: DataFrame): DataFrame =
+    jaccardPrefixFrom(wordGramsOf(docs).cache())
+
+  private def jaccardPrefixFrom(grams: DataFrame): DataFrame = {
+    // the per-doc gram count rides the exploded rows from the start —
+    // one narrow column instead of a sizes join after the window
+    val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
+      explode(col("grams")).as("g"))
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    val prefix = ranked
+      .where(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, grams)
+  }
+
+  /** Exact cosine top-k neighbors per vector — the DataFrame-in form of
+    * d07 (the brute-force baseline; [[annBestNeighbor]] and IvfIndex are
+    * the sub-quadratic paths). In: (vec_id, embedding ARRAY<numeric>).
+    * Plan: broadcast nested-loop self-join streaming into the bounded
+    * TopKAgg — the N^2 pair stream never materializes and the shuffle is
+    * k rows per query. */
+  def cosineTopK(vecs: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    val e = vecs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val pairs = withNorm.as("q").join(broadcast(withNorm.as("c")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("cid"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+    pairs.groupBy(col("vec_id"))
+      .agg(topk(col("sim"), col("cid")).as("t"))
+      .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
+  }
+
+  /** Best approximate neighbor per vector via random-hyperplane LSH —
+    * the DataFrame-in form of d08 (sub-quadratic scale path).
+    * In: (vec_id, embedding ARRAY<numeric>). 64 seeded hyperplane bits in
+    * 8 tables of 8-bit signatures; the bucket self-join carries ids only,
+    * vectors re-attach id-keyed (AQE broadcasts only a measured-small
+    * side). Candidates are NOT deduped — bestNeighbor's max-aggregation
+    * absorbs multi-table collisions without a distinct shuffle. */
+  def annBestNeighbor(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
+    val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+    val pairs = buckets.as("x").join(buckets.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
+    val sim = pairs.as("p")
+      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
+      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        (vecDot(col("q.v"), col("c.v")) /
+          (sqrt(vecDot(col("q.v"), col("q.v"))) * sqrt(vecDot(col("c.v"), col("c.v"))))).as("sim"))
+    IvfIndex.bestNeighbor(sim)
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.
@@ -562,25 +662,7 @@ object Similarity {
     // from char-trigram prefixes vs 2.5k from word-4-gram prefixes on
     // the same corpus).
     Q("d19_jaccard_prefix",
-      (s, d) => {
-        val grams = docWordGrams(s, d)
-        // the per-doc gram count rides the exploded rows from the start —
-        // one narrow column instead of a sizes join after the window
-        val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
-          explode(col("grams")).as("g"))
-        val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        val ranked = sh.join(dfreq, "g")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-        val prefix = ranked
-          .where(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
-          .select(col("doc_id"), col("g"))
-        val cand = prefix.as("x").join(prefix.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        verifyPairs(cand, grams)
-      },
+      (s, d) => jaccardPrefixFrom(docWordGrams(s, d)),
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
              |), sh AS (
@@ -608,20 +690,7 @@ object Similarity {
     // driver-side collect()) streaming into the bounded TopKAgg, so the
     // N^2 pair stream never materializes and the shuffle is k rows/query.
     Q("d07_cosine_topk",
-      (s, d) => {
-        val topk = udaf(new TopKAgg(3))
-        val e = embeddings(s, d)
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-        val pairs = withNorm.as("q").join(broadcast(withNorm.as("c")),
-            col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("cid"),
-            (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
-        pairs.groupBy(col("vec_id"))
-          .agg(topk(col("sim"), col("cid")).as("t"))
-          .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
-          .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
-      },
+      (s, d) => cosineTopK(embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |sim AS (
              |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
@@ -643,27 +712,7 @@ object Similarity {
     // Deterministic (fixed seed) but engine-specific → rows-only check;
     // quality vs the exact d07 baseline is asserted in SimilaritySpec.
     Q("d08_ann_lsh",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
-        val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
-        // no distinct(): a pair colliding in several tables appears several
-        // times, but bestNeighbor's max-aggregation dedupes by construction
-        // — recomputing a few duplicate dot products is cheaper than a
-        // full dedupe shuffle of the candidate set.
-        val pairs = buckets.as("x").join(buckets.as("y"),
-            col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
-              col("x.vec_id") =!= col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
-        val sim = pairs.as("p")
-          .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
-          .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
-          .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
-            (vecDot(col("q.v"), col("c.v")) /
-              (sqrt(vecDot(col("q.v"), col("q.v"))) * sqrt(vecDot(col("c.v"), col("c.v"))))).as("sim"))
-        IvfIndex.bestNeighbor(sim)
-      },
+      (s, d) => annBestNeighbor(embeddings(s, d)),
       None),
 
     // d14: near-duplicate CLUSTERING — connected components over the d06

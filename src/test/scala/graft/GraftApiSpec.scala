@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+
+/** The public DataFrame-in / DataFrame-out surface: every facade operator
+  * must work on a user-supplied in-memory DataFrame (no fixed paths), and
+  * the dir-bound driver queries must be exactly the same operators (spot
+  * -checked by set-equality against the facade fed with the same table).
+  */
+class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("graft-api-spec")
+  private val sf = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!", "en", "web"),
+      (3L, "ein ganz anderes dokument mit der die und das wörtern", "de", "books"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again", "en", "crawl"),
+      (5L, "short", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def vecsDf: DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    (0L until 40L).map { id =>
+      val base = Array.fill(8)(rng.nextGaussian().toFloat)
+      (id, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("dedup family works on in-memory documents") {
+    val exact = Graft.dedupExact(docsDf).collect()
+    // docs 1 and 4 are byte-identical -> one group with 2 copies, keeper 1
+    val dupGroup = exact.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keeper_doc_id") == 1L)
+
+    val near = Graft.nearDupPairs(docsDf).collect()
+    // 1-2 differ by one char, 1-4 identical, 2-4 same as 1-2
+    val pairs = near.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
+
+    val clusters = Graft.nearDupClusters(docsDf).collect()
+    assert(clusters.forall(_.getAs[Long]("cluster_id") == 1L))
+    assert(clusters.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    assert(clusters.forall(_.getAs[Long]("cluster_size") == 3L))
+
+    val sim = Graft.simhashPairs(docsDf).collect()
+    assert(sim.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      .contains((1L, 4L)))
+  }
+
+  test("text-analysis family works on in-memory documents") {
+    assert(Graft.tokenStats(docsDf).count() == 5)
+    val freq = Graft.wordFreq(docsDf, k = 3).collect()
+    assert(freq.head.getAs[String]("word") == "the") // 2 docs x2 + 1 doc x2
+    val qual = Graft.qualityScore(docsDf).where(col("doc_id") === 5).head()
+    assert(qual.getAs[Long]("n_tokens") == 1L)
+    assert(Graft.composition(docsDf).count() == 3) // (en,web),(de,books),(en,crawl)
+    val lid = Graft.langId(docsDf).where(col("doc_id") === 3).head()
+    assert(lid.getAs[String]("predicted_lang") == "de")
+    // doc 5 ("short") is under the 8-char gram width -> no fingerprints
+    assert(Graft.fingerprints(docsDf).groupBy(col("doc_id")).count().count() == 4)
+    assert(Graft.bpeTokenCounts(docsDf).count() == 5)
+    assert(Graft.lengthQuantiles(docsDf).count() == 2)
+    assert(Graft.distinctTokenSketch(docsDf).count() == 2)
+  }
+
+  test("similarity-search family works on in-memory embeddings") {
+    val topk = Graft.cosineTopK(vecsDf, k = 2)
+    assert(topk.count() == 80) // 40 vecs x 2 ranks
+    val ann = Graft.annBestNeighbor(vecsDf)
+    assert(ann.count() <= 40 && ann.count() > 0)
+    val model = Graft.ivfBuild(spark,
+      vecsDf.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v")),
+      k = 4, iters = 2)
+    val found = Graft.ivfSearch(spark, model,
+      vecsDf.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v")),
+      probes = 2)
+    assert(found.count() == 40)
+  }
+
+  test("multimodal metadata works on in-memory binary payloads") {
+    val media = docsDf.select(col("doc_id"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+    val meta = Graft.mediaMeta(media, modality = "text").collect()
+    assert(meta.length == 5 && meta.forall(_.getAs[String]("modality") == "text"))
+  }
+
+  test("driver queries are the facade operators (delegation equivalence)") {
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val viaQuery = SparkEntry.queries("d06_minhash_lsh")(spark, sf).collect().toSet
+    val viaApi = Graft.nearDupPairs(docs).collect().toSet
+    assert(viaQuery.map(_.toSeq) == viaApi.map(_.toSeq))
+
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val q07 = SparkEntry.queries("d07_cosine_topk")(spark, sf).collect().toSet
+    val a07 = Graft.cosineTopK(vecs, k = 3).collect().toSet
+    assert(q07.map(_.toSeq) == a07.map(_.toSeq))
+  }
+}
