@@ -98,6 +98,34 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.length == 5 && meta.forall(_.getAs[String]("modality") == "text"))
   }
 
+  test("narrow facade operators run unchanged on a streaming DataFrame") {
+    // batch/stream unification: per-document operators are narrow
+    // (no shuffle), so the SAME Graft functions drive readStream
+    // pipelines — nothing in the facade is batch-only where semantics
+    // allow streaming.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val q = Graft.tokenStats(stream)
+      .writeStream.format("memory").queryName("tok_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val q2 = Graft.langId(stream)
+      .writeStream.format("memory").queryName("lid_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"))
+      q.processAllAvailable(); q2.processAllAvailable()
+      val tok = spark.table("tok_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+      assert(tok == Map(1L -> 5L, 2L -> 5L))
+      val lid = spark.table("lid_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+      assert(lid == Map(1L -> "en", 2L -> "de"))
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("driver queries are the facade operators (delegation equivalence)") {
     val docs = graft.ops.Tables.documents(spark, sf)
     val viaQuery = SparkEntry.queries("d06_minhash_lsh")(spark, sf).collect().toSet
