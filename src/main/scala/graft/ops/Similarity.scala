@@ -521,14 +521,47 @@ object Similarity {
   }
 
   /** Distributed connected components over an (a, b) edge DataFrame:
-    * partition-local union-find contraction, then large-star/small-star
-    * alternation with localCheckpoint per round and a one-job symmetric-
-    * difference convergence check. Returns (v, lbl = component min,
-    * cluster_size) for every node that appears in an edge. Property-
-    * tested against an in-memory union-find on random graphs
-    * (SimilarityPrimitivesSpec) in addition to d14's DuckDB oracle. */
-  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * partition-local union-find contraction, then either (a) a bounded
+    * in-memory endgame when the contracted star forest fits
+    * `localFinishEdges` — the standard finisher in MapReduce-CC
+    * implementations: after contraction the edge set is typically orders
+    * of magnitude smaller than the input, and O(log n) distributed
+    * rounds on kilobytes are pure scheduling overhead — or (b)
+    * large-star/small-star alternation with localCheckpoint per round
+    * and a one-job symmetric-difference convergence check. The explicit
+    * bound (default 2^20 edges ≈ 16 MB) keeps the endgame from ever
+    * being an unbounded driver materialization. Returns (v, lbl =
+    * component min, cluster_size) for every node that appears in an
+    * edge. Property-tested against an in-memory union-find on random
+    * graphs through BOTH paths (SimilarityPrimitivesSpec) in addition to
+    * d14's DuckDB oracle. */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame,
+      localFinishEdges: Long = 1L << 20): DataFrame = {
+    import s.implicits._
     var e = contract(s, pairs).localCheckpoint()
+    if (e.count() <= localFinishEdges) {
+      val edges = e.select(col("a").cast(LongType), col("b").cast(LongType))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val labels = parent.keysIterator.map(v => (v, find(v))).toVector
+      val sizes = labels.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+      return labels.map { case (v, r) => (v, r, sizes(r)) }
+        .toDF("v", "lbl", "cluster_size")
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {

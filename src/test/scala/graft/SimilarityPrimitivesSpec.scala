@@ -73,11 +73,18 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (v, root)
       }.toSet
       val expectSizes = expect.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
-      val got = graft.ops.Similarity.connectedComponents(spark,
-          edges.toDF("a", "b").repartition(7))
-        .as[(Long, Long, Long)].collect()
-      assert(got.map(r => (r._1, r._2)).toSet == expect, s"labels differ (trial $trial)")
-      assert(got.forall(r => expectSizes(r._2) == r._3), s"sizes differ (trial $trial)")
+      // both execution paths must agree with the reference: the bounded
+      // local endgame (default) and the distributed star rounds (forced
+      // by a zero local-finish budget)
+      for (budget <- Seq(1L << 20, 0L)) {
+        val got = graft.ops.Similarity.connectedComponents(spark,
+            edges.toDF("a", "b").repartition(7), localFinishEdges = budget)
+          .as[(Long, Long, Long)].collect()
+        assert(got.map(r => (r._1, r._2)).toSet == expect,
+          s"labels differ (trial $trial, budget $budget)")
+        assert(got.forall(r => expectSizes(r._2) == r._3),
+          s"sizes differ (trial $trial, budget $budget)")
+      }
     }
   }
 
