@@ -52,6 +52,13 @@ class EngineContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d07 = queries("d07_cosine_topk").fn(spark, sf).queryExecution.executedPlan.toString
     assert(d07.contains("BroadcastNestedLoopJoin"), d07)
     assert(d07.contains("ObjectHashAggregate"), d07)
+    // exact verification must stay on the native merge-scan expression
+    // (sorted_inter_count), not a per-pair hash-set array_intersect
+    for (name <- Seq("d06_minhash_lsh", "d19_jaccard_prefix")) {
+      val plan = queries(name).fn(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("sorted_inter_count"), s"$name lost the native verify path")
+      assert(!plan.contains("array_intersect"), s"$name re-grew array_intersect")
+    }
   }
 
   test("streaming hourly counts over the real events parquet match batch") {
