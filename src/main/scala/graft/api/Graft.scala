@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Corpus, IvfIndex, Similarity, TextOps}
+import graft.ops.{Corpus, IvfIndex, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -57,6 +57,18 @@ object Graft {
     * Reads: vec_id, embedding. */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame =
     Corpus.cosineNearDupPairs(vecs, threshold)
+
+  /** Persist a MinHash sketch index of a corpus for incremental dedup
+    * (sketch once; dedupe each arriving batch against the index without
+    * re-reading corpus text). Reads: doc_id, text. */
+  def sketchIndexSave(docs: DataFrame, dir: String): Unit = SketchIndex.save(docs, dir)
+
+  /** Near-duplicate CROSS pairs (exact Jaccard >= 0.8) between a new
+    * batch and a persisted sketch index — the incremental-ingestion
+    * batch path (the streaming path is graft.streaming.NearDupStream).
+    * Reads: doc_id, text. */
+  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame =
+    SketchIndex.nearDupAgainst(spark, newDocs, dir)
 
   // ---- similarity search ---------------------------------------------------
 

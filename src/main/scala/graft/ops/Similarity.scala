@@ -316,15 +316,25 @@ object Similarity {
     * Bound: one document's gram set lives in one task — the same
     * per-document bound every shingling engine has. */
   /** (doc_id, grams, n, mh) from any (doc_id, text) corpus — the uncached
-    * pure form of [[docSketches]]. */
-  private def sketchesOf(docs: DataFrame): DataFrame =
+    * pure sketch table ([[docSketches]] adds per-(session, dir)
+    * memoization; [[SketchIndex]] persists it). */
+  private[ops] def sketchTable(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), gramSketchUdf(lower(col("text"))).as("gs"))
       .select(col("doc_id"), col("gs.grams").as("grams"),
         size(col("gs.grams")).as("n"), col("gs.mh").as("mh"))
 
+  /** (doc_id, n, band, bucket) band-bucket fanout of a sketch table —
+    * the LSH join key surface (16 rows/doc, 24 bytes each; the 128-long
+    * signature never rides the bucket shuffle). */
+  private[ops] def bandBuckets(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"), col("n"), explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
+        .as("bb"))
+      .select(col("doc_id"), col("n"), col("bb.band"), col("bb.bucket"))
+
   private[graft] def docSketches(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "sketch3c")(sketchesOf(documents(s, d)))
+    memoized(s, d, "sketch3c")(sketchTable(documents(s, d)))
 
   /** doc_id -> sorted distinct char-3-gram hash array (projection of
     * [[docSketches]]; the columnar cache prunes the unread mh column). */
@@ -450,7 +460,7 @@ object Similarity {
     * exact verify read it — callers done with the result can release it
     * via `spark.catalog.clearCache()` or by unpersisting the lineage. */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sk = sketchesOf(docs).cache()
+    val sk = sketchTable(docs).cache()
     verifyPairs(lshCandidatesFrom(sk), sk.select(col("doc_id"), col("grams")))
   }
 
