@@ -87,6 +87,18 @@ object ScaleSmoke {
       val rows = queries(n)(spark, dir).count()
       println(f"[scale] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
     }
+
+    // incremental path: index the corpus, dedupe a 5%-sized new batch
+    val t0 = System.nanoTime()
+    graft.api.Graft.sketchIndexSave(
+      spark.read.parquet(s"$dir/documents.parquet"), s"$dir/sketch_index")
+    val tSave = (System.nanoTime() - t0) / 1e9
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val t1 = System.nanoTime()
+    val crossPairs = graft.api.Graft.nearDupAgainstIndex(spark, batch, s"$dir/sketch_index").count()
+    println(f"[scale] sketch_index save ${tSave}%.2f s, probe ${(System.nanoTime() - t1) / 1e9}%.2f s ($crossPairs cross pairs)")
     spark.stop()
   }
 }
