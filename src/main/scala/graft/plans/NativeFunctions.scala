@@ -211,7 +211,8 @@ case class CanonicalInspectorName(child: Expression) extends RuTextExpression {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[StandardizeText].getName, null, name, usage, "")
+      new ExpressionInfo(classOf[StandardizeText].getName, null, name, usage,
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in")
     ext.injectFunction((FunctionIdentifier("standardize_text"),
       info("standardize_text", "pre-reform Cyrillic text normalization (reference F1)"),
       (es: Seq[Expression]) => StandardizeText(es.head)))
