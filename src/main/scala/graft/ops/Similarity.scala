@@ -151,7 +151,12 @@ object Similarity {
     * gate, which computes the same counts from the gram STRINGS. */
   private[graft] def charGramHashes(lowered: String): Array[Long] = {
     if (lowered == null) return Array.emptyLongArray
-    val n = lowered.length
+    // CODEPOINT windows, not UTF-16 units: SQL substring/length count
+    // characters, so astral-plane text (emoji, rare CJK) would otherwise
+    // yield different gram sets than the oracle — the d11 lesson. For BMP
+    // text the codepoint equals the char value, so hashes are unchanged.
+    val cps = lowered.codePoints().toArray
+    val n = cps.length
     if (n < 3) return Array.emptyLongArray
     val hs = new Array[Long](n - 2)
     var i = 0
@@ -159,7 +164,7 @@ object Similarity {
       var h = GramSeed
       var j = i
       while (j < i + 3) {
-        h ^= lowered.charAt(j)
+        h ^= cps(j)
         h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
         h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
         h ^= h >>> 31

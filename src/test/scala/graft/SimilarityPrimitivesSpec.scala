@@ -107,19 +107,29 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("charGramHashes: sorted distinct, cardinality matches the string gram set") {
+    // reference counts CODEPOINTS (SQL substring semantics), so include
+    // astral-plane chars in the alphabet — each emoji is 2 UTF-16 units
     val rng = new scala.util.Random(11)
-    val alphabet = "абвгде abcxyz.,\n"
+    val alphabet: IndexedSeq[String] =
+      "абвгде abcxyz.,\n".map(_.toString) ++ Seq("😀", "🚀", "𐍈")
+    def cpGrams(s: String): Set[String] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < 3) Set.empty
+      else (0 to cps.length - 3)
+        .map(i => new String(cps, i, 3)).toSet
+    }
     for (_ <- 1 to 200) {
       val s = Seq.fill(rng.nextInt(50))(alphabet(rng.nextInt(alphabet.length))).mkString
       val hs = graft.ops.Similarity.charGramHashes(s)
-      val ref =
-        if (s.length < 3) Set.empty[String]
-        else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+      val ref = cpGrams(s)
       assert(hs.length == ref.size, s"cardinality for ${s.take(20)}…")
       assert(hs.toSeq == hs.toSeq.sorted && hs.toSeq.distinct == hs.toSeq)
     }
     assert(graft.ops.Similarity.charGramHashes(null).isEmpty)
     assert(graft.ops.Similarity.charGramHashes("ab").isEmpty)
+    // 2 astral codepoints = 4 UTF-16 units but fewer than 3 CHARACTERS
+    assert(graft.ops.Similarity.charGramHashes("😀🚀").isEmpty)
+    assert(graft.ops.Similarity.charGramHashes("😀🚀😀").length == 1)
   }
 
   test("wordGramHashes cardinality matches the string 4-gram set") {
