@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{Corpus, IvfIndex, Similarity, SketchIndex, TextOps}
 
@@ -57,6 +58,20 @@ object Graft {
     * Reads: vec_id, embedding. */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame =
     Corpus.cosineNearDupPairs(vecs, threshold)
+
+  /** The deduplicated corpus: one representative (min doc_id) per
+    * exact-duplicate group and per near-duplicate cluster. The two
+    * passes are complementary — identical docs always share LSH buckets
+    * (J = 1) so near-dup clustering subsumes most exact groups, but
+    * degenerate docs (under the 3-char gram floor) have empty sketches
+    * and only the content-hash pass can group them. Reads: doc_id, text,
+    * n_chars; returns the input rows of the kept representatives. */
+  def dedupedCorpus(docs: DataFrame): DataFrame = {
+    val exactKeep = dedupExact(docs).select(col("keeper_doc_id").as("doc_id"))
+    val nearDrop = nearDupClusters(docs)
+      .where(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    docs.join(exactKeep, "doc_id").join(nearDrop, Seq("doc_id"), "left_anti")
+  }
 
   /** Persist a MinHash sketch index of a corpus for incremental dedup
     * (sketch once; dedupe each arriving batch against the index without

@@ -59,6 +59,12 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sim = Graft.simhashPairs(docsDf).collect()
     assert(sim.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       .contains((1L, 4L)))
+
+    // end-to-end: docs 1/2/4 are one near-dup cluster (keep 1); 3 and 5
+    // are unique -> deduplicated corpus = {1, 3, 5} with original rows
+    val kept = Graft.dedupedCorpus(docsDf).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
+    assert(kept.head.schema.fieldNames.contains("text"))
   }
 
   test("text-analysis family works on in-memory documents") {
