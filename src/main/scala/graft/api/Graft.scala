@@ -45,9 +45,13 @@ object Graft {
     * → (doc_id, cluster_id, cluster_size). Reads: doc_id, text. */
   def nearDupClusters(docs: DataFrame): DataFrame = Similarity.nearDupClusters(docs)
 
-  /** Exact word-4-gram Jaccard pairs at J >= 0.8 via PPJoin-style prefix
-    * filtering (exact recall, no sketch risk). Reads: doc_id, text. */
-  def jaccardPrefixPairs(docs: DataFrame): DataFrame = Similarity.jaccardPrefixPairs(docs)
+  /** Exact word-4-gram Jaccard pairs at J >= thresholdNum/thresholdDen
+    * via PPJoin-style prefix filtering — exact recall at ANY threshold
+    * (the MinHash path's fixed band tuning loses recall below ~0.75).
+    * Reads: doc_id, text. */
+  def jaccardPrefixPairs(docs: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame =
+    Similarity.jaccardPrefixPairs(docs, thresholdNum, thresholdDen)
 
   /** SimHash near-duplicate pairs at hamming <= maxHamming (exact recall
     * by 15-bit-chunk pigeonhole for maxHamming <= 3). Reads: doc_id, text. */

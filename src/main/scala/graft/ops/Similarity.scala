@@ -358,26 +358,28 @@ object Similarity {
 
   /** Exact verification shared by d06 and d19: attach the two gram-hash
     * arrays per candidate pair (id-keyed joins — AQE broadcasts a small
-    * side, shuffles at scale), prune by the gram-count ratio (J >= 0.8
-    * forces 5*min >= 4*max) before touching array contents, then compute
-    * the exact intersection size with the native sorted_inter_count merge
-    * scan (the arrays are sorted-distinct by construction) and apply the
-    * integer threshold test. Work is proportional to candidates, never
-    * to the corpus. */
-  private[graft] def verifyPairs(cand: DataFrame, grams: DataFrame): DataFrame =
+    * side, shuffles at scale), prune by the gram-count ratio (J >= num/den
+    * forces den*min >= num*max) before touching array contents, then
+    * compute the exact intersection size with the native
+    * sorted_inter_count merge scan (the arrays are sorted-distinct by
+    * construction) and apply the integer threshold test — the rational
+    * threshold keeps every comparison exact integer arithmetic at ANY
+    * threshold. Work is proportional to candidates, never to the corpus. */
+  private[graft] def verifyPairs(cand: DataFrame, grams: DataFrame,
+      num: Int = 4, den: Int = 5): DataFrame =
     cand
       .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("ga.grams").as("gsa"), col("gb.grams").as("gsb"),
         size(col("ga.grams")).cast(LongType).as("n_a"),
         size(col("gb.grams")).cast(LongType).as("n_b"))
-      .where(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4)
+      .where(least(col("n_a"), col("n_b")) * den >= greatest(col("n_a"), col("n_b")) * num)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         call_function("sorted_inter_count", col("gsa"), col("gsb"))
           .cast(LongType).as("inter_size"))
       .select(col("doc_a"), col("doc_b"), col("inter_size"),
         (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
-      .where(col("inter_size") * 5 >= col("union_size") * 4)
+      .where(col("inter_size") * den >= col("union_size") * num)
 
   /** Candidate pairs: docs sharing any band bucket (never all-pairs),
     * pruned by the gram-count ratio test and then by the minhash Jaccard
@@ -598,15 +600,22 @@ object Similarity {
       .select(col("v"), col("lbl"), col("cluster_size"))
   }
 
-  /** Exact n-gram Jaccard join at J >= 0.8 over word-4-gram sets via
+  /** Exact n-gram Jaccard join at J >= num/den over word-4-gram sets via
     * PPJoin-style prefix filtering — the DataFrame-in form of d19.
     * In: (doc_id, text). Under a global rarest-first gram order, any pair
-    * at J >= 0.8 MUST share one of each doc's first n-ceil(0.8n)+1 grams:
-    * exact recall with sub-quadratic candidates. */
-  def jaccardPrefixPairs(docs: DataFrame): DataFrame =
-    jaccardPrefixFrom(wordGramsOf(docs).cache())
+    * at J >= t MUST share one of each doc's first n-ceil(t*n)+1 grams:
+    * EXACT recall at any threshold (this is the path to use below ~0.75,
+    * where the fixed 16x8 band tuning of the MinHash path loses recall).
+    * The rational threshold keeps the whole test exact integer
+    * arithmetic. */
+  def jaccardPrefixPairs(docs: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      "threshold must be a rational in (0, 1]")
+    jaccardPrefixFrom(wordGramsOf(docs).cache(), thresholdNum, thresholdDen)
+  }
 
-  private def jaccardPrefixFrom(grams: DataFrame): DataFrame = {
+  private def jaccardPrefixFrom(grams: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     // the per-doc gram count rides the exploded rows from the start —
     // one narrow column instead of a sizes join after the window
     val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
@@ -615,14 +624,17 @@ object Similarity {
     val ranked = sh.join(dfreq, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    // prefix length n - ceil(n*num/den) + 1, with integer ceil
+    // ((n*num + den - 1) div den) so no double rounding can flip the
+    // boundary at exact multiples
     val prefix = ranked
-      .where(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .where(col("rn") <= col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
       .select(col("doc_id"), col("g"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, grams)
+    verifyPairs(cand, grams, num, den)
   }
 
   /** Exact cosine top-k neighbors per vector — the DataFrame-in form of

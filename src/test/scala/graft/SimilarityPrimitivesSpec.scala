@@ -190,6 +190,29 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree < 16, s"disjoint sets agree on $agree/128 components")
   }
 
+  test("jaccardPrefixPairs is exact at a lowered threshold (J >= 0.5)") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val got = graft.api.Graft.jaccardPrefixPairs(docs, thresholdNum = 1, thresholdDen = 2)
+      .select($"doc_a", $"doc_b", $"inter_size", $"union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      if (t == null) return Set.empty
+      val w = t.trim.toLowerCase.split("\\s+")
+      if (w.length < 4) Set.empty
+      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val g = raw.map { case (id, t) => id -> grams(t) }.toMap
+    val expect = (for {
+      (a, ga) <- g.iterator
+      (b, gb) <- g.iterator if a < b
+      inter = (ga & gb).size if inter > 0 && inter * 2 >= (ga.size + gb.size - inter) * 1
+    } yield (a, b, inter.toLong, (ga.size + gb.size - inter).toLong)).toSet
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(expect.nonEmpty, "threshold 0.5 found no pairs — corpus unexpected")
+  }
+
   test("d19 prefix-filter join equals brute-force word-4-gram Jaccard") {
     import spark.implicits._
     val queries = SparkEntry.queries
