@@ -148,6 +148,22 @@ object Graft {
     * Reads: lang, n_chars. */
   def lengthQuantiles(docs: DataFrame): DataFrame = Corpus.lengthQuantiles(docs)
 
+  // ---- reference ETL -------------------------------------------------------
+
+  /** The reference system's full capability: parse a directory of the
+    * inspector-roster HTML corpus into the six star-schema tables
+    * (byte-exact vs the reference implementation — see
+    * [[graft.etl.ReferenceEtl]] for the pipeline and GoldenEtlSpec for
+    * the row-for-row gate). */
+  def referenceEtl(spark: SparkSession, corpusDir: String): graft.etl.EtlTables =
+    graft.etl.ReferenceEtl.run(spark, corpusDir)
+
+  /** [[referenceEtl]] plus the parquet sinks (fact partitioned by Year);
+    * JDBC sink parity lives in [[graft.etl.JdbcSink]]. */
+  def referenceEtlWrite(spark: SparkSession, corpusDir: String,
+      outDir: String): graft.etl.EtlTables =
+    graft.etl.ReferenceEtl.writeAll(spark, corpusDir, outDir)
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Typed metadata over opaque binary payloads (byte size, md5).
