@@ -620,8 +620,12 @@ object Similarity {
     // one narrow column instead of a sizes join after the window
     val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
       explode(col("grams")).as("g"))
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "g")
+    // document frequency as an unbounded count-over-window: the df column
+    // lands on each exploded row in ONE pass (shuffle by g), where a
+    // groupBy + join-back formulation shuffles the exploded set twice and
+    // scans it twice
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
     // prefix length n - ceil(n*num/den) + 1, with integer ceil
@@ -629,9 +633,15 @@ object Similarity {
     // boundary at exact multiples
     val prefix = ranked
       .where(col("rn") <= col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("n"), col("g"))
+    // SSJoin length filter INSIDE the join condition (J >= num/den forces
+    // den*min >= num*max): cross-size candidates die before the dedupe
+    // shuffle — the same placement as the band join's ratio prune. This
+    // is what bounds candidate growth as the corpus densifies (measured
+    // at 100k docs: see graft.tools.ScaleSmoke).
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * den >= greatest(col("x.n"), col("y.n")) * num)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, grams, num, den)
