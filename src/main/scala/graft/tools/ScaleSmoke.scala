@@ -72,11 +72,13 @@ object ScaleSmoke {
     // Measured at 50k docs / 20k vecs (2026-08): d06 9.6s, d19 9.3s, d14
     // 2.7s, d08 3.5s, d17 1.9s, d11 3.0s — sub-linear per item vs sf0.1.
     // At 100k docs: d06 9.5s (banded LSH stays FLAT — candidates are
-    // bucket-bounded), d19 18.8s (the known PPJoin density sensitivity:
-    // prefix candidates grow with sum(f^2) over prefix-gram frequencies
-    // as the corpus densifies — the trade that motivates keeping both
-    // paths: d19 for exact recall at any threshold, d06 for flat scaling
-    // near 0.8), d14 0.9s, index save 3.2s / probe 3.2s.
+    // bucket-bounded), d19 14.0s after the count-over-window df pass
+    // (dominated by the two linear window shuffles over the exploded
+    // gram set; prefix candidates themselves stay tiny here, but grow
+    // with sum(f^2) over prefix-gram frequencies as a corpus densifies —
+    // the trade that motivates keeping both paths: d19 for exact recall
+    // at any threshold, d06 for flat scaling near 0.8), d14 0.9s, index
+    // save 3.2s / probe 3.2s.
     // The two quadratic-BY-SEMANTICS ops: d07 (exact all-pairs baseline,
     // 85s; its scale paths d08/d17 answer the same query in seconds) and
     // d09 (simhash hamming<=3 matches a constant fraction of all pairs on
