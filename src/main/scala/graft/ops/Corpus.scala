@@ -150,13 +150,21 @@ object Corpus {
 
   /** Per-language distinct-token estimate (HLL++, 2% rsd) next to the
     * exact count (d13). In: (lang, text). */
-  def distinctTokenSketch(docs: DataFrame): DataFrame =
-    docs
+  def distinctTokenSketch(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .groupBy(col("lang"))
-      .agg(
-        countDistinct(col("tok")).as("exact_distinct"),
-        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+    // exact and approx in SEPARATE aggregations joined on the tiny group
+    // key: mixing COUNT(DISTINCT) with a regular aggregate plans an
+    // Expand that doubles the exploded token set through the shuffle —
+    // the same split q01/q25 use. The exact side partial-aggregates
+    // (lang, tok) map-side, so the big shuffle carries distinct pairs,
+    // not raw tokens.
+    val exact = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("exact_distinct"))
+    val approx = toks.groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+    exact.join(approx, "lang")
+  }
 
   /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):
     * a broadcast-hinted nested-loop self-join (Spark's broadcast
