@@ -145,11 +145,13 @@ object IvfIndex {
       .toDF("q_id", "qv", "cell")
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       call_function("vec_dot", a, b)
-    val sim = probed.join(model.cells.as("m"), "cell")
+    // norms land in per-side pre-join projections (one per probe row /
+    // one per stored vector), not per candidate row
+    val sim = probed.withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+      .join(model.cells.withColumn("mnrm", sqrt(dot(col("v"), col("v")))).as("m"), "cell")
       .where(col("q_id") =!= col("m.vec_id"))
       .select(col("q_id").as("vec_id"), col("m.vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("m.v")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("m.v"), col("m.v"))))).as("sim"))
+        (dot(col("qv"), col("m.v")) / (col("qnrm") * col("m.mnrm"))).as("sim"))
     // (q, neighbor) pairs are already unique: each neighbor lives in
     // exactly one cell and a query probes distinct cells.
     bestNeighbor(sim)

@@ -676,8 +676,12 @@ object Similarity {
     * side). Candidates are NOT deduped — bestNeighbor's max-aggregation
     * absorbs multi-table collisions without a distinct shuffle. */
   def annBestNeighbor(vecs: DataFrame): DataFrame = {
+    // norms are computed once per VECTOR (pre-join projection), not per
+    // candidate pair — per-pair norm recomputation triples the dot-product
+    // work of the similarity stage
     val e = vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
     val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
     val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
     val pairs = buckets.as("x").join(buckets.as("y"),
@@ -688,8 +692,7 @@ object Similarity {
       .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
       .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
-        (vecDot(col("q.v"), col("c.v")) /
-          (sqrt(vecDot(col("q.v"), col("q.v"))) * sqrt(vecDot(col("c.v"), col("c.v"))))).as("sim"))
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
     IvfIndex.bestNeighbor(sim)
   }
 
