@@ -331,9 +331,22 @@ object Similarity {
 
   /** (doc_id, n, band, bucket) band-bucket fanout of a sketch table —
     * the LSH join key surface (16 rows/doc, 24 bytes each; the 128-long
-    * signature never rides the bucket shuffle). */
+    * signature never rides the bucket shuffle).
+    *
+    * Empty-sketch docs (null / sub-3-char text) NEVER enter the index —
+    * the guard is load-bearing twice over: every empty gram set has the
+    * identical all-MaxValue minhash, so (a) any two such docs would
+    * collide in all 16 bands and pass the 0 >= 0 ratio and threshold
+    * tests, emitting (inter 0, union 0) pairs the exhaustive oracle
+    * never produces (J = 0/0 is undefined, not a match), and (b) at
+    * corpus scale the shared bucket is a catastrophic skew hot spot
+    * (10^6 empty docs -> 10^12 candidate pairs). Exact content-hash
+    * dedup (d01) is the operator that groups degenerate docs — the
+    * documented complementarity in Graft.dedupedCorpus. The streaming
+    * detector (NearDupStream) applies the same guard. */
   private[ops] def bandBuckets(sk: DataFrame): DataFrame =
-    sk.select(col("doc_id"), col("n"), explode(expr(
+    sk.where(col("n") > 0)
+      .select(col("doc_id"), col("n"), explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
         .as("bb"))
       .select(col("doc_id"), col("n"), col("bb.band"), col("bb.bucket"))
@@ -395,10 +408,7 @@ object Similarity {
     // size-ratio prune (J >= 0.8 forces 5*min >= 4*max) sits INSIDE the
     // self-join condition, so most false bucket collisions die before the
     // pair set exists.
-    val b = sk.select(col("doc_id"), col("n"), explode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, hash(slice(mh, b * $RowsPerBand + 1, $RowsPerBand)) AS bucket))"))
-        .as("bb"))
-      .select(col("doc_id"), col("n"), col("bb.band"), col("bb.bucket"))
+    val b = bandBuckets(sk)
     val pairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -67,6 +67,33 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.head.schema.fieldNames.contains("text"))
   }
 
+  test("degenerate docs (null / sub-gram text) never reach the LSH index") {
+    import spark.implicits._
+    // every empty gram set shares the identical all-MaxValue minhash —
+    // without the bandBuckets guard these three docs would pairwise
+    // collide in all 16 bands and pass the 0 >= 0 threshold test,
+    // emitting (inter 0, union 0) pairs the exhaustive oracle never
+    // produces (and at corpus scale the shared bucket is a skew bomb)
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "ab"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog!")
+    ).toDF("doc_id", "text")
+    val pairs = Graft.nearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), s"got $pairs")
+    // exact content-hash dedup is the operator that groups degenerate
+    // docs (the documented complementarity): "" and "" group, nulls group
+    val withDupEmpties = docs.unionAll(Seq((6L, "")).toDF("doc_id", "text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val exact = Graft.dedupExact(withDupEmpties)
+      .where(col("n_copies") > 1).collect()
+    assert(exact.exists(r => r.getAs[Long]("keeper_doc_id") == 2L &&
+      r.getAs[Long]("n_copies") == 2L)) // docs 2 and 6 ("")
+  }
+
   test("text-analysis family works on in-memory documents") {
     assert(Graft.tokenStats(docsDf).count() == 5)
     val freq = Graft.wordFreq(docsDf, k = 3).collect()
