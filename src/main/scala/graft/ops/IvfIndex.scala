@@ -146,9 +146,14 @@ object IvfIndex {
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       call_function("vec_dot", a, b)
     // norms land in per-side pre-join projections (one per probe row /
-    // one per stored vector), not per candidate row
+    // one per stored vector), not per candidate row. Zero-norm vectors
+    // are excluded from BOTH sides: cosine against them is 0/0 = NaN,
+    // which ranks greatest under the bestNeighbor max-aggregation and
+    // would crown a degenerate stored vector every query's neighbor.
     val sim = probed.withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
-      .join(model.cells.withColumn("mnrm", sqrt(dot(col("v"), col("v")))).as("m"), "cell")
+      .where(col("qnrm") > 0.0)
+      .join(model.cells.withColumn("mnrm", sqrt(dot(col("v"), col("v"))))
+        .where(col("mnrm") > 0.0).as("m"), "cell")
       .where(col("q_id") =!= col("m.vec_id"))
       .select(col("q_id").as("vec_id"), col("m.vec_id").as("neighbor_id"),
         (dot(col("qv"), col("m.v")) / (col("qnrm") * col("m.mnrm"))).as("sim"))

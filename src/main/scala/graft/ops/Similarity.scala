@@ -20,11 +20,21 @@ case class TopKBuf(sims: Array[Double], ids: Array[Long])
   * so the result is deterministic and matches the oracle's row_number. */
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
   override def zero: TopKBuf = TopKBuf(new Array[Double](0), new Array[Long](0))
-  private def insert(b: TopKBuf, sim: Double, id: Long): TopKBuf = {
+  private def insert(b: TopKBuf, sim0: Double, id: Long): TopKBuf = {
+    // java.lang.Double.compare, not primitive > : NaN must rank GREATEST
+    // (both Spark's and DuckDB's sort order, hence the oracle's
+    // row_number) — primitive NaN comparisons are all-false and would
+    // silently rank NaN LAST instead. NaN sims arise from zero-norm
+    // vectors (0/0 cosine) the exact baseline must still rank like the
+    // oracle does. -0.0 normalizes to 0.0 first (Double.compare would
+    // order them, engines treat them equal).
+    val sim = if (sim0 == 0.0) 0.0 else sim0
     val n = b.sims.length
     var pos = n
-    while (pos > 0 && (sim > b.sims(pos - 1) ||
-        (sim == b.sims(pos - 1) && id < b.ids(pos - 1)))) pos -= 1
+    while (pos > 0 && {
+        val c = java.lang.Double.compare(sim, b.sims(pos - 1))
+        c > 0 || (c == 0 && id < b.ids(pos - 1))
+      }) pos -= 1
     if (pos >= k) b
     else {
       val m = math.min(n + 1, k)
@@ -688,10 +698,16 @@ object Similarity {
   def annBestNeighbor(vecs: DataFrame): DataFrame = {
     // norms are computed once per VECTOR (pre-join projection), not per
     // candidate pair — per-pair norm recomputation triples the dot-product
-    // work of the similarity stage
+    // work of the similarity stage. Zero-norm vectors (failed encodes)
+    // are excluded: their cosine is 0/0 = NaN, which ranks GREATEST under
+    // max-aggregation — one zero vector would otherwise become every
+    // query's "best" neighbor — and, like empty text sketches, they all
+    // share one hyperplane signature (every acc = 0 -> all bits set), a
+    // skew hot bucket at corpus scale.
     val e = vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0.0)
     val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
     val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
     val pairs = buckets.as("x").join(buckets.as("y"),

@@ -110,6 +110,23 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.distinctTokenSketch(docsDf).count() == 2)
   }
 
+  test("zero-norm vectors are excluded from the ANN index and IVF search") {
+    import spark.implicits._
+    val withZero = vecsDf.unionAll(
+      Seq((99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val ann = Graft.annBestNeighbor(withZero).collect()
+    assert(!ann.exists(r => r.getAs[Long]("vec_id") == 99L ||
+      r.getAs[Long]("neighbor_id") == 99L))
+    assert(ann.forall(r => !r.getAs[Double]("sim").isNaN))
+    val vd = withZero.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = Graft.ivfBuild(spark, vd, k = 4, iters = 2)
+    val found = Graft.ivfSearch(spark, model, vd, probes = 2).collect()
+    assert(!found.exists(r => r.getAs[Long]("vec_id") == 99L ||
+      r.getAs[Long]("neighbor_id") == 99L))
+    assert(found.forall(r => !r.getAs[Double]("sim").isNaN))
+  }
+
   test("similarity-search family works on in-memory embeddings") {
     val topk = Graft.cosineTopK(vecsDf, k = 2)
     assert(topk.count() == 80) // 40 vecs x 2 ranks

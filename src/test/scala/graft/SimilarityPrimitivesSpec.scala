@@ -49,6 +49,20 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other.sims.toSeq == merged.sims.toSeq)
   }
 
+  test("TopKAgg ranks NaN greatest, matching engine sort order") {
+    // zero-norm vectors give 0/0 = NaN cosine; Spark and DuckDB both
+    // sort NaN as the LARGEST double, so the oracle's row_number puts it
+    // first — primitive > comparisons would silently rank it last
+    val agg = new graft.ops.TopKAgg(2)
+    val b = Seq((0.9, 3L), (Double.NaN, 5L), (0.7, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(b.ids.toSeq == Seq(5L, 3L))
+    assert(b.sims(0).isNaN && b.sims(1) == 0.9)
+    // -0.0 and 0.0 tie (engines treat them equal): id breaks the tie
+    val z = Seq((0.0, 9L), (-0.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    assert(z.ids.toSeq == Seq(4L, 9L))
+  }
+
   test("connectedComponents equals in-memory union-find on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
