@@ -96,8 +96,14 @@ object Graft {
   def cosineTopK(vecs: DataFrame, k: Int = 3): DataFrame = Similarity.cosineTopK(vecs, k)
 
   /** Best approximate neighbor per vector via random-hyperplane LSH.
+    * Geometry scales with the corpus: `bitsPerTable = 0` derives the
+    * signature width from a corpus count so bucket occupancy (and with it
+    * candidates per query) stays bounded as N grows; `probeFlips` is the
+    * margin-ordered multiprobe depth recovering recall at high widths.
     * Reads: vec_id, embedding. */
-  def annBestNeighbor(vecs: DataFrame): DataFrame = Similarity.annBestNeighbor(vecs)
+  def annBestNeighbor(vecs: DataFrame, tables: Int = 8, bitsPerTable: Int = 0,
+      probeFlips: Int = 1): DataFrame =
+    Similarity.annBestNeighbor(vecs, tables, bitsPerTable, probeFlips)
 
   /** Train an IVF (inverted-file) coarse quantizer over (vec_id,
     * v ARRAY<DOUBLE>). See [[graft.ops.IvfIndex]] for save/load and the

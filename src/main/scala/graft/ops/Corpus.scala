@@ -163,7 +163,11 @@ object Corpus {
       .groupBy(col("lang")).agg(count(lit(1)).as("exact_distinct"))
     val approx = toks.groupBy(col("lang"))
       .agg(approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
-    exact.join(approx, "lang")
+    // null-safe equality: both sides group the SAME rows by lang, so the
+    // group sets are identical — but a null lang group would never match
+    // itself under plain `=` and silently vanish from the inner join
+    exact.as("x").join(approx.as("y"), col("x.lang") <=> col("y.lang"))
+      .select(col("x.lang"), col("x.exact_distinct"), col("y.approx_distinct"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):

@@ -261,35 +261,70 @@ object Similarity {
   private def vecDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("vec_dot", a, b)
 
-  /** 8 tables x 8-bit random-hyperplane signatures; hyperplane components
-    * are +-1 from a fixed-seed hash of (bit, dim) — deterministic across
-    * runs and executors, no broadcast needed. */
-  private val annSigUdf = udf((v: Seq[Double]) => {
-    val dim = v.length
-    val sigs = new Array[Long](8)
-    var t = 0
-    while (t < 8) {
-      var sig = 0L
-      var j = 0
-      while (j < 8) {
-        val bit = t * 8 + j
-        var acc = 0.0
-        var i = 0
-        while (i < dim) {
-          // xorshift-mixed (bit, dim) → ±1, fixed seed
-          var h = (bit * 131 + i) * -0x61c88647
-          h ^= h >>> 16
-          acc += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
-          i += 1
+  /** Bits per hash table for a corpus of `n` vectors: enough that the
+    * EXPECTED bucket occupancy stays near `targetOccupancy` (candidates
+    * per query ~ tables x occupancy — constant, not O(N)). A fixed bit
+    * width silently re-quadratizes: at 10^9 vectors an 8-bit table's 256
+    * buckets hold ~4M ids each and the bucket self-join is all-pairs
+    * again. ceil(log2(n / occupancy)), clamped to [8, 24] (below 8 the
+    * tables stop discriminating; above 24 random-hyperplane buckets on
+    * real data are mostly singletons and recall collapses — multiprobe is
+    * the recall lever at high widths, not fewer bits). */
+  private[graft] def annBitsFor(n: Long, targetOccupancy: Long = 32L): Int = {
+    val cells = math.max(1L, n / math.max(1L, targetOccupancy))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, cells - 1))
+    math.min(24, math.max(8, bits))
+  }
+
+  /** `tables` x `bits`-bit random-hyperplane signatures with
+    * margin-ordered multiprobe: per table, element 0 is the exact
+    * signature and elements 1..probeFlips flip the LOWEST-|margin| bits
+    * first (the bits most likely to differ on a true near neighbor —
+    * standard multiprobe-LSH). Hyperplane components are +-1 from a
+    * fixed-seed hash of (bit, dim) — deterministic across runs and
+    * executors, no broadcast needed. */
+  private def annSigUdf(tables: Int, bits: Int, probeFlips: Int) =
+    udf((v: Seq[Double]) => {
+      val dim = v.length
+      val out = new Array[Seq[Long]](tables)
+      val margins = new Array[Double](bits)
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          val bit = t * bits + j
+          var acc = 0.0
+          var i = 0
+          while (i < dim) {
+            // xorshift-mixed (bit, dim) → ±1, fixed seed
+            var h = (bit * 131 + i) * -0x61c88647
+            h ^= h >>> 16
+            acc += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
+            i += 1
+          }
+          sig = sig * 2 + (if (acc >= 0.0) 1L else 0L)
+          margins(j) = math.abs(acc)
+          j += 1
         }
-        sig = sig * 2 + (if (acc >= 0.0) 1L else 0L)
-        j += 1
+        // probe sigs: flip single bits in ascending-|margin| order
+        // (deterministic tie-break on bit index)
+        val sigs = new Array[Long](1 + math.min(probeFlips, bits))
+        sigs(0) = sig
+        if (probeFlips > 0) {
+          val order = (0 until bits).sortBy(j => (margins(j), j))
+          var p = 0
+          while (p < sigs.length - 1) {
+            // bit j was appended MSB-first: shift is bits-1-j
+            sigs(p + 1) = sig ^ (1L << (bits - 1 - order(p)))
+            p += 1
+          }
+        }
+        out(t) = sigs.toSeq
+        t += 1
       }
-      sigs(t) = sig
-      t += 1
-    }
-    sigs.toSeq
-  })
+      out.toSeq
+    })
 
   /** Number of agreeing minhash components — an unbiased Jaccard estimate
     * (x128) used to prune candidates before exact verification. Native
@@ -493,11 +528,23 @@ object Similarity {
 
   /** Near-duplicate clusters of any (doc_id, text) corpus: connected
     * components over [[nearDupPairs]] — the DataFrame-in form of d14.
-    * Out: (doc_id, cluster_id = component min doc_id, cluster_size). */
-  def nearDupClusters(docs: DataFrame): DataFrame =
-    connectedComponents(docs.sparkSession,
-      nearDupPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+    * Out: (doc_id, cluster_id = component min doc_id, cluster_size).
+    *
+    * Unlike [[nearDupPairs]], the internal sketch cache is released
+    * before returning: connectedComponents materializes eagerly (its
+    * first step localCheckpoints the contracted edge set), so the
+    * returned labels no longer reference the sketch lineage — repeated
+    * invocations (e.g. via Graft.dedupedCorpus) accumulate no cached
+    * tables. */
+  def nearDupClusters(docs: DataFrame): DataFrame = {
+    val sk = sketchTable(docs).cache()
+    try {
+      val pairs = verifyPairs(lshCandidatesFrom(sk), sk.select(col("doc_id"), col("grams")))
+      connectedComponents(docs.sparkSession,
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+    } finally sk.unpersist()
+  }
 
   // ---- connected components (d14) ------------------------------------------
 
@@ -688,33 +735,69 @@ object Similarity {
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
 
-  /** Best approximate neighbor per vector via random-hyperplane LSH —
-    * the DataFrame-in form of d08 (sub-quadratic scale path).
-    * In: (vec_id, embedding ARRAY<numeric>). 64 seeded hyperplane bits in
-    * 8 tables of 8-bit signatures; the bucket self-join carries ids only,
-    * vectors re-attach id-keyed (AQE broadcasts only a measured-small
-    * side). Candidates are NOT deduped — bestNeighbor's max-aggregation
-    * absorbs multi-table collisions without a distinct shuffle. */
-  def annBestNeighbor(vecs: DataFrame): DataFrame = {
-    // norms are computed once per VECTOR (pre-join projection), not per
-    // candidate pair — per-pair norm recomputation triples the dot-product
-    // work of the similarity stage. Zero-norm vectors (failed encodes)
-    // are excluded: their cosine is 0/0 = NaN, which ranks GREATEST under
-    // max-aggregation — one zero vector would otherwise become every
-    // query's "best" neighbor — and, like empty text sketches, they all
-    // share one hyperplane signature (every acc = 0 -> all bits set), a
-    // skew hot bucket at corpus scale.
-    val e = vecs
+  /** (vec_id, v, nrm) with zero-norm vectors excluded — the shared entry
+    * of the cosine family. Norms are computed once per VECTOR (pre-join
+    * projection), not per candidate pair — per-pair norm recomputation
+    * triples the dot-product work of the similarity stage. Zero-norm
+    * vectors (failed encodes) are excluded: their cosine is 0/0 = NaN,
+    * which ranks GREATEST under max-aggregation — one zero vector would
+    * otherwise become every query's "best" neighbor — and, like empty
+    * text sketches, they all share one hyperplane signature (every
+    * acc = 0 -> all bits set), a skew hot bucket at corpus scale. */
+  private def normalizedVecs(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .where(col("nrm") > 0.0)
-    val sig = e.select(col("vec_id"), annSigUdf(col("v")).as("sigs"))
-    val buckets = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "sig")))
-    val pairs = buckets.as("x").join(buckets.as("y"),
+
+  /** Directed ANN candidate pairs (query -> bucket-mate) from the
+    * hyperplane tables: the index side holds each vector's EXACT
+    * signature per table; the probe side fans each query out to its
+    * exact + `probeFlips` lowest-margin perturbed signatures. The bucket
+    * join carries ids only. Exposed for scale instrumentation
+    * (ScaleSmoke tracks candidate growth across corpus sizes). */
+  private[graft] def annCandidatePairs(e: DataFrame, tables: Int, bits: Int,
+      probeFlips: Int): DataFrame = {
+    val sig = e.select(col("vec_id"),
+      annSigUdf(tables, bits, probeFlips)(col("v")).as("sigs"))
+    // sigs: ARRAY<ARRAY<BIGINT>> — per table, [exact, probe1, probe2, ...]
+    val index = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "ps")))
+      .select(col("vec_id"), col("t"), col("ps").getItem(0).as("sig"))
+    val probes = sig.select(col("vec_id"), posexplode(col("sigs")).as(Seq("t", "ps")))
+      .select(col("vec_id"), col("t"), explode(col("ps")).as("sig"))
+    probes.as("x").join(index.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
-    val sim = pairs.as("p")
+  }
+
+  /** Best approximate neighbor per vector via random-hyperplane LSH —
+    * the DataFrame-in form of d08 (sub-quadratic scale path).
+    * In: (vec_id, embedding ARRAY<numeric>).
+    *
+    * Geometry is parameterized and SCALES WITH THE CORPUS: `tables` hash
+    * tables of `bitsPerTable`-bit signatures (bitsPerTable = 0 derives
+    * ceil(log2(N/32)) clamped to [8, 24] from a corpus count, so expected
+    * bucket occupancy — and with it candidates per query — stays bounded
+    * as N grows instead of re-quadratizing at a fixed 2^8 buckets), with
+    * `probeFlips`-deep margin-ordered multiprobe recovering the recall
+    * that narrower buckets would otherwise cost. The bucket self-join
+    * carries ids only, vectors re-attach id-keyed (AQE broadcasts only a
+    * measured-small side). Candidates are NOT deduped — bestNeighbor's
+    * max-aggregation absorbs multi-table/multi-probe collisions without a
+    * distinct shuffle. */
+  def annBestNeighbor(vecs: DataFrame, tables: Int = 8, bitsPerTable: Int = 0,
+      probeFlips: Int = 1): DataFrame = {
+    require(tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 && probeFlips >= 0,
+      "need tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
+    val e = normalizedVecs(vecs)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      // count the RAW input (columnar count, often metadata-only), not the
+      // normalized projection — an occupancy heuristic doesn't need the
+      // zero-norm exclusion to be exact
+      else annBitsFor(vecs.count())
+    val sim = annCandidatePairs(e, tables, bits, probeFlips).as("p")
       .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
       .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),

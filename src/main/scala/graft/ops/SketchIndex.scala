@@ -30,11 +30,16 @@ import org.apache.spark.sql.types._
   */
 object SketchIndex {
 
-  /** Sketch `docs` (doc_id, text) and persist the index under `dir`. */
+  /** Sketch `docs` (doc_id, text) and persist the index under `dir`.
+    * The bucket table is derived from the just-written sketches parquet,
+    * not from the in-memory lineage — the gram+minhash UDF pass over the
+    * corpus runs exactly once (re-running it for buckets would double the
+    * dominant cost of index construction). */
   def save(docs: DataFrame, dir: String): Unit = {
-    val sk = Similarity.sketchTable(docs)
-    sk.write.mode(SaveMode.Overwrite).parquet(s"$dir/sketches")
-    Similarity.bandBuckets(sk)
+    val spark = docs.sparkSession
+    Similarity.sketchTable(docs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sketches")
+    Similarity.bandBuckets(spark.read.parquet(s"$dir/sketches"))
       .write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$dir/buckets")
   }
 

@@ -53,12 +53,14 @@ object TextOps {
     * identical integers → exact cross-engine parity. */
   def qualityScore(docs: DataFrame,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
-    val in = stopwords.map(w => s"'$w'").mkString(",")
+    // typed Columns, not interpolated SQL: a stopword containing a quote
+    // ("don't") must stay data, never syntax, on this public API surface
+    val stop = typedLit(stopwords)
     docs
       .withColumn("n_tokens", size(split(lower(trim(col("text"))), "\\s+")).cast(LongType))
       .withColumn("n_stop",
-        expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($in)))")
-          .cast(LongType))
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => array_contains(stop, w))).cast(LongType))
       .select(
         col("doc_id"),
         col("n_tokens"),

@@ -38,19 +38,23 @@ final case class FrameRow(
   * The Spark-side shape is real: `mapPartitions` over batches of payload
   * rows (the JVM analog of `mapInPandas` — one vectorized batch per call,
   * here `BatchSize` rows), schema'd output via the MediaFeatures encoder,
-  * partitioning preserved. The DECODE itself is a clearly-marked
-  * deterministic stub — the image/audio codec libraries are not in this
-  * environment — producing fake-but-stable dimensions and an embedding
-  * derived from the payload hash, so the plumbing (batch shape, schema,
-  * null-safety, partition parallelism) is testable end-to-end.
+  * partitioning preserved.
+  *
+  * IMAGE decode is REAL: `javax.imageio` (JDK-bundled — PNG, JPEG, GIF,
+  * BMP) yields true pixel dimensions and a luminance-grid embedding from
+  * actual pixels. Audio/video have no JDK codec, and undecodable image
+  * bytes must not kill a 10^9-row pipeline — both fall back to the
+  * clearly-marked deterministic stub (fake-but-stable dimensions and a
+  * hash-derived embedding), keeping every path total and testable.
   */
 object Multimodal {
 
   val BatchSize = 64
   val EmbeddingDim = 8
 
-  /** STUB decode: replace with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) in production. Deterministic in the payload bytes. */
+  /** STUB decode — the fallback for modalities without a JDK codec
+    * (audio/video; replace with ffmpeg bindings in production) and for
+    * image bytes ImageIO cannot parse. Deterministic in the payload. */
   def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(payload)
     val width = 16 + math.floorMod(h, 1024)
@@ -61,6 +65,47 @@ object Multimodal {
     }
     (width, height, emb)
   }
+
+  /** Real image decode: ImageIO → true (width, height) and an
+    * `EmbeddingDim`-cell mean-luminance column profile of the actual
+    * pixels (a stand-in for model output that is nonetheless REAL pixel
+    * data — resolution-invariant and deterministic). None when the bytes
+    * are not a decodable image. */
+  private[streaming] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val acc = new Array[Double](EmbeddingDim)
+        val cnt = new Array[Long](EmbeddingDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val cell = math.min(EmbeddingDim - 1, x * EmbeddingDim / w)
+            acc(cell) += luma / 255.0
+            cnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val emb = Array.tabulate(EmbeddingDim)(c =>
+          if (cnt(c) == 0) 0.0f else (acc(c) / cnt(c)).toFloat)
+        Some((w, h, emb))
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode dispatch: real ImageIO for images (stub fallback for bytes no
+    * installed reader accepts), stub for audio/video. */
+  def decode(modality: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+    if (modality == "image")
+      decodeImage(payload).getOrElse(decodeStub(modality, payload))
+    else decodeStub(modality, payload)
 
   private def sha256Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -76,16 +121,38 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          val (w, h, emb) = decodeStub(r.modality, payload)
+          val (w, h, emb) = decode(r.modality, payload)
           MediaFeatures(r.docId, r.modality, payload.length.toLong, sha256Hex(payload), w, h, emb)
         }
       }
     }
   }
 
-  /** STUB resize: a real implementation re-encodes scaled pixels; the
-    * stub is deterministic in (payload, target dims) so the pipeline
-    * shape — narrow, batched, binary-in/binary-out — is testable. */
+  /** Real image resize: decode, bilinear-rescale offscreen (headless-safe
+    * BufferedImage raster ops — no display needed), re-encode as PNG.
+    * None when the bytes are not a decodable image. */
+  private[streaming] def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB resize — fallback for undecodable bytes and codec-less
+    * modalities; deterministic in (payload, target dims) so the pipeline
+    * shape — narrow, batched, binary-in/binary-out — stays testable. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val seed = java.util.Arrays.hashCode(payload) ^ (w * 31 + h)
     val out = new Array[Byte](math.max(16, payload.length / 4))
@@ -109,8 +176,12 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          ResizedMedia(r.docId, r.modality, targetW, targetH,
-            resizeStub(payload, targetW, targetH))
+          val bytes =
+            if (r.modality == "image")
+              resizeImage(payload, targetW, targetH)
+                .getOrElse(resizeStub(payload, targetW, targetH))
+            else resizeStub(payload, targetW, targetH)
+          ResizedMedia(r.docId, r.modality, targetW, targetH, bytes)
         }
       }
     }

@@ -56,8 +56,12 @@ object NearDupStream {
     import spark.implicits._
 
     val fanout: Dataset[(Long, Long, Long, Array[Long])] = docs.flatMap { doc =>
+      // Locale.ROOT, not the JVM default: under e.g. a Turkish default
+      // locale "I".toLowerCase is "ı", diverging from Catalyst lower()
+      // (locale-insensitive) — the batch index this stream must agree with
       val grams = Similarity.charGramHashes(
-        if (doc.text == null) null else doc.text.toLowerCase)
+        if (doc.text == null) null
+        else doc.text.toLowerCase(java.util.Locale.ROOT))
       // no grams -> no sketch: an empty gram set's minhash is the
       // all-MaxValue vector, which would make every pair of degenerate
       // (null / < 3 chars) documents collide in all 16 bands with a

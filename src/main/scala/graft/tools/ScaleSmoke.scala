@@ -107,6 +107,24 @@ object ScaleSmoke {
     val t1 = System.nanoTime()
     val crossPairs = graft.api.Graft.nearDupAgainstIndex(spark, batch, s"$dir/sketch_index").count()
     println(f"[scale] sketch_index save ${tSave}%.2f s, probe ${(System.nanoTime() - t1) / 1e9}%.2f s ($crossPairs cross pairs)")
+
+    // --- d08 candidate-growth probe: the auto-derived signature width
+    // (bits ~ log2(N/32)) must keep candidates PER QUERY roughly flat as
+    // the corpus grows — a fixed 8-bit geometry's per-query candidates
+    // grow linearly with N (bucket occupancy N/256) and the bucket
+    // self-join re-quadratizes. Run at 1/4, 1/2, and full nVecs.
+    val allVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    Seq(4, 2, 1).foreach { invFrac =>
+      val sub = allVecs.where(col("vec_id") % invFrac === 0)
+      val n = sub.count()
+      val bits = graft.ops.Similarity.annBitsFor(n)
+      val e = sub
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        .where(col("nrm") > 0.0)
+      val cands = graft.ops.Similarity.annCandidatePairs(e, 8, bits, 1).count()
+      println(f"[scale] ann_candidates n=$n%8d bits=$bits%2d total=$cands%10d  per_query=${cands.toDouble / n}%8.1f")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schema == Seq("docId", "modality", "nBytes", "contentHash", "width", "height", "embedding"))
   }
 
+  test("real PNG payloads decode to true dimensions and pixel-derived embeddings") {
+    import spark.implicits._
+    // render a 64x48 image: left half black, right half white — the
+    // luminance-column embedding must read ~0 on the left, ~1 on the right
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", png(64, 48)),
+      MediaRow(2L, "image", png(320, 200)),
+      MediaRow(3L, "image", "not an image".getBytes("UTF-8")), // fallback path
+      MediaRow(4L, "audio", png(64, 48))) // wrong modality -> stub, not decode
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(rows))
+      .collect().map(f => f.docId -> f).toMap
+    assert(out(1L).width == 64 && out(1L).height == 48)
+    assert(out(2L).width == 320 && out(2L).height == 200)
+    val emb = out(1L).embedding
+    assert(emb.take(4).forall(_ < 0.1f), "left half should be dark")
+    assert(emb.drop(4).forall(_ > 0.9f), "right half should be bright")
+    // undecodable image bytes fall back to the deterministic stub
+    val (sw, sh, _) = Multimodal.decodeStub("image", "not an image".getBytes("UTF-8"))
+    assert(out(3L).width == sw && out(3L).height == sh)
+    // audio never routes through ImageIO even if the bytes ARE an image
+    val (aw, ah, _) = Multimodal.decodeStub("audio", png(64, 48))
+    assert(out(4L).width == aw && out(4L).height == ah)
+  }
+
+  test("resizeAll re-encodes decodable images at the target dims") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(100, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 100) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(MediaRow(1L, "image", bos.toByteArray))
+    val out = Multimodal.resizeAll(spark, spark.createDataset(rows), 32, 24).collect().head
+    // the output must be a REAL image at the target dims, not stub bytes
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back != null, "resized payload is not a decodable image")
+    assert(back.getWidth == 32 && back.getHeight == 24)
+    // solid-color input stays (approximately) that color after bilinear scaling
+    val rgb = back.getRGB(16, 12)
+    assert(((rgb >> 16) & 0xff) == 0x33 && ((rgb >> 8) & 0xff) == 0x66 && (rgb & 0xff) == 0x99)
+  }
+
   test("null payloads are handled") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(MediaRow(1L, "image", null)))

@@ -204,6 +204,33 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree < 16, s"disjoint sets agree on $agree/128 components")
   }
 
+  test("annBitsFor scales with corpus size and stays clamped") {
+    import graft.ops.Similarity.annBitsFor
+    assert(annBitsFor(0L) == 8)
+    assert(annBitsFor(1000L) == 8) // 31 cells -> 5 bits -> floor clamp
+    assert(annBitsFor(32L << 10) == 10) // 1024 cells -> 10 bits
+    assert(annBitsFor(32L << 16) == 16)
+    assert(annBitsFor(1L << 40) == 24) // ceiling clamp
+    // monotone non-decreasing in n
+    val widths = (10 to 40).map(p => annBitsFor(1L << p))
+    assert(widths == widths.sorted)
+  }
+
+  test("multiprobe ANN candidates strictly extend the exact-bucket set") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rng.nextGaussian())))
+      .toDF("vec_id", "v")
+    val e = vecs.withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .where(col("nrm") > 0.0)
+    val exact = graft.ops.Similarity.annCandidatePairs(e, 4, 6, 0)
+      .as[(Long, Long)].collect().toSet
+    val probed = graft.ops.Similarity.annCandidatePairs(e, 4, 6, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(probed), "flipping probe bits must only ADD candidates")
+    assert(probed.size > exact.size, "1-bit probes found no extra bucket-mates")
+  }
+
   test("jaccardPrefixPairs is exact at a lowered threshold (J >= 0.5)") {
     import spark.implicits._
     val docs = graft.ops.Tables.documents(spark, sf)
