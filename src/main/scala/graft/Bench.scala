@@ -65,13 +65,50 @@ object Bench {
     val ext = time(extendedSet)
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
+
+    // ANN quality, UNTIMED (runs after the timed sets): recall@1 of the
+    // d08 LSH and d17 IVF paths against the exact d07 baseline — makes
+    // the rows-only ANN entries auditable from driver artifacts alone
+    // (the finer-grained bounds live in SimilaritySpec / RecallCheck).
+    val quality =
+      try {
+        import org.apache.spark.sql.functions.col
+        val qmap = graft.SparkEntry.queries
+        val exact = qmap("d07_cosine_topk")(spark, sfDir)
+          .where(col("rank") === 1)
+          .select(col("vec_id"), col("neighbor_id").as("exact_nn")).cache()
+        val nq = exact.count().toDouble
+        def recall(name: String): Double = {
+          val agree = qmap(name)(spark, sfDir)
+            .select(col("vec_id"), col("neighbor_id"))
+            .join(exact, "vec_id")
+            .where(col("neighbor_id") === col("exact_nn")).count()
+          if (nq == 0) 0.0 else agree / nq
+        }
+        val r08 = recall("d08_ann_lsh")
+        val r17 = recall("d17_ivf_ann")
+        exact.unpersist()
+        s""""quality":{"d08_recall":${f(r08)},"d17_recall":${f(r17)}},"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] quality check failed: ${e.getMessage}"); ""
+      }
+
+    // 1-minute loadavg at bench end: co-tenant CPU steal shows here while
+    // the container looks idle — lets a reader machine-flag runs whose
+    // timings are contaminated by host contention.
+    val loadavg =
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double = rs.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.map(e => s""""$e"""").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
-        s""""extended_total":${f(tot(ext))},"extended":${obj(ext)},"errors":$errs,"sf":"$sfDir"}"""
+        s""""extended_total":${f(tot(ext))},"extended":${obj(ext)},$quality""" +
+        s""""loadavg":${f(loadavg)},"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
     // single atomic stdout write so log interleaving can't split the line
     System.out.println(json)

@@ -59,9 +59,12 @@ object Graft {
     Corpus.simhashPairs(docs, maxHamming)
 
   /** Exact embedding-cosine near-duplicate pairs at `threshold`.
+    * Broadcast NLJ while the table fits `maxBroadcastBytes`; blocked
+    * fragment-replicate join (same pairs, no memory cliff) beyond it.
     * Reads: vec_id, embedding. */
-  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame =
-    Corpus.cosineNearDupPairs(vecs, threshold)
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Corpus.cosineNearDupPairs(vecs, threshold, maxBroadcastBytes)
 
   /** The deduplicated corpus: one representative (min doc_id) per
     * exact-duplicate group and per near-duplicate cluster. The two
@@ -92,8 +95,12 @@ object Graft {
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).
+    * Broadcast NLJ while the table fits `maxBroadcastBytes`; blocked
+    * fragment-replicate join (same pairs, no memory cliff) beyond it.
     * Reads: vec_id, embedding. */
-  def cosineTopK(vecs: DataFrame, k: Int = 3): DataFrame = Similarity.cosineTopK(vecs, k)
+  def cosineTopK(vecs: DataFrame, k: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Similarity.cosineTopK(vecs, k, maxBroadcastBytes)
 
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the
@@ -102,7 +109,7 @@ object Graft {
     * margin-ordered multiprobe depth recovering recall at high widths.
     * Reads: vec_id, embedding. */
   def annBestNeighbor(vecs: DataFrame, tables: Int = 8, bitsPerTable: Int = 0,
-      probeFlips: Int = 1): DataFrame =
+      probeFlips: Int = 15): DataFrame =
     Similarity.annBestNeighbor(vecs, tables, bitsPerTable, probeFlips)
 
   /** Train an IVF (inverted-file) coarse quantizer over (vec_id,

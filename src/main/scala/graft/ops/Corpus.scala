@@ -171,17 +171,19 @@ object Corpus {
   }
 
   /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):
-    * a broadcast-hinted nested-loop self-join (Spark's broadcast
-    * machinery ships the candidate side to executors — no driver-side
-    * collect()); the pair stream stays inside codegen'd vec_dot and only
-    * above-threshold pairs survive. In: (vec_id, embedding ARRAY<numeric>).
-    * At 100 TB this becomes a blocked matrix product over IVF cells
-    * (IvfIndex). */
-  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    * a broadcast-hinted nested-loop self-join while the table fits
+    * `maxBroadcastBytes`, switching to the blocked fragment-replicate
+    * join beyond it (same pair set, no broadcast memory ceiling — see
+    * [[Similarity.selfCosineJoin]]); the pair stream stays inside
+    * codegen'd vec_dot and only above-threshold pairs survive.
+    * In: (vec_id, embedding ARRAY<numeric>). The sub-quadratic
+    * alternative at any scale is the IVF cell product (IvfIndex). */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double = 0.4,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val e = vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-    e.as("q").join(broadcast(e.as("c")), col("q.vec_id") < col("c.vec_id"))
+    Similarity.selfCosineJoin(vecs, e, col("q.vec_id") < col("c.vec_id"), maxBroadcastBytes)
       .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
         (call_function("vec_dot", col("q.v"), col("c.v")) /
           (col("q.nrm") * col("c.nrm"))).as("sim_raw"))

@@ -266,21 +266,71 @@ object Similarity {
     * per query ~ tables x occupancy — constant, not O(N)). A fixed bit
     * width silently re-quadratizes: at 10^9 vectors an 8-bit table's 256
     * buckets hold ~4M ids each and the bucket self-join is all-pairs
-    * again. ceil(log2(n / occupancy)), clamped to [8, 24] (below 8 the
-    * tables stop discriminating; above 24 random-hyperplane buckets on
+    * again. ceil(log2(n / occupancy)), clamped to [4, 24] (below 4 bits
+    * a table is near-degenerate; above 24 random-hyperplane buckets on
     * real data are mostly singletons and recall collapses — multiprobe is
-    * the recall lever at high widths, not fewer bits). */
-  private[graft] def annBitsFor(n: Long, targetOccupancy: Long = 32L): Int = {
+    * the recall lever at high widths, not fewer bits). Occupancy 64 with
+    * the default 8 tables x 16 probe signatures bounds candidates at
+    * ~8k/query — constant in N, and the measured sf0.1 recall@1 vs the
+    * exact baseline is 0.93 (graft.tools.AnnTune sweep). */
+  private[graft] def annBitsFor(n: Long, targetOccupancy: Long = 64L): Int = {
     val cells = math.max(1L, n / math.max(1L, targetOccupancy))
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, cells - 1))
-    math.min(24, math.max(8, bits))
+    math.min(24, math.max(4, bits))
   }
 
-  /** `tables` x `bits`-bit random-hyperplane signatures with
-    * margin-ordered multiprobe: per table, element 0 is the exact
-    * signature and elements 1..probeFlips flip the LOWEST-|margin| bits
-    * first (the bits most likely to differ on a true near neighbor —
-    * standard multiprobe-LSH). Hyperplane components are +-1 from a
+  /** Perturbation masks for multiprobe-LSH (Lv et al., "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search"): the
+    * first `count` non-empty subsets of bit positions in INCREASING
+    * sum-of-margins order — the cheapest-to-flip bit sets first, where a
+    * true near neighbor's signature most likely differs. `margins(j)` is
+    * the |hyperplane margin| of bit j; returned masks are in signature
+    * bit positions (bit j of the mask = flip signature bit j, MSB-first
+    * convention handled by the caller). Standard successor-pair heap
+    * enumeration over margin-ascending positions: each popped set spawns
+    * "shift max" and "extend past max", which generates every subset
+    * exactly once in nondecreasing score order. */
+  private[graft] def probeMasks(margins: Array[Double], count: Int): Array[Long] = {
+    val bits = margins.length
+    if (count <= 0 || bits == 0) return Array.emptyLongArray
+    val order = Array.range(0, bits).sortBy(j => (margins(j), j))
+    val ms = order.map(margins)
+    // node: (score, positions-into-ms as a mask) — max position recovered
+    // from the mask; tie-break on the mask for determinism
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse)
+    val pq = scala.collection.mutable.PriorityQueue((ms(0), 1L))
+    val out = new Array[Long](math.min(count, (1 << math.min(bits, 30)) - 1))
+    var n = 0
+    while (n < out.length && pq.nonEmpty) {
+      val (score, posMask) = pq.dequeue()
+      // translate position mask -> signature bit mask
+      var m = posMask
+      var sigMask = 0L
+      while (m != 0) {
+        val p = java.lang.Long.numberOfTrailingZeros(m)
+        sigMask |= 1L << order(p)
+        m &= m - 1
+      }
+      out(n) = sigMask
+      n += 1
+      val maxPos = 63 - java.lang.Long.numberOfLeadingZeros(posMask)
+      if (maxPos + 1 < bits) {
+        pq.enqueue((score - ms(maxPos) + ms(maxPos + 1), // shift max up
+          (posMask ^ (1L << maxPos)) | (1L << (maxPos + 1))))
+        pq.enqueue((score + ms(maxPos + 1), // extend past max
+          posMask | (1L << (maxPos + 1))))
+      }
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** `tables` x `bits`-bit random-hyperplane signatures with multiprobe:
+    * per table, element 0 is the exact signature and elements
+    * 1..probeFlips are the margin-ordered perturbations from
+    * [[probeMasks]] (multi-bit subsets, cheapest margin-sum first — not
+    * just single-bit flips, which plateau well below the recall a deeper
+    * probe sequence reaches). Hyperplane components are +-1 from a
     * fixed-seed hash of (bit, dim) — deterministic across runs and
     * executors, no broadcast needed. */
   private def annSigUdf(tables: Int, bits: Int, probeFlips: Int) =
@@ -304,22 +354,15 @@ object Similarity {
             i += 1
           }
           sig = sig * 2 + (if (acc >= 0.0) 1L else 0L)
-          margins(j) = math.abs(acc)
+          // margin index j maps to signature bit (bits-1-j): MSB-first
+          margins(bits - 1 - j) = math.abs(acc)
           j += 1
         }
-        // probe sigs: flip single bits in ascending-|margin| order
-        // (deterministic tie-break on bit index)
-        val sigs = new Array[Long](1 + math.min(probeFlips, bits))
+        val masks = probeMasks(margins, probeFlips)
+        val sigs = new Array[Long](1 + masks.length)
         sigs(0) = sig
-        if (probeFlips > 0) {
-          val order = (0 until bits).sortBy(j => (margins(j), j))
-          var p = 0
-          while (p < sigs.length - 1) {
-            // bit j was appended MSB-first: shift is bits-1-j
-            sigs(p + 1) = sig ^ (1L << (bits - 1 - order(p)))
-            p += 1
-          }
-        }
+        var p = 0
+        while (p < masks.length) { sigs(p + 1) = sig ^ masks(p); p += 1 }
         out(t) = sigs.toSeq
         t += 1
       }
@@ -714,19 +757,58 @@ object Similarity {
     verifyPairs(cand, grams, num, den)
   }
 
+  /** Self-join of a normalized vector table under `cond` (a predicate
+    * over aliases "q" and "c") — the pair source of the exact cosine
+    * baselines (d07/d15). While the table's estimated footprint fits
+    * `maxBroadcastBytes` this is the broadcast nested-loop join (the
+    * right plan when one side fits in executor memory: candidates ship
+    * once, pairs stream through codegen). Beyond it, a fragment-replicate
+    * BLOCKED join removes the broadcast memory cliff without changing
+    * the pair set: candidates hash into ceil(est/maxBroadcastBytes)
+    * blocks, queries replicate to every block (explode over the block
+    * ids), and the same N^2 pair stream flows through a shuffle equi-join
+    * on the block id — each task holds one block, never the whole table.
+    * Cost: the query side shuffles B times (vs once for broadcast), the
+    * candidate side once — O(N*B) shuffled rows for an O(N^2/B)-per-task
+    * compare, the standard trade of blocked exact NLJ.
+    * `raw` is counted for the size estimate (a plain scan count is often
+    * metadata-only; the normalized projection would pay a compute pass). */
+  private[graft] def selfCosineJoin(raw: DataFrame, withNorm: DataFrame,
+      cond: org.apache.spark.sql.Column, maxBroadcastBytes: Long): DataFrame = {
+    require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
+    val blocks = {
+      val n = raw.count()
+      val dimRow = withNorm.select(size(col("v"))).take(1)
+      val dim = if (dimRow.isEmpty || dimRow(0).isNullAt(0)) 0 else dimRow(0).getInt(0)
+      val est = n * (dim.toLong * 8 + 32)
+      math.max(1L, (est + maxBroadcastBytes - 1) / maxBroadcastBytes)
+        .min(Int.MaxValue.toLong).toInt
+    }
+    if (blocks <= 1)
+      withNorm.as("q").join(broadcast(withNorm.as("c")), cond)
+    else {
+      val c = withNorm.withColumn("blk", pmod(hash(col("vec_id")), lit(blocks))).as("c")
+      val q = withNorm.withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})"))).as("q")
+      q.join(c, col("q.blk") === col("c.blk") && cond)
+    }
+  }
+
   /** Exact cosine top-k neighbors per vector — the DataFrame-in form of
     * d07 (the brute-force baseline; [[annBestNeighbor]] and IvfIndex are
     * the sub-quadratic paths). In: (vec_id, embedding ARRAY<numeric>).
     * Plan: broadcast nested-loop self-join streaming into the bounded
     * TopKAgg — the N^2 pair stream never materializes and the shuffle is
-    * k rows per query. */
-  def cosineTopK(vecs: DataFrame, k: Int = 3): DataFrame = {
+    * k rows per query. Above `maxBroadcastBytes` the pair source switches
+    * to the blocked fragment-replicate join (see [[selfCosineJoin]]) —
+    * same pairs, no broadcast memory ceiling. */
+  def cosineTopK(vecs: DataFrame, k: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     val e = vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-    val pairs = withNorm.as("q").join(broadcast(withNorm.as("c")),
-        col("q.vec_id") =!= col("c.vec_id"))
+    val pairs = selfCosineJoin(vecs, withNorm,
+        col("q.vec_id") =!= col("c.vec_id"), maxBroadcastBytes)
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("cid"),
         (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
     pairs.groupBy(col("vec_id"))
@@ -787,7 +869,7 @@ object Similarity {
     * max-aggregation absorbs multi-table/multi-probe collisions without a
     * distinct shuffle. */
   def annBestNeighbor(vecs: DataFrame, tables: Int = 8, bitsPerTable: Int = 0,
-      probeFlips: Int = 1): DataFrame = {
+      probeFlips: Int = 15): DataFrame = {
     require(tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 && probeFlips >= 0,
       "need tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
     val e = normalizedVecs(vecs)
@@ -886,13 +968,15 @@ object Similarity {
              |WHERE rank <= 3""".stripMargin)),
 
     // d08: LSH-bucketed approximate nearest neighbor — the sub-quadratic
-    // scale path. 64 seeded random-hyperplane bits (compiled UDF) split
-    // into 8 tables of 8-bit signatures; the bucket self-join carries ids
-    // only, vectors re-attach per candidate pair with id-keyed joins (AQE
-    // broadcasts the vector table only when it is actually small), and
-    // each query reports its best candidate (sim DESC, id ASC).
-    // Deterministic (fixed seed) but engine-specific → rows-only check;
-    // quality vs the exact d07 baseline is asserted in SimilaritySpec.
+    // scale path. 8 hash tables of corpus-width signatures (bits ~
+    // log2(N/64), so bucket occupancy and candidates/query stay bounded
+    // as N grows) with 15-deep margin-ordered multiprobe; the bucket
+    // self-join carries ids only, vectors re-attach per candidate pair
+    // with id-keyed joins (AQE broadcasts the vector table only when it
+    // is actually small), and each query reports its best candidate
+    // (sim DESC, id ASC). Deterministic (fixed seed) but engine-specific
+    // → rows-only check; recall@1 vs the exact d07 baseline is 0.93 at
+    // sf0.1 (emitted into bench.json "quality"; bounds in SimilaritySpec).
     Q("d08_ann_lsh",
       (s, d) => annBestNeighbor(embeddings(s, d)),
       None),
@@ -946,17 +1030,20 @@ object Similarity {
     // Centroids: deterministic init (16 lowest vec_ids) + 3 Lloyd
     // iterations, each one assign-shuffle + tiny centroid aggregation
     // (the only driver-side collect is K=16 centroid rows); search probes
-    // the query's 2 nearest cells only (sub-quadratic: candidates ~ 2/16
-    // of the corpus per query), and candidate vectors re-attach
-    // id-keyed. Rows-only check (float summation order makes borderline
-    // cell assignments engine-specific); quality vs the exact d07
-    // baseline is asserted in SimilaritySpec.
+    // the query's nearest cells only (probes/K of the corpus per query),
+    // and candidate vectors re-attach id-keyed. probes=12 of K=16 here is
+    // RECALL-tuned for this unclustered test table (0.95 recall@1 vs the
+    // exact baseline, emitted into bench.json "quality") — clustered
+    // production corpora run probes<<K; both knobs are caller-set on the
+    // IvfIndex/Graft surface. Rows-only check (float summation order
+    // makes borderline cell assignments engine-specific); quality bounds
+    // in SimilaritySpec.
     Q("d17_ivf_ann",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
         val model = IvfIndex.build(s, e, k = 16, iters = 3)
-        IvfIndex.search(s, model, e, probes = 2)
+        IvfIndex.search(s, model, e, probes = 12)
       },
       None)
   )

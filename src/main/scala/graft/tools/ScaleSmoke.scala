@@ -122,7 +122,7 @@ object ScaleSmoke {
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
         .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
         .where(col("nrm") > 0.0)
-      val cands = graft.ops.Similarity.annCandidatePairs(e, 8, bits, 1).count()
+      val cands = graft.ops.Similarity.annCandidatePairs(e, 8, bits, 15).count()
       println(f"[scale] ann_candidates n=$n%8d bits=$bits%2d total=$cands%10d  per_query=${cands.toDouble / n}%8.1f")
     }
     spark.stop()

@@ -206,14 +206,33 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("annBitsFor scales with corpus size and stays clamped") {
     import graft.ops.Similarity.annBitsFor
-    assert(annBitsFor(0L) == 8)
-    assert(annBitsFor(1000L) == 8) // 31 cells -> 5 bits -> floor clamp
-    assert(annBitsFor(32L << 10) == 10) // 1024 cells -> 10 bits
-    assert(annBitsFor(32L << 16) == 16)
+    assert(annBitsFor(0L) == 4) // floor clamp
+    assert(annBitsFor(1000L) == 4) // 15 cells -> 4 bits
+    assert(annBitsFor(64L << 10) == 10) // 1024 cells -> 10 bits
+    assert(annBitsFor(64L << 16) == 16)
     assert(annBitsFor(1L << 40) == 24) // ceiling clamp
     // monotone non-decreasing in n
     val widths = (10 to 40).map(p => annBitsFor(1L << p))
     assert(widths == widths.sorted)
+  }
+
+  test("probeMasks enumerates distinct subsets in margin-sum order") {
+    import graft.ops.Similarity.probeMasks
+    val margins = Array(0.5, 0.1, 0.9, 0.3)
+    val masks = probeMasks(margins, 15) // all 2^4 - 1 non-empty subsets
+    assert(masks.length == 15)
+    assert(masks.toSet.size == 15, "duplicate perturbation masks")
+    def score(m: Long): Double =
+      (0 until 4).filter(j => (m & (1L << j)) != 0).map(margins).sum
+    val scores = masks.map(score)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b },
+      s"not nondecreasing: ${scores.mkString(",")}")
+    // the cheapest flip is the single lowest-margin bit
+    assert(masks(0) == (1L << 1))
+    // truncation keeps the prefix
+    assert(probeMasks(margins, 4).toSeq == masks.take(4).toSeq)
+    assert(probeMasks(margins, 0).isEmpty)
+    assert(probeMasks(Array.emptyDoubleArray, 3).isEmpty)
   }
 
   test("multiprobe ANN candidates strictly extend the exact-bucket set") {

@@ -38,6 +38,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree.toDouble / annRows.length > 0.05, s"recall@1 = $agree/${annRows.length}")
   }
 
+  test("blocked NLJ fallback emits exactly the broadcast baseline's pairs") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    // maxBroadcastBytes = 1 KB forces the fragment-replicate blocked path
+    // (sf0.001's table estimates to ~100 KB -> ~100 blocks); the result
+    // must be row-identical to the default broadcast plan
+    val base7 = Similarity.cosineTopK(vecs)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked7 = Similarity.cosineTopK(vecs, maxBroadcastBytes = 1024L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked7 == base7, "d07 blocked path diverged from broadcast")
+    val base15 = graft.ops.Corpus.cosineNearDupPairs(vecs)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked15 = graft.ops.Corpus.cosineNearDupPairs(vecs, maxBroadcastBytes = 1024L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked15 == base15, "d15 blocked path diverged from broadcast")
+    // and the blocked plan really is broadcast-free
+    val plan = Similarity.cosineTopK(vecs, maxBroadcastBytes = 1024L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "blocked path still broadcasts")
+  }
+
   test("d17 IVF ANN covers all queries and beats chance recall") {
     import spark.implicits._
     val queries = graft.SparkEntry.queries
