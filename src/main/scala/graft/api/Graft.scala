@@ -113,9 +113,12 @@ object Graft {
     Similarity.annBestNeighbor(vecs, tables, bitsPerTable, probeFlips)
 
   /** Train an IVF (inverted-file) coarse quantizer over (vec_id,
-    * v ARRAY<DOUBLE>). See [[graft.ops.IvfIndex]] for save/load and the
-    * cell-partitioned persisted index. */
-  def ivfBuild(spark: SparkSession, vectors: DataFrame, k: Int = 16,
+    * v ARRAY<DOUBLE>). `k = 0` (default) derives ~sqrt(N) cells from a
+    * corpus count — the standard latency balance; tune `probes` at search
+    * time to the recall target (recall rises with probes/k — see the
+    * trade notes on [[graft.ops.IvfIndex]]). See IvfIndex for save/load
+    * and the cell-partitioned persisted index. */
+  def ivfBuild(spark: SparkSession, vectors: DataFrame, k: Int = 0,
       iters: Int = 3): IvfIndex.Model = IvfIndex.build(spark, vectors, k, iters)
 
   /** Probe an IVF index: best neighbor per query vector, probing the

@@ -53,8 +53,21 @@ object IvfIndex {
     best
   }
 
+  /** Default cell count for a corpus of `n` vectors: ~sqrt(n), capped.
+    * The standard IVF balance — per-query work is k (quantizer scan) +
+    * probes*n/k (probed cells), minimized around k ~ sqrt(n*probes); the
+    * 65536-cell cap keeps the broadcast centroid table in megabytes.
+    * Recall trade: at fixed k, recall rises with `probes` (candidates ~
+    * probes/k of the corpus on unclustered data, concentrated far better
+    * on clustered corpora); at fixed probes, larger k means faster
+    * queries but lower recall. Tune probes to the recall target first,
+    * then k to the latency target (measured sweep: graft.tools.AnnTune). */
+  private[graft] def autoK(n: Long): Int =
+    math.max(1L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
   /** Train the coarse quantizer and assign every vector to its cell.
-    * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>).
+    * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). `k = 0` (the
+    * default) derives [[autoK]] ~ sqrt(N) from a corpus count.
     *
     * Each Lloyd iteration is ONE narrow pass: every partition folds its
     * vectors into K local (sum, count) accumulators and emits at most K
@@ -63,10 +76,12 @@ object IvfIndex {
     * thing ever collected). No shuffle of the vector set anywhere — the
     * MLlib-KMeans aggregation shape, vs the groupByKey form whose
     * per-iteration shuffle moves the whole corpus. */
-  def build(spark: SparkSession, vectors: DataFrame, k: Int = 16, iters: Int = 3): Model = {
+  def build(spark: SparkSession, vectors: DataFrame, k: Int = 0, iters: Int = 3): Model = {
     import spark.implicits._
+    require(k >= 0, "k must be >= 0 (0 = derive ~sqrt(N))")
     val e = vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
-    var centroids = e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    val kk = if (k > 0) k else autoK(e.count())
+    var centroids = e.orderBy(col("vec_id")).limit(kk).collect().map(_._2)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val parts = e.mapPartitions { it =>
@@ -84,15 +99,15 @@ object IvfIndex {
           .filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
       }.collect() // <= K rows per partition, driver-folded in partition order
       val next = centroids.clone()
-      val acc = new Array[Array[Double]](k)
-      val n = new Array[Long](k)
+      val acc = new Array[Array[Double]](kk)
+      val n = new Array[Long](kk)
       parts.foreach { case (c, s, cnt) =>
         if (acc(c) == null) acc(c) = new Array[Double](s.length)
         var i = 0
         while (i < s.length) { acc(c)(i) += s(i); i += 1 }
         n(c) += cnt
       }
-      (0 until k).foreach { c =>
+      (0 until kk).foreach { c =>
         if (n(c) > 0) next(c) = acc(c).map(_ / n(c))
       }
       centroids = next

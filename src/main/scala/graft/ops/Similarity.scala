@@ -644,7 +644,11 @@ object Similarity {
         parent.keysIterator.map(n => (find(n), n)).filter(p => p._1 != p._2)
       }
       .toDF("a", "b")
-      .distinct()
+    // NO distinct here: per partition the emitted (root, node) edges are
+    // already unique, so duplicates exist only for nodes spanning
+    // partitions — the endgame's union-find absorbs them and largeStar's
+    // per-round distinct re-canonicalizes. A distinct would serialize the
+    // narrow contraction pass behind a full shuffle on every d14 run.
   }
 
   /** Distributed connected components over an (a, b) edge DataFrame:
@@ -689,15 +693,27 @@ object Similarity {
       return labels.map { case (v, r) => (v, r, sizes(r)) }
         .toDF("v", "lbl", "cluster_size")
     }
+    // canonicalize ONCE before the star rounds (the contraction output is
+    // not distinct'd): the loop's count-based convergence guard is only
+    // sound over duplicate-free edge sets. This shuffle exists only on
+    // the star path — contracted graphs beyond the endgame budget — where
+    // it is negligible against the rounds themselves.
+    e = e.distinct().localCheckpoint()
     var converged = false
     var iter = 0
+    var eCnt = -1L
     while (!converged && iter < 25) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // set equality of canonical distinct edge sets, one job: the
-      // symmetric difference is empty iff no (a,b) appears exactly once
-      converged = next.unionAll(e).groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("c")).where(col("c") === 1).isEmpty
+      val nCnt = next.count()
+      if (eCnt < 0) eCnt = e.count()
+      // set equality of canonical distinct edge sets: |A| = |B| = |A∪B|.
+      // The count guard (counts on checkpointed data are near-free) skips
+      // the distinct-union job on every strictly-shrinking round — only
+      // the final, equal-count round pays the set compare.
+      converged = eCnt == nCnt &&
+        next.unionAll(e).distinct().count() == nCnt
       e = next
+      eCnt = nCnt
       iter += 1
     }
     // at the star-forest fixpoint every b links to its component min a;

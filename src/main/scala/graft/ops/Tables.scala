@@ -46,7 +46,27 @@ object Tables {
     * than single-split decode). */
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Split-count estimate read straight off the scan's file index — NOT
+    // df.rdd.getNumPartitions, which eagerly converts the plan to an RDD
+    // (full physical planning per table load) just to ask a question the
+    // file listing already answers. Mirrors FilePartition's maxSplitBytes
+    // (min(maxPartitionBytes, max(openCost, bytes/cores))); the file-count
+    // floor matches "a file never packs below one split". Estimates >=
+    // the real packing, so production many-file scans stay untouched.
+    val splits = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val conf = s.sessionState.conf
+            val total = fs.location.sizeInBytes
+            val maxSplit = math.min(conf.filesMaxPartitionBytes,
+              math.max(conf.filesOpenCostInBytes, total / math.max(1, target)))
+            math.max(fs.location.inputFiles.length.toLong,
+              (total + maxSplit - 1) / math.max(1L, maxSplit))
+          case _ => target.toLong
+        }
+    }.getOrElse(target.toLong)
+    if (splits < target) df.repartition(target) else df
   }
 
   /** events with `ts` replaced by `ts_us` (epoch microseconds, Long).

@@ -61,6 +61,22 @@ class EngineContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spread: repartitions single-split scans, leaves many-split scans alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    // the single-file test parquet must spread across cores...
+    val single = graft.ops.Tables.documents(spark, sf)
+    assert(single.queryExecution.analyzed.collect { case r: Repartition => r }.nonEmpty,
+      "single-split test table lost its spread repartition")
+    // ...while a scan that already has >= parallelism splits must NOT pay
+    // a blanket shuffle (the production no-op contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    graft.ops.Tables.documents(spark, sf)
+      .repartition(40).write.parquet(s"$dir/documents.parquet")
+    val many = graft.ops.Tables.documents(spark, dir)
+    assert(many.queryExecution.analyzed.collect { case r: Repartition => r }.isEmpty,
+      "many-split scan should stay split-governed, not shuffle")
+  }
+
   test("streaming hourly counts over the real events parquet match batch") {
     // file-stream sources need a directory; stage the real file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")

@@ -39,4 +39,19 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cellDirs.nonEmpty, "inverted file is not cell-partitioned")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("k = 0 derives ~sqrt(N) cells; explicit k is honored") {
+    import graft.ops.IvfIndex.autoK
+    assert(autoK(0L) == 1)
+    assert(autoK(100L) == 10)
+    assert(autoK(1000000L) == 1000)
+    assert(autoK(1L << 40) == 65536) // cap
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val n = e.count()
+    val auto = IvfIndex.build(spark, e, iters = 1)
+    assert(auto.centroids.length == autoK(n), s"n=$n -> ${auto.centroids.length}")
+    val explicit = IvfIndex.build(spark, e, k = 5, iters = 1)
+    assert(explicit.centroids.length == 5)
+  }
 }
