@@ -333,9 +333,34 @@ object Similarity {
     * probe sequence reaches). Hyperplane components are +-1 from a
     * fixed-seed hash of (bit, dim) — deterministic across runs and
     * executors, no broadcast needed. */
-  private def annSigUdf(tables: Int, bits: Int, probeFlips: Int) =
+  /** ±1 hyperplane component for (global bit, dimension): full splitmix64
+    * mix of the packed pair. Component quality is load-bearing for SCALE,
+    * not just recall — weakly-mixed components correlate the hyperplanes,
+    * which skews bucket masses, and candidate volume is sum(bucket²): a
+    * measured 1.6x-per-doubling candidate growth at flat target occupancy
+    * traced to exactly this (an earlier 32-bit xorshift of bit*131+i). */
+  private def hyperplaneSign(bit: Int, i: Int): Double = {
+    var z = ((bit.toLong << 32) | (i.toLong & 0xffffffffL)) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  private def annSigUdf(tables: Int, bits: Int, probeFlips: Int) = {
+    // the sign matrix is identical for every vector: computed once per
+    // task (deserialized holder starts empty; population is idempotent)
+    // and looked up in the inner loop — the signature pass is then pure
+    // dot products, no per-vector hashing
+    val holder = new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
     udf((v: Seq[Double]) => {
       val dim = v.length
+      var signs = holder.get()
+      if (signs == null || signs.length == 0 || signs(0).length != dim) {
+        signs = Array.tabulate(tables * bits)(b =>
+          Array.tabulate(dim)(i => hyperplaneSign(b, i)))
+        holder.set(signs)
+      }
       val out = new Array[Seq[Long]](tables)
       val margins = new Array[Double](bits)
       var t = 0
@@ -343,16 +368,10 @@ object Similarity {
         var sig = 0L
         var j = 0
         while (j < bits) {
-          val bit = t * bits + j
+          val row = signs(t * bits + j)
           var acc = 0.0
           var i = 0
-          while (i < dim) {
-            // xorshift-mixed (bit, dim) → ±1, fixed seed
-            var h = (bit * 131 + i) * -0x61c88647
-            h ^= h >>> 16
-            acc += v(i) * (if ((h & 1) == 0) 1.0 else -1.0)
-            i += 1
-          }
+          while (i < dim) { acc += v(i) * row(i); i += 1 }
           sig = sig * 2 + (if (acc >= 0.0) 1L else 0L)
           // margin index j maps to signature bit (bits-1-j): MSB-first
           margins(bits - 1 - j) = math.abs(acc)
@@ -368,6 +387,7 @@ object Similarity {
       }
       out.toSeq
     })
+  }
 
   /** Number of agreeing minhash components — an unbiased Jaccard estimate
     * (x128) used to prune candidates before exact verification. Native

@@ -33,9 +33,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val exactBest = queries("d07_cosine_topk")(spark, sf) // ids only; recompute sims exactly
     val joined = ann.as("a").join(exact.as("e"), "vec_id")
     val agree = joined.where($"a.neighbor_id" === $"e.exact_nn").count()
-    // recall@1 of random-hyperplane LSH on random 64-dim data is modest;
-    // assert it is far above chance (1/n would be ~0.2%)
-    assert(agree.toDouble / annRows.length > 0.05, s"recall@1 = $agree/${annRows.length}")
+    // multiprobe + corpus-width geometry: recall@1 is 0.93+ at sf0.1 and
+    // ~1.0 here (measured, graft.tools.AnnTune) — hold a 0.8 floor
+    assert(agree.toDouble / annRows.length > 0.8, s"recall@1 = $agree/${annRows.length}")
   }
 
   test("blocked NLJ fallback emits exactly the broadcast baseline's pairs") {
@@ -72,6 +72,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows >= (n * 9) / 10, s"coverage $rows/$n")
     val agree = ivf.as("a").join(exact.as("e"), "vec_id")
       .where($"a.neighbor_id" === $"e.exact_nn").count()
-    assert(agree.toDouble / rows > 0.05, s"recall@1 = $agree/$rows")
+    // probes=12 of K=16 in the query form: recall@1 is 0.95 at sf0.1
+    // (bench.json "quality") — hold a 0.8 floor here
+    assert(agree.toDouble / rows > 0.8, s"recall@1 = $agree/$rows")
   }
 }
