@@ -327,12 +327,12 @@ object Corpus {
       None),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
-    // 0.4 threshold as a broadcast-hinted nested-loop self-join (Spark's
-    // broadcast machinery ships the candidate side to executors — no
-    // driver-side collect()): the pair stream stays inside codegen'd
-    // vec_dot and only above-threshold pairs survive the filter. At
-    // 100 TB this becomes a blocked matrix product over IVF cells.
-    // Identical double arithmetic to the oracle.
+    // 0.4 threshold as a broadcast-hinted nested-loop self-join while the
+    // table fits the broadcast estimate, a fragment-replicate blocked
+    // join beyond it (same pair set, no memory ceiling): the pair stream
+    // stays inside codegen'd vec_dot and only above-threshold pairs
+    // survive the filter. The sub-quadratic alternative is the IVF cell
+    // product (IvfIndex). Identical double arithmetic to the oracle.
     Q("d15_cosine_neardup",
       (s, d) => cosineNearDupPairs(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
