@@ -66,6 +66,14 @@ object Graft {
       maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Corpus.cosineNearDupPairs(vecs, threshold, maxBroadcastBytes)
 
+  /** Approximate embedding-cosine near-duplicate pairs at `threshold` —
+    * the sub-quadratic LSH-candidate path next to [[cosineNearDupPairs]]:
+    * no false positives (candidates pass the exact threshold), recall
+    * bounded in SimilaritySpec. Reads: vec_id, embedding. */
+  def cosineNearDupPairsAnn(vecs: DataFrame, threshold: Double = 0.4,
+      tables: Int = 8, bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    Similarity.cosineNearDupPairsAnn(vecs, threshold, tables, bitsPerTable, probeFlips)
+
   /** The deduplicated corpus: one representative (min doc_id) per
     * exact-duplicate group and per near-duplicate cluster. The two
     * passes are complementary — identical docs always share LSH buckets

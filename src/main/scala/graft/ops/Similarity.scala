@@ -923,6 +923,35 @@ object Similarity {
     IvfIndex.bestNeighbor(sim)
   }
 
+  /** Approximate embedding-cosine near-duplicate PAIRS at `threshold` —
+    * the sub-quadratic scale path next to the exact all-pairs baseline
+    * ([[Corpus.cosineNearDupPairs]] / d15): candidate pairs come from the
+    * same corpus-width multiprobe hyperplane tables as [[annBestNeighbor]]
+    * (bounded candidates/query, flat growth), are canonicalized and
+    * deduped, and only candidates passing the EXACT cosine threshold are
+    * emitted — so every output pair is a true >= threshold pair (no false
+    * positives); recall is the probabilistic part, bounded in
+    * SimilaritySpec against the exact baseline. Output schema matches the
+    * exact operator: (vec_a, vec_b, sim). In: (vec_id, embedding). */
+  def cosineNearDupPairsAnn(vecs: DataFrame, threshold: Double = 0.4,
+      tables: Int = 8, bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    require(tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 && probeFlips >= 0,
+      "need tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
+    val e = normalizedVecs(vecs)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
+    val cand = annCandidatePairs(e, tables, bits, probeFlips)
+      .where(col("vec_id") < col("neighbor_id")) // canonical undirected
+      .distinct()
+    cand.as("p")
+      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
+      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_a"), col("p.neighbor_id").as("vec_b"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim_raw"))
+      .where(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.

@@ -60,6 +60,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "blocked path still broadcasts")
   }
 
+  test("ANN near-dup pairs: no false positives, high recall vs the exact baseline") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val exact = graft.ops.Corpus.cosineNearDupPairs(vecs)
+      .as[(Long, Long, Double)].collect().toSet
+    val ann = graft.api.Graft.cosineNearDupPairsAnn(vecs)
+      .as[(Long, Long, Double)].collect().toSet
+    // every emitted pair passes the exact threshold on the exact cosine:
+    // the approximate path can only MISS pairs, never invent them
+    assert(ann.subsetOf(exact), s"false positives: ${ann -- exact}")
+    assert(exact.nonEmpty, "threshold 0.4 found no pairs — corpus unexpected")
+    assert(ann.size.toDouble / exact.size > 0.8,
+      s"pair recall ${ann.size}/${exact.size}")
+  }
+
   test("d17 IVF ANN covers all queries and beats chance recall") {
     import spark.implicits._
     val queries = graft.SparkEntry.queries
