@@ -563,6 +563,11 @@ object Similarity {
         vecDot(col("q.v"), col("c.v")).as("sim"), col("c.vec_id").as("cid"))
       .groupBy(col("vec_id")).agg(topk(col("sim"), col("cid")).as("t"))
       .write.format("noop").mode("overwrite").save()
+    // d08's signature/probe pipeline (hyperplane UDF + posexplode bucket
+    // join + bestNeighbor max-agg) on the same synthetic rows
+    annCandidatePairs(vecs.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))),
+        tables = 2, bits = 4, probeFlips = 3)
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** LSH-candidate pairs exact-verified at Jaccard >= 0.8 — shared by

@@ -69,8 +69,11 @@ object ScaleSmoke {
     println(s"[scale] corpus ready: $nDocs docs, $nVecs vecs -> $dir")
 
     // --- time the similarity family --------------------------------------
-    // Measured at 50k docs / 20k vecs (2026-08): d06 9.6s, d19 9.3s, d14
-    // 2.7s, d08 3.5s, d17 1.9s, d11 3.0s — sub-linear per item vs sf0.1.
+    // Measured at 50k docs / 20k vecs (2026-08, round 5): d06 8.7s, d19
+    // 8.0s, d14 0.8s, d08 7.7s (the recall-tuned multiprobe geometry —
+    // 16 probe signatures/table at occupancy 64 buys recall ~1.0 with
+    // candidates still flat per query; see the growth probe below),
+    // d17 1.9s, d11 2.1s — sub-linear per item vs sf0.1.
     // At 100k docs: d06 9.5s (banded LSH stays FLAT — candidates are
     // bucket-bounded), d19 14.0s after the count-over-window df pass
     // (dominated by the two linear window shuffles over the exploded
