@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, IvfIndex, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -171,6 +171,30 @@ object Graft {
   /** Per-language length percentiles (p50/p90/p99, exact interpolation).
     * Reads: lang, n_chars. */
   def lengthQuantiles(docs: DataFrame): DataFrame = Corpus.lengthQuantiles(docs)
+
+  // ---- corpus curation -----------------------------------------------------
+
+  /** Gopher-style repetition signals per document: word count,
+    * duplicate-word count, most-frequent-bigram count, bigram total.
+    * Threshold the implied fractions to drop boilerplate/spam docs.
+    * Reads: doc_id, text. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    Curation.repetitionSignals(docs)
+
+  /** Deterministic stratified sample: exactly min(k, stratum size) docs
+    * per `strata` value by ascending md5(doc_id) — reproducible across
+    * runs and engines, skew-safe two-phase ranking. Reads: doc_id,
+    * <strata>. */
+  def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20,
+      salts: Int = 32): DataFrame =
+    Curation.stratifiedSample(docs, strata, k, salts)
+
+  /** Benchmark decontamination: (training doc, eval doc, shared distinct
+    * word-n-gram count) pairs — flag or drop training docs overlapping an
+    * eval set. The eval side is broadcast (benchmarks are small).
+    * Reads: doc_id, text on both frames. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame =
+    Curation.contaminationPairs(train, evalDocs, n)
 
   // ---- reference ETL -------------------------------------------------------
 

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and packing: repetition-based quality signals (the Gopher filter
+  * family), deterministic stratified sampling, and benchmark
+  * decontamination. All three are SQL-expressible — each query carries a
+  * DuckDB oracle — and all three keep integer outputs so cross-engine
+  * comparison is exact (ratios are left to the caller: they are divisions
+  * of the emitted integers).
+  */
+object Curation {
+
+  private def wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Per-document repetition signals (Rae et al., "Scaling Language
+    * Models: ... Gopher" §A1.1 quality heuristics, re-expressed over a
+    * generic corpus): word count, duplicate-word count (occurrences
+    * beyond each word's first), the occurrence count of the most frequent
+    * word bigram, and the bigram total. Callers threshold the implied
+    * fractions (dup_word_count/n_words, top_bigram_count/n_bigrams) to
+    * drop boilerplate/spam docs.
+    *
+    * In: (doc_id, text). Out: (doc_id, n_words, dup_word_count,
+    * top_bigram_count, n_bigrams).
+    *
+    * Scale: the per-doc word stats are narrow (one codegen'd projection);
+    * the bigram mode needs a real aggregation — explode to (doc_id,
+    * bigram), hash-aggregate with map-side partial combine, then a
+    * second partial-combined aggregate down to one row per doc. Shuffle
+    * volume is ~the token stream, the same order as d03's word
+    * frequencies; nothing is windowed or collected. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      wordsCol.as("ws"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("ws")).cast(LongType).as("n_words"),
+      (size(col("ws")) - size(array_distinct(col("ws")))).cast(LongType)
+        .as("dup_word_count"))
+    // adjacent-pair stream: zip the words with themselves shifted by one
+    // (slice is 1-based; n = 1 -> zero-length slices -> no bigrams)
+    val bigrams = base.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val perDoc = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
+    stats.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("dup_word_count"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** Deterministic stratified sample: exactly min(k, group size) rows per
+    * `strata` value, chosen by ascending md5 of the doc id — a stable
+    * "random" order that is reproducible across engines and runs (the
+    * property q27's engine-seeded Bernoulli sample inherently lacks: this
+    * one IS hash-gateable). In: (doc_id, <strata>). Out: (doc_id,
+    * <strata>, sample_rank 1..k).
+    *
+    * Scale: a single `Window.partitionBy(strata)` puts an entire stratum
+    * on one task — with 5 languages over 100 TB that is 5 tasks doing all
+    * the work. Instead, phase 1 top-ks each (stratum, salt) slice in
+    * `salts` parallel windows (any per-slice sort touches only ~1/salts
+    * of the stratum), phase 2 re-ranks the <= k*salts survivors per
+    * stratum — equal output, bounded task size. Same shape as q29's
+    * two-phase skew-safe distinct. */
+  def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20,
+      salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0, "need k > 0 and salts > 0")
+    val key = md5(col("doc_id").cast(StringType))
+    val local = Window.partitionBy(col(strata), pmod(hash(col("doc_id")), lit(salts)))
+      .orderBy(key, col("doc_id"))
+    val global = Window.partitionBy(col(strata)).orderBy(key, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(strata))
+      .withColumn("rn_local", row_number().over(local))
+      .where(col("rn_local") <= k)
+      .withColumn("rn", row_number().over(global))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col(strata), col("rn").cast(LongType).as("sample_rank"))
+  }
+
+  /** Distinct lowercased word n-grams per document. */
+  private[graft] def wordNGrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val shifted = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        // guard short docs: sequence(0, negative) would COUNT DOWN
+        s"""CASE WHEN size(ws) >= $n
+           |THEN transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $shifted))
+           |ELSE array() END""".stripMargin))).as("gram"))
+  }
+
+  /** Benchmark decontamination: which training documents share word
+    * `n`-grams with an evaluation set (Brown et al., GPT-3 §C; the
+    * training-side complement of eval contamination checks). Emits one
+    * row per (training doc, eval doc) pair sharing at least one distinct
+    * n-gram, with the shared-gram count — callers drop or flag training
+    * docs above a threshold. In: two (doc_id, text) frames.
+    * Out: (doc_id = training doc, bench_id = eval doc, n_shared).
+    *
+    * Scale: eval sets are small (benchmarks are MBs against a 100 TB
+    * corpus), so the eval gram set is broadcast and the corpus-side gram
+    * stream joins map-side — no shuffle of the corpus grams; the only
+    * shuffle is the (doc, bench) pair aggregation, bounded by true
+    * contamination volume. Grams stay strings here for oracle parity; at
+    * production widths (n = 8..13) hash them to 64-bit first (xxhash64)
+    * to shrink the broadcast — counts are identical modulo ~1e-19
+    * collisions. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame =
+    wordNGrams(train, n).as("t")
+      .join(broadcast(wordNGrams(evalDocs, n).as("e")), col("t.gram") === col("e.gram"))
+      .groupBy(col("t.doc_id").as("doc_id"), col("e.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  // ---- driver bindings -------------------------------------------------
+
+  /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
+    * stands in for a benchmark. */
+  private val evalPred = "doc_id % 97 = 0"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("d20_repetition",
+      (s, d) => repetitionSignals(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+             |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+             |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, max(c) AS top_bigram_count,
+             |         cast(sum(c) AS BIGINT) AS n_bigrams
+             |  FROM bc GROUP BY 1)
+             |SELECT w.doc_id, len(ws) AS n_words,
+             |       len(ws) - len(list_distinct(ws)) AS dup_word_count,
+             |       coalesce(agg.top_bigram_count, 0) AS top_bigram_count,
+             |       coalesce(agg.n_bigrams, 0) AS n_bigrams
+             |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    Q("d21_stratified_sample",
+      (s, d) => stratifiedSample(documents(s, d)),
+      Some("""SELECT doc_id, lang, cast(rn AS BIGINT) AS sample_rank FROM (
+             |  SELECT doc_id, lang, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20""".stripMargin)),
+
+    Q("d22_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        contaminationPairs(
+          docs.where(not(expr(evalPred))), docs.where(expr(evalPred)))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              |  FROM documents),
+              |g AS (
+              |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              |  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i))
+              |SELECT t.doc_id AS doc_id, e.doc_id AS bench_id, count(*) AS n_shared
+              |FROM g t JOIN g e ON t.gram = e.gram
+              |WHERE NOT (t.$evalPred) AND e.$evalPred
+              |GROUP BY 1, 2""".stripMargin)))
+}

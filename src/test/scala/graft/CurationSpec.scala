@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.Curation
+
+/** Curation operators (d20-d22): Gopher-style repetition signals,
+  * deterministic stratified sampling, benchmark decontamination.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("curation-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionSignals: hand-computed counts") {
+    // "a b a b c": words 5, distinct 3 -> dup 2; bigrams [a b, b a, a b, b c]
+    // -> top "a b" x2, total 4
+    val out = Curation.repetitionSignals(docs(
+        1L -> "a b a b c",
+        2L -> "unique words only here",
+        3L -> "x"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((5L, 2L, 2L, 4L)))
+    assert(out(2L) == ((4L, 0L, 1L, 3L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L))) // single word: no bigrams
+  }
+
+  test("repetitionSignals: case/whitespace normalization") {
+    val out = Curation.repetitionSignals(docs(1L -> "  The THE the  "))
+      .collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 2L) // all one word
+    assert(out.getLong(3) == 2L && out.getLong(4) == 2L) // "the the" x2
+  }
+
+  test("stratifiedSample: exact k per stratum, deterministic, two-phase == single window") {
+    import spark.implicits._
+    val n = 500
+    val df = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("lang"), pmod(col("id"), lit(4))).as("lang"))
+    val k = 7
+    val got = Curation.stratifiedSample(df, "lang", k = k, salts = 8)
+    val rows = got.collect()
+    // exactly k per stratum, ranks 1..k
+    val byLang = rows.groupBy(_.getString(1))
+    assert(byLang.keySet.size == 4)
+    byLang.values.foreach { g =>
+      assert(g.length == k)
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to k.toLong))
+    }
+    // equals the naive single-window formulation
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("sample_rank"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == naive)
+    // deterministic across invocations
+    assert(got.collect().toSet == rows.toSet)
+  }
+
+  test("stratifiedSample: strata smaller than k keep all rows") {
+    val df = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("only"))
+    val rows = Curation.stratifiedSample(df, "lang", k = 10, salts = 4).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("contaminationPairs: planted overlap found, clean docs absent") {
+    val evalSet = docs(100L -> "the quick brown fox jumps")
+    val train = docs(
+      1L -> "somewhere the quick brown fox appears", // shares "the quick brown", "quick brown fox"
+      2L -> "completely unrelated training text here",
+      3L -> "the quick brown fox jumps word for word") // shares all 3 eval grams
+    val out = Curation.contaminationPairs(train, evalSet, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 100L) -> 2L, (3L, 100L) -> 3L))
+  }
+
+  test("contaminationPairs: duplicate grams count once per doc") {
+    val evalSet = docs(9L -> "a b c")
+    val train = docs(1L -> "a b c x a b c y a b c")
+    val out = Curation.contaminationPairs(train, evalSet, n = 3).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1L) // distinct gram "a b c" once
+  }
+
+  test("contaminationPairs: docs shorter than n produce no grams") {
+    val out = Curation.contaminationPairs(
+      docs(1L -> "a b"), docs(2L -> "a b"), n = 3).collect()
+    assert(out.isEmpty)
+  }
+
+  test("eval side is broadcast in the d22 plan") {
+    val q = graft.ops.Curation.queries.find(_.name == "d22_decontaminate").get
+    val plan = q.fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}

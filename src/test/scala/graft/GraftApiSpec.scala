@@ -110,6 +110,22 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.distinctTokenSketch(docsDf).count() == 2)
   }
 
+  test("curation family works on in-memory documents") {
+    val rep = Graft.repetitionSignals(docsDf).where(col("doc_id") === 1).head()
+    assert(rep.getAs[Long]("n_words") == 12L)
+    assert(rep.getAs[Long]("dup_word_count") == 2L) // the x2, again x2
+    assert(rep.getAs[Long]("n_bigrams") == 11L)
+    val samp = Graft.stratifiedSample(docsDf, "lang", k = 2, salts = 4).collect()
+    assert(samp.count(_.getAs[String]("lang") == "en") == 2)
+    assert(samp.count(_.getAs[String]("lang") == "de") == 1)
+    // docs 1/4 are identical and share every 3-gram with each other
+    val cont = Graft.contaminationPairs(
+      docsDf.where(col("doc_id") =!= 1), docsDf.where(col("doc_id") === 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cont(4L) == 10L) // 12 words -> 10 distinct 3-grams, all shared
+    assert(cont.contains(2L) && !cont.contains(3L) && !cont.contains(5L))
+  }
+
   test("zero-norm vectors are excluded from the ANN index and IVF search") {
     import spark.implicits._
     val withZero = vecsDf.unionAll(
