@@ -196,6 +196,12 @@ object Graft {
   def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame =
     Curation.contaminationPairs(train, evalDocs, n)
 
+  /** Pack documents into contiguous fixed-token-budget shards in doc_id
+    * order (shard_id = tokens-before div budget) — distributed prefix
+    * sum, never a single-task global window. Reads: doc_id, text. */
+  def packShards(docs: DataFrame, budget: Long = 2048, partitions: Int = 0): DataFrame =
+    Curation.packShards(docs, budget, partitions)
+
   // ---- reference ETL -------------------------------------------------------
 
   /** The reference system's full capability: parse a directory of the

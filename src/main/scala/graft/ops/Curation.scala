@@ -128,6 +128,53 @@ object Curation {
       .groupBy(col("t.doc_id").as("doc_id"), col("e.doc_id").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Pack documents into contiguous fixed-token-budget shards in doc_id
+    * order — the "split the corpus into training shards" step. Each doc
+    * is assigned the shard where it STARTS in the concatenated token
+    * stream: shard_id = (tokens before it) div budget. In: (doc_id,
+    * text). Out: (doc_id, n_tokens, shard_id). Token counts match d02's
+    * whitespace semantics.
+    *
+    * Scale: the textbook formulation is a running sum over
+    * `Window.orderBy(doc_id)` with no partitioning — ONE task sorting the
+    * whole corpus. This is instead a distributed prefix sum: range-shuffle
+    * by doc_id into `partitions` explicitly-sized slices (an explicit
+    * count, so AQE never re-coalesces and the slice ids the two passes
+    * see are identical), aggregate one token total per slice (the only
+    * driver-side materialization — `partitions` longs, same bounded-
+    * collect class as d17's K centroids), turn those into per-slice start
+    * offsets, and add each row's slice-local running sum. The range
+    * exchange is computed twice (offsets pass + output pass) — two
+    * shuffles of a 16-byte projection beat pinning the corpus in the
+    * block-manager cache, and the fixed-seed range sampler re-partitions
+    * identically. */
+  def packShards(docs: DataFrame, budget: Long = 2048, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    val s = docs.sparkSession
+    val n = if (partitions > 0) partitions else s.sparkContext.defaultParallelism
+    val parted = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .repartitionByRange(n, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), spark_partition_id().as("pid"))
+    val totals = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val e = (r.getInt(0), acc); acc += r.getLong(1); e
+    }
+    val offsetOf = map(offsets.toSeq.flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("start",
+        element_at(offsetOf, col("pid")) +
+          coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start div $budget").as("shard_id"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
@@ -179,5 +226,16 @@ object Curation {
               |SELECT t.doc_id AS doc_id, e.doc_id AS bench_id, count(*) AS n_shared
               |FROM g t JOIN g e ON t.gram = e.gram
               |WHERE NOT (t.$evalPred) AND e.$evalPred
-              |GROUP BY 1, 2""".stripMargin)))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    Q("d23_pack_shards",
+      (s, d) => packShards(documents(s, d)),
+      Some("""SELECT doc_id, n_tokens,
+             |  cast(coalesce(sum(n_tokens) OVER (
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS BIGINT) // 2048 AS shard_id
+             |FROM (
+             |  SELECT doc_id,
+             |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents)""".stripMargin)))
 }

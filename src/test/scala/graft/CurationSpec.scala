@@ -99,6 +99,46 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty)
   }
 
+  test("packShards: equals the naive global-window formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1L to 400L).map { id =>
+      (id, Seq.fill(1 + rng.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 64L
+    for (parts <- Seq(1, 4, 32)) {
+      val got = Curation.packShards(df, budget, parts)
+        .as[(Long, Long, Long)].collect().toSet
+      val naive = df
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("before", coalesce(
+          sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"before div $budget").as("shard_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive, s"parts=$parts")
+    }
+  }
+
+  test("packShards: shards are contiguous in doc_id order and start-bounded") {
+    import spark.implicits._
+    val df = (1L to 300L).map(id => (id, "a b c d e f g")).toDF("doc_id", "text")
+    val rows = Curation.packShards(df, budget = 50, partitions = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // nondecreasing shard ids, and each doc's start offset lies in its shard
+    var cum = 0L
+    var last = 0L
+    rows.foreach { case (_, n, shard) =>
+      assert(shard >= last); last = shard
+      assert(cum / 50 == shard)
+      cum += n
+    }
+    // 7-token docs < 50-token budget: every shard gets at least one start
+    assert(rows.map(_._3).distinct.length == last.toInt + 1)
+  }
+
   test("eval side is broadcast in the d22 plan") {
     val q = graft.ops.Curation.queries.find(_.name == "d22_decontaminate").get
     val plan = q.fn(spark, "/root/testdata/sf0.001")
