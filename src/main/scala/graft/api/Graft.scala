@@ -202,6 +202,39 @@ object Graft {
   def packShards(docs: DataFrame, budget: Long = 2048, partitions: Int = 0): DataFrame =
     Curation.packShards(docs, budget, partitions)
 
+  /** The whole curation pipeline in one call: exact + near dedup
+    * ([[dedupedCorpus]]) → repetition-quality filter (drop docs under
+    * `minWords`, over `maxDupWordFrac` duplicate words, or over
+    * `maxTopBigramFrac` top-bigram mass) → benchmark decontamination
+    * (drop docs sharing more than `maxSharedGrams` distinct
+    * `contaminationN`-grams with any single eval doc) → token-budget
+    * shard packing. Returns (doc_id, n_tokens, shard_id) over the
+    * surviving docs — the corpus-to-training-shards recipe, each stage
+    * the already-tested operator. Reads: doc_id, text, n_chars on
+    * `docs`; doc_id, text on `evalDocs`. */
+  def trainingShards(docs: DataFrame, evalDocs: DataFrame,
+      minWords: Long = 5, maxDupWordFrac: Double = 0.9,
+      maxTopBigramFrac: Double = 0.5, maxSharedGrams: Long = 10,
+      contaminationN: Int = 3, budget: Long = 2048): DataFrame = {
+    val deduped = dedupedCorpus(docs)
+    val keepQuality = Curation.repetitionSignals(deduped)
+      .where(col("n_words") >= minWords &&
+        col("dup_word_count").cast("double") / col("n_words") <= maxDupWordFrac &&
+        org.apache.spark.sql.functions.when(col("n_bigrams") > 0,
+            col("top_bigram_count").cast("double") / col("n_bigrams"))
+          .otherwise(0.0) <= maxTopBigramFrac)
+      .select(col("doc_id"))
+    val contaminated = Curation.contaminationPairs(deduped, evalDocs, contaminationN)
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.max(col("n_shared")).as("worst"))
+      .where(col("worst") > maxSharedGrams)
+      .select(col("doc_id"))
+    Curation.packShards(
+      deduped.join(keepQuality, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti"),
+      budget)
+  }
+
   // ---- reference ETL -------------------------------------------------------
 
   /** The reference system's full capability: parse a directory of the

@@ -20,8 +20,13 @@ object Profile {
     // representative warmup: a real scan + agg (see Bench)
     byName.get("q01_pricing_summary")
       .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
     for (name <- names; r <- 1 to reps) {
       val q = byName.getOrElse(name, sys.error(s"unknown query $name"))
+      if (explain && r == 1) {
+        println(s"==== $name ====")
+        q.fn(spark, sfDir).explain("formatted")
+      }
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -111,6 +111,23 @@ object ScaleSmoke {
     val crossPairs = graft.api.Graft.nearDupAgainstIndex(spark, batch, s"$dir/sketch_index").count()
     println(f"[scale] sketch_index save ${tSave}%.2f s, probe ${(System.nanoTime() - t1) / 1e9}%.2f s ($crossPairs cross pairs)")
 
+    // --- curation family (measured 2026-08, round 5): d20 1.6s, d21
+    // 2.1s, d23 2.6s at 50k docs; 1.6s / 2.3s / 1.5s at 100k — flat to
+    // linear. d22 at the ORACLE's n = 3 is OUTPUT-bound on this Zipf
+    // vocabulary (frequent-word trigrams put a shared gram in nearly
+    // every (train, eval-doc) pair: 14.8M true pairs / 17.6s at 50k
+    // docs, 57M / 25.8s at 100k — quadratic OUTPUT, like d09 on
+    // homogeneous corpora, streamed not materialized). Production
+    // decontamination widths (n = 8..13) make cross-doc matches rare —
+    // the probe below runs the library form at n = 8: 1601 true pairs
+    // in 1.7s at 100k docs — the cost is the linear gram scan.
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    val t2 = System.nanoTime()
+    val cont8 = graft.api.Graft.contaminationPairs(
+      docsAll.where(col("doc_id") % 97 =!= 0),
+      docsAll.where(col("doc_id") % 97 === 0), n = 8).count()
+    println(f"[scale] d22 n=8 ${(System.nanoTime() - t2) / 1e9}%.2f s ($cont8 pairs)")
+
     // --- d08 candidate-growth probe: the auto-derived signature width
     // (bits ~ log2(N/64)) must keep candidates PER QUERY roughly flat as
     // the corpus grows — a fixed 8-bit geometry's per-query candidates

@@ -126,6 +126,27 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cont.contains(2L) && !cont.contains(3L) && !cont.contains(5L))
   }
 
+  test("trainingShards: every curation stage applies, survivors are packed") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // kept (group keeper)
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+      (3L, "ein ganz anderes dokument mit der die und das wörtern"), // contaminated (== eval)
+      (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (5L, "short"), // under minWords
+      (6L, "spam spam spam spam spam spam spam spam"), // top-bigram frac 1.0
+      (7L, "completely different text about mountains rivers and oceans flowing") // kept
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val evalSet = Seq(
+      (100L, "ein ganz anderes dokument mit der die und das wörtern"))
+      .toDF("doc_id", "text")
+    val shards = Graft.trainingShards(corpus, evalSet, maxSharedGrams = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards.map(_._1).toSeq == Seq(1L, 7L))
+    assert(shards.map(_._2).toSeq == Seq(12L, 9L))
+    assert(shards.forall(_._3 == 0L)) // 21 tokens < one 2048 budget
+  }
+
   test("zero-norm vectors are excluded from the ANN index and IVF search") {
     import spark.implicits._
     val withZero = vecsDf.unionAll(
