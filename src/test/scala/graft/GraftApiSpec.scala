@@ -201,16 +201,22 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = Graft.langId(stream)
       .writeStream.format("memory").queryName("lid_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val q3 = Graft.repetitionSignals(stream)
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"))
-      q.processAllAvailable(); q2.processAllAvailable()
+      q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L))
       val lid = spark.table("lid_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
       assert(lid == Map(1L -> "en", 2L -> "de"))
-    } finally { q.stop(); q2.stop() }
+      val rep = spark.table("rep_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
+      assert(rep == Map(1L -> 5L, 2L -> 5L))
+    } finally { q.stop(); q2.stop(); q3.stop() }
   }
 
   test("driver queries are the facade operators (delegation equivalence)") {
