@@ -758,7 +758,12 @@ object Similarity {
     * EXACT recall at any threshold (this is the path to use below ~0.75,
     * where the fixed 16x8 band tuning of the MinHash path loses recall).
     * The rational threshold keeps the whole test exact integer
-    * arithmetic. */
+    * arithmetic.
+    *
+    * The per-doc gram table is cache()d (the prefix self-join and the
+    * exact verify both read it — same contract as the DataFrame-in
+    * [[nearDupPairs]]): callers done with the result can release it via
+    * `spark.catalog.clearCache()` or by unpersisting the lineage. */
   def jaccardPrefixPairs(docs: DataFrame, thresholdNum: Int = 4,
       thresholdDen: Int = 5): DataFrame = {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen,
