@@ -183,11 +183,10 @@ object Graft {
 
   /** Deterministic stratified sample: exactly min(k, stratum size) docs
     * per `strata` value by ascending md5(doc_id) — reproducible across
-    * runs and engines, skew-safe two-phase ranking. Reads: doc_id,
-    * <strata>. */
-  def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20,
-      salts: Int = 32): DataFrame =
-    Curation.stratifiedSample(docs, strata, k, salts)
+    * runs and engines; exact bounded selection (map-side k-buffers),
+    * never a stratum-wide sort. Reads: doc_id, <strata>. */
+  def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20): DataFrame =
+    Curation.stratifiedSample(docs, strata, k)
 
   /** Benchmark decontamination: (training doc, eval doc, shared distinct
     * word-n-gram count) pairs — flag or drop training docs overlapping an

@@ -1,10 +1,58 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
+
+/** Bounded buffer for [[MinKAgg]]: parallel (key, id) arrays kept sorted
+  * ascending under (key, id), at most k entries. */
+case class MinKBuf(keys: Array[String], ids: Array[Long])
+
+/** Exact k-smallest (key, id) pairs per group as a typed Aggregator —
+  * the selection engine of [[Curation.stratifiedSample]]. Constant-size
+  * buffers with map-side partial aggregation: each group's reduce task
+  * receives at most k rows PER MAP PARTITION (never the group), and
+  * nothing is ever sorted beyond a k-element insertion — where a
+  * window-rank formulation shuffles and sorts the entire stratum.
+  * Selection under a total order is partition-order independent, so the
+  * result is deterministic and matches the oracle's row_number. */
+class MinKAgg(k: Int) extends Aggregator[(String, Long), MinKBuf, MinKBuf] {
+  override def zero: MinKBuf = MinKBuf(new Array[String](0), new Array[Long](0))
+  private def insert(b: MinKBuf, key: String, id: Long): MinKBuf = {
+    val n = b.keys.length
+    var pos = n
+    while (pos > 0 && {
+        val c = key.compareTo(b.keys(pos - 1))
+        c < 0 || (c == 0 && id < b.ids(pos - 1))
+      }) pos -= 1
+    if (pos >= k) b
+    else {
+      val m = math.min(n + 1, k)
+      val ns = new Array[String](m); val ni = new Array[Long](m)
+      System.arraycopy(b.keys, 0, ns, 0, pos)
+      System.arraycopy(b.ids, 0, ni, 0, pos)
+      ns(pos) = key; ni(pos) = id
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(b.keys, pos, ns, pos + 1, tail)
+        System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+      }
+      MinKBuf(ns, ni)
+    }
+  }
+  override def reduce(b: MinKBuf, a: (String, Long)): MinKBuf = insert(b, a._1, a._2)
+  override def merge(x: MinKBuf, y: MinKBuf): MinKBuf = {
+    var r = x
+    var i = 0
+    while (i < y.keys.length) { r = insert(r, y.keys(i), y.ids(i)); i += 1 }
+    r
+  }
+  override def finish(b: MinKBuf): MinKBuf = b
+  override def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+  override def outputEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+}
 
 /** Corpus-curation operators a training-data pipeline runs between dedup
   * and packing: repetition-based quality signals (the Gopher filter
@@ -80,27 +128,27 @@ object Curation {
     * one IS hash-gateable). In: (doc_id, <strata>). Out: (doc_id,
     * <strata>, sample_rank 1..k).
     *
-    * Scale: a single `Window.partitionBy(strata)` puts an entire stratum
-    * on one task — with 5 languages over 100 TB that is 5 tasks doing all
-    * the work. Instead, phase 1 top-ks each (stratum, salt) slice in
-    * `salts` parallel windows (any per-slice sort touches only ~1/salts
-    * of the stratum), phase 2 re-ranks the <= k*salts survivors per
-    * stratum — equal output, bounded task size. Same shape as q29's
-    * two-phase skew-safe distinct. */
-  def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20,
-      salts: Int = 32): DataFrame = {
-    require(k > 0 && salts > 0, "need k > 0 and salts > 0")
-    val key = md5(col("doc_id").cast(StringType))
-    val local = Window.partitionBy(col(strata), pmod(hash(col("doc_id")), lit(salts)))
-      .orderBy(key, col("doc_id"))
-    val global = Window.partitionBy(col(strata)).orderBy(key, col("doc_id"))
+    * Scale: the textbook `row_number() over (partition by strata order by
+    * md5)` puts an entire stratum on one task AND sorts it — with 5
+    * languages over 100 TB that is 5 tasks sorting everything. This is
+    * instead exact bounded selection ([[MinKAgg]]): map-side partial
+    * aggregation reduces every partition to <= k (key, id) pairs per
+    * stratum before the shuffle, the per-stratum reduce merges those
+    * k-buffers, and ranks fall out of the final buffer's order — no sort
+    * of corpus-sized data anywhere, shuffle volume k rows per map
+    * partition per stratum. */
+  def stratifiedSample(docs: DataFrame, strata: String = "lang",
+      k: Int = 20): DataFrame = {
+    require(k > 0, "need k > 0")
+    val mink = udaf(new MinKAgg(k))
     docs
-      .select(col("doc_id"), col(strata))
-      .withColumn("rn_local", row_number().over(local))
-      .where(col("rn_local") <= k)
-      .withColumn("rn", row_number().over(global))
-      .where(col("rn") <= k)
-      .select(col("doc_id"), col(strata), col("rn").cast(LongType).as("sample_rank"))
+      .select(col(strata).as("stratum"),
+        md5(col("doc_id").cast(StringType)).as("key"), col("doc_id"))
+      .groupBy(col("stratum"))
+      .agg(mink(col("key"), col("doc_id")).as("t"))
+      .select(col("stratum").as(strata), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), col(strata),
+        (col("pos") + 1).cast(LongType).as("sample_rank"))
   }
 
   /** Distinct lowercased word n-grams per document. */

@@ -41,14 +41,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(3) == 2L && out.getLong(4) == 2L) // "the the" x2
   }
 
-  test("stratifiedSample: exact k per stratum, deterministic, two-phase == single window") {
+  test("stratifiedSample: exact k per stratum, deterministic, bounded-selection == single window") {
     import spark.implicits._
     val n = 500
     val df = spark.range(n).select(
       col("id").as("doc_id"),
       concat(lit("lang"), pmod(col("id"), lit(4))).as("lang"))
     val k = 7
-    val got = Curation.stratifiedSample(df, "lang", k = k, salts = 8)
+    val got = Curation.stratifiedSample(df, "lang", k = k)
     val rows = got.collect()
     // exactly k per stratum, ranks 1..k
     val byLang = rows.groupBy(_.getString(1))
@@ -70,7 +70,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("stratifiedSample: strata smaller than k keep all rows") {
     val df = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("only"))
-    val rows = Curation.stratifiedSample(df, "lang", k = 10, salts = 4).collect()
+    val rows = Curation.stratifiedSample(df, "lang", k = 10).collect()
     assert(rows.length == 2)
     assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }

@@ -115,7 +115,7 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.getAs[Long]("n_words") == 12L)
     assert(rep.getAs[Long]("dup_word_count") == 2L) // the x2, again x2
     assert(rep.getAs[Long]("n_bigrams") == 11L)
-    val samp = Graft.stratifiedSample(docsDf, "lang", k = 2, salts = 4).collect()
+    val samp = Graft.stratifiedSample(docsDf, "lang", k = 2).collect()
     assert(samp.count(_.getAs[String]("lang") == "en") == 2)
     assert(samp.count(_.getAs[String]("lang") == "de") == 1)
     // docs 1/4 are identical and share every 3-gram with each other
