@@ -234,6 +234,16 @@ object Graft {
       budget)
   }
 
+  /** Cluster a frame by the z-order (Morton curve) of `cols` into
+    * ~`files` slices — multi-dimensional data-skipping layout: every
+    * participating column gets narrow per-file min/max ranges, so
+    * predicates on ANY of them prune files (a linear sort serves only
+    * its leading column). Pure codegen'd Column arithmetic; one bounded
+    * min/max pass per column. See [[graft.ops.ZOrder.writeZOrdered]] for
+    * the cluster-and-write form. */
+  def zOrderCluster(df: DataFrame, cols: Seq[String], files: Int = 64): DataFrame =
+    graft.ops.ZOrder.cluster(df, cols, files)
+
   // ---- reference ETL -------------------------------------------------------
 
   /** The reference system's full capability: parse a directory of the
