@@ -29,7 +29,8 @@ object Bench {
     val baselineSet: Seq[Q] = graft.ops.Relational.queries ++ graft.ops.TextOps.queries
     val extendedSet: Seq[Q] =
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
-        graft.ops.Corpus.queries ++ graft.ops.Curation.queries
+        graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
+        graft.ops.ZOrder.queries
 
     // Warm with a REPRESENTATIVE query (real parquet scan + decimal agg):
     // the r02 bench showed a trivial spark.range warmup lets the first
