@@ -186,6 +186,72 @@ object Curation {
       .groupBy(col("t.doc_id").as("doc_id"), col("e.doc_id").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Within-document positional n-gram counts as one narrow pass:
+    * (gram, occurrences-in-this-doc) pairs, d20's UDF pattern (tokenize
+    * once, count in a per-doc hash map) — the explode → groupBy(doc, gram)
+    * formulation shuffles the full positional gram stream just to arrive
+    * at the same per-doc multiset. */
+  private def gramCountUdf(n: Int) = udf { (text: String) =>
+    val ws =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+      m.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[(String, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    out.toSeq
+  }
+
+  /** Inter-document duplicate-span statistics (the RefinedWeb/FineWeb
+    * "fraction of tokens in duplicated n-grams" dedup signal): for each
+    * document, how many of its word `n`-gram positions carry a gram that
+    * also appears in at least one OTHER document. Complements d20 (which
+    * measures repetition WITHIN a doc) and d22 (duplication vs a fixed
+    * eval set) — this is duplication against the corpus itself, the
+    * signal that catches boilerplate and template text survives
+    * doc-level dedup. In: (doc_id, text). Out: (doc_id, n_spans,
+    * dup_spans) — integers, so cross-engine comparison is exact; callers
+    * threshold dup_spans/n_spans.
+    *
+    * Scale: per-doc gram counts are one narrow UDF pass (no shuffle of
+    * the positional token stream); the only wide work shuffles the
+    * per-doc DISTINCT gram set — once to count containing docs and once
+    * (exchange-reused) to join the duplicated survivors back. The
+    * n_docs >= 2 filter lands on the aggregate BEFORE the join, so the
+    * join's build side holds only genuinely duplicated grams (in a clean
+    * corpus, a tiny fraction). A mega-hot gram is bounded by the number
+    * of docs containing it, and AQE's skew-join split covers that case.
+    * At production widths, hash grams to 64 bits (xxhash64) before the
+    * shuffle — kept as strings here for oracle parity (same trade as
+    * d22, documented there). */
+  def dupSpanStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val gc = docs
+      .select(col("doc_id"), explode(gramCountUdf(n)(col("text"))).as("g"))
+      .select(col("doc_id"), col("g._1").as("gram"), col("g._2").as("cnt"))
+    val dupGrams = gc.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val dup = gc.join(dupGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("dup_spans"))
+    docs
+      .select(col("doc_id"),
+        greatest(lit(0), size(wordsCol) - (n - 1)).cast(LongType).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order — the "split the corpus into training shards" step. Each doc
     * is assigned the shard where it STARTS in the concatenated token
@@ -285,6 +351,25 @@ object Curation {
               |FROM g t JOIN g e ON t.gram = e.gram
               |WHERE NOT (t.$evalPred) AND e.$evalPred
               |GROUP BY 1, 2""".stripMargin)),
+
+    Q("d25_dup_spans",
+      (s, d) => dupSpanStats(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             |  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             |gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+             |nd AS (SELECT gram FROM gc GROUP BY gram HAVING count(*) >= 2),
+             |dup AS (
+             |  SELECT gc.doc_id, cast(sum(gc.cnt) AS BIGINT) AS dup_spans
+             |  FROM gc JOIN nd USING (gram) GROUP BY 1)
+             |SELECT w.doc_id,
+             |       cast(greatest(0, len(ws) - 4) AS BIGINT) AS n_spans,
+             |       cast(coalesce(dup.dup_spans, 0) AS BIGINT) AS dup_spans
+             |FROM w LEFT JOIN dup USING (doc_id)""".stripMargin)),
 
     Q("d23_pack_shards",
       (s, d) => packShards(documents(s, d)),

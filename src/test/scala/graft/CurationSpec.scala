@@ -99,6 +99,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty)
   }
 
+  test("dupSpanStats: planted shared span counted positionally, unique docs zero") {
+    // docs 1 and 2 share the 5-gram "v w x y z" (doc 1 carries it twice —
+    // both POSITIONS count); doc 3 is unique; doc 4 is too short for grams.
+    val out = Curation.dupSpanStats(docs(
+        1L -> "v w x y z q v w x y z",
+        2L -> "a b v w x y z c",
+        3L -> "p q r s t u",
+        4L -> "tiny doc"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 7 spans; dup grams shared with doc 2: "v w x y z" x2 positions
+    assert(out(1L) == ((7L, 2L)))
+    // doc 2: 4 spans ("a b v w x", "b v w x y", "v w x y z", "w x y z c");
+    // only "v w x y z" appears elsewhere
+    assert(out(2L) == ((4L, 1L)))
+    assert(out(3L) == ((2L, 0L)))
+    assert(out(4L) == ((0L, 0L))) // short doc still present, zero spans
+  }
+
+  test("dupSpanStats: within-doc-only repetition is NOT inter-document duplication") {
+    // "m n o p q" occurs twice in doc 1 but in no other doc
+    val out = Curation.dupSpanStats(docs(
+        1L -> "m n o p q m n o p q",
+        2L -> "c d e f g h"), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
   test("packShards: equals the naive global-window formulation") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
