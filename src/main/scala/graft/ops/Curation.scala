@@ -21,6 +21,7 @@ case class MinKBuf(keys: Array[String], ids: Array[Long])
 class MinKAgg(k: Int) extends Aggregator[(String, Long), MinKBuf, MinKBuf] {
   override def zero: MinKBuf = MinKBuf(new Array[String](0), new Array[Long](0))
   private def insert(b: MinKBuf, key: String, id: Long): MinKBuf = {
+    if (key == null) return b // null sorts nowhere under compareTo: drop, don't NPE
     val n = b.keys.length
     var pos = n
     while (pos > 0 && {
@@ -66,15 +67,30 @@ object Curation {
 
   private def wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** Space-only edge trim, matching Catalyst `trim()` and SQL TRIM (which
+    * strip ' ' alone) — Java `String.trim` strips every char <= U+0020
+    * (tab, newline, ...), so a text with a leading tab would tokenize to
+    * one fewer leading empty token in a Java-trim UDF than in the SQL
+    * formulations ([[wordsCol]], [[packShards]], the DuckDB oracles).
+    * Every tokenizing path in this object shares THIS semantics. */
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  private[graft] def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else trimSpaces(text).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
   /** One-pass per-document repetition stats: (n_words, dup_word_count,
     * top_bigram_count, n_bigrams). A scalar UDF, not SQL aggregation —
     * see [[repetitionSignals]] for why. */
   private val repetitionUdf = udf { (text: String) =>
-    // Locale.ROOT + trim + \s+ match Catalyst lower()/trim()/split()
-    // semantics (the oracle's formulation) byte-for-byte
-    val ws =
-      if (text == null) Array.empty[String]
-      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // Locale.ROOT lower + space-only trim + \s+ split match Catalyst
+    // lower()/trim()/split() — the oracle's formulation — byte-for-byte
+    val ws = tokenize(text)
     val wordCounts = new java.util.HashMap[String, Long]()
     var i = 0
     while (i < ws.length) {
@@ -142,6 +158,9 @@ object Curation {
     require(k > 0, "need k > 0")
     val mink = udaf(new MinKAgg(k))
     docs
+      // a null doc_id has no md5 order key (and no deterministic rank):
+      // exclude it rather than NPE the aggregator's compareTo
+      .where(col("doc_id").isNotNull)
       .select(col(strata).as("stratum"),
         md5(col("doc_id").cast(StringType)).as("key"), col("doc_id"))
       .groupBy(col("stratum"))
@@ -176,15 +195,23 @@ object Curation {
     * corpus), so the eval gram set is broadcast and the corpus-side gram
     * stream joins map-side — no shuffle of the corpus grams; the only
     * shuffle is the (doc, bench) pair aggregation, bounded by true
-    * contamination volume. Grams stay strings here for oracle parity; at
-    * production widths (n = 8..13) hash them to 64-bit first (xxhash64)
-    * to shrink the broadcast — counts are identical modulo ~1e-19
-    * collisions. */
-  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame =
-    wordNGrams(train, n).as("t")
-      .join(broadcast(wordNGrams(evalDocs, n).as("e")), col("t.gram") === col("e.gram"))
+    * contamination volume. `hashGrams = true` is the production mode for
+    * wide grams (n = 8..13, ~60-100 bytes each): xxhash64 maps every gram
+    * to 8 bytes BEFORE the broadcast/join, shrinking the broadcast ~10×;
+    * pair counts are identical modulo ~1e-19 hash collisions
+    * (spec-proven equal on the test corpus). Default false: the driver
+    * oracle compares string grams. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val g = wordNGrams(df, n)
+      if (hashGrams) g.select(col("doc_id"), xxhash64(col("gram")).as("gram")) else g
+    }
+    grams(train).as("t")
+      .join(broadcast(grams(evalDocs).as("e")), col("t.gram") === col("e.gram"))
       .groupBy(col("t.doc_id").as("doc_id"), col("e.doc_id").as("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Within-document positional n-gram counts as one narrow pass:
     * (gram, occurrences-in-this-doc) pairs, d20's UDF pattern (tokenize
@@ -192,9 +219,7 @@ object Curation {
     * formulation shuffles the full positional gram stream just to arrive
     * at the same per-doc multiset. */
   private def gramCountUdf(n: Int) = udf { (text: String) =>
-    val ws =
-      if (text == null) Array.empty[String]
-      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val ws = tokenize(text)
     val m = new java.util.HashMap[String, Long]()
     var i = 0
     while (i + n <= ws.length) {
@@ -230,14 +255,19 @@ object Curation {
     * join's build side holds only genuinely duplicated grams (in a clean
     * corpus, a tiny fraction). A mega-hot gram is bounded by the number
     * of docs containing it, and AQE's skew-join split covers that case.
-    * At production widths, hash grams to 64 bits (xxhash64) before the
-    * shuffle — kept as strings here for oracle parity (same trade as
-    * d22, documented there). */
-  def dupSpanStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    * `hashGrams = true` is the production mode for wide grams: xxhash64
+    * replaces each string gram with 8 bytes BEFORE the distinct-gram
+    * shuffle and the duplicated-survivor join — span counts identical
+    * modulo ~1e-19 collisions (spec-proven equal on the test corpus).
+    * Default false: the driver oracle compares string grams. */
+  def dupSpanStats(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val gc = docs
+    val gcRaw = docs
       .select(col("doc_id"), explode(gramCountUdf(n)(col("text"))).as("g"))
       .select(col("doc_id"), col("g._1").as("gram"), col("g._2").as("cnt"))
+    val gc =
+      if (hashGrams) gcRaw.withColumn("gram", xxhash64(col("gram"))) else gcRaw
     val dupGrams = gc.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -267,11 +297,15 @@ object Curation {
     * see are identical), aggregate one token total per slice (the only
     * driver-side materialization — `partitions` longs, same bounded-
     * collect class as d17's K centroids), turn those into per-slice start
-    * offsets, and add each row's slice-local running sum. The range
-    * exchange is computed twice (offsets pass + output pass) — two
-    * shuffles of a 16-byte projection beat pinning the corpus in the
-    * block-manager cache, and the fixed-seed range sampler re-partitions
-    * identically. */
+    * offsets, and add each row's slice-local running sum. The ranged
+    * 16-byte projection is pinned with `localCheckpoint()` so the offsets
+    * pass and the output pass read ONE materialization: Spark's
+    * RangePartitioner seeds its reservoir sampler per-execution (from the
+    * RDD id), so re-running the exchange may draw DIFFERENT range bounds
+    * once partitions exceed the sample size — boundary rows would then
+    * get another slice's start offset. Pinning makes slice identity
+    * structural, not sampler-behavioral; the pinned data is only
+    * (doc_id, n_tokens, pid), MEMORY_AND_DISK, never the corpus. */
   def packShards(docs: DataFrame, budget: Long = 2048, partitions: Int = 0): DataFrame = {
     require(budget > 0, "need budget > 0")
     val s = docs.sparkSession
@@ -281,6 +315,7 @@ object Curation {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       .repartitionByRange(n, col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), spark_partition_id().as("pid"))
+      .localCheckpoint()
     val totals = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
       .collect().sortBy(_.getInt(0))
     var acc = 0L

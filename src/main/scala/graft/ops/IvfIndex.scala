@@ -53,17 +53,28 @@ object IvfIndex {
     best
   }
 
-  /** Default cell count for a corpus of `n` vectors: ~sqrt(n), capped.
-    * The standard IVF balance — per-query work is k (quantizer scan) +
-    * probes*n/k (probed cells), minimized around k ~ sqrt(n*probes); the
-    * 65536-cell cap keeps the broadcast centroid table in megabytes.
-    * Recall trade: at fixed k, recall rises with `probes` (candidates ~
-    * probes/k of the corpus on unclustered data, concentrated far better
-    * on clustered corpora); at fixed probes, larger k means faster
-    * queries but lower recall. Tune probes to the recall target first,
-    * then k to the latency target (measured sweep: graft.tools.AnnTune). */
-  private[graft] def autoK(n: Long): Int =
-    math.max(1L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+  /** Driver-heap budget for the collected centroid table. The cap must be
+    * BYTES, not rows: centroids are the one thing build() collects, and
+    * k rows of dim doubles is k*dim*8 — a flat 65536-row cap would
+    * authorize ~537 MB at dim 1024 and >2 GB at dim 4096. */
+  private[graft] val CentroidBudgetBytes: Long = 256L << 20
+
+  /** Default cell count for a corpus of `n` vectors of width `dim`:
+    * ~sqrt(n), capped. The standard IVF balance — per-query work is k
+    * (quantizer scan) + probes*n/k (probed cells), minimized around
+    * k ~ sqrt(n*probes); the cap is min(65536, CentroidBudgetBytes /
+    * (dim*8)) so the broadcast/collected centroid table stays within a
+    * byte budget at ANY embedding width. Recall trade: at fixed k, recall
+    * rises with `probes` (candidates ~ probes/k of the corpus on
+    * unclustered data, concentrated far better on clustered corpora); at
+    * fixed probes, larger k means faster queries but lower recall. Tune
+    * probes to the recall target first, then k to the latency target
+    * (measured sweep: graft.tools.AnnTune). */
+  private[graft] def autoK(n: Long, dim: Int): Int = {
+    val byBudget = math.max(1L, CentroidBudgetBytes / (math.max(1, dim) * 8L))
+    math.max(1L, Seq(65536L, byBudget,
+      math.round(math.sqrt(n.toDouble))).min).toInt
+  }
 
   /** Train the coarse quantizer and assign every vector to its cell.
     * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). `k = 0` (the
@@ -80,7 +91,13 @@ object IvfIndex {
     import spark.implicits._
     require(k >= 0, "k must be >= 0 (0 = derive ~sqrt(N))")
     val e = vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
-    val kk = if (k > 0) k else autoK(e.count())
+    val dim = e.take(1).headOption.map(_._2.length).getOrElse(0)
+    // an explicit k must still fit the centroid collect in driver heap —
+    // fail fast instead of OOMing the driver mid-Lloyd
+    require(k == 0 || k.toLong * math.max(1, dim) * 8L <= CentroidBudgetBytes,
+      s"k=$k centroids of dim=$dim exceed the ${CentroidBudgetBytes >> 20} MB " +
+        "centroid budget; shrink k or raise probes instead")
+    val kk = if (k > 0) k else autoK(e.count(), dim)
     var centroids = e.orderBy(col("vec_id")).limit(kk).collect().map(_._2)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)

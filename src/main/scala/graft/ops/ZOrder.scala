@@ -111,8 +111,8 @@ object ZOrder {
            |  FROM documents),
            |rk AS (
            |  SELECT doc_id,
-           |    least($top, CAST(floor(((CAST(n_chars AS DOUBLE) - mn_a) / (mx_a - mn_a)) * $top) AS BIGINT)) AS ra,
-           |    least($top, CAST(floor(((CAST(doc_id  AS DOUBLE) - mn_b) / (mx_b - mn_b)) * $top) AS BIGINT)) AS rb
+           |    CASE WHEN mx_a > mn_a THEN least($top, CAST(floor(((CAST(n_chars AS DOUBLE) - mn_a) / (mx_a - mn_a)) * $top) AS BIGINT)) ELSE 0 END AS ra,
+           |    CASE WHEN mx_b > mn_b THEN least($top, CAST(floor(((CAST(doc_id  AS DOUBLE) - mn_b) / (mx_b - mn_b)) * $top) AS BIGINT)) ELSE 0 END AS rb
            |  FROM documents, st)
            |SELECT doc_id, ${terms.mkString(" + ")} AS z FROM rk""".stripMargin
       })

@@ -8,7 +8,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 final case class MediaRow(docId: Long, modality: String, payload: Array[Byte])
 
-/** Extracted features for one payload. */
+/** Extracted features for one payload. For images (width, height) are
+  * pixel dimensions and durationMs is 0; for audio they carry
+  * (sampleRate Hz, channels) and durationMs the true PCM duration. */
 final case class MediaFeatures(
     docId: Long,
     modality: String,
@@ -16,6 +18,15 @@ final case class MediaFeatures(
     contentHash: String,
     width: Int,
     height: Int,
+    durationMs: Long,
+    embedding: Array[Float])
+
+/** One decoded payload: modality-specific dimensions + signal-derived
+  * embedding (see [[MediaFeatures]] for the per-modality field meaning). */
+final case class Decoded(
+    width: Int,
+    height: Int,
+    durationMs: Long,
     embedding: Array[Float])
 
 /** A payload after resize: new dims + the (stub-)re-encoded bytes. */
@@ -42,10 +53,13 @@ final case class FrameRow(
   *
   * IMAGE decode is REAL: `javax.imageio` (JDK-bundled — PNG, JPEG, GIF,
   * BMP) yields true pixel dimensions and a luminance-grid embedding from
-  * actual pixels. Audio/video have no JDK codec, and undecodable image
-  * bytes must not kill a 10^9-row pipeline — both fall back to the
-  * clearly-marked deterministic stub (fake-but-stable dimensions and a
-  * hash-derived embedding), keeping every path total and testable.
+  * actual pixels. AUDIO decode is REAL: `javax.sound.sampled`
+  * (JDK-bundled — WAV, AIFF, AU) yields true sample-rate / channels /
+  * duration and an amplitude-profile embedding from the actual PCM
+  * frames. Video has no JDK codec, and undecodable bytes must not kill a
+  * 10^9-row pipeline — both fall back to the clearly-marked deterministic
+  * stub (fake-but-stable dimensions and a hash-derived embedding),
+  * keeping every path total and testable.
   */
 object Multimodal {
 
@@ -53,17 +67,19 @@ object Multimodal {
   val EmbeddingDim = 8
 
   /** STUB decode — the fallback for modalities without a JDK codec
-    * (audio/video; replace with ffmpeg bindings in production) and for
-    * image bytes ImageIO cannot parse. Deterministic in the payload. */
-  def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    * (video; replace with ffmpeg bindings in production) and for bytes no
+    * installed image/audio reader accepts. Deterministic in the payload. */
+  def decodeStub(modality: String, payload: Array[Byte]): Decoded = {
     val h = java.util.Arrays.hashCode(payload)
     val width = 16 + math.floorMod(h, 1024)
     val height = 16 + math.floorMod(h >> 10, 1024)
+    val durationMs =
+      if (modality == "image") 0L else 1000L + math.floorMod(h >> 4, 600000)
     val emb = Array.tabulate(EmbeddingDim) { i =>
       // stable pseudo-feature from the hash; stands in for model output
       math.floorMod(h * (i * 2 + 1), 1000) / 1000.0f
     }
-    (width, height, emb)
+    Decoded(width, height, durationMs, emb)
   }
 
   /** Real image decode: ImageIO → true (width, height) and an
@@ -71,7 +87,7 @@ object Multimodal {
     * pixels (a stand-in for model output that is nonetheless REAL pixel
     * data — resolution-invariant and deterministic). None when the bytes
     * are not a decodable image. */
-  private[streaming] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+  private[streaming] def decodeImage(payload: Array[Byte]): Option[Decoded] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -96,16 +112,62 @@ object Multimodal {
         }
         val emb = Array.tabulate(EmbeddingDim)(c =>
           if (cnt(c) == 0) 0.0f else (acc(c) / cnt(c)).toFloat)
-        Some((w, h, emb))
+        Some(Decoded(w, h, 0L, emb))
       }
     } catch { case _: Exception => None }
 
-  /** Decode dispatch: real ImageIO for images (stub fallback for bytes no
-    * installed reader accepts), stub for audio/video. */
-  def decode(modality: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
-    if (modality == "image")
-      decodeImage(payload).getOrElse(decodeStub(modality, payload))
-    else decodeStub(modality, payload)
+  /** Real audio decode: `javax.sound.sampled.AudioSystem` (JDK-bundled —
+    * WAV, AIFF, AU) → true (sampleRate, channels, duration) and an
+    * `EmbeddingDim`-cell mean-|amplitude| time profile of the actual PCM
+    * frames (normalized to signed 16-bit little-endian first, so the
+    * amplitude math is uniform across source encodings). None when the
+    * bytes are not a decodable audio stream. */
+  private[streaming] def decodeAudio(payload: Array[Byte]): Option[Decoded] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val sampleRate = math.round(fmt.getSampleRate)
+        val channels = fmt.getChannels
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
+          false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+        val bytes = pcm.readAllBytes()
+        val nSamples = bytes.length / 2 // interleaved 16-bit channel samples
+        val nFrames = if (channels > 0) nSamples / channels else 0
+        val durationMs =
+          if (sampleRate > 0) nFrames * 1000L / sampleRate else 0L
+        val acc = new Array[Double](EmbeddingDim)
+        val cnt = new Array[Long](EmbeddingDim)
+        var i = 0
+        while (i < nSamples) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          val frame = i / channels
+          val cell =
+            if (nFrames == 0) 0
+            else math.min(EmbeddingDim - 1, frame * EmbeddingDim / nFrames)
+          acc(cell) += math.abs(s / 32768.0)
+          cnt(cell) += 1
+          i += 1
+        }
+        val emb = Array.tabulate(EmbeddingDim)(c =>
+          if (cnt(c) == 0) 0.0f else (acc(c) / cnt(c)).toFloat)
+        Some(Decoded(sampleRate, channels, durationMs, emb))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode dispatch: real ImageIO for images, real AudioSystem for
+    * audio (each with stub fallback for bytes no installed reader
+    * accepts), stub for video. */
+  def decode(modality: String, payload: Array[Byte]): Decoded =
+    modality match {
+      case "image" => decodeImage(payload).getOrElse(decodeStub(modality, payload))
+      case "audio" => decodeAudio(payload).getOrElse(decodeStub(modality, payload))
+      case _ => decodeStub(modality, payload)
+    }
 
   private def sha256Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -121,8 +183,9 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          val (w, h, emb) = decode(r.modality, payload)
-          MediaFeatures(r.docId, r.modality, payload.length.toLong, sha256Hex(payload), w, h, emb)
+          val d = decode(r.modality, payload)
+          MediaFeatures(r.docId, r.modality, payload.length.toLong, sha256Hex(payload),
+            d.width, d.height, d.durationMs, d.embedding)
         }
       }
     }

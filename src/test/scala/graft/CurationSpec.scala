@@ -68,6 +68,50 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().toSet == rows.toSet)
   }
 
+  test("repetitionSignals: tab/newline edges tokenize like the SQL trim/split path") {
+    // Java String.trim strips every char <= U+0020; SQL TRIM strips ' '
+    // alone, so "\ta b\n" keeps its edge whitespace and splits to
+    // ["", a, b, ""] under Catalyst/DuckDB semantics. The UDF must agree.
+    val tricky = docs(
+      1L -> "\ta b\n",     // tab head, newline tail -> 2 empty edge tokens
+      2L -> "  a b  ",     // plain spaces: trimmed clean
+      3L -> "a\tb\nc")     // interior whitespace only
+    val got = Curation.repetitionSignals(tricky)
+      .select(col("doc_id"), col("n_words")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sqlWords = tricky
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == sqlWords)
+    assert(got(1L) == 4L && got(2L) == 2L && got(3L) == 3L)
+  }
+
+  test("dupSpanStats: tab-edged text keeps dup_spans <= n_spans (UDF and SQL spans agree)") {
+    // before the trim unification the UDF counted grams over Java-trimmed
+    // tokens while n_spans counted SQL-trimmed tokens — a doc with edge
+    // tabs could report more gram positions than spans
+    val out = Curation.dupSpanStats(docs(
+        1L -> "\tv w x y z\n",
+        2L -> "v w x y z"), n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { case (id, (nSpans, dupSpans)) =>
+      assert(dupSpans <= nSpans, s"doc $id: dup $dupSpans > spans $nSpans")
+    }
+    // doc 1 tokens ["", v, w, x, y, z, ""]: 6 bigram spans, 4 shared with doc 2
+    assert(out(1L) == ((6L, 4L)))
+    assert(out(2L) == ((4L, 4L)))
+  }
+
+  test("stratifiedSample: null doc_id is excluded, not an NPE") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "en"), (Some(2L), "en"), (None: Option[Long], "en"))
+      .toDF("doc_id", "lang")
+    val rows = Curation.stratifiedSample(df, "lang", k = 10).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(!_.isNullAt(0)))
+  }
+
   test("stratifiedSample: strata smaller than k keep all rows") {
     val df = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("only"))
     val rows = Curation.stratifiedSample(df, "lang", k = 10).collect()
@@ -124,6 +168,46 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         2L -> "c d e f g h"), n = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
+  test("hashGrams production mode: contaminationPairs counts equal the string-gram path") {
+    val evalSet = docs(100L -> "the quick brown fox jumps", 101L -> "pack my box")
+    val train = docs(
+      1L -> "somewhere the quick brown fox appears",
+      2L -> "completely unrelated training text here",
+      3L -> "the quick brown fox jumps word for word pack my box")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strings = asSet(Curation.contaminationPairs(train, evalSet, n = 3))
+    val hashed = asSet(Curation.contaminationPairs(train, evalSet, n = 3, hashGrams = true))
+    assert(strings.nonEmpty && hashed == strings)
+  }
+
+  test("hashGrams production mode: dupSpanStats counts equal the string-gram path") {
+    val corpus = docs(
+      1L -> "v w x y z q v w x y z",
+      2L -> "a b v w x y z c",
+      3L -> "p q r s t u",
+      4L -> "tiny doc")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strings = asSet(Curation.dupSpanStats(corpus, n = 5))
+    val hashed = asSet(Curation.dupSpanStats(corpus, n = 5, hashGrams = true))
+    assert(strings.nonEmpty && hashed == strings)
+  }
+
+  test("hashGrams mode carries 8-byte gram keys through the d22 join") {
+    val evalSet = docs(9L -> "a b c")
+    val train = docs(1L -> "a b c x")
+    val plan = Curation.contaminationPairs(train, evalSet, n = 3, hashGrams = true)
+      .queryExecution.analyzed
+    // the join keys are LongType (xxhash64), not the string grams
+    val gramTypes = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(_.references.filter(_.name == "gram").map(_.dataType))
+    }.flatten
+    assert(gramTypes.nonEmpty &&
+      gramTypes.forall(_ == org.apache.spark.sql.types.LongType), gramTypes.toString)
   }
 
   test("packShards: equals the naive global-window formulation") {

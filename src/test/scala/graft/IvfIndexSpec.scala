@@ -42,16 +42,36 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("k = 0 derives ~sqrt(N) cells; explicit k is honored") {
     import graft.ops.IvfIndex.autoK
-    assert(autoK(0L) == 1)
-    assert(autoK(100L) == 10)
-    assert(autoK(1000000L) == 1000)
-    assert(autoK(1L << 40) == 65536) // cap
+    assert(autoK(0L, 8) == 1)
+    assert(autoK(100L, 8) == 10)
+    assert(autoK(1000000L, 8) == 1000)
+    assert(autoK(1L << 40, 8) == 65536) // row cap at small dims
     val e = graft.ops.Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val n = e.count()
+    val dim = 8
     val auto = IvfIndex.build(spark, e, iters = 1)
-    assert(auto.centroids.length == autoK(n), s"n=$n -> ${auto.centroids.length}")
+    assert(auto.centroids.length == autoK(n, dim), s"n=$n -> ${auto.centroids.length}")
     val explicit = IvfIndex.build(spark, e, k = 5, iters = 1)
     assert(explicit.centroids.length == 5)
+  }
+
+  test("centroid cap is byte-budgeted by dimensionality, not a flat row count") {
+    import graft.ops.IvfIndex.{autoK, CentroidBudgetBytes}
+    val huge = 1L << 40
+    // at dim 8192, 65536 centroids would be 4 GB of driver heap; the
+    // derived cap keeps the collect at <= 256 MB = 4096 cells
+    assert(autoK(huge, 8192) == (CentroidBudgetBytes / (8192L * 8)).toInt)
+    assert(autoK(huge, 8192) == 4096)
+    // monotone: wider vectors, fewer cells; never below 1
+    assert(autoK(huge, 1 << 26) == 1)
+    // an explicit k over the budget fails fast instead of OOMing mid-Lloyd
+    import spark.implicits._
+    val wide = Seq((1L, Array.fill(8192)(0.5)), (2L, Array.fill(8192)(0.7)))
+      .toDF("vec_id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.build(spark, wide, k = 65536, iters = 1)
+    }
+    assert(ex.getMessage.contains("centroid budget"))
   }
 }

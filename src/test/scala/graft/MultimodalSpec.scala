@@ -22,7 +22,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1.forall(f => f.embedding.length == Multimodal.EmbeddingDim))
     assert(out1.forall(f => f.width >= 16 && f.height >= 16))
     val schema = Multimodal.extractFeatures(spark, ds).schema.fieldNames.toSeq
-    assert(schema == Seq("docId", "modality", "nBytes", "contentHash", "width", "height", "embedding"))
+    assert(schema == Seq("docId", "modality", "nBytes", "contentHash", "width", "height",
+      "durationMs", "embedding"))
   }
 
   test("real PNG payloads decode to true dimensions and pixel-derived embeddings") {
@@ -51,11 +52,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emb.take(4).forall(_ < 0.1f), "left half should be dark")
     assert(emb.drop(4).forall(_ > 0.9f), "right half should be bright")
     // undecodable image bytes fall back to the deterministic stub
-    val (sw, sh, _) = Multimodal.decodeStub("image", "not an image".getBytes("UTF-8"))
-    assert(out(3L).width == sw && out(3L).height == sh)
+    val si = Multimodal.decodeStub("image", "not an image".getBytes("UTF-8"))
+    assert(out(3L).width == si.width && out(3L).height == si.height)
     // audio never routes through ImageIO even if the bytes ARE an image
-    val (aw, ah, _) = Multimodal.decodeStub("audio", png(64, 48))
-    assert(out(4L).width == aw && out(4L).height == ah)
+    // (a PNG is not a decodable audio stream -> audio stub)
+    val sa = Multimodal.decodeStub("audio", png(64, 48))
+    assert(out(4L).width == sa.width && out(4L).height == sa.height)
+  }
+
+  test("real WAV payloads decode to true sample-rate/channels/duration and PCM embeddings") {
+    import spark.implicits._
+    // render 0.5 s of 8 kHz mono 16-bit PCM: first half silence, second
+    // half a full-amplitude square wave — the amplitude-profile embedding
+    // must read ~0 in its first cells and ~1 in its last
+    def wav(sampleRate: Float, channels: Int, seconds: Double)(
+        sample: Int => Short): Array[Byte] = {
+      val n = (sampleRate * seconds).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val data = new Array[Byte](n * channels * 2)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val s = sample(i)
+        val off = (i * channels + c) * 2
+        data(off) = (s & 0xff).toByte
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = wav(8000f, 1, 0.5) { i =>
+      if (i < 2000) 0.toShort
+      else if (i % 8 < 4) Short.MaxValue else (-Short.MaxValue).toShort
+    }
+    val stereo = wav(44100f, 2, 0.25)(_ => 1000.toShort)
+    val rows = Seq(
+      MediaRow(1L, "audio", mono),
+      MediaRow(2L, "audio", stereo),
+      MediaRow(3L, "audio", "not audio".getBytes("UTF-8"))) // fallback path
+    val out = Multimodal.extractFeatures(spark, spark.createDataset(rows))
+      .collect().map(f => f.docId -> f).toMap
+    // TRUE parameters, not stub values
+    assert(out(1L).width == 8000 && out(1L).height == 1 && out(1L).durationMs == 500L)
+    assert(out(2L).width == 44100 && out(2L).height == 2 && out(2L).durationMs == 250L)
+    val emb = out(1L).embedding
+    assert(emb.take(4).forall(_ < 0.01f), "first half should be silent")
+    assert(emb.drop(4).forall(_ > 0.9f), "second half should be loud")
+    // undecodable audio bytes fall back to the deterministic stub
+    val st = Multimodal.decodeStub("audio", "not audio".getBytes("UTF-8"))
+    assert(out(3L).width == st.width && out(3L).durationMs == st.durationMs)
   }
 
   test("resizeAll re-encodes decodable images at the target dims") {
