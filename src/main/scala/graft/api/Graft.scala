@@ -191,9 +191,28 @@ object Graft {
   /** Benchmark decontamination: (training doc, eval doc, shared distinct
     * word-n-gram count) pairs — flag or drop training docs overlapping an
     * eval set. The eval side is broadcast (benchmarks are small).
-    * Reads: doc_id, text on both frames. */
-  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame =
-    Curation.contaminationPairs(train, evalDocs, n)
+    * `hashGrams = true` is the production mode at wide gram widths:
+    * xxhash64 shrinks every gram to 8 bytes before the broadcast/join
+    * (counts spec-proven equal). Reads: doc_id, text on both frames. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.contaminationPairs(train, evalDocs, n, hashGrams)
+
+  /** Inter-document duplicate-span statistics (the RefinedWeb dedup
+    * signal): per doc, how many of its word n-gram positions carry a
+    * gram appearing in at least one other document — catches boilerplate
+    * that survives doc-level dedup. `hashGrams = true` shuffles 8-byte
+    * gram hashes instead of strings. Reads: doc_id, text. */
+  def dupSpanStats(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.dupSpanStats(docs, n, hashGrams)
+
+  /** d25's narrow half on its own: per-document positional n-gram counts
+    * (doc_id, gram, cnt) in one shuffle-free UDF pass — streaming-safe,
+    * unlike the cross-document join half of [[dupSpanStats]]. */
+  def docGramCounts(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.docGramCounts(docs, n, hashGrams)
 
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order (shard_id = tokens-before div budget) — distributed prefix

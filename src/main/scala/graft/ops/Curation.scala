@@ -260,14 +260,25 @@ object Curation {
     * shuffle and the duplicated-survivor join — span counts identical
     * modulo ~1e-19 collisions (spec-proven equal on the test corpus).
     * Default false: the driver oracle compares string grams. */
+  /** Per-document positional n-gram counts — d25's NARROW half, exposed
+    * on its own because it is streaming-safe (one UDF pass, no shuffle;
+    * the cross-document join half of [[dupSpanStats]] is inherently
+    * batch). Out: (doc_id, gram, cnt) — one row per distinct gram per
+    * doc with its in-doc occurrence count. `hashGrams` replaces each
+    * string gram with its xxhash64 (the production key for wide grams). */
+  def docGramCounts(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val gc = docs
+      .select(col("doc_id"), explode(gramCountUdf(n)(col("text"))).as("g"))
+      .select(col("doc_id"), col("g._1").as("gram"), col("g._2").as("cnt"))
+    if (hashGrams) gc.withColumn("gram", xxhash64(col("gram"))) else gc
+  }
+
   def dupSpanStats(docs: DataFrame, n: Int = 5,
       hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val gcRaw = docs
-      .select(col("doc_id"), explode(gramCountUdf(n)(col("text"))).as("g"))
-      .select(col("doc_id"), col("g._1").as("gram"), col("g._2").as("cnt"))
-    val gc =
-      if (hashGrams) gcRaw.withColumn("gram", xxhash64(col("gram"))) else gcRaw
+    val gc = docGramCounts(docs, n, hashGrams)
     val dupGrams = gc.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)

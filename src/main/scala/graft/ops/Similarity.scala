@@ -1106,20 +1106,25 @@ object Similarity {
     // iterations, each one assign-shuffle + tiny centroid aggregation
     // (the only driver-side collect is K=16 centroid rows); search probes
     // the query's nearest cells only (probes/K of the corpus per query),
-    // and candidate vectors re-attach id-keyed. probes=12 of K=16 here is
-    // RECALL-tuned for this unclustered test table (0.95 recall@1 vs the
-    // exact baseline, emitted into bench.json "quality") — clustered
-    // production corpora run probes<<K; both knobs are caller-set on the
-    // IvfIndex/Graft surface. Rows-only check (float summation order
-    // makes borderline cell assignments engine-specific); quality bounds
-    // in SimilaritySpec.
+    // and candidate vectors re-attach id-keyed. probes=13 of K=16 here is
+    // RECALL-tuned for this unclustered test table (>= 0.95 recall@1 vs
+    // the exact baseline, emitted with both knobs into bench.json
+    // "quality") — clustered production corpora run probes<<K; both knobs
+    // are caller-set on the IvfIndex/Graft surface. Rows-only check
+    // (float summation order makes borderline cell assignments
+    // engine-specific); quality bounds in SimilaritySpec.
     Q("d17_ivf_ann",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        val model = IvfIndex.build(s, e, k = 16, iters = 3)
-        IvfIndex.search(s, model, e, probes = 12)
+        val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
+        IvfIndex.search(s, model, e, probes = D17Probes)
       },
       None)
   )
+
+  /** The d17 bench binding's IVF knobs, exported so bench.json's quality
+    * field can record the (recall, probes, k) triple it measured. */
+  val D17Cells = 16
+  val D17Probes = 13
 }

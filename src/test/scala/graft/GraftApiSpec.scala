@@ -204,9 +204,15 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q3 = Graft.repetitionSignals(stream)
       .writeStream.format("memory").queryName("rep_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // d25's narrow half (per-doc gram counts) is likewise streaming-safe —
+    // only the cross-document join half of dupSpanStats is batch
+    val q4 = Graft.docGramCounts(stream, n = 2)
+      .writeStream.format("memory").queryName("gram_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      q4.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L))
@@ -216,7 +222,11 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rep = spark.table("rep_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
       assert(rep == Map(1L -> 5L, 2L -> 5L))
-    } finally { q.stop(); q2.stop(); q3.stop() }
+      val grams = spark.table("gram_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("gram"))).toSet
+      assert(grams.contains((1L, "the quick")) && grams.contains((2L, "der die")))
+      assert(grams.size == 8) // 4 distinct bigrams per 5-word doc
+    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
   test("driver queries are the facade operators (delegation equivalence)") {

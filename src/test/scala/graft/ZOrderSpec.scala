@@ -71,4 +71,58 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(linSpans.forall { case (sx, _) => sx <= 200 })
     assert(linSpans.forall { case (_, sy) => sy >= 900 })
   }
+
+  test("end-to-end: a selective predicate on the NON-sort column prunes z-ordered row groups") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rng = new scala.util.Random(13)
+    val df = Seq.fill(20000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dir = "/tmp/graft_zorder_prune_spec"
+    ZOrder.writeZOrdered(df, s"$dir/z", Seq("x", "y"), files = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    // the user-visible effect: read each layout's parquet FOOTERS (the
+    // row-group min/max stats a scan consults) and count the row groups a
+    // reader skips for `y BETWEEN lo AND hi` — exactly the stats-based
+    // pruning parquet readers and table formats perform
+    val conf = spark.sessionState.newHadoopConf()
+    def rowGroups(path: String, column: String): Seq[(Long, Long)] = {
+      new java.io.File(path).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+              val st = block.getColumns.asScala
+                .find(_.getPath.toDotString == column).get.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+          } finally reader.close()
+        }
+    }
+    val (lo, hi) = (100L, 163L) // ~6% of the y domain
+    def prunedFraction(path: String): Double = {
+      val rgs = rowGroups(path, "y")
+      assert(rgs.nonEmpty)
+      rgs.count { case (mn, mx) => mx < lo || mn > hi }.toDouble / rgs.size
+    }
+    val zPruned = prunedFraction(s"$dir/z")
+    val linPruned = prunedFraction(s"$dir/linear")
+    info(f"row groups skipped for y in [$lo,$hi]: z-order $zPruned%.2f, linear $linPruned%.2f")
+    // linear layout: every file spans ~all of y -> nothing prunes;
+    // z-order: y-bands narrow per tile -> most row groups skip
+    assert(linPruned == 0.0, s"linear layout unexpectedly pruned $linPruned")
+    assert(zPruned >= 0.4, s"z-order pruned only $zPruned")
+    assert(zPruned > linPruned)
+    // both layouts return identical rows for the predicate (pruning is
+    // metadata-only, never a correctness trade)
+    val zRows = spark.read.parquet(s"$dir/z").where(col("y").between(lo, hi)).count()
+    val linRows = spark.read.parquet(s"$dir/linear").where(col("y").between(lo, hi)).count()
+    assert(zRows == linRows)
+  }
 }
