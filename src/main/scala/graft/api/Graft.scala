@@ -214,6 +214,20 @@ object Graft {
       hashGrams: Boolean = false): DataFrame =
     Curation.docGramCounts(docs, n, hashGrams)
 
+  /** Domain-mix sampling weights: per (dims...) cell, token counts and
+    * the sampling multiplier that hits a uniform (or caller-given via
+    * `targets` = (dims..., target_frac)) token distribution — the static
+    * data-mixing step of corpus assembly. Reads: doc_id, text, <dims>. */
+  def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
+      targets: Option[DataFrame] = None): DataFrame =
+    Curation.mixWeights(docs, dims, targets)
+
+  /** PII scrubbing: emails / IPv4 addresses / phone-shaped digit runs
+    * replaced with typed placeholders, per-doc detection counts
+    * alongside. Narrow codegen'd regexp chain — streaming-safe.
+    * Reads: doc_id, text. */
+  def piiScrub(docs: DataFrame): DataFrame = Curation.piiScrub(docs)
+
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order (shard_id = tokens-before div budget) — distributed prefix
     * sum, never a single-task global window. Reads: doc_id, text. */

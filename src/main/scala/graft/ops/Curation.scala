@@ -345,6 +345,82 @@ object Curation {
         expr(s"start div $budget").as("shard_id"))
   }
 
+  /** Domain-mix sampling weights — the static data-mixing step behind
+    * Pile-style corpus weighting (Gao et al. 2020) and DoReMi-style
+    * reweighting applied at its simplest: given the corpus' realized
+    * token mass per cell (a cell = one combination of `dims`, e.g.
+    * lang × source), the per-cell sampling multiplier that would hit a
+    * target token distribution. Default target is uniform across cells:
+    * weight = total_tokens / (n_cells * n_tokens) — cells above their
+    * share get weight < 1 (downsample), below get > 1 (upsample).
+    * `targets` overrides with explicit fractions: a small frame of
+    * (dims..., target_frac) broadcast-joined in, weight =
+    * target_frac * total_tokens / n_tokens. Token counts match d02/d23's
+    * whitespace semantics. Out: (dims..., n_docs, n_tokens, weight).
+    *
+    * Scale: ONE partial-aggregated shuffle whose key cardinality is the
+    * cell count (dozens-to-thousands at any corpus size — lang × source
+    * is bounded by the crawl's structure, not its bytes); the totals are
+    * a 1-row broadcast and targets a |cells|-row broadcast. The weight is
+    * one double division of exact integer aggregates, so it is
+    * cross-engine exact. */
+  def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
+      targets: Option[DataFrame] = None): DataFrame = {
+    require(dims.nonEmpty, "need at least one mix dimension")
+    val cells = docs
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens"))
+    val totals = cells.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_cells"))
+    val weighted = targets match {
+      case None =>
+        cells.crossJoin(broadcast(totals))
+          .withColumn("weight", col("total_tokens").cast(DoubleType) /
+            (col("n_cells") * col("n_tokens")).cast(DoubleType))
+      case Some(t) =>
+        cells.join(broadcast(t), dims)
+          .crossJoin(broadcast(totals))
+          .withColumn("weight",
+            col("target_frac") * col("total_tokens").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType))
+    }
+    weighted.select(dims.map(col) ++
+      Seq(col("n_docs"), col("n_tokens"), col("weight")): _*)
+  }
+
+  // PII patterns shared by the Spark and DuckDB sides of d27 — kept to
+  // syntax with identical semantics in java.util.regex and RE2 (no
+  // lookaround, no backreferences; \b, \d, {m,n} behave alike).
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything ships to a trainer: emails, IPv4 addresses, and
+    * phone-shaped digit runs are replaced with typed placeholder tokens,
+    * and per-document detection counts ride along (counts are matches on
+    * the RAW text per pattern, so overlapping detections — a phone-shaped
+    * digit run inside an email local part — are each visible even though
+    * the earlier replacement wins in the scrubbed output; replacement
+    * order email → IP → phone is fixed). Out: (doc_id, scrubbed,
+    * n_emails, n_ips, n_phones).
+    *
+    * Scale: a narrow per-row projection of codegen'd regexp expressions —
+    * no UDF, no shuffle, streaming-safe; at 100 TB this is exactly the
+    * shape you want (the scan cost IS the cost). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))
+        .cast(LongType).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast(LongType).as("n_phones"))
+
   // ---- driver bindings -------------------------------------------------
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
@@ -426,5 +502,29 @@ object Curation {
              |FROM (
              |  SELECT doc_id,
              |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-             |  FROM documents)""".stripMargin)))
+             |  FROM documents)""".stripMargin)),
+
+    Q("d26_mix_weights",
+      (s, d) => mixWeights(documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT lang, source, count(*) AS n_docs,
+             |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |             count(*) AS n_cells FROM c)
+             |SELECT lang, source, n_docs, n_tokens,
+             |       CAST(total_tokens AS DOUBLE) / CAST(n_cells * n_tokens AS DOUBLE) AS weight
+             |FROM c, t""".stripMargin)),
+
+    Q("d27_pii_scrub",
+      (s, d) => piiScrub(documents(s, d)),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+?\d{3}[- ]?\d{3}[- ]?\d{4}', '<PHONE>', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]?\d{3}[- ]?\d{4}')) AS BIGINT) AS n_phones
+             |FROM documents""".stripMargin)))
 }

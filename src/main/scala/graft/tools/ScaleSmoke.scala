@@ -128,6 +128,39 @@ object ScaleSmoke {
       docsAll.where(col("doc_id") % 97 === 0), n = 8).count()
     println(f"[scale] d22 n=8 ${(System.nanoTime() - t2) / 1e9}%.2f s ($cont8 pairs)")
 
+    // --- hashGrams shuffle-volume probe: d22/d25's production mode
+    // shrinks each shuffled gram from ~45-100 string bytes to an 8-byte
+    // xxhash64. Measure ACTUAL shuffle-write bytes for the d25 pipeline
+    // at n = 8, string grams vs hashed.
+    // Measured (50k docs, 2026-08, round 6): strings 134.6 MB, hashed
+    // 40.6 MB -> 3.3x smaller END-TO-END (lz4 shuffle compression eats
+    // part of the raw ~6x byte gap — low-entropy word grams compress
+    // well, hashes don't; per-row doc_id/cnt overhead is shared). Real
+    // prose at n = 8..13 carries wider grams and a bigger win.
+    def shuffledBytes(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      // listener delivery is async: give the bus a beat before reading
+      try { body; Thread.sleep(2000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val sBytes = shuffledBytes {
+      graft.api.Graft.dupSpanStats(docsAll, n = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val hBytes = shuffledBytes {
+      graft.api.Graft.dupSpanStats(docsAll, n = 8, hashGrams = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[scale] d25 n=8 shuffle: strings ${sBytes / 1e6}%.1f MB, " +
+      f"hashed ${hBytes / 1e6}%.1f MB (${sBytes.toDouble / math.max(1, hBytes)}%.1fx smaller)")
+
     // --- d08 candidate-growth probe: the auto-derived signature width
     // (bits ~ log2(N/64)) must keep candidates PER QUERY roughly flat as
     // the corpus grows — a fixed 8-bit geometry's per-query candidates

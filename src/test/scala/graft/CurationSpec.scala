@@ -210,6 +210,77 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       gramTypes.forall(_ == org.apache.spark.sql.types.LongType), gramTypes.toString)
   }
 
+  test("mixWeights: uniform target equalizes token mass across cells") {
+    import spark.implicits._
+    // cell A: 6 tokens over 2 docs; cell B: 2 tokens over 1 doc; total 8,
+    // 2 cells -> uniform share 4: weight(A) = 8/(2*6) = 2/3, weight(B) = 8/(2*2) = 2
+    val df = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "d e f", "en", "web"),
+      (3L, "g h", "ru", "books")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.mixWeights(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("en", "web")) == ((2L, 6L, 8.0 / 12.0)))
+    assert(out(("ru", "books")) == ((1L, 2L, 2.0)))
+    // the defining invariant: weighted token mass is equal per cell
+    val masses = out.values.map { case (_, toks, w) => toks * w }.toSeq
+    assert(masses.forall(m => math.abs(m - masses.head) < 1e-9))
+  }
+
+  test("mixWeights: explicit target fractions override the uniform share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d d d", "en", "web"), // 6 tokens
+      (2L, "g h", "ru", "books")) // 2 tokens; total 8
+      .toDF("doc_id", "text", "lang", "source")
+    val targets = Seq(("en", "web", 0.75), ("ru", "books", 0.25))
+      .toDF("lang", "source", "target_frac")
+    val out = Curation.mixWeights(df, targets = Some(targets)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // weight = target_frac * total / n_tokens: en 0.75*8/6 = 1.0 (already
+    // at target), ru 0.25*8/2 = 1.0 (already at target)
+    assert(out(("en", "web")) == 1.0 && out(("ru", "books")) == 1.0)
+    val skew = Seq(("en", "web", 0.5), ("ru", "books", 0.5))
+      .toDF("lang", "source", "target_frac")
+    val out2 = Curation.mixWeights(df, targets = Some(skew)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out2(("en", "web")) == 0.5 * 8 / 6 && out2(("ru", "books")) == 2.0)
+  }
+
+  test("piiScrub: planted emails/IPs/phones are redacted and counted") {
+    val out = Curation.piiScrub(docs(
+        1L -> "contact bob@example.com or 555-123 4567, server at 192.168.1.1",
+        2L -> "no pii here at all",
+        3L -> "two mails: a.b+c@x.co.uk and d_e%f@y.io"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or <PHONE>, server at <IP>")
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L && out(1L)._4 == 1L)
+    assert(out(2L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(out(3L)._1 == "two mails: <EMAIL> and <EMAIL>")
+    assert(out(3L)._2 == 2L)
+  }
+
+  test("piiScrub: IP octets are not double-counted as phones; email wins overlaps") {
+    val out = Curation.piiScrub(docs(
+        1L -> "ip 10.20.30.40 only", // dots break the phone pattern
+        2L -> "5551234567@mail.com")) // phone-shaped digits inside an email
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("ip <IP> only", 0L, 1L, 0L)))
+    // counts see both patterns on the raw text; the scrub replaces the
+    // email first so the phone digits are gone from the output
+    assert(out(2L)._1 == "<EMAIL>")
+    assert(out(2L)._2 == 1L && out(2L)._4 == 1L)
+  }
+
+  test("piiScrub is a narrow streaming-safe projection (no shuffle in the plan)") {
+    val plan = Curation.piiScrub(docs(1L -> "x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("packShards: equals the naive global-window formulation") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

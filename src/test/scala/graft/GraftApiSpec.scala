@@ -124,6 +124,14 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(cont(4L) == 10L) // 12 words -> 10 distinct 3-grams, all shared
     assert(cont.contains(2L) && !cont.contains(3L) && !cont.contains(5L))
+    val mix = Graft.mixWeights(docsDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(mix.size == 3) // en×web (docs 1,2,5), en×crawl, de×books
+    // the (en, web) cell holds the most tokens -> downweighted below 1
+    assert(mix(("en", "web")) < 1.0 && mix(("de", "books")) > 1.0)
+    val pii = Graft.piiScrub(docsDf.where(col("doc_id") === 1)).head()
+    assert(pii.getAs[String]("scrubbed").startsWith("the quick"))
+    assert(pii.getAs[Long]("n_emails") == 0L)
   }
 
   test("trainingShards: every curation stage applies, survivors are packed") {
