@@ -234,21 +234,33 @@ object Graft {
   def packShards(docs: DataFrame, budget: Long = 2048, partitions: Int = 0): DataFrame =
     Curation.packShards(docs, budget, partitions)
 
-  /** The whole curation pipeline in one call: exact + near dedup
+  /** The whole curation pipeline in one call: optional PII scrub
+    * (in-place redaction BEFORE anything hashes or counts tokens, so
+    * placeholders are what dedup and packing see) → exact + near dedup
     * ([[dedupedCorpus]]) → repetition-quality filter (drop docs under
     * `minWords`, over `maxDupWordFrac` duplicate words, or over
-    * `maxTopBigramFrac` top-bigram mass) → benchmark decontamination
-    * (drop docs sharing more than `maxSharedGrams` distinct
-    * `contaminationN`-grams with any single eval doc) → token-budget
-    * shard packing. Returns (doc_id, n_tokens, shard_id) over the
-    * surviving docs — the corpus-to-training-shards recipe, each stage
-    * the already-tested operator. Reads: doc_id, text, n_chars on
-    * `docs`; doc_id, text on `evalDocs`. */
+    * `maxTopBigramFrac` top-bigram mass) → optional inter-document
+    * duplicate-span filter (drop docs whose `dupSpanN`-gram positions
+    * are duplicated elsewhere in the corpus beyond `maxDupSpanFrac` —
+    * the RefinedWeb boilerplate signal; 1.0 disables) → benchmark
+    * decontamination (drop docs sharing more than `maxSharedGrams`
+    * distinct `contaminationN`-grams with any single eval doc) →
+    * token-budget shard packing. `hashGrams` switches the two gram
+    * stages to 8-byte xxhash64 shuffles (the production mode). Returns
+    * (doc_id, n_tokens, shard_id) over the surviving docs — the
+    * corpus-to-training-shards recipe, each stage the already-tested
+    * operator. Reads: doc_id, text, n_chars on `docs`; doc_id, text on
+    * `evalDocs`. */
   def trainingShards(docs: DataFrame, evalDocs: DataFrame,
       minWords: Long = 5, maxDupWordFrac: Double = 0.9,
       maxTopBigramFrac: Double = 0.5, maxSharedGrams: Long = 10,
-      contaminationN: Int = 3, budget: Long = 2048): DataFrame = {
-    val deduped = dedupedCorpus(docs)
+      contaminationN: Int = 3, budget: Long = 2048,
+      scrubPii: Boolean = false, maxDupSpanFrac: Double = 1.0,
+      dupSpanN: Int = 5, hashGrams: Boolean = false): DataFrame = {
+    val base =
+      if (scrubPii) docs.withColumn("text", Curation.scrubTextCol(col("text")))
+      else docs
+    val deduped = dedupedCorpus(base)
     val keepQuality = Curation.repetitionSignals(deduped)
       .where(col("n_words") >= minWords &&
         col("dup_word_count").cast("double") / col("n_words") <= maxDupWordFrac &&
@@ -256,14 +268,24 @@ object Graft {
             col("top_bigram_count").cast("double") / col("n_bigrams"))
           .otherwise(0.0) <= maxTopBigramFrac)
       .select(col("doc_id"))
-    val contaminated = Curation.contaminationPairs(deduped, evalDocs, contaminationN)
+    val afterQuality = deduped.join(keepQuality, "doc_id")
+    val afterSpans =
+      if (maxDupSpanFrac >= 1.0) afterQuality
+      else afterQuality.join(
+        Curation.dupSpanStats(afterQuality, dupSpanN, hashGrams)
+          .where(org.apache.spark.sql.functions.when(col("n_spans") > 0,
+              col("dup_spans").cast("double") / col("n_spans"))
+            .otherwise(0.0) <= maxDupSpanFrac)
+          .select(col("doc_id")),
+        "doc_id")
+    val contaminated = Curation.contaminationPairs(
+        afterSpans, evalDocs, contaminationN, hashGrams)
       .groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.functions.max(col("n_shared")).as("worst"))
       .where(col("worst") > maxSharedGrams)
       .select(col("doc_id"))
     Curation.packShards(
-      deduped.join(keepQuality, "doc_id")
-        .join(contaminated, Seq("doc_id"), "left_anti"),
+      afterSpans.join(contaminated, Seq("doc_id"), "left_anti"),
       budget)
   }
 

@@ -409,11 +409,16 @@ object Curation {
     * Scale: a narrow per-row projection of codegen'd regexp expressions —
     * no UDF, no shuffle, streaming-safe; at 100 TB this is exactly the
     * shape you want (the scan cost IS the cost). */
+  /** The d27 scrub as a bare Column (email → IP → phone replacement
+    * order) — lets pipelines redact in place without a join. */
+  def scrubTextCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+
   def piiScrub(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      regexp_replace(regexp_replace(regexp_replace(col("text"),
-        EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>").as("scrubbed"),
+      scrubTextCol(col("text")).as("scrubbed"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast(LongType).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))

@@ -155,6 +155,42 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.forall(_._3 == 0L)) // 21 tokens < one 2048 budget
   }
 
+  test("trainingShards: optional PII scrub and duplicate-span stages apply") {
+    import spark.implicits._
+    // docs 1/2 share ALL their 3-gram positions (boilerplate template);
+    // doc 3 is clean; doc 4 carries an email that scrubbing collapses
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different text about mountains rivers and oceans"),
+      (4L, "write to someone@example.com about mountains and several rivers")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val evalSet = Seq((100L, "nothing shared with any training doc here"))
+      .toDF("doc_id", "text")
+    // span filter at n=3: docs 1/2 are exact dups -> dedup keeps 1; after
+    // dedup doc 1's grams appear in no OTHER doc, so it survives; the
+    // scrub turns doc 4's email into <EMAIL> (token count preserved: 8)
+    val shards = Graft.trainingShards(corpus, evalSet,
+        scrubPii = true, maxDupSpanFrac = 0.5, dupSpanN = 3, hashGrams = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards.map(_._1).toSeq == Seq(1L, 3L, 4L))
+    assert(shards.find(_._1 == 4L).get._2 == 8L)
+    // the span filter's real target: docs sharing a BOILERPLATE header
+    // (8 of 12 words) that are NOT near-dups (distinct tails keep char
+    // 3-gram Jaccard well under the dedup band) — 6 of each doc's 10
+    // 3-gram positions are duplicated -> frac 0.6 > 0.5, both dropped
+    val corpus2 = Seq(
+      (1L, "terms of service apply to all registered users kittens yarn play daily"),
+      (2L, "terms of service apply to all registered users ships sail oceans nightly"),
+      (3L, "completely different text about mountains rivers and oceans"),
+      (4L, "write to someone@example.com about mountains and several rivers")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val shards2 = Graft.trainingShards(corpus2, evalSet,
+        scrubPii = true, maxDupSpanFrac = 0.5, dupSpanN = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards2.map(_._1).toSeq == Seq(3L, 4L))
+  }
+
   test("zero-norm vectors are excluded from the ANN index and IVF search") {
     import spark.implicits._
     val withZero = vecsDf.unionAll(
