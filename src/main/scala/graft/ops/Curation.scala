@@ -358,12 +358,16 @@ object Curation {
     * target_frac * total_tokens / n_tokens. Token counts match d02/d23's
     * whitespace semantics. Out: (dims..., n_docs, n_tokens, weight).
     *
-    * Scale: ONE partial-aggregated shuffle whose key cardinality is the
-    * cell count (dozens-to-thousands at any corpus size — lang × source
-    * is bounded by the crawl's structure, not its bytes); the totals are
-    * a 1-row broadcast and targets a |cells|-row broadcast. The weight is
-    * one double division of exact integer aggregates, so it is
-    * cross-engine exact. */
+    * Scale: ONE corpus scan and ONE partial-aggregated shuffle whose key
+    * cardinality is the cell count (dozens-to-thousands at any corpus
+    * size — lang × source is bounded by the crawl's structure, not its
+    * bytes). The grand totals come from an unpartitioned window OVER THE
+    * CELLS frame — a single-task pass over |cells| rows, never the
+    * corpus (a separate `cells.agg(...)` would recompute the whole
+    * lineage: the two aggregates differ, so exchange reuse cannot merge
+    * them, and the corpus would be scanned twice — caught in this
+    * round's plan audit). The weight is one double division of exact
+    * integer aggregates, so it is cross-engine exact. */
   def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
       targets: Option[DataFrame] = None): DataFrame = {
     require(dims.nonEmpty, "need at least one mix dimension")
@@ -371,16 +375,16 @@ object Curation {
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens"))
-    val totals = cells.agg(sum(col("n_tokens")).as("total_tokens"),
-      count(lit(1)).as("n_cells"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTotals = cells
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("n_cells", count(lit(1)).over(all))
     val weighted = targets match {
       case None =>
-        cells.crossJoin(broadcast(totals))
-          .withColumn("weight", col("total_tokens").cast(DoubleType) /
-            (col("n_cells") * col("n_tokens")).cast(DoubleType))
+        withTotals.withColumn("weight", col("total_tokens").cast(DoubleType) /
+          (col("n_cells") * col("n_tokens")).cast(DoubleType))
       case Some(t) =>
-        cells.join(broadcast(t), dims)
-          .crossJoin(broadcast(totals))
+        withTotals.join(broadcast(t), dims)
           .withColumn("weight",
             col("target_frac") * col("total_tokens").cast(DoubleType) /
               col("n_tokens").cast(DoubleType))

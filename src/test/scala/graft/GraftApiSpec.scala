@@ -253,10 +253,13 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q4 = Graft.docGramCounts(stream, n = 2)
       .writeStream.format("memory").queryName("gram_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val q5 = Graft.piiScrub(stream)
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
-      q4.processAllAvailable()
+      q4.processAllAvailable(); q5.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L))
@@ -270,7 +273,9 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("gram"))).toSet
       assert(grams.contains((1L, "the quick")) && grams.contains((2L, "der die")))
       assert(grams.size == 8) // 4 distinct bigrams per 5-word doc
-    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop() }
+      val pii = spark.table("pii_stream").collect()
+      assert(pii.length == 2 && pii.forall(_.getAs[Long]("n_emails") == 0L))
+    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
   }
 
   test("driver queries are the facade operators (delegation equivalence)") {
