@@ -279,17 +279,33 @@ object Curation {
       hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, "need n >= 1")
     val gc = docGramCounts(docs, n, hashGrams)
-    val dupGrams = gc.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= 2)
-    val dup = gc.join(dupGrams, "gram")
+    // Document frequency via count-over-window (d19's df pattern): ONE
+    // evaluation of the gram scan serves both the containing-doc count
+    // and the per-doc span sums. The groupBy(gram)-then-join-back
+    // formulation evaluates the expensive tokenize+count UDF scan TWICE
+    // (its two subtrees prune different columns, so exchange reuse can
+    // never merge them — caught in this round's executed-plan audit) and
+    // re-read the full text a third time for n_spans; n_spans folds out
+    // of the same rows instead (sum of positional counts == gram
+    // positions == greatest(0, words - n + 1)), so the only text read
+    // left is the one under the UDF. A mega-hot gram buffers its
+    // (doc, cnt) rows in one window partition — the same rows the join
+    // form streams through its probe side; both are bounded by the
+    // number of docs containing the gram. The final groupBy(doc_id)
+    // partial-aggregates map-side: at most one 24-byte row per doc per
+    // gram-partition crosses the second shuffle.
+    val wg = Window.partitionBy(col("gram"))
+    val perDoc = gc
+      .withColumn("n_docs", count(lit(1)).over(wg))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("dup_spans"))
-    docs
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("dup_spans"))
+    // doc_id-only scan (column-pruned: no text bytes) restores gram-less
+    // short docs as explicit zero rows
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        greatest(lit(0), size(wordsCol) - (n - 1)).cast(LongType).as("n_spans"))
-      .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
   }
 
