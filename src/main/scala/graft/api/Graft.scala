@@ -134,6 +134,17 @@ object Graft {
   def ivfSearch(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       probes: Int = 2): DataFrame = IvfIndex.search(spark, model, queries, probes)
 
+  /** Quantize a new vector batch against an existing index's fixed
+    * centroids and union it in — index maintenance without retraining
+    * (one narrow map over the batch). */
+  def ivfAdd(spark: SparkSession, model: IvfIndex.Model,
+      vectors: DataFrame): IvfIndex.Model = IvfIndex.add(spark, model, vectors)
+
+  /** [[ivfAdd]] against an index directory: appends only the new rows
+    * to the cell-partitioned inverted file on disk. */
+  def ivfAppendSaved(spark: SparkSession, dir: String, vectors: DataFrame): Unit =
+    IvfIndex.appendSaved(spark, dir, vectors)
+
   // ---- text analysis -------------------------------------------------------
 
   /** Whitespace-token and punctuation counts per document.
@@ -322,4 +333,20 @@ object Graft {
     * in [[graft.streaming.Multimodal]]. */
   def mediaMeta(media: DataFrame, modality: String): DataFrame =
     Corpus.mediaMeta(media, modality)
+
+  /** Full multimodal feature extraction over a mixed-modality frame:
+    * real image (ImageIO) and audio (AudioSystem) decode to true
+    * dimensions / sample parameters + signal-derived embeddings, the
+    * deterministic stub for video and undecodable bytes. Batched
+    * mapPartitions inside executors — payloads never leave their
+    * partition. Reads: doc_id, modality, payload BINARY. Returns
+    * (docId, modality, nBytes, contentHash, width, height, durationMs,
+    * embedding). */
+  def mediaFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.streaming.Multimodal.extractFeatures(spark,
+      media.select(col("doc_id").cast("long").as("docId"),
+        col("modality"), col("payload")).as[graft.streaming.MediaRow]).toDF()
+  }
 }

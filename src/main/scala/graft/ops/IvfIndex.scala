@@ -135,6 +135,37 @@ object IvfIndex {
     Model(centroids, cells)
   }
 
+  /** Assign a batch of vectors to an EXISTING quantizer — the index
+    * maintenance path: arriving vectors are quantized against the fixed
+    * centroids (one narrow map over the batch, broadcast centroids, no
+    * shuffle of existing cells) and unioned into the inverted file.
+    * Centroids only move under a retrain ([[build]]), so every previous
+    * cell assignment — and every persisted cell partition — stays valid.
+    * Recall decays only as far as the corpus distribution drifts from
+    * the trained quantizer; retrain on your re-shard cadence. */
+  def add(spark: SparkSession, model: Model, vectors: DataFrame): Model =
+    Model(model.centroids,
+      model.cells.unionByName(assign(spark, model.centroids, vectors)))
+
+  private def assign(spark: SparkSession, centroids: Array[Array[Double]],
+      vectors: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) => (id, nearest(bc.value, v), v) }
+      .toDF("vec_id", "cell", "v")
+  }
+
+  /** [[add]] against an index on disk, appending ONLY the new rows to
+    * the cell-partitioned inverted file (dynamic partition append —
+    * existing cell directories are untouched, so the append cost is the
+    * batch, never the index). */
+  def appendSaved(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
+    val model = load(spark, dir)
+    assign(spark, model.centroids, vectors)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Persist the index: tiny centroid table + cell-partitioned inverted
     * file (probes prune to their partitions on read). */
   def save(model: Model, dir: String): Unit = {

@@ -227,6 +227,9 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       encode(col("text"), "UTF-8").cast("binary").as("payload"))
     val meta = Graft.mediaMeta(media, modality = "text").collect()
     assert(meta.length == 5 && meta.forall(_.getAs[String]("modality") == "text"))
+    val feats = Graft.mediaFeatures(media.withColumn("modality", lit("audio"))).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(_.getAs[Long]("nBytes") > 0L)) // text bytes -> audio stub path
   }
 
   test("narrow facade operators run unchanged on a streaming DataFrame") {

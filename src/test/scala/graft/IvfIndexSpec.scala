@@ -56,6 +56,36 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explicit.centroids.length == 5)
   }
 
+  test("incremental add: fixed quantizer, in-memory and on-disk appends answer identically") {
+    import spark.implicits._
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val half = e.where(col("vec_id") % 2 === 0)
+    val rest = e.where(col("vec_id") % 2 === 1)
+    val base = IvfIndex.build(spark, half, k = 8, iters = 2)
+
+    // in-memory union path
+    val grown = IvfIndex.add(spark, base, rest)
+    assert(grown.centroids.zip(base.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(grown.cells.count() == e.count())
+    val inMem = IvfIndex.search(spark, grown, e, probes = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // added vectors are both queryable and findable as neighbors
+    assert(inMem.exists(_._2 % 2 == 1))
+    assert(inMem.map(_._1).size == inMem.size)
+
+    // on-disk append path: only new rows land, existing partitions stay
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    IvfIndex.save(base, dir)
+    IvfIndex.appendSaved(spark, dir, rest)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.cells.count() == e.count())
+    val viaDisk = IvfIndex.search(spark, loaded, e, probes = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDisk == inMem)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("centroid cap is byte-budgeted by dimensionality, not a flat row count") {
     import graft.ops.IvfIndex.{autoK, CentroidBudgetBytes}
     val huge = 1L << 40
