@@ -134,6 +134,12 @@ object Graft {
   def ivfSearch(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       probes: Int = 2): DataFrame = IvfIndex.search(spark, model, queries, probes)
 
+  /** kNN label propagation: majority label of each vector's k exact
+    * nearest neighbors (ties to the smallest label) — pseudo-labeling
+    * for semi-supervised curation. Reads: vec_id, embedding, label. */
+  def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
+    Similarity.knnClassify(vecs, k)
+
   /** Quantize a new vector batch against an existing index's fixed
     * centroids and union it in — index maintenance without retraining
     * (one narrow map over the batch). */

@@ -863,6 +863,31 @@ object Similarity {
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
 
+  /** kNN label propagation (pseudo-labeling): each vector takes the
+    * majority label of its `k` exact nearest neighbors (cosine; ties by
+    * vote count break to the SMALLEST label — deterministic and
+    * hash-gateable). The auto-labeling step of semi-supervised data
+    * curation: propagate a seed set's gold labels across an embedded
+    * corpus. In: (vec_id, embedding ARRAY<numeric>, label INT). Out:
+    * (vec_id, predicted_label, votes).
+    *
+    * Scale: the neighbor source is [[cosineTopK]] — exact and quadratic
+    * BY SEMANTICS (the declared baseline; swap in the LSH/IVF candidates
+    * for the sub-quadratic path, the vote logic is unchanged). The
+    * classify step itself adds one id-keyed label re-attach (AQE
+    * broadcasts the 2-column label table when small) and two bounded
+    * aggregations: (query, label) votes — at most k rows per query —
+    * then a max(struct) majority pick, both map-side combined. */
+  def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
+    cosineTopK(vecs, k)
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("votes"), (-col("label")).as("negLabel"))).as("best"))
+      .select(col("vec_id"), (-col("best.negLabel")).as("predicted_label"),
+        col("best.votes").as("votes"))
+
   /** (vec_id, v, nrm) with zero-norm vectors excluded — the shared entry
     * of the cosine family. Norms are computed once per VECTOR (pre-join
     * projection), not per candidate pair — per-pair norm recomputation
@@ -1055,6 +1080,31 @@ object Similarity {
     Q("d08_ann_lsh",
       (s, d) => annBestNeighbor(embeddings(s, d)),
       None),
+
+    // d28: kNN label propagation over the exact top-3 neighbors — the
+    // pseudo-labeling step of semi-supervised curation. Integer outputs
+    // (label, vote count), so the gate is hash-exact; the oracle mirrors
+    // d07's pairwise-cosine ranking and breaks vote ties to the smallest
+    // label exactly like the max(struct(votes, -label)) aggregate.
+    Q("d28_knn_classify",
+      (s, d) => knnClassify(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+             |sim AS (
+             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id, c.label,
+             |         list_dot_product(q.v, c.v)
+             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+             |topk AS (
+             |  SELECT vec_id, label FROM (
+             |    SELECT vec_id, label,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |    FROM sim)
+             |  WHERE rank <= 3),
+             |votes AS (SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+             |SELECT vec_id, label AS predicted_label, votes FROM (
+             |  SELECT vec_id, label, votes,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
+             |  FROM votes) WHERE rn = 1""".stripMargin)),
 
     // d14: near-duplicate CLUSTERING — connected components over the d06
     // pair graph. Plan: partition-local union-find contraction (one narrow

@@ -222,6 +222,22 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found.count() == 40)
   }
 
+  test("knnClassify: majority label of exact neighbors, ties to the smallest label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.98f, 0.15f), 2),
+      (3L, Array(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Graft.knnClassify(vecs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // vec 0's neighbors carry labels {1, 2, 9} -> three-way tie, smallest wins
+    assert(out(0L) == ((1, 1L)))
+    // vec 3's neighbors carry labels {1, 1, 2} -> majority 1 with 2 votes
+    assert(out(3L) == ((1, 2L)))
+  }
+
   test("multimodal metadata works on in-memory binary payloads") {
     val media = docsDf.select(col("doc_id"),
       encode(col("text"), "UTF-8").cast("binary").as("payload"))
