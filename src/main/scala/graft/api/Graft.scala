@@ -239,6 +239,15 @@ object Graft {
       targets: Option[DataFrame] = None): DataFrame =
     Curation.mixWeights(docs, dims, targets)
 
+  /** Materialize [[mixWeights]] deterministically: per-doc copy counts
+    * (floor(weight) + an md5-chosen extra for the fractional part) that
+    * realize the target mix — reproducible across runs and engines,
+    * unlike an engine-seeded rand(). Reads: doc_id, <dims> on `docs`;
+    * (dims..., weight) on `weights`. */
+  def applyMix(docs: DataFrame, weights: DataFrame,
+      dims: Seq[String] = Seq("lang", "source")): DataFrame =
+    Curation.applyMix(docs, weights, dims)
+
   /** PII scrubbing: emails / IPv4 addresses / phone-shaped digit runs
     * replaced with typed placeholders, per-doc detection counts
     * alongside. Narrow codegen'd regexp chain — streaming-safe.

@@ -409,6 +409,33 @@ object Curation {
       Seq(col("n_docs"), col("n_tokens"), col("weight")): _*)
   }
 
+  /** Materialize a [[mixWeights]] plan: per-document copy counts that
+    * realize each cell's sampling multiplier deterministically —
+    * n_copies = floor(weight) + one extra copy for the md5-chosen
+    * fraction of the cell's docs (weight < 1 downsamples: most docs get
+    * 0 copies; weight > 1 upsamples: every doc repeats, a fraction
+    * repeats once more). The coin is the first 8 hex chars of
+    * md5(doc_id) compared against the per-cell threshold hex — the same
+    * engine-independent determinism d21's sampler uses, so the result
+    * is reproducible across runs AND engines (hash-gateable; an
+    * engine-seeded rand() would be neither). In: docs + the weights
+    * frame (dims..., weight). Out: (doc_id, dims..., n_copies) —
+    * expected copy total per cell = weight * cell size.
+    *
+    * Scale: one broadcast join against the |cells|-row weights frame
+    * and a narrow per-row expression — no shuffle of the corpus. */
+  def applyMix(docs: DataFrame, weights: DataFrame,
+      dims: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val frac = col("weight") - floor(col("weight"))
+    val thresholdHex = format_string("%08x",
+      floor(frac * 4294967296.0).cast(LongType))
+    docs.join(broadcast(weights.select((dims.map(col) :+ col("weight")): _*)), dims)
+      .select((Seq(col("doc_id")) ++ dims.map(col) :+
+        (floor(col("weight")).cast(LongType) +
+          when(substring(md5(col("doc_id").cast(StringType)), 1, 8) < thresholdHex,
+            1L).otherwise(0L)).as("n_copies")): _*)
+  }
+
   // PII patterns shared by the Spark and DuckDB sides of d27 — kept to
   // syntax with identical semantics in java.util.regex and RE2 (no
   // lookaround, no backreferences; \b, \d, {m,n} behave alike).
@@ -540,6 +567,27 @@ object Curation {
              |SELECT lang, source, n_docs, n_tokens,
              |       CAST(total_tokens AS DOUBLE) / CAST(n_cells * n_tokens AS DOUBLE) AS weight
              |FROM c, t""".stripMargin)),
+
+    Q("d29_apply_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+        applyMix(docs, mixWeights(docs))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, source, count(*) AS n_docs,
+             |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |             count(*) AS n_cells FROM c),
+             |w AS (SELECT lang, source,
+             |             CAST(total_tokens AS DOUBLE) / CAST(n_cells * n_tokens AS DOUBLE) AS weight
+             |      FROM c, t)
+             |SELECT d.doc_id, d.lang, d.source,
+             |       CAST(floor(weight) AS BIGINT) +
+             |       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+             |                 printf('%08x', CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT))
+             |            THEN 1 ELSE 0 END AS n_copies
+             |FROM documents d JOIN w USING (lang, source)""".stripMargin)),
 
     Q("d27_pii_scrub",
       (s, d) => piiScrub(documents(s, d)),

@@ -248,6 +248,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2(("en", "web")) == 0.5 * 8 / 6 && out2(("ru", "books")) == 2.0)
   }
 
+  test("applyMix: integer weights copy exactly; fractional weights sample the md5 coin") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "d e f", "en", "web"),
+      (3L, "g h", "ru", "books")).toDF("doc_id", "text", "lang", "source")
+    // uniform target: en/web weight 2/3 (frac .667 coin), ru/books exactly 2
+    val out = Curation.applyMix(df, Curation.mixWeights(df)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(3L) == 2L) // weight 2.0: frac 0 -> every doc exactly 2 copies
+    assert(Seq(0L, 1L).contains(out(1L)) && Seq(0L, 1L).contains(out(2L)))
+    // deterministic: the md5 coin lands the same way every run
+    val again = Curation.applyMix(df, Curation.mixWeights(df)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out)
+    // expected copy mass per cell ~ weight * n_docs: on a bigger cell the
+    // md5 coin must land near its probability
+    val big = (1L to 1000L).map(id => (id, "w x y z", "en", "web")).toDF(
+      "doc_id", "text", "lang", "source")
+    val w = Seq(("en", "web", 0.5)).toDF("lang", "source", "weight")
+    val copies = Curation.applyMix(big, w).agg(sum(col("n_copies"))).head().getLong(0)
+    assert(copies > 400 && copies < 600, s"got $copies of expected ~500")
+  }
+
   test("piiScrub: planted emails/IPs/phones are redacted and counted") {
     val out = Curation.piiScrub(docs(
         1L -> "contact bob@example.com or 555-123 4567, server at 192.168.1.1",
