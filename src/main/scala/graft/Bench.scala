@@ -57,20 +57,22 @@ object Bench {
     // contamination). Min (not mean) because steal only ever ADDS time.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def time(qs: Seq[Q]): Seq[(String, Double)] = qs.map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec =
-        try math.min(once(), once())
-        catch {
+      // each run guards itself: a transient failure on ONE run must not
+      // discard the other run's valid timing (a query is an error only
+      // when BOTH runs fail)
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            errors += q.name
+            System.err.println(s"[bench] ${q.name} run FAILED: ${e.getMessage}")
             -1.0
         }
-      q.name -> sec
+      val runs = Seq(once(), once()).filter(_ >= 0)
+      if (runs.isEmpty) errors += q.name
+      q.name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
 
     val base = time(baselineSet)

@@ -400,9 +400,13 @@ object Curation {
         withTotals.withColumn("weight", col("total_tokens").cast(DoubleType) /
           (col("n_cells") * col("n_tokens")).cast(DoubleType))
       case Some(t) =>
-        withTotals.join(broadcast(t), dims)
+        // LEFT join: a cell absent from `targets` surfaces as an
+        // explicit weight-0 row (and 0 copies under applyMix) instead of
+        // silently vanishing from the assembled mix
+        withTotals.join(broadcast(t), dims, "left")
           .withColumn("weight",
-            col("target_frac") * col("total_tokens").cast(DoubleType) /
+            coalesce(col("target_frac"), lit(0.0)) *
+              col("total_tokens").cast(DoubleType) /
               col("n_tokens").cast(DoubleType))
     }
     weighted.select(dims.map(col) ++
@@ -441,7 +445,13 @@ object Curation {
   // lookaround, no backreferences; \b, \d, {m,n} behave alike).
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private[graft] val PhoneRe = "\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}"
+  // \b on both ends: an unguarded \d{3}... matches the FIRST 10 digits
+  // of any longer digit run (mangling numeric IDs and leaving residue
+  // digits glued to the placeholder); boundaries restrict the match to
+  // standalone phone-shaped runs. \b sits between word and non-word, so
+  // it composes with the optional '+' (non-word) and digit correctly in
+  // both java.util.regex and RE2.
+  private[graft] val PhoneRe = "\\+?\\b\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b"
 
   /** PII scrubbing — the redaction pass a training-data pipeline runs
     * before anything ships to a trainer: emails, IPv4 addresses, and
@@ -595,9 +605,9 @@ object Curation {
              |  regexp_replace(regexp_replace(regexp_replace(text,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             |    '\+?\d{3}[- ]?\d{3}[- ]?\d{4}', '<PHONE>', 'g') AS scrubbed,
+             |    '\+?\b\d{3}[- ]?\d{3}[- ]?\d{4}\b', '<PHONE>', 'g') AS scrubbed,
              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
              |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-             |  CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]?\d{3}[- ]?\d{4}')) AS BIGINT) AS n_phones
+             |  CAST(len(regexp_extract_all(text, '\+?\b\d{3}[- ]?\d{3}[- ]?\d{4}\b')) AS BIGINT) AS n_phones
              |FROM documents""".stripMargin)))
 }

@@ -70,11 +70,15 @@ object IvfIndex {
     * fixed probes, larger k means faster queries but lower recall. Tune
     * probes to the recall target first, then k to the latency target
     * (measured sweep: graft.tools.AnnTune). */
-  private[graft] def autoK(n: Long, dim: Int): Int = {
-    val byBudget = math.max(1L, CentroidBudgetBytes / (math.max(1, dim) * 8L))
-    math.max(1L, Seq(65536L, byBudget,
+  /** Largest centroid count whose collected table fits the byte budget
+    * at width `dim` — the single source of the budget arithmetic shared
+    * by [[autoK]] and [[build]]'s explicit-k validation. */
+  private[graft] def maxKForDim(dim: Int): Long =
+    math.max(1L, CentroidBudgetBytes / (math.max(1, dim) * 8L))
+
+  private[graft] def autoK(n: Long, dim: Int): Int =
+    math.max(1L, Seq(65536L, maxKForDim(dim),
       math.round(math.sqrt(n.toDouble))).min).toInt
-  }
 
   /** Train the coarse quantizer and assign every vector to its cell.
     * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). `k = 0` (the
@@ -94,7 +98,7 @@ object IvfIndex {
     val dim = e.take(1).headOption.map(_._2.length).getOrElse(0)
     // an explicit k must still fit the centroid collect in driver heap —
     // fail fast instead of OOMing the driver mid-Lloyd
-    require(k == 0 || k.toLong * math.max(1, dim) * 8L <= CentroidBudgetBytes,
+    require(k == 0 || k <= maxKForDim(dim),
       s"k=$k centroids of dim=$dim exceed the ${CentroidBudgetBytes >> 20} MB " +
         "centroid budget; shrink k or raise probes instead")
     val kk = if (k > 0) k else autoK(e.count(), dim)

@@ -880,7 +880,11 @@ object Similarity {
     * then a max(struct) majority pick, both map-side combined. */
   def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
     cosineTopK(vecs, k)
-      .join(vecs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      // unlabeled neighbors are abstentions, not votes — in the
+      // mostly-unlabeled corpus this op exists for, counting nulls
+      // would let "no label" win the majority and emit NULL predictions
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("label"))
+        .where(col("label").isNotNull), "neighbor_id")
       .groupBy(col("vec_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("vec_id"))

@@ -146,9 +146,13 @@ object Multimodal {
         while (i < nSamples) {
           val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
           val frame = i / channels
+          // Long math: frame * EmbeddingDim overflows Int past 2^28
+          // frames (~1.7 h at 44.1 kHz) — the wrap would index negative,
+          // throw, and silently downgrade a valid file to the stub
           val cell =
             if (nFrames == 0) 0
-            else math.min(EmbeddingDim - 1, frame * EmbeddingDim / nFrames)
+            else math.min(EmbeddingDim - 1,
+              (frame.toLong * EmbeddingDim / nFrames).toInt)
           acc(cell) += math.abs(s / 32768.0)
           cnt(cell) += 1
           i += 1

@@ -145,9 +145,16 @@ object ScaleSmoke {
           acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
       spark.sparkContext.addSparkListener(l)
-      // listener delivery is async: give the bus a beat before reading
-      try { body; Thread.sleep(2000) }
-      finally spark.sparkContext.removeSparkListener(l)
+      // listener delivery is async: poll until the counter stabilizes
+      // (a fixed sleep undercounts when the bus lags under host load)
+      try {
+        body
+        var prev = -1L
+        var spins = 0
+        while (acc.get() != prev && spins < 30) {
+          prev = acc.get(); Thread.sleep(500); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
       acc.get()
     }
     val sBytes = shuffledBytes {

@@ -246,6 +246,12 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out2 = Curation.mixWeights(df, targets = Some(skew)).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
     assert(out2(("en", "web")) == 0.5 * 8 / 6 && out2(("ru", "books")) == 2.0)
+    // a cell with no target row surfaces as an explicit weight-0 row —
+    // a whole domain must not silently vanish from the assembled mix
+    val partial = Seq(("en", "web", 1.0)).toDF("lang", "source", "target_frac")
+    val out3 = Curation.mixWeights(df, targets = Some(partial)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out3.size == 2 && out3(("ru", "books")) == 0.0)
   }
 
   test("applyMix: integer weights copy exactly; fractional weights sample the md5 coin") {
@@ -297,6 +303,15 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // email first so the phone digits are gone from the output
     assert(out(2L)._1 == "<EMAIL>")
     assert(out(2L)._2 == 1L && out(2L)._4 == 1L)
+  }
+
+  test("piiScrub: long digit runs are NOT phones (boundary guards)") {
+    val out = Curation.piiScrub(docs(
+        1L -> "order 1234567890123456 confirmed", // 16-digit ID, not a phone
+        2L -> "call 5551234567 now")) // standalone 10 digits IS one
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(out(1L) == (("order 1234567890123456 confirmed", 0L)))
+    assert(out(2L) == (("call <PHONE> now", 1L)))
   }
 
   test("piiScrub is a narrow streaming-safe projection (no shuffle in the plan)") {

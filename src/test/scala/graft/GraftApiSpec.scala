@@ -236,6 +236,17 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0L) == ((1, 1L)))
     // vec 3's neighbors carry labels {1, 1, 2} -> majority 1 with 2 votes
     assert(out(3L) == ((1, 2L)))
+    // unlabeled neighbors ABSTAIN — they must not outvote real labels
+    // (the mostly-unlabeled corpus is the pseudo-labeling use case)
+    val sparse = Seq(
+      (0L, Array(1.0f, 0.0f), null.asInstanceOf[Integer]),
+      (1L, Array(0.99f, 0.1f), null.asInstanceOf[Integer]),
+      (2L, Array(0.98f, 0.15f), Integer.valueOf(5)),
+      (3L, Array(0.97f, 0.2f), null.asInstanceOf[Integer]))
+      .toDF("vec_id", "embedding", "label")
+    val sparseOut = Graft.knnClassify(sparse, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sparseOut.values.forall(_ == 5)) // the one gold label propagates
   }
 
   test("multimodal metadata works on in-memory binary payloads") {

@@ -42,7 +42,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rng = new scala.util.Random(11)
     val df = Seq.fill(20000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
       .toDF("x", "y")
-    val dir = "/tmp/graft_zorder_spec"
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
     ZOrder.writeZOrdered(df, s"$dir/z", Seq("x", "y"), files = 16)
     df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
       .write.mode("overwrite").parquet(s"$dir/linear")
@@ -70,6 +70,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     // linear sort: x is narrow but y spans ~the full range in every file
     assert(linSpans.forall { case (sx, _) => sx <= 200 })
     assert(linSpans.forall { case (_, sy) => sy >= 900 })
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("end-to-end: a selective predicate on the NON-sort column prunes z-ordered row groups") {
@@ -78,7 +79,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rng = new scala.util.Random(13)
     val df = Seq.fill(20000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
       .toDF("x", "y")
-    val dir = "/tmp/graft_zorder_prune_spec"
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-prune").toString
     ZOrder.writeZOrdered(df, s"$dir/z", Seq("x", "y"), files = 16)
     df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
       .write.mode("overwrite").parquet(s"$dir/linear")
@@ -124,5 +125,6 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val zRows = spark.read.parquet(s"$dir/z").where(col("y").between(lo, hi)).count()
     val linRows = spark.read.parquet(s"$dir/linear").where(col("y").between(lo, hi)).count()
     assert(zRows == linRows)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
