@@ -136,9 +136,26 @@ object Graft {
 
   /** kNN label propagation: majority label of each vector's k exact
     * nearest neighbors (ties to the smallest label) — pseudo-labeling
-    * for semi-supervised curation. Reads: vec_id, embedding, label. */
+    * for semi-supervised curation. One row per input vector; vectors
+    * with no labeled neighbor emit predicted_label NULL / votes 0.
+    * Reads: vec_id, embedding, label. */
   def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
     Similarity.knnClassify(vecs, k)
+
+  /** ANN top-k neighbors per vector (LSH multiprobe candidates, exact
+    * cosine scoring) — the sub-quadratic counterpart of [[cosineTopK]],
+    * same output schema. Reads: vec_id, embedding. */
+  def annTopK(vecs: DataFrame, k: Int = 3, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    Similarity.annTopK(vecs, k, tables, bitsPerTable, probeFlips)
+
+  /** [[knnClassify]] over the ANN candidate stream — the form
+    * pseudo-labeling takes at corpus scale, where the exact quadratic
+    * neighbor source is unrunnable. Same vote/abstention semantics and
+    * one-row-per-input contract. Reads: vec_id, embedding, label. */
+  def knnClassifyAnn(vecs: DataFrame, k: Int = 3, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    Similarity.knnClassifyAnn(vecs, k, tables, bitsPerTable, probeFlips)
 
   /** Quantize a new vector batch against an existing index's fixed
     * centroids and union it in — index maintenance without retraining

@@ -377,13 +377,16 @@ object Curation {
     * Scale: ONE corpus scan and ONE partial-aggregated shuffle whose key
     * cardinality is the cell count (dozens-to-thousands at any corpus
     * size — lang × source is bounded by the crawl's structure, not its
-    * bytes). The grand totals come from an unpartitioned window OVER THE
-    * CELLS frame — a single-task pass over |cells| rows, never the
-    * corpus (a separate `cells.agg(...)` would recompute the whole
-    * lineage: the two aggregates differ, so exchange reuse cannot merge
-    * them, and the corpus would be scanned twice — caught in this
-    * round's plan audit). The weight is one double division of exact
-    * integer aggregates, so it is cross-engine exact. */
+    * bytes). The CELLS frame is cache()d and the grand totals come from
+    * a 1-row `agg` of it, broadcast-cross-joined back — the cache makes
+    * the totals read |cells| cached rows instead of re-running the
+    * corpus scan (the two aggregates differ, so exchange reuse could
+    * not merge them), and unlike the previous unpartitioned-window
+    * form there is NO single-task pass over all cells: a caller passing
+    * a high-cardinality dim (say a URL host) degrades to a parallel
+    * aggregation, not a one-task bottleneck. The weight is one double
+    * division of exact integer aggregates, so it is cross-engine
+    * exact. */
   def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
       targets: Option[DataFrame] = None): DataFrame = {
     require(dims.nonEmpty, "need at least one mix dimension")
@@ -391,10 +394,11 @@ object Curation {
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens"))
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withTotals = cells
-      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
-      .withColumn("n_cells", count(lit(1)).over(all))
+      .cache()
+    val totals = cells.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_cells"))
+    val withTotals = cells.crossJoin(broadcast(totals))
     val weighted = targets match {
       case None =>
         withTotals.withColumn("weight", col("total_tokens").cast(DoubleType) /
@@ -431,8 +435,18 @@ object Curation {
   def applyMix(docs: DataFrame, weights: DataFrame,
       dims: Seq[String] = Seq("lang", "source")): DataFrame = {
     val frac = col("weight") - floor(col("weight"))
+    // least() clamp: if floor(frac * 2^32) ever landed on 2^32, '%08x'
+    // would emit the 9-char '100000000', whose lexicographic compare
+    // grants the extra copy only to md5 prefixes starting '0' (~1/16 of
+    // docs) — silently inverting a near-certain upsample. For IEEE
+    // doubles the edge is unreachable (frac is exact by Sterbenz and
+    // < 1, and (1-2^-53)*2^32 = 2^32 - 2^-21 is exactly representable,
+    // so the product never rounds up to 2^32) — but the failure mode is
+    // severe and silent, so the clamp pins the 8-char invariant
+    // structurally rather than by numeric argument. The d29 oracle
+    // carries the same clamp.
     val thresholdHex = format_string("%08x",
-      floor(frac * 4294967296.0).cast(LongType))
+      least(lit(4294967295L), floor(frac * 4294967296.0).cast(LongType)))
     docs.join(broadcast(weights.select((dims.map(col) :+ col("weight")): _*)), dims)
       .select((Seq(col("doc_id")) ++ dims.map(col) :+
         (floor(col("weight")).cast(LongType) +
@@ -595,7 +609,7 @@ object Curation {
              |SELECT d.doc_id, d.lang, d.source,
              |       CAST(floor(weight) AS BIGINT) +
              |       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
-             |                 printf('%08x', CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT))
+             |                 printf('%08x', CAST(least(4294967295, floor((weight - floor(weight)) * 4294967296.0)) AS BIGINT))
              |            THEN 1 ELSE 0 END AS n_copies
              |FROM documents d JOIN w USING (lang, source)""".stripMargin)),
 

@@ -863,26 +863,23 @@ object Similarity {
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
 
-  /** kNN label propagation (pseudo-labeling): each vector takes the
-    * majority label of its `k` exact nearest neighbors (cosine; ties by
-    * vote count break to the SMALLEST label — deterministic and
-    * hash-gateable). The auto-labeling step of semi-supervised data
-    * curation: propagate a seed set's gold labels across an embedded
-    * corpus. In: (vec_id, embedding ARRAY<numeric>, label INT). Out:
-    * (vec_id, predicted_label, votes).
-    *
-    * Scale: the neighbor source is [[cosineTopK]] — exact and quadratic
-    * BY SEMANTICS (the declared baseline; swap in the LSH/IVF candidates
-    * for the sub-quadratic path, the vote logic is unchanged). The
-    * classify step itself adds one id-keyed label re-attach (AQE
-    * broadcasts the 2-column label table when small) and two bounded
-    * aggregations: (query, label) votes — at most k rows per query —
-    * then a max(struct) majority pick, both map-side combined. */
-  def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
-    cosineTopK(vecs, k)
-      // unlabeled neighbors are abstentions, not votes — in the
-      // mostly-unlabeled corpus this op exists for, counting nulls
-      // would let "no label" win the majority and emit NULL predictions
+  /** The shared vote stage of the kNN-classification family
+    * ([[knnClassify]] / [[knnClassifyAnn]]): majority label over a
+    * (vec_id, neighbor_id) candidate stream, abstaining on unlabeled
+    * neighbors, with ONE ROW PER INPUT VECTOR — a vector whose whole
+    * neighborhood is unlabeled (or empty, as the ANN path allows)
+    * surfaces as predicted_label NULL / votes 0 instead of silently
+    * vanishing: in the mostly-unlabeled corpus pseudo-labeling runs
+    * over, "no prediction" and "not in the output" are different facts.
+    * Plan: one id-keyed label re-attach (AQE broadcasts the 2-column
+    * label table when small), two bounded map-side-combined
+    * aggregations — (query, label) votes are at most k rows per query,
+    * then a max(struct) majority pick — and a left join of the
+    * |queries|-row vote table back onto the input id set. */
+  private def majorityVote(vecs: DataFrame, neighbors: DataFrame): DataFrame = {
+    val votes = neighbors
+      // unlabeled neighbors are abstentions, not votes — counting nulls
+      // would let "no label" win the majority
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("label"))
         .where(col("label").isNotNull), "neighbor_id")
       .groupBy(col("vec_id"), col("label"))
@@ -891,6 +888,69 @@ object Similarity {
       .agg(max(struct(col("votes"), (-col("label")).as("negLabel"))).as("best"))
       .select(col("vec_id"), (-col("best.negLabel")).as("predicted_label"),
         col("best.votes").as("votes"))
+    vecs.select(col("vec_id"))
+      .join(votes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("predicted_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  /** kNN label propagation (pseudo-labeling): each vector takes the
+    * majority label of its `k` exact nearest neighbors (cosine; ties by
+    * vote count break to the SMALLEST label — deterministic and
+    * hash-gateable). The auto-labeling step of semi-supervised data
+    * curation: propagate a seed set's gold labels across an embedded
+    * corpus. In: (vec_id, embedding ARRAY<numeric>, label INT). Out:
+    * (vec_id, predicted_label, votes) — exactly one row per input
+    * vector; a vector with no labeled neighbor in its top-k gets
+    * predicted_label NULL / votes 0.
+    *
+    * Scale: the neighbor source is [[cosineTopK]] — exact and quadratic
+    * BY SEMANTICS (the declared baseline; [[knnClassifyAnn]] is the
+    * same vote over the sub-quadratic LSH candidate stream). */
+  def knnClassify(vecs: DataFrame, k: Int = 3): DataFrame =
+    majorityVote(vecs,
+      cosineTopK(vecs, k).select(col("vec_id"), col("neighbor_id")))
+
+  /** ANN top-k neighbors per vector — the sub-quadratic counterpart of
+    * [[cosineTopK]]. Candidates come from the same corpus-width
+    * multiprobe hyperplane tables as [[annBestNeighbor]], are deduped
+    * first (multi-table/multi-probe collisions would otherwise occupy
+    * several top-k slots for one neighbor), scored with the exact
+    * cosine, and ranked by the same bounded TopKAgg. Output schema
+    * matches cosineTopK: (vec_id, rank, neighbor_id); a query whose
+    * buckets yield fewer than k candidates emits fewer rows. */
+  def annTopK(vecs: DataFrame, k: Int = 3, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    require(k > 0 && tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 &&
+      probeFlips >= 0, "need k > 0, tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
+    val topk = udaf(new TopKAgg(k))
+    val e = normalizedVecs(vecs)
+    val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
+    val cand = annCandidatePairs(e, tables, bits, probeFlips).distinct()
+    cand.as("p")
+      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
+      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("cid"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("sim"), col("cid")).as("t"))
+      .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
+  }
+
+  /** kNN label propagation over the ANN candidate stream — the form
+    * pseudo-labeling actually takes at 100 TB, where the exact quadratic
+    * [[knnClassify]] is unrunnable: same [[majorityVote]] stage (same
+    * abstention rule, same one-row-per-input contract, uncovered
+    * vectors NULL/0), with [[annTopK]] as the neighbor source. The
+    * prediction is approximate exactly as far as the neighbor set is —
+    * label agreement vs the exact baseline rides in bench.json
+    * "quality" next to d08/d17 recall, and SimilaritySpec bounds it. */
+  def knnClassifyAnn(vecs: DataFrame, k: Int = 3, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    majorityVote(vecs,
+      annTopK(vecs, k, tables, bitsPerTable, probeFlips)
+        .select(col("vec_id"), col("neighbor_id")))
 
   /** (vec_id, v, nrm) with zero-norm vectors excluded — the shared entry
     * of the cosine family. Norms are computed once per VECTOR (pre-join
@@ -1089,7 +1149,12 @@ object Similarity {
     // pseudo-labeling step of semi-supervised curation. Integer outputs
     // (label, vote count), so the gate is hash-exact; the oracle mirrors
     // d07's pairwise-cosine ranking and breaks vote ties to the smallest
-    // label exactly like the max(struct(votes, -label)) aggregate.
+    // label exactly like the max(struct(votes, -label)) aggregate. Both
+    // sides encode the abstention rule the same way: top-k is ranked
+    // over ALL neighbors, null-label neighbors drop AFTER ranking (an
+    // unlabeled near neighbor costs a vote, it does not promote the
+    // next-nearest labeled one), and every input vector emits a row —
+    // uncovered vectors as predicted_label NULL / votes 0.
     Q("d28_knn_classify",
       (s, d) => knnClassify(embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
@@ -1103,12 +1168,27 @@ object Similarity {
              |    SELECT vec_id, label,
              |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
              |    FROM sim)
-             |  WHERE rank <= 3),
-             |votes AS (SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
-             |SELECT vec_id, label AS predicted_label, votes FROM (
-             |  SELECT vec_id, label, votes,
-             |         row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
-             |  FROM votes) WHERE rn = 1""".stripMargin)),
+             |  WHERE rank <= 3 AND label IS NOT NULL),
+             |votes AS (SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2),
+             |best AS (
+             |  SELECT vec_id, label AS predicted_label, votes FROM (
+             |    SELECT vec_id, label, votes,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT q.vec_id, b.predicted_label,
+             |       COALESCE(b.votes, CAST(0 AS BIGINT)) AS votes
+             |FROM (SELECT vec_id FROM embeddings) q
+             |LEFT JOIN best b USING (vec_id)""".stripMargin)),
+
+    // d30: kNN label propagation over the LSH candidate stream — the
+    // sub-quadratic production form of d28 (pseudo-labeling at 100 TB
+    // runs on the ANN path by definition). Deterministic (fixed
+    // hyperplane seed) but engine-specific → rows-only check; label
+    // agreement vs the exact d28 baseline is emitted into bench.json
+    // "quality" next to d08/d17 recall (bounds in SimilaritySpec).
+    Q("d30_knn_classify_ann",
+      (s, d) => knnClassifyAnn(embeddings(s, d)),
+      None),
 
     // d14: near-duplicate CLUSTERING — connected components over the d06
     // pair graph. Plan: partition-local union-find contraction (one narrow
@@ -1181,4 +1261,12 @@ object Similarity {
     * field can record the (recall, probes, k) triple it measured. */
   val D17Cells = 16
   val D17Probes = 13
+
+  /** Query names whose plans read the per-(session, dir) memo caches
+    * (sketch/gram/pair tables shared across the d06/d14/d19 family):
+    * in a run-twice bench, run 2 of these is a WARM cache probe, not an
+    * independent cold measurement — the bench marks them in its artifact
+    * so a reader can interpret the per-run times correctly. */
+  val MemoizedQueries: Set[String] =
+    Set("d06_minhash_lsh", "d14_dedup_components", "d19_jaccard_prefix")
 }

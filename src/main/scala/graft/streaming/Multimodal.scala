@@ -116,12 +116,31 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** PCM read-buffer size for [[decodeAudio]]'s chunked scan. */
+  private val AudioChunkBytes = 64 << 10
+
+  /** PCM byte cap for the rare stream-with-no-declared-frame-count path
+    * (WAV/AIFF/AU all declare one): past this the decode degrades to the
+    * stub instead of buffering unboundedly. */
+  private val MaxUnsizedPcmBytes: Long = 64L << 20
+
   /** Real audio decode: `javax.sound.sampled.AudioSystem` (JDK-bundled —
     * WAV, AIFF, AU) → true (sampleRate, channels, duration) and an
     * `EmbeddingDim`-cell mean-|amplitude| time profile of the actual PCM
     * frames (normalized to signed 16-bit little-endian first, so the
     * amplitude math is uniform across source encodings). None when the
-    * bytes are not a decodable audio stream. */
+    * bytes are not a decodable audio stream.
+    *
+    * Memory is BOUNDED regardless of duration: the PCM is scanned in
+    * `AudioChunkBytes` chunks (the frame total needed for the cell
+    * mapping is available up front from `getFrameLength`), never
+    * materialized whole — readAllBytes() on a large payload (or an
+    * 8-bit/u-law source that doubles when normalized to 16-bit) could
+    * throw OutOfMemoryError, which is an Error, ESCAPES the Exception
+    * fallback below, and kills the task — contrary to the "must not
+    * kill a 10^9-row pipeline" design. A stream that declares no frame
+    * count falls back to a `MaxUnsizedPcmBytes`-capped buffer, and past
+    * the cap to the stub. */
   private[streaming] def decodeAudio(payload: Array[Byte]): Option[Decoded] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -130,38 +149,83 @@ object Multimodal {
         val fmt = in.getFormat
         val sampleRate = math.round(fmt.getSampleRate)
         val channels = fmt.getChannels
-        val pcmFmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
-          false)
-        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
-        val bytes = pcm.readAllBytes()
-        val nSamples = bytes.length / 2 // interleaved 16-bit channel samples
-        val nFrames = if (channels > 0) nSamples / channels else 0
-        val durationMs =
-          if (sampleRate > 0) nFrames * 1000L / sampleRate else 0L
-        val acc = new Array[Double](EmbeddingDim)
-        val cnt = new Array[Long](EmbeddingDim)
-        var i = 0
-        while (i < nSamples) {
-          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-          val frame = i / channels
-          // Long math: frame * EmbeddingDim overflows Int past 2^28
-          // frames (~1.7 h at 44.1 kHz) — the wrap would index negative,
-          // throw, and silently downgrade a valid file to the stub
-          val cell =
-            if (nFrames == 0) 0
-            else math.min(EmbeddingDim - 1,
-              (frame.toLong * EmbeddingDim / nFrames).toInt)
-          acc(cell) += math.abs(s / 32768.0)
-          cnt(cell) += 1
-          i += 1
+        if (channels <= 0) None
+        else {
+          val pcmFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
+            false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+          // the PCM_SIGNED conversion keeps the frame rate, so the
+          // source's declared frame count IS the converted one
+          val declared = in.getFrameLength
+          if (declared >= 0) scanPcm(pcm, declared, sampleRate, channels)
+          else {
+            // no declared frame count: bounded buffer, stub past the cap
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](AudioChunkBytes)
+            var read = pcm.read(buf)
+            var over = false
+            while (read > 0 && !over) {
+              out.write(buf, 0, read)
+              over = out.size() > MaxUnsizedPcmBytes
+              if (!over) read = pcm.read(buf)
+            }
+            if (over) None
+            else {
+              val bytes = out.toByteArray
+              val nFrames = (bytes.length / 2 / channels).toLong
+              scanPcm(new java.io.ByteArrayInputStream(bytes), nFrames,
+                sampleRate, channels)
+            }
+          }
         }
-        val emb = Array.tabulate(EmbeddingDim)(c =>
-          if (cnt(c) == 0) 0.0f else (acc(c) / cnt(c)).toFloat)
-        Some(Decoded(sampleRate, channels, durationMs, emb))
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** Chunked single-pass scan of a 16-bit little-endian PCM stream:
+    * accumulates the per-cell mean-|amplitude| profile with one
+    * `AudioChunkBytes` buffer as peak state. `nFrames` (known up front)
+    * drives the sample→cell mapping; duration comes from the frames
+    * actually decoded, so a stream shorter than declared still reports
+    * its true duration. */
+  private def scanPcm(pcm: java.io.InputStream, nFrames: Long,
+      sampleRate: Int, channels: Int): Option[Decoded] = {
+    val acc = new Array[Double](EmbeddingDim)
+    val cnt = new Array[Long](EmbeddingDim)
+    val buf = new Array[Byte](AudioChunkBytes)
+    var sampleIdx = 0L
+    var lo = -1 // low byte of a sample split across chunk boundaries
+    var read = pcm.read(buf)
+    while (read > 0) {
+      var i = 0
+      while (i < read) {
+        if (lo < 0) lo = buf(i) & 0xff
+        else {
+          val s = (buf(i).toInt << 8) | lo
+          lo = -1
+          val frame = sampleIdx / channels
+          // Long math throughout: frame * EmbeddingDim would overflow
+          // Int past 2^28 frames (~1.7 h at 44.1 kHz) — the wrap would
+          // index negative, throw, and silently downgrade a valid file
+          // to the stub
+          val cell =
+            if (nFrames == 0) 0
+            else math.min(EmbeddingDim - 1, (frame * EmbeddingDim / nFrames).toInt)
+          acc(cell) += math.abs(s / 32768.0)
+          cnt(cell) += 1
+          sampleIdx += 1
+        }
+        i += 1
+      }
+      read = pcm.read(buf)
+    }
+    val framesRead = sampleIdx / channels
+    val durationMs = if (sampleRate > 0) framesRead * 1000L / sampleRate else 0L
+    val emb = Array.tabulate(EmbeddingDim)(c =>
+      if (cnt(c) == 0) 0.0f else (acc(c) / cnt(c)).toFloat)
+    Some(Decoded(sampleRate, channels, durationMs, emb))
+  }
 
   /** Decode dispatch: real ImageIO for images, real AudioSystem for
     * audio (each with stub fallback for bytes no installed reader

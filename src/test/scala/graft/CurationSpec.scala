@@ -196,6 +196,40 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strings.nonEmpty && hashed == strings)
   }
 
+  test("hashGrams equivalence is a property, not a fixture (adversarial token streams)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the fixture tests above prove count-equality on one corpus; this
+    // property samples adversarial token streams — heavy repetition,
+    // empty documents, multi-byte unicode and surrogate-pair emoji,
+    // visually-identical-but-distinct codepoints (latin 'a' vs cyrillic
+    // 'а'), punctuation-only tokens — the shapes where a string-vs-hash
+    // divergence would hide, so the 1e-19 collision argument rests on
+    // sampled token space, not one hand-picked fixture
+    val token = Gen.oneOf("a", "b", "aa", "а", "б", "☃", "🦊", "x.y", "-")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpusGen, corpusGen) { (trainDocs, evalDocs) =>
+      val train = trainDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val evalSet = evalDocs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      def pairs(h: Boolean) =
+        Curation.contaminationPairs(train, evalSet, n = 2, hashGrams = h)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def spans(h: Boolean) =
+        Curation.dupSpanStats(train, n = 2, hashGrams = h)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      pairs(h = true) == pairs(h = false) && spans(h = true) == spans(h = false)
+    }
+    // 12 sampled corpora (each trial runs four Spark jobs — the trial
+    // count trades CI time, not confidence: tokens are drawn from the
+    // full adversarial vocabulary every trial)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hashGrams mode carries 8-byte gram keys through the d22 join") {
     val evalSet = docs(9L -> "a b c")
     val train = docs(1L -> "a b c x")
@@ -226,6 +260,13 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the defining invariant: weighted token mass is equal per cell
     val masses = out.values.map { case (_, toks, w) => toks * w }.toSeq
     assert(masses.forall(m => math.abs(m - masses.head) < 1e-9))
+    // grand totals come from agg + broadcast cross-join over the cached
+    // cells frame, NOT an unpartitioned window: a high-cardinality `dims`
+    // must degrade to a parallel aggregation, never a one-task pass over
+    // every cell (and the "No Partition Defined for Window" warning that
+    // used to sit in every bench tail is gone with the window)
+    val plan = Curation.mixWeights(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 
   test("mixWeights: explicit target fractions override the uniform share") {
@@ -276,6 +317,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = Seq(("en", "web", 0.5)).toDF("lang", "source", "weight")
     val copies = Curation.applyMix(big, w).agg(sum(col("n_copies"))).head().getLong(0)
     assert(copies > 400 && copies < 600, s"got $copies of expected ~500")
+  }
+
+  test("applyMix: a weight just below 1.0 upsamples near-certainly (threshold boundary)") {
+    import spark.implicits._
+    // frac = nextDown(1.0) drives the md5 coin threshold to its ceiling
+    // 'ffffffff' — every doc except an exact-'ffffffff' md5 prefix
+    // (probability 16^-8) gets the extra copy. Pins the boundary the
+    // least() clamp protects: a threshold that ever formatted as the
+    // 9-char '100000000' would drop this to ~1/16 of docs.
+    val docs = (1L to 256L).map(id => (id, "t", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("en", "web", math.nextDown(1.0))).toDF("lang", "source", "weight")
+    val copies = Curation.applyMix(docs, w).agg(sum(col("n_copies"))).head().getLong(0)
+    assert(copies >= 255L, s"got $copies of 256 near-certain extra copies")
   }
 
   test("piiScrub: planted emails/IPs/phones are redacted and counted") {

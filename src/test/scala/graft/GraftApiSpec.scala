@@ -245,8 +245,15 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, Array(0.97f, 0.2f), null.asInstanceOf[Integer]))
       .toDF("vec_id", "embedding", "label")
     val sparseOut = Graft.knnClassify(sparse, k = 3).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(sparseOut.values.forall(_ == 5)) // the one gold label propagates
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getInt(1))), r.getLong(2))).toMap
+    // one row per INPUT vector: vec 2's whole neighborhood is unlabeled,
+    // so it surfaces as an explicit abstention (NULL label, 0 votes)
+    // instead of silently vanishing from the output
+    assert(sparseOut.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sparseOut(2L) == ((None, 0L)))
+    // the one gold label propagates to every covered vector
+    assert(Seq(0L, 1L, 3L).forall(v => sparseOut(v) == ((Some(5), 1L))))
   }
 
   test("multimodal metadata works on in-memory binary payloads") {

@@ -91,4 +91,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // (bench.json "quality") — hold a 0.8 floor here
     assert(agree.toDouble / rows > 0.8, s"recall@1 = $agree/$rows")
   }
+
+  test("d30 ANN kNN classification agrees with the exact d28 baseline") {
+    import spark.implicits._
+    val queries = graft.SparkEntry.queries
+    val exact = queries("d28_knn_classify")(spark, sf)
+      .select($"vec_id", $"predicted_label".as("exact_label"))
+    val ann = queries("d30_knn_classify_ann")(spark, sf)
+    val n = graft.ops.Tables.embeddings(spark, sf).count()
+    // the one-row-per-input contract holds on the ANN path too: a query
+    // with no bucket-mates still emits an explicit NULL/0 abstention row
+    assert(ann.count() == n, s"coverage ${ann.count()}/$n")
+    // label agreement vs exact kNN — looser than neighbor recall@1 (a
+    // missed neighbor often votes the same label), null-safe compare so
+    // matching abstentions count as agreement. Measured ~1.0 here (and
+    // the per-round value rides in bench.json "quality"); 0.85 floor.
+    val agree = ann.select($"vec_id", $"predicted_label").join(exact, "vec_id")
+      .where($"predicted_label" <=> $"exact_label").count()
+    assert(agree.toDouble / n > 0.85, s"agreement = $agree/$n")
+  }
 }
