@@ -168,6 +168,41 @@ object ScaleSmoke {
     println(f"[scale] d25 n=8 shuffle: strings ${sBytes / 1e6}%.1f MB, " +
       f"hashed ${hBytes / 1e6}%.1f MB (${sBytes.toDouble / math.max(1, hBytes)}%.1fx smaller)")
 
+    // --- mix family growth probe (d26/d29): the d26 shuffle must stay
+    // CELL-bounded — its key cardinality is |lang x source| (34 here),
+    // fixed by the corpus' structure, so shuffle bytes are ~(tasks x
+    // cells) partial rows regardless of corpus size — and d29 must stay
+    // SCAN-dominated (broadcast cells join + narrow md5 projection; its
+    // elapsed should track the bare token-count scan, not add to it).
+    // Measured (50k docs, 2026-08, round 7): d26 shuffle 72.8 KB at 25k
+    // docs -> 71.7 KB at 50k — FLAT across a corpus doubling (bytes
+    // track tasks x 34 cells, not corpus rows), elapsed 0.40/0.22 s =
+    // the scan; d29 0.68/0.49 s vs 0.27/0.22 s bare token-count scan
+    // (~2x — the broadcast join + md5 coin, constant per row); total
+    // copies ~= docs under the uniform target (24,967 / 50,094), as
+    // expected when every cell's weight sits near 1.
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val nSub = sub.count()
+      var nCells = 0L
+      val mixBytes = shuffledBytes {
+        nCells = graft.ops.Curation.mixWeights(sub).count()
+      }
+      val t3 = System.nanoTime()
+      val wts = graft.ops.Curation.mixWeights(sub)
+      wts.write.format("noop").mode("overwrite").save()
+      val tMix = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val copies = graft.ops.Curation.applyMix(sub, wts)
+        .agg(sum(col("n_copies"))).head().getLong(0)
+      val tApply = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      sub.select(sum(size(split(trim(col("text")), "\\s+")))).head()
+      val tScan = (System.nanoTime() - t5) / 1e9
+      println(f"[scale] mix n=$nSub%8d cells=$nCells%4d d26_shuffle=${mixBytes / 1e3}%8.1f KB " +
+        f"d26=${tMix}%.2f s d29=${tApply}%.2f s bare_scan=${tScan}%.2f s copies=$copies")
+    }
+
     // --- d08 candidate-growth probe: the auto-derived signature width
     // (bits ~ log2(N/64)) must keep candidates PER QUERY roughly flat as
     // the corpus grows — a fixed 8-bit geometry's per-query candidates

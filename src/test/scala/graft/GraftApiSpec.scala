@@ -294,24 +294,32 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("pii_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
-      in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"))
+      in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
+        (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       q4.processAllAvailable(); q5.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
-      assert(tok == Map(1L -> 5L, 2L -> 5L))
+      assert(tok == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
       val lid = spark.table("lid_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
-      assert(lid == Map(1L -> "en", 2L -> "de"))
+      assert(lid(1L) == "en" && lid(2L) == "de")
       val rep = spark.table("rep_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
-      assert(rep == Map(1L -> 5L, 2L -> 5L))
+      assert(rep == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
       val grams = spark.table("gram_stream").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("gram"))).toSet
       assert(grams.contains((1L, "the quick")) && grams.contains((2L, "der die")))
-      assert(grams.size == 8) // 4 distinct bigrams per 5-word doc
+      // 4 distinct bigrams per 5-word doc, 5 for the 6-word doc
+      assert(grams.count(_._1 != 3L) == 8 && grams.count(_._1 == 3L) == 5)
+      // the scrub REDACTS on the stream, not just counts: doc 3's email
+      // and IP are replaced with typed placeholders micro-batch-side
       val pii = spark.table("pii_stream").collect()
-      assert(pii.length == 2 && pii.forall(_.getAs[Long]("n_emails") == 0L))
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("scrubbed"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"))).toMap
+      assert(pii.size == 3)
+      assert(pii(1L)._2 == 0L && pii(2L)._2 == 0L)
+      assert(pii(3L) == (("mail me at <EMAIL> from <IP>", 1L, 1L)))
     } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
   }
 
