@@ -157,6 +157,12 @@ object Graft {
       bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
     Similarity.knnClassifyAnn(vecs, k, tables, bitsPerTable, probeFlips)
 
+  /** The kNN vote stage over a caller-supplied (vec_id, neighbor_id)
+    * stream — plug in any candidate source (e.g. [[ivfSearch]] output)
+    * and get [[knnClassify]]'s exact semantics over it. */
+  def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =
+    Similarity.knnClassifyFrom(vecs, neighbors)
+
   /** Quantize a new vector batch against an existing index's fixed
     * centroids and union it in — index maintenance without retraining
     * (one narrow map over the batch). */

@@ -952,6 +952,16 @@ object Similarity {
       annTopK(vecs, k, tables, bitsPerTable, probeFlips)
         .select(col("vec_id"), col("neighbor_id")))
 
+  /** The d28/d30 vote stage over a CALLER-SUPPLIED neighbor stream
+    * (vec_id, neighbor_id) — the open seam for any candidate source the
+    * built-in pairings don't cover: IVF probe results
+    * ([[IvfIndex.search]] emits exactly this shape), a persisted index,
+    * or cross-corpus neighbors. Same abstention rule and
+    * one-row-per-input contract as [[knnClassify]]; `vecs` supplies
+    * both the id universe and the (vec_id, label) seed set. */
+  def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =
+    majorityVote(vecs, neighbors.select(col("vec_id"), col("neighbor_id")))
+
   /** (vec_id, v, nrm) with zero-norm vectors excluded — the shared entry
     * of the cosine family. Norms are computed once per VECTOR (pre-join
     * projection), not per candidate pair — per-pair norm recomputation

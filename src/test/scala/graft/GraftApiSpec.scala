@@ -256,6 +256,31 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(0L, 1L, 3L).forall(v => sparseOut(v) == ((Some(5), 1L))))
   }
 
+  test("knnClassifyFrom: any neighbor source drives the same vote semantics") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.98f, 0.15f), 2),
+      (3L, Array(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    // plugging the exact top-k stream into the open seam reproduces
+    // knnClassify row-for-row
+    val viaSeam = Graft.knnClassifyFrom(vecs, Graft.cosineTopK(vecs, k = 3))
+      .collect().map(_.toSeq).toSet
+    val direct = Graft.knnClassify(vecs, k = 3).collect().map(_.toSeq).toSet
+    assert(viaSeam == direct)
+    // IVF probe output is already (vec_id, neighbor_id, …): a k=1
+    // classification over the probed best neighbor, one row per input
+    val vd = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = Graft.ivfBuild(spark, vd, k = 2, iters = 2)
+    val ivfCls = Graft.knnClassifyFrom(vecs,
+        Graft.ivfSearch(spark, model, vd, probes = 2))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivfCls.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("multimodal metadata works on in-memory binary payloads") {
     val media = docsDf.select(col("doc_id"),
       encode(col("text"), "UTF-8").cast("binary").as("payload"))
