@@ -271,6 +271,14 @@ object Graft {
       dims: Seq[String] = Seq("lang", "source")): DataFrame =
     Curation.applyMix(docs, weights, dims)
 
+  /** Expand [[applyMix]]'s copy counts into the resampled corpus rows:
+    * each doc repeated n_copies times tagged copy_idx 1..n (0-copy docs
+    * drop). Broadcast join + narrow explode — no shuffle. Reads:
+    * doc_id, <dims> on `docs`; (dims..., weight) on `weights`. */
+  def materializeMix(docs: DataFrame, weights: DataFrame,
+      dims: Seq[String] = Seq("lang", "source")): DataFrame =
+    Curation.materializeMix(docs, weights, dims)
+
   /** PII scrubbing: emails / IPv4 addresses / phone-shaped digit runs
     * replaced with typed placeholders, per-doc detection counts
     * alongside. Narrow codegen'd regexp chain — streaming-safe.

@@ -454,6 +454,25 @@ object Curation {
             1L).otherwise(0L)).as("n_copies")): _*)
   }
 
+  /** Expand [[applyMix]]'s copy counts into the actual resampled corpus:
+    * each doc appears n_copies times, tagged copy_idx 1..n_copies
+    * (0-copy docs drop — that IS the downsample). Out: (doc_id, dims...,
+    * copy_idx). The copy_idx tag keeps replicas distinguishable for
+    * downstream shuffling/sharding without inventing new doc ids.
+    *
+    * Scale: applyMix's broadcast join plus one narrow explode — no
+    * shuffle; the repeated text (join back on doc_id, or carry columns
+    * through `docs`) is materialized only at the sink. The 0-copy
+    * filter must precede the explode: Spark's sequence(1, 0) generates
+    * the DESCENDING [1, 0], not empty — unguarded, every dropped doc
+    * would come back twice. */
+  def materializeMix(docs: DataFrame, weights: DataFrame,
+      dims: Seq[String] = Seq("lang", "source")): DataFrame =
+    applyMix(docs, weights, dims)
+      .where(col("n_copies") > 0)
+      .select((Seq(col("doc_id")) ++ dims.map(col) :+
+        explode(expr("sequence(1, n_copies)")).as("copy_idx")): _*)
+
   // PII patterns shared by the Spark and DuckDB sides of d27 — kept to
   // syntax with identical semantics in java.util.regex and RE2 (no
   // lookaround, no backreferences; \b, \d, {m,n} behave alike).
@@ -612,6 +631,37 @@ object Curation {
              |                 printf('%08x', CAST(least(4294967295, floor((weight - floor(weight)) * 4294967296.0)) AS BIGINT))
              |            THEN 1 ELSE 0 END AS n_copies
              |FROM documents d JOIN w USING (lang, source)""".stripMargin)),
+
+    // d31: the materialized mix — d29's copy counts expanded into the
+    // resampled corpus rows. Same deterministic md5 coin, so the full
+    // expansion (which docs appear, how many times, tagged 1..n) is
+    // hash-gated cross-engine; DuckDB's range(1, n+1) unnest mirrors
+    // Spark's sequence(1, n) under the shared n_copies > 0 guard (Spark's
+    // sequence(1, 0) is the descending [1, 0], DuckDB's range(1, 1) is
+    // empty — the guard keeps the engines on the same rows).
+    Q("d31_materialize_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+        materializeMix(docs, mixWeights(docs))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, source, count(*) AS n_docs,
+             |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |             count(*) AS n_cells FROM c),
+             |w AS (SELECT lang, source,
+             |             CAST(total_tokens AS DOUBLE) / CAST(n_cells * n_tokens AS DOUBLE) AS weight
+             |      FROM c, t),
+             |a AS (SELECT d.doc_id, d.lang, d.source,
+             |             CAST(floor(weight) AS BIGINT) +
+             |             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+             |                       printf('%08x', CAST(least(4294967295, floor((weight - floor(weight)) * 4294967296.0)) AS BIGINT))
+             |                  THEN 1 ELSE 0 END AS n_copies
+             |      FROM documents d JOIN w USING (lang, source))
+             |SELECT doc_id, lang, source, CAST(u.i AS BIGINT) AS copy_idx
+             |FROM a, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS i) u
+             |WHERE n_copies > 0""".stripMargin)),
 
     Q("d27_pii_scrub",
       (s, d) => piiScrub(documents(s, d)),

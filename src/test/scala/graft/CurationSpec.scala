@@ -319,6 +319,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copies > 400 && copies < 600, s"got $copies of expected ~500")
   }
 
+  test("materializeMix: copy counts expand to tagged rows; 0-copy docs drop") {
+    import spark.implicits._
+    val df = (1L to 200L).map(id => (id, "w x y", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("en", "web", 2.25)).toDF("lang", "source", "weight")
+    val counts = Curation.applyMix(df, w).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rows = Curation.materializeMix(df, w).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // total expansion equals the declared copy counts, per doc
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    counts.foreach { case (id, n) =>
+      assert(perDoc.getOrElse(id, Seq.empty) == (1L to n),
+        s"doc $id: n_copies $n vs ${perDoc.get(id)}")
+    }
+    // weight 2.25: every doc >= 2 copies, ~1/4 get a third
+    assert(rows.length >= 400 && rows.length < 500, s"got ${rows.length}")
+    // downsample guard: sequence(1, 0) is DESCENDING in Spark — a 0-copy
+    // doc must be absent, not doubled
+    val down = Seq(("en", "web", 0.0)).toDF("lang", "source", "weight")
+    assert(Curation.materializeMix(df, down).count() == 0L)
+  }
+
   test("applyMix: a weight just below 1.0 upsamples near-certainly (threshold boundary)") {
     import spark.implicits._
     // frac = nextDown(1.0) drives the md5 coin threshold to its ceiling
