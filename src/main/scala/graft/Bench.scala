@@ -29,13 +29,18 @@ import graft.ops.Q
   *     "extended" values stay min-of-2). Steal hits runs at random, so a
   *     query whose two runs diverge wildly was contended; a query whose
   *     runs agree was not.
-  *   - "memoized": query names whose run 2 reads the per-(session, dir)
-  *     sketch/gram/pair caches — for those, runs[1] is a WARM cache probe
-  *     and the cold cost is runs[0], not the min.
-  *   - "loadavg_pre": 1-min loadavg sampled BEFORE the first timed run —
-  *     nonzero pre-load is co-tenant steal by construction (the bench
-  *     hasn't run yet), where the end-of-run "loadavg" conflates tenants
-  *     with the bench's own 32-thread footprint.
+  *   - "memoized": query names whose plans read a cross-run cache (the
+  *     similarity family's per-(session, dir) sketch/gram/pair memos;
+  *     the mix family's cached cells frame) — for those, runs[1] is a
+  *     WARM cache probe, and runs[0] is the cold cost ONLY for the first
+  *     query to touch the shared cache (d06's run 1 builds the pair memo
+  *     d14 then reads; d26's run 1 builds the cells cache d29/d31 then
+  *     read — later family members are warm in BOTH runs).
+  *   - "loadavg_pre": 1-min loadavg sampled BEFORE the warmups — at that
+  *     point the bench has done driver-side JVM setup only, so nonzero
+  *     pre-load is co-tenant steal by construction, where the end-of-run
+  *     "loadavg" conflates tenants with the bench's own 32-thread
+  *     footprint.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,6 +52,18 @@ object Bench {
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
         graft.ops.ZOrder.queries
+
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Sampled BEFORE the warmups: JVM/session startup is driver-side and
+    // near-zero runnable threads, so a high value here is co-tenant
+    // steal by construction. (Sampling after the warmup would fold the
+    // warmup's own ~15 s of 32-thread load into the 1-min EMA — ~2-7 of
+    // self-load on an idle host — recreating the ambiguity this field
+    // exists to remove.)
+    val loadPre = loadavg()
 
     // Warm with a REPRESENTATIVE query (real parquet scan + decimal agg):
     // the r02 bench showed a trivial spark.range warmup lets the first
@@ -65,16 +82,6 @@ object Bench {
     try baselineSet.find(_.name == "q01_pricing_summary")
       .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-
-    def loadavg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-
-    // Sampled AFTER warmup, BEFORE the first timed run: at this point the
-    // bench itself has contributed ~15 s of load at most, so a high value
-    // here is dominated by co-tenant steal — the contamination signal the
-    // end-of-run sample can't isolate.
-    val loadPre = loadavg()
 
     // Each query runs TWICE; the headline records the min: co-tenant CPU
     // steal hits runs at random, so min-of-2 is steal-resistant by
@@ -169,8 +176,9 @@ object Bench {
     def tot(rs: Seq[(String, Seq[Double])]): Double =
       rs.map { case (_, v) => best(v) }.filter(_ >= 0).sum
     val errs = errors.map(e => s""""$e"""").mkString("[", ",", "]")
-    val memo = graft.ops.Similarity.MemoizedQueries.toSeq.sorted
-      .map(m => s""""$m"""").mkString("[", ",", "]")
+    val memo =
+      (graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries)
+        .toSeq.sorted.map(m => s""""$m"""").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
         s""""extended_total":${f(tot(ext))},"extended":${obj(ext)},$quality""" +

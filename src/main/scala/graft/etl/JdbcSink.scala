@@ -74,8 +74,12 @@ object JdbcSink {
     * (column, refTable, refColumn)). Column nullability follows the
     * schema; a primary-key column is forced NOT NULL (every engine
     * requires it — PostgreSQL implies it, Derby demands it spelled
-    * out). Identifiers are dialect-quoted, so mixed-case names survive
-    * engines that fold unquoted identifiers. */
+    * out). COLUMN identifiers are dialect-quoted, so mixed-case column
+    * names survive engines that fold unquoted identifiers; TABLE names
+    * stay unquoted ON PURPOSE — Spark's `df.write.jdbc`/`read.jdbc`
+    * interpolate the table name unquoted into their own SQL, so quoting
+    * it here would create `"Inspectors"` while Spark reads `inspectors`
+    * (folded) and the append/read path would miss the table. */
   def createTableDdl(df: DataFrame, url: String, table: String,
       primaryKey: Option[String] = None,
       foreignKeys: Seq[(String, String, String)] = Nil): String = {

@@ -386,7 +386,15 @@ object Curation {
     * a high-cardinality dim (say a URL host) degrades to a parallel
     * aggregation, not a one-task bottleneck. The weight is one double
     * division of exact integer aggregates, so it is cross-engine
-    * exact. */
+    * exact.
+    *
+    * Cache lifetime: the cells cache() entry (|cells| rows — KBs) stays
+    * registered in the session's CacheManager until session stop; a
+    * repeat call over the same input plan REUSES it (CacheManager
+    * dedupes by plan), so d29/d31 built over the same docs read cells
+    * warm, and distinct inputs each leave one tiny entry
+    * (`spark.catalog.clearCache()` releases them early if needed). The
+    * bench marks the d26/d29/d31 bindings memoized for this reason. */
   def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
       targets: Option[DataFrame] = None): DataFrame = {
     require(dims.nonEmpty, "need at least one mix dimension")
@@ -517,6 +525,14 @@ object Curation {
         .cast(LongType).as("n_phones"))
 
   // ---- driver bindings -------------------------------------------------
+
+  /** Query names whose plans read [[mixWeights]]' cached cells frame:
+    * all three bind `mixWeights(documents(s, d))` — an identical plan —
+    * so CacheManager plan-matching makes every run after the first a
+    * warm cells read. The bench marks them in its artifact so min-of-2
+    * times are interpreted as the cache-state they measured. */
+  val MemoizedQueries: Set[String] =
+    Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix")
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
     * stands in for a benchmark. */

@@ -926,17 +926,25 @@ object Similarity {
     val topk = udaf(new TopKAgg(k))
     val e = normalizedVecs(vecs)
     val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
-    val cand = annCandidatePairs(e, tables, bits, probeFlips).distinct()
-    cand.as("p")
-      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
-      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
-      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("cid"),
-        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+    scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips).distinct())
       .groupBy(col("vec_id"))
-      .agg(topk(col("sim"), col("cid")).as("t"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("t"))
       .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
+
+  /** Exact-cosine scoring of an id-only candidate stream: re-attach both
+    * endpoint vectors id-keyed (AQE broadcasts only a measured-small
+    * side) and emit (vec_id, neighbor_id, sim) — the shared back half of
+    * every ANN path ([[annTopK]], [[annBestNeighbor]],
+    * [[cosineNearDupPairsAnn]]), so the scoring expression lives in
+    * exactly one place. `e` is a [[normalizedVecs]] projection. */
+  private def scoreCandidates(e: DataFrame, cand: DataFrame): DataFrame =
+    cand.as("p")
+      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
+      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
 
   /** kNN label propagation over the ANN candidate stream — the form
     * pseudo-labeling actually takes at 100 TB, where the exact quadratic
@@ -1024,12 +1032,8 @@ object Similarity {
       // normalized projection — an occupancy heuristic doesn't need the
       // zero-norm exclusion to be exact
       else annBitsFor(vecs.count())
-    val sim = annCandidatePairs(e, tables, bits, probeFlips).as("p")
-      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
-      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
-      .select(col("p.vec_id").as("vec_id"), col("p.neighbor_id").as("neighbor_id"),
-        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
-    IvfIndex.bestNeighbor(sim)
+    IvfIndex.bestNeighbor(
+      scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips)))
   }
 
   /** Approximate embedding-cosine near-duplicate PAIRS at `threshold` —
@@ -1052,13 +1056,10 @@ object Similarity {
     val cand = annCandidatePairs(e, tables, bits, probeFlips)
       .where(col("vec_id") < col("neighbor_id")) // canonical undirected
       .distinct()
-    cand.as("p")
-      .join(e.as("q"), col("p.vec_id") === col("q.vec_id"))
-      .join(e.as("c"), col("p.neighbor_id") === col("c.vec_id"))
-      .select(col("p.vec_id").as("vec_a"), col("p.neighbor_id").as("vec_b"),
-        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim_raw"))
-      .where(col("sim_raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+    scoreCandidates(e, cand)
+      .where(col("sim") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        round(col("sim"), 4).as("sim"))
   }
 
   def queries: Seq[Q] = Seq(

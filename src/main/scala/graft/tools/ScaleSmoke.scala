@@ -176,22 +176,30 @@ object ScaleSmoke {
     // elapsed should track the bare token-count scan, not add to it).
     // Measured (50k docs, 2026-08, round 7): d26 shuffle 72.8 KB at 25k
     // docs -> 71.7 KB at 50k — FLAT across a corpus doubling (bytes
-    // track tasks x 34 cells, not corpus rows), elapsed 0.40/0.22 s =
-    // the scan; d29 0.68/0.49 s vs 0.27/0.22 s bare token-count scan
-    // (~2x — the broadcast join + md5 coin, constant per row); total
+    // track tasks x 34 cells, not corpus rows), cold elapsed
+    // 0.84/0.57 s (the corpus scan + cells agg, timed on the FIRST
+    // execution); d29 0.60/0.37 s vs 0.21/0.20 s bare token-count scan
+    // (~2-3x — the broadcast join + md5 coin, constant per row); total
     // copies ~= docs under the uniform target (24,967 / 50,094), as
     // expected when every cell's weight sits near 1.
     Seq(2, 1).foreach { invFrac =>
       val sub = docsAll.where(col("doc_id") % invFrac === 0)
       val nSub = sub.count()
+      // time the FIRST execution (cold — it pays the corpus scan that
+      // populates the cells cache) INSIDE the byte-measured block; a
+      // second run of the identical plan would read the cached 34-row
+      // cells frame and time a cache probe, not the operator
       var nCells = 0L
+      var tMix = 0.0
       val mixBytes = shuffledBytes {
+        val t0 = System.nanoTime()
         nCells = graft.ops.Curation.mixWeights(sub).count()
+        tMix = (System.nanoTime() - t0) / 1e9
       }
-      val t3 = System.nanoTime()
+      // d29 reads the (now warm) cells — the production shape: weights
+      // are computed once and applied per batch; its cost claim is the
+      // corpus scan + broadcast join, not the cells aggregation
       val wts = graft.ops.Curation.mixWeights(sub)
-      wts.write.format("noop").mode("overwrite").save()
-      val tMix = (System.nanoTime() - t3) / 1e9
       val t4 = System.nanoTime()
       val copies = graft.ops.Curation.applyMix(sub, wts)
         .agg(sum(col("n_copies"))).head().getLong(0)
@@ -200,7 +208,7 @@ object ScaleSmoke {
       sub.select(sum(size(split(trim(col("text")), "\\s+")))).head()
       val tScan = (System.nanoTime() - t5) / 1e9
       println(f"[scale] mix n=$nSub%8d cells=$nCells%4d d26_shuffle=${mixBytes / 1e3}%8.1f KB " +
-        f"d26=${tMix}%.2f s d29=${tApply}%.2f s bare_scan=${tScan}%.2f s copies=$copies")
+        f"d26_cold=${tMix}%.2f s d29=${tApply}%.2f s bare_scan=${tScan}%.2f s copies=$copies")
     }
 
     // --- d08 candidate-growth probe: the auto-derived signature width

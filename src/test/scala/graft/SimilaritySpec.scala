@@ -101,7 +101,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = graft.ops.Tables.embeddings(spark, sf).count()
     // the one-row-per-input contract holds on the ANN path too: a query
     // with no bucket-mates still emits an explicit NULL/0 abstention row
-    assert(ann.count() == n, s"coverage ${ann.count()}/$n")
+    val annRows = ann.count()
+    assert(annRows == n, s"coverage $annRows/$n")
     // label agreement vs exact kNN — looser than neighbor recall@1 (a
     // missed neighbor often votes the same label), null-safe compare so
     // matching abstentions count as agreement. Measured ~1.0 here (and
