@@ -532,7 +532,8 @@ object Curation {
     * warm cells read. The bench marks them in its artifact so min-of-2
     * times are interpreted as the cache-state they measured. */
   val MemoizedQueries: Set[String] =
-    Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix")
+    Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix",
+      "d32_mix_targets")
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
     * stands in for a benchmark. */
@@ -626,6 +627,34 @@ object Curation {
              |SELECT lang, source, n_docs, n_tokens,
              |       CAST(total_tokens AS DOUBLE) / CAST(n_cells * n_tokens AS DOUBLE) AS weight
              |FROM c, t""".stripMargin)),
+
+    // d32: the explicit-targets branch of d26 — caller-given fractions
+    // override the uniform share, and a cell ABSENT from the targets
+    // frame surfaces as an explicit weight-0 row (the left-join
+    // semantics), not a missing one. Single-dim cells (lang) so the
+    // targets frame covers a strict subset: en/ru get fractions, the
+    // other langs get 0. Both engines compute coalesce(frac, 0) *
+    // total / n_tokens in the same literal-double arithmetic order, so
+    // the gate is hash-exact.
+    Q("d32_mix_targets",
+      (s, d) => {
+        import s.implicits._
+        val targets = Seq(("en", 0.7), ("ru", 0.3)).toDF("lang", "target_frac")
+        mixWeights(documents(s, d), dims = Seq("lang"), targets = Some(targets))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM c),
+             |tg AS (SELECT * FROM (VALUES
+             |        ('en', CAST(0.7 AS DOUBLE)),
+             |        ('ru', CAST(0.3 AS DOUBLE))) AS v(lang, target_frac))
+             |SELECT lang, n_docs, n_tokens,
+             |       COALESCE(tg.target_frac, CAST(0.0 AS DOUBLE)) *
+             |         CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
+             |FROM (SELECT c.*, total_tokens FROM c, t) ct
+             |LEFT JOIN tg USING (lang)""".stripMargin)),
 
     Q("d29_apply_mix",
       (s, d) => {
