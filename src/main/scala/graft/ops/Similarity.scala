@@ -17,10 +17,18 @@ case class TopKBuf(sims: Array[Double], ids: Array[Long])
   * brute-force kNN join (d07) streams N*N pairs through codegen and
   * shuffles only k rows per query — no driver-side materialization
   * anywhere. Selection under a total order is partition-order independent,
-  * so the result is deterministic and matches the oracle's row_number. */
+  * so the result is deterministic and matches the oracle's row_number.
+  *
+  * Ids are DEDUPED at insert (a <= k scan): a neighbor surfaced many
+  * times — multi-table/multi-probe LSH collisions in the ANN candidate
+  * stream — occupies ONE slot at its best sim instead of crowding the
+  * buffer, which is what lets [[Similarity.annTopK]] aggregate the raw
+  * candidate stream with no upstream distinct shuffle (the same
+  * design that lets d08's max-aggregate absorb collisions). For unique
+  * streams (d07's self-join) the dedup scan is a no-op. */
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
   override def zero: TopKBuf = TopKBuf(new Array[Double](0), new Array[Long](0))
-  private def insert(b: TopKBuf, sim0: Double, id: Long): TopKBuf = {
+  private def insert(b0: TopKBuf, sim0: Double, id: Long): TopKBuf = {
     // java.lang.Double.compare, not primitive > : NaN must rank GREATEST
     // (both Spark's and DuckDB's sort order, hence the oracle's
     // row_number) — primitive NaN comparisons are all-false and would
@@ -29,6 +37,24 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
     // oracle does. -0.0 normalizes to 0.0 first (Double.compare would
     // order them, engines treat them equal).
     val sim = if (sim0 == 0.0) 0.0 else sim0
+    // id-dedup: if this id already holds a slot, keep the better sim
+    // (identical sims in practice — the same vector pair scores the
+    // same — but the general rule keeps the buffer a set under ANY
+    // stream); dropping the old slot first keeps the arrays sorted
+    val n0 = b0.sims.length
+    var j = 0
+    while (j < n0 && b0.ids(j) != id) j += 1
+    val b =
+      if (j == n0) b0
+      else if (java.lang.Double.compare(sim, b0.sims(j)) <= 0) return b0
+      else {
+        val ds = new Array[Double](n0 - 1); val di = new Array[Long](n0 - 1)
+        System.arraycopy(b0.sims, 0, ds, 0, j)
+        System.arraycopy(b0.ids, 0, di, 0, j)
+        System.arraycopy(b0.sims, j + 1, ds, j, n0 - j - 1)
+        System.arraycopy(b0.ids, j + 1, di, j, n0 - j - 1)
+        TopKBuf(ds, di)
+      }
     val n = b.sims.length
     var pos = n
     while (pos > 0 && {
@@ -913,12 +939,15 @@ object Similarity {
 
   /** ANN top-k neighbors per vector — the sub-quadratic counterpart of
     * [[cosineTopK]]. Candidates come from the same corpus-width
-    * multiprobe hyperplane tables as [[annBestNeighbor]], are deduped
-    * first (multi-table/multi-probe collisions would otherwise occupy
-    * several top-k slots for one neighbor), scored with the exact
-    * cosine, and ranked by the same bounded TopKAgg. Output schema
-    * matches cosineTopK: (vec_id, rank, neighbor_id); a query whose
-    * buckets yield fewer than k candidates emits fewer rows. */
+    * multiprobe hyperplane tables as [[annBestNeighbor]], scored with
+    * the exact cosine, and ranked by the same bounded TopKAgg — whose
+    * at-insert id-dedup absorbs multi-table/multi-probe collisions (one
+    * neighbor = one slot), so the raw candidate stream aggregates with
+    * NO distinct shuffle (the same collision story as d08's
+    * max-aggregate; a pair scores the same sim on every surfacing, so
+    * dedup-at-insert equals dedup-upstream). Output schema matches
+    * cosineTopK: (vec_id, rank, neighbor_id); a query whose buckets
+    * yield fewer than k candidates emits fewer rows. */
   def annTopK(vecs: DataFrame, k: Int = 3, tables: Int = 8,
       bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
     require(k > 0 && tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 &&
@@ -926,7 +955,7 @@ object Similarity {
     val topk = udaf(new TopKAgg(k))
     val e = normalizedVecs(vecs)
     val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
-    scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips).distinct())
+    scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips))
       .groupBy(col("vec_id"))
       .agg(topk(col("sim"), col("neighbor_id")).as("t"))
       .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))

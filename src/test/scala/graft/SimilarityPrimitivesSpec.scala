@@ -49,6 +49,27 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other.sims.toSeq == merged.sims.toSeq)
   }
 
+  test("TopKAgg dedupes ids at insert: one neighbor, one slot") {
+    // the ANN candidate stream surfaces the same neighbor once per
+    // colliding hash table / probe — dedup-at-insert is what lets
+    // annTopK aggregate the raw stream with no upstream distinct
+    val agg = new graft.ops.TopKAgg(3)
+    val items = Seq((0.9, 7L), (0.9, 7L), (0.8, 3L), (0.9, 7L), (0.8, 3L), (0.5, 1L))
+    val b = items.foldLeft(agg.zero)(agg.reduce)
+    assert(b.ids.toSeq == Seq(7L, 3L, 1L), b.ids.toSeq.toString)
+    // dedup holds across merge boundaries too (a neighbor seen on both
+    // map sides), in any partition order
+    val (l, r) = items.splitAt(3)
+    val m1 = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val m2 = agg.merge(r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+    assert(m1.ids.toSeq == b.ids.toSeq && m2.ids.toSeq == b.ids.toSeq)
+    // general rule (cannot arise from cosine scoring, where a pair
+    // always scores the same): a better sim for a held id replaces the
+    // old slot rather than duplicating it
+    val up = Seq((0.2, 9L), (0.6, 9L), (0.4, 9L)).foldLeft(agg.zero)(agg.reduce)
+    assert(up.ids.toSeq == Seq(9L) && up.sims.toSeq == Seq(0.6))
+  }
+
   test("TopKAgg ranks NaN greatest, matching engine sort order") {
     // zero-norm vectors give 0/0 = NaN cosine; Spark and DuckDB both
     // sort NaN as the LARGEST double, so the oracle's row_number puts it
