@@ -189,7 +189,7 @@ object Multimodal {
     * drives the sample→cell mapping; duration comes from the frames
     * actually decoded, so a stream shorter than declared still reports
     * its true duration. */
-  private def scanPcm(pcm: java.io.InputStream, nFrames: Long,
+  private[graft] def scanPcm(pcm: java.io.InputStream, nFrames: Long,
       sampleRate: Int, channels: Int): Option[Decoded] = {
     val acc = new Array[Double](EmbeddingDim)
     val cnt = new Array[Long](EmbeddingDim)

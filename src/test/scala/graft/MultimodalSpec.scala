@@ -103,6 +103,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // undecodable audio bytes fall back to the deterministic stub
     val st = Multimodal.decodeStub("audio", "not audio".getBytes("UTF-8"))
     assert(out(3L).width == st.width && out(3L).durationMs == st.durationMs)
+
+    // > AudioChunkBytes (64 KiB) of PCM: the chunked scan must cross
+    // multiple buffer reads and still report exact duration + profile
+    // (1.5 s 44.1 kHz stereo = ~265 KB decoded)
+    val big = wav(44100f, 2, 1.5)(_ => (Short.MaxValue / 2).toShort)
+    val bigOut = Multimodal.extractFeatures(spark,
+        spark.createDataset(Seq(MediaRow(9L, "audio", big))))
+      .collect().head
+    assert(bigOut.durationMs == 1500L && bigOut.width == 44100)
+    assert(bigOut.embedding.forall(v => math.abs(v - 0.5f) < 0.01f))
+  }
+
+  test("scanPcm reassembles samples split across chunk reads (carry byte)") {
+    // an InputStream that returns at most 3 bytes per read splits every
+    // other 16-bit sample across read boundaries — the `lo` carry must
+    // reassemble them to the same profile as one contiguous read
+    // (AudioSystem streams read frame-aligned, so only a direct unit
+    // test can reach this path)
+    val rng = new scala.util.Random(7)
+    val pcm = new Array[Byte](10002) // 5001 samples, odd -> trailing lo dropped
+    rng.nextBytes(pcm)
+    class Dribble(bytes: Array[Byte], max: Int) extends java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= bytes.length) -1 else { i += 1; bytes(i - 1) & 0xff }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= bytes.length) return -1
+        val n = math.min(math.min(len, max), bytes.length - i)
+        System.arraycopy(bytes, i, b, off, n)
+        i += n
+        n
+      }
+    }
+    val whole = Multimodal.scanPcm(
+      new java.io.ByteArrayInputStream(pcm), nFrames = 2500, 8000, 2).get
+    val dribbled = Multimodal.scanPcm(new Dribble(pcm, 3), nFrames = 2500, 8000, 2).get
+    assert(dribbled.embedding.toSeq == whole.embedding.toSeq)
+    assert(dribbled.durationMs == whole.durationMs)
+    assert(whole.durationMs == 2500 * 1000L / 8000) // 2500 frames at 8 kHz
   }
 
   test("resizeAll re-encodes decodable images at the target dims") {
