@@ -122,7 +122,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (AudioSystem streams read frame-aligned, so only a direct unit
     // test can reach this path)
     val rng = new scala.util.Random(7)
-    val pcm = new Array[Byte](10002) // 5001 samples, odd -> trailing lo dropped
+    // 10003 bytes = 5001 complete samples + ONE dangling low byte at
+    // EOF, which both read paths must silently drop (not count as a
+    // sample) — an even byte count would never leave a trailing carry
+    val pcm = new Array[Byte](10003)
     rng.nextBytes(pcm)
     class Dribble(bytes: Array[Byte], max: Int) extends java.io.InputStream {
       private var i = 0
