@@ -318,11 +318,19 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q5 = Graft.piiScrub(stream)
       .writeStream.format("memory").queryName("pii_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // the mix APPLICATION half is streaming-safe too: weights are a
+    // static frame (computed batch-side, broadcast into the stream-static
+    // join) and the explode is narrow — resample arriving docs against a
+    // fixed mix plan micro-batch by micro-batch
+    val mixW = Seq(("en", 2.0), ("de", 0.0)).toDF("lang", "weight")
+    val q6 = Graft.materializeMix(stream, mixW, dims = Seq("lang"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
-      q4.processAllAvailable(); q5.processAllAvailable()
+      q4.processAllAvailable(); q5.processAllAvailable(); q6.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
@@ -345,7 +353,12 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pii.size == 3)
       assert(pii(1L)._2 == 0L && pii(2L)._2 == 0L)
       assert(pii(3L) == (("mail me at <EMAIL> from <IP>", 1L, 1L)))
-    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
+      // weight 2.0 (integer): en docs 1 and 3 emit exactly 2 tagged
+      // copies each; weight 0.0 drops the de doc entirely
+      val mix = spark.table("mix_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx")))
+      assert(mix.toSet == Set((1L, 1L), (1L, 2L), (3L, 1L), (3L, 2L)))
+    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop() }
   }
 
   test("driver queries are the facade operators (delegation equivalence)") {

@@ -70,6 +70,46 @@ class SimilarityPrimitivesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(up.ids.toSeq == Seq(9L) && up.sims.toSeq == Seq(0.6))
   }
 
+  test("TopKAgg equals a sorted-reference top-k on random duplicate-heavy streams (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a per-trial id -> sim table enforces the operators' invariant
+    // (the same pair scores the same sim on every surfacing); streams
+    // draw from a small id space so duplicates are dense, and sims
+    // include NaN (zero-norm cosine) and -0.0 (normalization edge)
+    val simGen = Gen.frequency(
+      6 -> Gen.chooseNum(-1.0, 1.0),
+      1 -> Gen.const(Double.NaN),
+      1 -> Gen.const(-0.0))
+    val trial = for {
+      simOf <- Gen.listOfN(13, simGen).map(_.toVector)
+      ids <- Gen.nonEmptyListOf(Gen.chooseNum(0, 12))
+      cut <- Gen.chooseNum(0, ids.length)
+    } yield (simOf, ids, cut)
+    val prop = Prop.forAll(trial) { case (simOf, ids, cut) =>
+      val agg = new graft.ops.TopKAgg(3)
+      val items = ids.map(i => (simOf(i), i.toLong))
+      val (l, r) = items.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      // reference: distinct ids, sims normalized like the aggregator,
+      // sorted (sim DESC with NaN greatest, id ASC), first 3
+      val ref = ids.distinct.map { i =>
+        val s = simOf(i)
+        (if (s == 0.0) 0.0 else s, i.toLong)
+      }.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }.take(3)
+      merged.ids.toSeq == ref.map(_._2) &&
+        merged.sims.length == ref.length &&
+        merged.sims.toSeq.zip(ref.map(_._1)).forall { case (a, b) =>
+          java.lang.Double.compare(a, b) == 0
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopKAgg ranks NaN greatest, matching engine sort order") {
     // zero-norm vectors give 0/0 = NaN cosine; Spark and DuckDB both
     // sort NaN as the LARGEST double, so the oracle's row_number puts it
