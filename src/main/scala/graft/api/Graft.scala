@@ -134,6 +134,13 @@ object Graft {
   def ivfSearch(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       probes: Int = 2): DataFrame = IvfIndex.search(spark, model, queries, probes)
 
+  /** Probe an IVF index for the top-k neighbors per query — output
+    * schema matches [[cosineTopK]]/[[annTopK]], so all three neighbor
+    * sources interchange downstream. */
+  def ivfSearchTopK(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
+      k: Int = 3, probes: Int = 2): DataFrame =
+    IvfIndex.searchTopK(spark, model, queries, k, probes)
+
   /** kNN label propagation: majority label of each vector's k exact
     * nearest neighbors (ties to the smallest label) — pseudo-labeling
     * for semi-supervised curation. One row per input vector; vectors

@@ -193,7 +193,35 @@ object IvfIndex {
   /** Best neighbor per query under (cosine DESC, id ASC), probing the
     * `probes` nearest cells of each query vector. `queries` must be
     * (vec_id LONG, v ARRAY<DOUBLE>). */
-  def search(spark: SparkSession, model: Model, queries: DataFrame, probes: Int = 2): DataFrame = {
+  def search(spark: SparkSession, model: Model, queries: DataFrame, probes: Int = 2): DataFrame =
+    bestNeighbor(probedSims(spark, model, queries, probes))
+
+  /** Top-k neighbors per query from the probed cells — the IVF
+    * counterpart of [[Similarity.annTopK]], with the exact baseline's
+    * output schema (vec_id, rank, neighbor_id) so the two ANN families
+    * and [[Similarity.cosineTopK]] interchange downstream (e.g. as
+    * [[Similarity.knnClassifyFrom]] neighbor sources). (query, neighbor)
+    * pairs are unique by construction — a stored vector lives in exactly
+    * one cell and probes are distinct cells — so TopKAgg's id-dedup is a
+    * no-op here; a query whose probed cells hold fewer than k vectors
+    * emits fewer rows. */
+  def searchTopK(spark: SparkSession, model: Model, queries: DataFrame,
+      k: Int = 3, probes: Int = 2): DataFrame = {
+    require(k > 0, "need k > 0")
+    val topk = udaf(new TopKAgg(k))
+    probedSims(spark, model, queries, probes)
+      .groupBy(col("vec_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("t"))
+      .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Scored (vec_id, neighbor_id, sim) candidate stream from probing
+    * each query's `probes` nearest cells — the shared front half of
+    * [[search]] / [[searchTopK]]. */
+  private def probedSims(spark: SparkSession, model: Model, queries: DataFrame,
+      probes: Int): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
     val probed = queries.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
@@ -226,7 +254,7 @@ object IvfIndex {
         (dot(col("qv"), col("m.v")) / (col("qnrm") * col("m.mnrm"))).as("sim"))
     // (q, neighbor) pairs are already unique: each neighbor lives in
     // exactly one cell and a query probes distinct cells.
-    bestNeighbor(sim)
+    sim
   }
 
   /** Best (sim DESC, neighbor_id ASC) row per vec_id as a hash aggregate:

@@ -40,6 +40,29 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("searchTopK at probes = K equals the exact cosine top-k") {
+    import spark.implicits._
+    // with every cell probed the candidate set is the whole corpus, so
+    // the IVF ranking must reproduce the exact baseline row-for-row —
+    // schema-compatible by design (vec_id, rank, neighbor_id)
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val e = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = IvfIndex.build(spark, e, k = 8, iters = 2)
+    val ivf = IvfIndex.searchTopK(spark, model, e, k = 3, probes = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = graft.ops.Similarity.cosineTopK(vecs, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == exact)
+    // restricted probes: rank-1 agrees with search()'s best neighbor
+    val top1 = IvfIndex.searchTopK(spark, model, e, k = 3, probes = 2)
+      .where(col("rank") === 1)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    val best = IvfIndex.search(spark, model, e, probes = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(top1 == best)
+  }
+
   test("k = 0 derives ~sqrt(N) cells; explicit k is honored") {
     import graft.ops.IvfIndex.autoK
     assert(autoK(0L, 8) == 1)
