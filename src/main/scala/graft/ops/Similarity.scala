@@ -992,8 +992,10 @@ object Similarity {
   /** The d28/d30 vote stage over a CALLER-SUPPLIED neighbor stream
     * (vec_id, neighbor_id) — the open seam for any candidate source the
     * built-in pairings don't cover: IVF probe results
-    * ([[IvfIndex.search]] emits exactly this shape), a persisted index,
-    * or cross-corpus neighbors. Same abstention rule and
+    * ([[IvfIndex.search]] and [[IvfIndex.searchTopK]] emit exactly this
+    * shape — the latter makes IVF-backed kNN classification a two-call
+    * composition), a persisted index, or cross-corpus neighbors. Same
+    * abstention rule and
     * one-row-per-input contract as [[knnClassify]]; `vecs` supplies
     * both the id universe and the (vec_id, label) seed set. */
   def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =

@@ -270,15 +270,18 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     val direct = Graft.knnClassify(vecs, k = 3).collect().map(_.toSeq).toSet
     assert(viaSeam == direct)
-    // IVF probe output is already (vec_id, neighbor_id, …): a k=1
-    // classification over the probed best neighbor, one row per input
+    // IVF-backed kNN classification is a two-call composition:
+    // ivfSearchTopK emits (vec_id, rank, neighbor_id) — the same shape
+    // as the exact top-k — and the vote stage consumes it unchanged.
+    // With every cell probed the candidates equal the exact baseline's,
+    // so the predictions must match knnClassify exactly.
     val vd = vecs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val model = Graft.ivfBuild(spark, vd, k = 2, iters = 2)
     val ivfCls = Graft.knnClassifyFrom(vecs,
-        Graft.ivfSearch(spark, model, vd, probes = 2))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(ivfCls.keySet == Set(0L, 1L, 2L, 3L))
+        Graft.ivfSearchTopK(spark, model, vd, k = 3, probes = 2))
+      .collect().map(_.toSeq).toSet
+    assert(ivfCls == direct)
   }
 
   test("multimodal metadata works on in-memory binary payloads") {
