@@ -92,6 +92,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree.toDouble / rows > 0.8, s"recall@1 = $agree/$rows")
   }
 
+  test("annTopK recall@3: the ANN top-3 largely reproduces the exact top-3") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(vecs, k = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(vecs, k = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // set-overlap recall over all (query, neighbor) memberships: looser
+    // than rank agreement (a swapped 2nd/3rd place still counts), the
+    // right notion for a candidate source feeding rank-insensitive
+    // consumers like the majority vote. ~0.99 here (measured); 0.8 floor.
+    val hit = (ann & exact).size.toDouble / exact.size
+    assert(hit > 0.8, s"recall@3 = ${(ann & exact).size}/${exact.size}")
+  }
+
   test("d30 ANN kNN classification agrees with the exact d28 baseline") {
     import spark.implicits._
     val queries = graft.SparkEntry.queries
