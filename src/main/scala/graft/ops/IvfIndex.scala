@@ -204,17 +204,15 @@ object IvfIndex {
     * pairs are unique by construction — a stored vector lives in exactly
     * one cell and probes are distinct cells — so TopKAgg's id-dedup is a
     * no-op here; a query whose probed cells hold fewer than k vectors
-    * emits fewer rows. */
+    * emits fewer rows. Like the whole ANN family (and unlike the exact
+    * baseline, which ranks their 0/0 cosine as NaN-greatest), zero-norm
+    * vectors — failed encodes — are EXCLUDED from both sides, so
+    * equality with cosineTopK at probes = K holds on zero-norm-free
+    * corpora. */
   def searchTopK(spark: SparkSession, model: Model, queries: DataFrame,
       k: Int = 3, probes: Int = 2): DataFrame = {
     require(k > 0, "need k > 0")
-    val topk = udaf(new TopKAgg(k))
-    probedSims(spark, model, queries, probes)
-      .groupBy(col("vec_id"))
-      .agg(topk(col("sim"), col("neighbor_id")).as("t"))
-      .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("neighbor_id"))
+    Similarity.topKRanks(probedSims(spark, model, queries, probes), k)
   }
 
   /** Scored (vec_id, neighbor_id, sim) candidate stream from probing
@@ -222,6 +220,7 @@ object IvfIndex {
     * [[search]] / [[searchTopK]]. */
   private def probedSims(spark: SparkSession, model: Model, queries: DataFrame,
       probes: Int): DataFrame = {
+    require(probes > 0, "need probes > 0")
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
     val probed = queries.select(col("vec_id"), col("v")).as[(Long, Array[Double])]

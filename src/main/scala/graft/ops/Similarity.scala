@@ -875,16 +875,25 @@ object Similarity {
     * same pairs, no broadcast memory ceiling. */
   def cosineTopK(vecs: DataFrame, k: Int = 3,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val topk = udaf(new TopKAgg(k))
     val e = vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
     val pairs = selfCosineJoin(vecs, withNorm,
         col("q.vec_id") =!= col("c.vec_id"), maxBroadcastBytes)
-      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("cid"),
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
         (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+    topKRanks(pairs, k)
+  }
+
+  /** (vec_id, rank, neighbor_id) from a scored (vec_id, neighbor_id,
+    * sim) stream — the TopKAgg ranking + rank materialization shared by
+    * every top-k form (exact [[cosineTopK]], LSH [[annTopK]], IVF
+    * [[IvfIndex.searchTopK]]), so the output contract lives in exactly
+    * one place. */
+  private[ops] def topKRanks(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
     pairs.groupBy(col("vec_id"))
-      .agg(topk(col("sim"), col("cid")).as("t"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("t"))
       .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
@@ -952,14 +961,9 @@ object Similarity {
       bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
     require(k > 0 && tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 &&
       probeFlips >= 0, "need k > 0, tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
-    val topk = udaf(new TopKAgg(k))
     val e = normalizedVecs(vecs)
     val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
-    scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips))
-      .groupBy(col("vec_id"))
-      .agg(topk(col("sim"), col("neighbor_id")).as("t"))
-      .select(col("vec_id"), posexplode(col("t.ids")).as(Seq("pos", "neighbor_id")))
-      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
+    topKRanks(scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips)), k)
   }
 
   /** Exact-cosine scoring of an id-only candidate stream: re-attach both

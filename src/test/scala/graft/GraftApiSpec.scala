@@ -360,6 +360,7 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       // copies each; weight 0.0 drops the de doc entirely
       val mix = spark.table("mix_stream").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx")))
+      assert(mix.length == 4) // EXACTLY two copies each — no double-emits
       assert(mix.toSet == Set((1L, 1L), (1L, 2L), (3L, 1L), (3L, 2L)))
     } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop() }
   }

@@ -44,7 +44,10 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // with every cell probed the candidate set is the whole corpus, so
     // the IVF ranking must reproduce the exact baseline row-for-row —
-    // schema-compatible by design (vec_id, rank, neighbor_id)
+    // schema-compatible by design (vec_id, rank, neighbor_id). Scope:
+    // this corpus has no zero-norm vectors; on one that does, the ANN
+    // family excludes them (design) while the exact baseline ranks
+    // their NaN cosine greatest — see the searchTopK scaladoc
     val vecs = graft.ops.Tables.embeddings(spark, sf)
     val e = vecs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
