@@ -1300,7 +1300,82 @@ object Similarity {
         val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
         IvfIndex.search(s, model, e, probes = D17Probes)
       },
-      None)
+      None),
+
+    // d33: the IVF machinery under an EXACT-mode oracle. At probes = K
+    // every query probes every cell, so the candidate set is the whole
+    // (zero-norm-free) corpus and searchTopK must reproduce the exact
+    // cosine top-k row-for-row — IvfIndexSpec proves that equality
+    // in-process; this entry makes it driver-adjudicated (hash-gated
+    // against DuckDB) so the quantize -> probe -> re-attach -> TopKAgg
+    // pipeline shared with d17's production setting (probes < K) is
+    // oracle-covered, not self-reported. The oracle is d07's ranking
+    // restricted to the zero-norm-free projection (the ANN family
+    // excludes failed encodes by design; the exact baseline ranks their
+    // 0/0 = NaN cosine greatest — see IvfIndex.searchTopK scaladoc).
+    Q("d33_ivf_topk_exact",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
+        IvfIndex.searchTopK(s, model, e, k = 3, probes = D17Cells)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nz AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+             |sim AS (
+             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.v, c.v)
+             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |  FROM nz q JOIN nz c ON q.vec_id <> c.vec_id)
+             |SELECT vec_id, rank, neighbor_id FROM (
+             |  SELECT vec_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sim)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // d34: the composed IVF-backed kNN classifier under d28's oracle —
+    // knnClassifyFrom is the open vote-stage seam and searchTopK(probes=K)
+    // its exact-mode neighbor source, so this two-call composition must
+    // equal the exact d28 pipeline (GraftApiSpec proves it in-process).
+    // Hash-gating it gives d30 (the same vote stage over the LSH
+    // candidate stream) an oracle-adjudicated sibling: everything
+    // downstream of the candidate source — label re-attach, abstention,
+    // majority pick, one-row-per-input left join — is driver-verified.
+    // The oracle mirrors d28's with the pair stream on the zero-norm-free
+    // projection; the final left join stays over the FULL id universe
+    // (a zero-norm input still emits its NULL/0 abstention row).
+    Q("d34_knn_classify_ivf",
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        val e = vecs
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
+        knnClassifyFrom(vecs,
+          IvfIndex.searchTopK(s, model, e, k = 3, probes = D17Cells))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+             |nz AS (SELECT vec_id, v, label FROM e WHERE list_dot_product(v, v) > 0),
+             |sim AS (
+             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id, c.label,
+             |         list_dot_product(q.v, c.v)
+             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |  FROM nz q JOIN nz c ON q.vec_id <> c.vec_id),
+             |topk AS (
+             |  SELECT vec_id, label FROM (
+             |    SELECT vec_id, label,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |    FROM sim)
+             |  WHERE rank <= 3 AND label IS NOT NULL),
+             |votes AS (SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2),
+             |best AS (
+             |  SELECT vec_id, label AS predicted_label, votes FROM (
+             |    SELECT vec_id, label, votes,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT q.vec_id, b.predicted_label,
+             |       COALESCE(b.votes, CAST(0 AS BIGINT)) AS votes
+             |FROM (SELECT vec_id FROM embeddings) q
+             |LEFT JOIN best b USING (vec_id)""".stripMargin))
   )
 
   /** The d17 bench binding's IVF knobs, exported so bench.json's quality
