@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -388,21 +388,24 @@ object Curation {
     * division of exact integer aggregates, so it is cross-engine
     * exact.
     *
-    * Cache lifetime: the cells cache() entry (|cells| rows — KBs) stays
-    * registered in the session's CacheManager until session stop; a
-    * repeat call over the same input plan REUSES it (CacheManager
-    * dedupes by plan), so d29/d31 built over the same docs read cells
-    * warm, and distinct inputs each leave one tiny entry
-    * (`spark.catalog.clearCache()` releases them early if needed). The
-    * bench marks the d26/d29/d31 bindings memoized for this reason. */
+    * Cache lifetime and REUSE SEMANTICS: the cells cache() entry
+    * (|cells| rows — KBs) is registered in a bounded FIFO registry (see
+    * [[MaxCachedCellFrames]]): a repeat call over the same input plan
+    * REUSES it, so d29/d31 built over the same docs read cells warm (the
+    * bench marks the d26/d29/d31 bindings memoized for this reason), and
+    * a caller looping over many DISTINCT inputs evicts oldest-first
+    * instead of accumulating entries until session stop. Reuse is by
+    * PLAN, not by data: if the files under the same path change between
+    * calls (a parquet append, an overwrite), the cached cells are STALE
+    * — call [[evictCellCaches]] (or `spark.catalog.clearCache()`) after
+    * mutating an input a previous call aggregated. */
   def mixWeights(docs: DataFrame, dims: Seq[String] = Seq("lang", "source"),
       targets: Option[DataFrame] = None): DataFrame = {
     require(dims.nonEmpty, "need at least one mix dimension")
-    val cells = docs
+    val cells = cacheCells(docs
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens"))
-      .cache()
+        sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tokens")))
     val totals = cells.agg(
       sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_cells"))
@@ -423,6 +426,68 @@ object Curation {
     }
     weighted.select(dims.map(col) ++
       Seq(col("n_docs"), col("n_tokens"), col("weight")): _*)
+  }
+
+  /** Cap on concurrently-cached [[mixWeights]] cells frames per process.
+    * Each entry is tiny (|cells| rows — KBs), so the cap guards entry
+    * COUNT (a caller sweeping hundreds of distinct inputs in one
+    * session), not bytes. */
+  private[graft] val MaxCachedCellFrames = 16
+
+  /** Insertion-ordered registry of the cells frames [[mixWeights]] has
+    * cache()d, keyed by (session, canonicalized plan) — the canonicalized
+    * LogicalPlan OBJECT, whose structural equality is what CacheManager's
+    * sameResult dedup compares (a string key would be lossy: LocalRelation
+    * prints its schema but not its data, so distinct in-memory inputs
+    * would collide). Mirroring that dedup keeps the registry's count
+    * honest, and bounds it: beyond [[MaxCachedCellFrames]] the OLDEST
+    * frame is unpersisted (recompute cost = one cells aggregation).
+    * Session-stop eviction drops the stopped session's keys. */
+  private val cellCache =
+    new java.util.LinkedHashMap[(SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private[graft] def cachedCellCount: Int =
+    cellCache.synchronized(cellCache.size)
+
+  /** Deterministic invalidation for callers that MUTATE an input a prior
+    * [[mixWeights]] call aggregated (parquet append/overwrite under the
+    * same path): unpersists and forgets every cells frame this session
+    * cached, so the next call recomputes from the current files. */
+  def evictCellCaches(s: SparkSession): Unit = cellCache.synchronized {
+    val it = cellCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
+  private def cacheCells(cells: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    val key = (s, cells.queryExecution.analyzed.canonicalized)
+    cellCache.synchronized {
+      val hit = cellCache.get(key)
+      if (hit != null) hit
+      else {
+        // one stop-listener per session, not per entry
+        if (!hasSessionEntry(s))
+          graft.Sessions.onStop(s)(() => evictCellCaches(s))
+        val df = cells.cache()
+        cellCache.put(key, df)
+        if (cellCache.size > MaxCachedCellFrames) {
+          val it = cellCache.entrySet().iterator()
+          val eldest = it.next(); it.remove()
+          eldest.getValue.unpersist()
+        }
+        df
+      }
+    }
+  }
+
+  private def hasSessionEntry(s: SparkSession): Boolean = {
+    val it = cellCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq s) return true
+    false
   }
 
   /** Materialize a [[mixWeights]] plan: per-document copy counts that

@@ -444,4 +444,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("mixWeights cells cache is bounded and deterministically evictable") {
+    import spark.implicits._
+    Curation.evictCellCaches(spark)
+    assert(Curation.cachedCellCount == 0)
+    // sweep MORE distinct inputs than the cap: each docs frame has a
+    // distinct plan (different literal rows), so each mixWeights call
+    // caches a new cells frame — the registry must evict oldest-first
+    // instead of growing without bound
+    val n = Curation.MaxCachedCellFrames + 5
+    (1 to n).foreach { i =>
+      val df = Seq((i.toLong, s"text $i", "en", s"src$i"))
+        .toDF("doc_id", "text", "lang", "source")
+      Curation.mixWeights(df).collect()
+    }
+    assert(Curation.cachedCellCount == Curation.MaxCachedCellFrames,
+      s"registry grew to ${Curation.cachedCellCount}")
+    // a repeat call over the SAME plan must not add an entry (plan-keyed
+    // dedup, mirroring CacheManager)
+    val again = Seq((n.toLong, s"text $n", "en", s"src$n"))
+      .toDF("doc_id", "text", "lang", "source")
+    Curation.mixWeights(again).collect()
+    assert(Curation.cachedCellCount == Curation.MaxCachedCellFrames)
+    // deterministic invalidation for mutated inputs
+    Curation.evictCellCaches(spark)
+    assert(Curation.cachedCellCount == 0)
+  }
 }
