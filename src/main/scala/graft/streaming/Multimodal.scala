@@ -156,29 +156,31 @@ object Multimodal {
             fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate,
             false)
           val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
-          // the PCM_SIGNED conversion keeps the frame rate, so the
-          // source's declared frame count IS the converted one
-          val declared = in.getFrameLength
-          if (declared >= 0) scanPcm(pcm, declared, sampleRate, channels)
-          else {
-            // no declared frame count: bounded buffer, stub past the cap
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](AudioChunkBytes)
-            var read = pcm.read(buf)
-            var over = false
-            while (read > 0 && !over) {
-              out.write(buf, 0, read)
-              over = out.size() > MaxUnsizedPcmBytes
-              if (!over) read = pcm.read(buf)
-            }
-            if (over) None
+          try {
+            // the PCM_SIGNED conversion keeps the frame rate, so the
+            // source's declared frame count IS the converted one
+            val declared = in.getFrameLength
+            if (declared >= 0) scanPcm(pcm, declared, sampleRate, channels)
             else {
-              val bytes = out.toByteArray
-              val nFrames = (bytes.length / 2 / channels).toLong
-              scanPcm(new java.io.ByteArrayInputStream(bytes), nFrames,
-                sampleRate, channels)
+              // no declared frame count: bounded buffer, stub past the cap
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](AudioChunkBytes)
+              var read = pcm.read(buf)
+              var over = false
+              while (read > 0 && !over) {
+                out.write(buf, 0, read)
+                over = out.size() > MaxUnsizedPcmBytes
+                if (!over) read = pcm.read(buf)
+              }
+              if (over) None
+              else {
+                val bytes = out.toByteArray
+                val nFrames = (bytes.length / 2 / channels).toLong
+                scanPcm(new java.io.ByteArrayInputStream(bytes), nFrames,
+                  sampleRate, channels)
+              }
             }
-          }
+          } finally pcm.close()
         }
       } finally in.close()
     } catch { case _: Exception => None }
@@ -227,13 +229,113 @@ object Multimodal {
     Some(Decoded(sampleRate, channels, durationMs, emb))
   }
 
+  // ---- ISO BMFF (MP4/MOV/M4V) container walk — pure JVM, no codec ----
+
+  /** Big-endian u32 at `i` as a Long (MP4 sizes are unsigned). */
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Iterate the boxes of `b[from, until)`, calling `f(type, payloadFrom,
+    * payloadUntil)` for each well-formed box; stops at the first
+    * malformed header (size too small / overrunning the range / 64-bit
+    * size beyond Int range — payloads are in-memory arrays here). */
+  private def walkBoxes(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var o = from
+    while (o + 8 <= until) {
+      val size32 = u32(b, o)
+      val tpe = boxType(b, o)
+      val (header, size) =
+        if (size32 == 1L && o + 16 <= until) (16, u64(b, o + 8))
+        else if (size32 == 0L) (8, (until - o).toLong) // box runs to range end
+        else (8, size32)
+      if (size < header || o + size > until) return
+      f(tpe, o + header, (o + size).toInt)
+      o += size.toInt
+    }
+  }
+
+  /** First child box of `tpe` inside `b[from, until)` as a
+    * (payloadFrom, payloadUntil) range. */
+  private def findBox(b: Array[Byte], from: Int, until: Int,
+      tpe: String): Option[(Int, Int)] = {
+    var hit: Option[(Int, Int)] = None
+    walkBoxes(b, from, until)((t, s, e) => if (hit.isEmpty && t == tpe) hit = Some((s, e)))
+    hit
+  }
+
+  /** Real video CONTAINER decode: an ISO BMFF box walk — the part of
+    * video ingest that needs no codec. Duration comes from moov/mvhd
+    * (timescale-normalized, version 0 and 1 layouts), pixel dimensions
+    * from the first moov/trak/tkhd with nonzero 16.16 fixed-point
+    * width×height (audio/hint tracks carry 0×0 and are skipped). The
+    * embedding is an `EmbeddingDim`-segment mean-byte profile of the
+    * payload — real byte statistics; FRAME pixels still need a codec
+    * (ffmpeg bindings in production) and keep the stub fallback. None
+    * when the bytes are not ISO BMFF or carry no parseable moov/mvhd. */
+  private[graft] def decodeVideoMeta(payload: Array[Byte]): Option[Decoded] =
+    try {
+      findBox(payload, 0, payload.length, "moov").flatMap { case (ms, me) =>
+        findBox(payload, ms, me, "mvhd").flatMap { case (hs, he) =>
+          val version = payload(hs) & 0xff
+          // version+flags (4), then v0: creation(4) mod(4) timescale(4)
+          // duration(4); v1: creation(8) mod(8) timescale(4) duration(8)
+          val (timescale, duration) =
+            if (version == 1 && hs + 32 <= he) (u32(payload, hs + 20), u64(payload, hs + 24))
+            else if (version == 0 && hs + 20 <= he) (u32(payload, hs + 12), u32(payload, hs + 16))
+            else (0L, 0L)
+          if (timescale <= 0) None
+          else {
+            val durationMs = duration * 1000L / timescale
+            // first visual track's tkhd: width/height are 16.16 fixed
+            // point at +76 (v0) / +88 (v1) from the tkhd payload start
+            var w = 0
+            var h = 0
+            walkBoxes(payload, ms, me) { (t, ts, te) =>
+              if (t == "trak" && w == 0)
+                findBox(payload, ts, te, "tkhd").foreach { case (ks, ke) =>
+                  val v = payload(ks) & 0xff
+                  val wOff = if (v == 1) ks + 88 else ks + 76
+                  if (wOff + 8 <= ke) {
+                    val tw = (u32(payload, wOff) >> 16).toInt
+                    val th = (u32(payload, wOff + 4) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  }
+                }
+            }
+            val seg = math.max(1, payload.length / EmbeddingDim)
+            val emb = Array.tabulate(EmbeddingDim) { c =>
+              val s = c * seg
+              val e = math.min(payload.length, s + seg)
+              if (s >= e) 0.0f
+              else {
+                var acc = 0L
+                var i = s
+                while (i < e) { acc += payload(i) & 0xff; i += 1 }
+                (acc.toDouble / (e - s) / 255.0).toFloat
+              }
+            }
+            Some(Decoded(w, h, durationMs, emb))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Decode dispatch: real ImageIO for images, real AudioSystem for
-    * audio (each with stub fallback for bytes no installed reader
-    * accepts), stub for video. */
+    * audio, real ISO BMFF container metadata for video (each with stub
+    * fallback for bytes no parser accepts). */
   def decode(modality: String, payload: Array[Byte]): Decoded =
     modality match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(modality, payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(modality, payload))
+      case "video" => decodeVideoMeta(payload).getOrElse(decodeStub(modality, payload))
       case _ => decodeStub(modality, payload)
     }
 

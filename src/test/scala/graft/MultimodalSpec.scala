@@ -198,4 +198,58 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(frames.map(_.frameIdx).distinct.length == frames.length)
     }
   }
+
+  // ---- ISO BMFF fixture builders: hand-assembled boxes, so the test
+  // exercises the real wire layout (big-endian sizes, 16.16 dims) ------
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    val out = java.nio.ByteBuffer.allocate(size)
+    out.putInt(size).put(tpe.getBytes("US-ASCII")).put(payload)
+    out.array()
+  }
+  private def be32(vs: Long*): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(vs.length * 4)
+    vs.foreach(v => out.putInt(v.toInt))
+    out.array()
+  }
+  private def mvhd0(timescale: Long, duration: Long): Array[Byte] =
+    // full 100-byte v0 layout: vf, creation, mod, timescale, duration,
+    // rate, volume+reserved, reserved x2, matrix (9), predefined (6),
+    // next_track_ID
+    box("mvhd", be32(Seq(0L, 0L, 0L, timescale, duration, 0x00010000L, 0L, 0L, 0L) ++
+      Seq.fill(9)(0L) ++ Seq.fill(6)(0L) ++ Seq(3L): _*))
+  private def tkhd0(trackId: Long, w: Int, h: Int): Array[Byte] =
+    // v0: vf, creation, mod, trackId, reserved, duration, reserved x2,
+    // layer/altgroup, volume/reserved, matrix (9 x u32), width, height
+    box("tkhd", be32(Seq(0L, 0L, 0L, trackId, 0L, 500L, 0L, 0L, 0L, 0L) ++
+      Seq.fill(9)(0L) ++ Seq(w.toLong << 16, h.toLong << 16): _*))
+
+  test("decodeVideoMeta reads mvhd duration and the first visual tkhd dims") {
+    val audioTrak = box("trak", tkhd0(1, 0, 0)) // 0x0: audio track, skipped
+    val videoTrak = box("trak", tkhd0(2, 640, 360))
+    val moov = box("moov", mvhd0(timescale = 600, duration = 1200) ++ audioTrak ++ videoTrak)
+    val mp4 = box("ftyp", "isom0000".getBytes("US-ASCII")) ++ moov ++
+      box("mdat", Array.fill[Byte](64)(7))
+    val d = Multimodal.decodeVideoMeta(mp4).get
+    assert(d.durationMs == 2000L) // 1200 ticks at 600/s
+    assert(d.width == 640 && d.height == 360)
+    assert(d.embedding.length == Multimodal.EmbeddingDim)
+    assert(d.embedding.forall(v => v >= 0.0f && v <= 1.0f))
+    // the dispatch path uses the container parse, not the stub
+    val viaDispatch = Multimodal.decode("video", mp4)
+    assert(viaDispatch.width == 640 && viaDispatch.durationMs == 2000L)
+  }
+
+  test("decodeVideoMeta rejects non-BMFF bytes; dispatch falls back to the stub") {
+    assert(Multimodal.decodeVideoMeta("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeVideoMeta(Array.emptyByteArray).isEmpty)
+    // truncated: a declared box size overrunning the buffer must not throw
+    val truncated = be32(4096L) ++ "moov".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeVideoMeta(truncated).isEmpty)
+    val stub = Multimodal.decode("video", "not a video".getBytes("UTF-8"))
+    val expect = Multimodal.decodeStub("video", "not a video".getBytes("UTF-8"))
+    assert(stub.width == expect.width && stub.height == expect.height &&
+      stub.durationMs == expect.durationMs &&
+      stub.embedding.sameElements(expect.embedding))
+  }
 }
