@@ -258,7 +258,7 @@ object Bench {
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
         s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
         s""""extended_total_cold":${f(totCold(ext))},$quality""" +
-        s""""timing":"min_of_2; memoized headline cold run 1",""" +
+        s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null)",""" +
         s"""$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     // full artifact — everything above plus per-run detail
@@ -266,7 +266,7 @@ object Bench {
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
         s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
         s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality""" +
-        s""""timing":"min_of_2; memoized headline cold run 1",""" +
+        s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null)",""" +
         s""""runs":${runsObj(base ++ ext)},"warm":${warmObj(base ++ ext)},""" +
         s""""memoized":$memo,$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""

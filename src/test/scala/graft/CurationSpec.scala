@@ -266,7 +266,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every cell (and the "No Partition Defined for Window" warning that
     // used to sit in every bench tail is gone with the window)
     val plan = Curation.mixWeights(df).queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan)
+    assert(graft.tools.PlanAudit.countNode(plan, "Window") == 0, plan)
   }
 
   test("mixWeights: explicit target fractions override the uniform share") {
