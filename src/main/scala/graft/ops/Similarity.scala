@@ -1097,6 +1097,25 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** d07's exact cosine top-3 ranking restricted to the zero-norm-free
+    * projection — the oracle both exact-mode ANN entries (d33 IVF at
+    * probes = K, d35 LSH at 1-bit full-probe geometry) must reproduce
+    * row-for-row; `ORDER BY sim DESC, neighbor_id` is TopKAgg's
+    * tie-break. */
+  private val ExactTopK3Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nz AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+      |sim AS (
+      |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, c.v)
+      |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |  FROM nz q JOIN nz c ON q.vec_id <> c.vec_id)
+      |SELECT vec_id, rank, neighbor_id FROM (
+      |  SELECT vec_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sim)
+      |WHERE rank <= 3""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.
@@ -1320,18 +1339,23 @@ object Similarity {
         val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
         IvfIndex.searchTopK(s, model, e, k = 3, probes = D17Cells)
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |nz AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
-             |sim AS (
-             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
-             |         list_dot_product(q.v, c.v)
-             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-             |  FROM nz q JOIN nz c ON q.vec_id <> c.vec_id)
-             |SELECT vec_id, rank, neighbor_id FROM (
-             |  SELECT vec_id, neighbor_id,
-             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-             |  FROM sim)
-             |WHERE rank <= 3""".stripMargin)),
+      Some(ExactTopK3Oracle)),
+
+    // d35: the LSH machinery under the SAME exact-mode oracle. At
+    // bitsPerTable = 1 with probeFlips = 1 each query probes both
+    // signatures of the single 1-bit table (probeMasks returns exactly
+    // the one flippable bit), so the bucket join degenerates to every
+    // directed pair of the zero-norm-free corpus and annTopK must
+    // reproduce the exact cosine top-k row-for-row — the signature UDF,
+    // the probe fan-out, the index/probe bucket join, the id-keyed
+    // re-scoring, and the TopKAgg ranking (everything d08/d30 runs at
+    // production geometry) all sit inside a hash-gated query instead of
+    // a self-reported recall number. SimilaritySpec asserts the same
+    // equality in-process.
+    Q("d35_ann_topk_exact",
+      (s, d) => annTopK(embeddings(s, d), k = 3, tables = 1,
+        bitsPerTable = 1, probeFlips = 1),
+      Some(ExactTopK3Oracle)),
 
     // d34: the composed IVF-backed kNN classifier under d28's oracle —
     // knnClassifyFrom is the open vote-stage seam and searchTopK(probes=K)

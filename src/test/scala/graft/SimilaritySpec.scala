@@ -107,6 +107,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit > 0.8, s"recall@3 = ${(ann & exact).size}/${exact.size}")
   }
 
+  test("annTopK at 1-bit full-probe geometry equals the exact top-k (d35)") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    // bits=1, probeFlips=1: probeMasks emits the one flippable bit, so
+    // every query probes BOTH signatures of the single 1-bit table and
+    // the candidate set is every directed zero-norm-free pair — the LSH
+    // pipeline must then reproduce the exact ranking row-for-row (same
+    // claim d35's DuckDB oracle hash-gates driver-side)
+    val exact = Similarity.cosineTopK(vecs, k = 3)
+      .select($"vec_id", $"rank", $"neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val degen = Similarity.annTopK(vecs, k = 3, tables = 1,
+        bitsPerTable = 1, probeFlips = 1)
+      .select($"vec_id", $"rank", $"neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(degen == exact,
+      s"degenerate-LSH rows ${degen.size} vs exact ${exact.size}; " +
+        s"diff ${(degen diff exact).take(5)} / ${(exact diff degen).take(5)}")
+  }
+
   test("d30 ANN kNN classification agrees with the exact d28 baseline") {
     import spark.implicits._
     val queries = graft.SparkEntry.queries
