@@ -215,6 +215,12 @@ object Graft {
     * Reads: lang, text. */
   def distinctTokenSketch(docs: DataFrame): DataFrame = Corpus.distinctTokenSketch(docs)
 
+  /** [[distinctTokenSketch]] projected onto its checkable contract: exact
+    * distinct counts plus a boolean that the estimate sits within `tol`
+    * relative error. Reads: lang, text. */
+  def sketchWithinBound(docs: DataFrame, tol: Double = 0.05): DataFrame =
+    Corpus.sketchWithinBound(docs, tol)
+
   /** Per-language length percentiles (p50/p90/p99, exact interpolation).
     * Reads: lang, n_chars. */
   def lengthQuantiles(docs: DataFrame): DataFrame = Corpus.lengthQuantiles(docs)

@@ -170,6 +170,23 @@ object Corpus {
       .select(col("x.lang"), col("x.exact_distinct"), col("y.approx_distinct"))
   }
 
+  /** d13's sketch under a hash-gateable contract (d36): the per-language
+    * exact distinct count plus a boolean asserting the HLL++ estimate
+    * sits within `tol` relative error of it. Sketch VALUES are
+    * engine-specific and can never hash-match an oracle, but this
+    * projection can: the oracle recomputes `exact_distinct` and emits
+    * literal TRUE, so a hash match adjudicates both the exact counts and
+    * that the (deterministic — HLL++ has no RNG) estimate honored the
+    * bound. `tol` defaults to 2.5× the 2% configured rsd, the bound
+    * CorpusSketchSpec has measured since round 4. */
+  def sketchWithinBound(docs: DataFrame, tol: Double = 0.05): DataFrame = {
+    val e = col("exact_distinct").cast("double")
+    distinctTokenSketch(docs).select(
+      col("lang"), col("exact_distinct"),
+      (abs(col("approx_distinct").cast("double") - e) / e <= tol)
+        .as("within_bound"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):
     * a broadcast-hinted nested-loop self-join while the table fits
     * `maxBroadcastBytes`, switching to the blocked fragment-replicate
@@ -325,6 +342,20 @@ object Corpus {
     Q("d13_distinct_sketch",
       (s, d) => distinctTokenSketch(documents(s, d)),
       None),
+
+    // d36: the sketch family's hash-green sibling — d13's pipeline
+    // projected onto what IS cross-engine checkable: exact per-language
+    // distinct counts (oracle-recomputed) and a within-bound boolean the
+    // oracle pins to TRUE. Converts the sketch's error-bound story from
+    // spec-only (CorpusSketchSpec) to driver-adjudicated.
+    Q("d36_sketch_bound",
+      (s, d) => sketchWithinBound(documents(s, d)),
+      Some("""SELECT lang,
+             |CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+             |TRUE AS within_bound
+             |FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |      FROM documents)
+             |GROUP BY lang""".stripMargin)),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
     // 0.4 threshold as a broadcast-hinted nested-loop self-join while the

@@ -22,4 +22,20 @@ class CorpusSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"lang=${r.get(0)} exact=$exact approx=$approx")
     }
   }
+
+  test("d36 projects the sketch onto its hash-gateable contract (all within_bound)") {
+    val df = SparkEntry.queries("d36_sketch_bound")(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every row must carry within_bound = true (the oracle pins TRUE) and
+    // the exact counts must agree with d13's exact side
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"lang=${r.get(0)} out of bound")
+    }
+    val d13 = SparkEntry.queries("d13_distinct_sketch")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.get(0) -> r.getAs[Long]("exact_distinct")).toMap
+    rows.foreach { r =>
+      assert(d13(r.get(0)) == r.getAs[Long]("exact_distinct"))
+    }
+  }
 }
