@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, Curation, IvfIndex, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -224,6 +224,30 @@ object Graft {
   /** Per-language length percentiles (p50/p90/p99, exact interpolation).
     * Reads: lang, n_chars. */
   def lengthQuantiles(docs: DataFrame): DataFrame = Corpus.lengthQuantiles(docs)
+
+  /** Per-document TF-IDF top-k terms (keyword extraction).
+    * Reads: doc_id, text. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    Corpus.tfidfTopTerms(docs, k)
+
+  /** BM25 top-k lexical retrieval for a bag-of-words query.
+    * Reads: doc_id, text. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Corpus.bm25Rank(docs, terms, k, k1, b)
+
+  /** Persist a bucket-partitioned inverted index for [[searchBm25]]
+    * (tokenize once, serve many queries). Reads: doc_id, text. */
+  def lexIndexSave(docs: DataFrame, dir: String): Unit = LexIndex.save(docs, dir)
+
+  /** Incrementally index additional documents (doc_ids must be new). */
+  def lexIndexAppend(docs: DataFrame, dir: String): Unit = LexIndex.append(docs, dir)
+
+  /** BM25 retrieval served from a saved [[lexIndexSave]] index — reads
+    * only the postings buckets the query terms hash to. */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    LexIndex.searchBm25(spark, dir, terms, k, k1, b)
 
   // ---- corpus curation -----------------------------------------------------
 

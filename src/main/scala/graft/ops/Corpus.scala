@@ -26,6 +26,32 @@ object Corpus {
 
   private val tokCol = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Fixed bag-of-words query for the d38/d39 retrieval gates: frequent
+    * but non-universal corpus terms, so tf, df and length normalization
+    * all do real work. */
+  private[graft] val Bm25Query = Seq("hash", "join", "stream")
+
+  /** d38's DuckDB oracle — d39 (the indexed path) is gated by the SAME
+    * SQL, asserting the index round-trip preserves the direct result. */
+  private val Bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('hash', 'join', 'stream') GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |per AS (
+      |  SELECT tf.doc_id,
+      |         ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |           * (tf.tf * (1.2 + 1.0))
+      |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, round(sum(s), 4) AS bm25, CAST(count(*) AS BIGINT) AS n_terms_hit
+      |FROM per GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   /** Winnowing fingerprints of one document (d11), computed in a single
     * pass: md5-prefix hash per 8-char gram, minimum over each full
     * 4-gram window, per-doc distinct (insertion order — the consumer is
@@ -185,6 +211,90 @@ object Corpus {
       col("lang"), col("exact_distinct"),
       (abs(col("approx_distinct").cast("double") - e) / e <= tol)
         .as("within_bound"))
+  }
+
+  /** (doc_id, term) exploded token stream under the corpus-wide
+    * whitespace tokenization (same contract as d02/d03). */
+  private[ops] def termStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+
+  /** Per-document TF-IDF top-`k` terms (d37) — keyword extraction for
+    * corpus triage. tfidf = tf · ln(N / df); ties broken by term so the
+    * ranking is total and cross-engine deterministic (tf and df are
+    * exact longs, the ln and product are identical IEEE ops both sides).
+    *
+    * Scale: tf is a (doc, term) partial-aggregated shuffle; df reuses tf
+    * (one extra term-keyed agg over distinct pairs); the df join is
+    * term-keyed and NOT broadcast — the vocabulary grows with the corpus.
+    * N rides in as a 1-row broadcast cross join (the d26 pattern). The
+    * ranking window partitions by doc_id — never a global sort.
+    * In: (doc_id, text). Out: (doc_id, rank, term, tfidf). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termStream(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
+  /** BM25 score of the (doc_id, term, tf) postings in `tf` against the
+    * full per-doc length table `dl` — the shared scoring core of the
+    * direct path (d38) and the [[LexIndex]] indexed path (d39), so the
+    * two are equal by construction. df per query term is the match count
+    * in `tf` (terms are already restricted to the query); n_docs/avgdl
+    * come from `dl`. Every arithmetic step is written identically to the
+    * DuckDB oracle (left-assoc, same literal folds) for bit parity; the
+    * final cross-term sum is rounded to 4 decimals (≤ |query| addends,
+    * the d15 convention). Top-k via orderBy+limit = TakeOrdered, never a
+    * global window. */
+  private[ops] def bm25ScoreFrom(tf: DataFrame, dl: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = (idf * (col("tf") * lit(k1 + 1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", score)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25 lexical retrieval (d38): top-`k` documents for a bag-of-words
+    * query — the lexical counterpart of the vector search ops (d07/d08/
+    * d17), and the retrieval stage a decontamination or near-dup triage
+    * pipeline runs when embeddings are unavailable. Okapi BM25 with the
+    * standard k1/b defaults.
+    *
+    * Scale: the term filter runs BEFORE the (doc, term) aggregation, so
+    * only query-term tokens shuffle; dfreq is ≤ |query| rows (broadcast);
+    * dl is a map-side-combined per-doc count; top-k is TakeOrdered. For
+    * repeated queries over a fixed corpus use [[LexIndex]], which
+    * persists the postings bucket-partitioned by term so a search reads
+    * only the buckets its terms hash to. In: (doc_id, text). */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank: empty query")
+    val toks = termStream(docs)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25ScoreFrom(tf, dl, k, k1, b)
   }
 
   /** Exact embedding-cosine near-duplicate pairs at `threshold` (d15):
@@ -356,6 +466,47 @@ object Corpus {
              |FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |      FROM documents)
              |GROUP BY lang""".stripMargin)),
+
+    // d37: per-document TF-IDF top terms — keyword extraction. tf/df/N
+    // are exact longs; tfidf = tf·ln(N/df) is the identical IEEE
+    // expression both sides, so the per-doc ranking (score desc, term) is
+    // cross-engine total.
+    Q("d37_tfidf_topterms",
+      (s, d) => tfidfTopTerms(documents(s, d)),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf FROM (
+             |  SELECT doc_id, term, tfidf,
+             |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // d38: BM25 lexical retrieval over a fixed bag-of-words query — the
+    // lexical counterpart of the vector-search family. The cross-term sum
+    // is the only order-sensitive float op (≤ 3 addends) and is rounded
+    // to 4 decimals, the d15 convention.
+    Q("d38_bm25_rank",
+      (s, d) => bm25Rank(documents(s, d), Bm25Query),
+      Some(Bm25Oracle)),
+
+    // d39: the SAME retrieval served from the persisted bucket-partitioned
+    // inverted index (LexIndex), hash-gated by d38's oracle — proving the
+    // index round-trip (postings write, bucket pruning, parquet read)
+    // preserves the direct computation exactly.
+    Q("d39_bm25_indexed",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-lex-q").toString
+        LexIndex.save(documents(s, d), dir)
+        LexIndex.searchBm25(s, dir, Bm25Query)
+      },
+      Some(Bm25Oracle)),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a
     // 0.4 threshold as a broadcast-hinted nested-loop self-join while the

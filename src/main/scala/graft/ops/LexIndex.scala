@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for BM25 lexical retrieval — the lexical
+  * analog of [[IvfIndex]] (vectors) and SketchIndex (MinHash): tokenize
+  * and aggregate the corpus ONCE, then serve arbitrary bag-of-words
+  * queries without re-reading the documents.
+  *
+  * Layout under `dir`:
+  *   - `postings/bucket=N/` — (term, doc_id, tf), partitioned by
+  *     `bucket = pmod(xxhash64(term), NumBuckets)`. A search computes its
+  *     terms' buckets and reads ONLY those directories (partition
+  *     pruning), so query cost scales with the posting lists touched, not
+  *     the corpus. Fixed bucket count instead of `partitionBy(term)`
+  *     because a corpus-scale vocabulary would mean millions of
+  *     directories — the bucket layer keeps the file count bounded while
+  *     preserving pruning.
+  *   - `docstats/` — (doc_id, dl): per-document token counts, the
+  *     length-normalization side. Read in full at search time (one narrow
+  *     scan + two scalar aggregates for n_docs/avgdl); a deployment
+  *     serving many queries would cache it.
+  *
+  * [[append]] ingests additional documents incrementally (parquet append
+  * on both tables). Precondition: appended doc_ids are disjoint from
+  * what's already indexed — postings/docstats are keyed facts per doc, so
+  * re-adding a doc would double-count it (same contract as
+  * `IvfIndex.appendSaved`).
+  *
+  * Search reuses [[Corpus.bm25ScoreFrom]], the exact scoring core of the
+  * direct-path d38 query, so indexed results equal the direct computation
+  * by construction (LexIndexSpec asserts it; d39 hash-gates it against
+  * d38's DuckDB oracle).
+  */
+object LexIndex {
+
+  /** Directory fan-out of the postings table. 64 keeps listing cheap at
+    * test scale; at corpus scale raise it so each bucket's posting files
+    * stay within a few HDFS blocks. */
+  val NumBuckets = 64
+
+  private def bucketCol = pmod(xxhash64(col("term")), lit(NumBuckets.toLong))
+
+  private def postings(docs: DataFrame): DataFrame =
+    Corpus.termStream(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  private def docstats(docs: DataFrame): DataFrame =
+    Corpus.termStream(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+  private def write(docs: DataFrame, dir: String, mode: String): Unit = {
+    postings(docs)
+      .withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+    docstats(docs).write.mode(mode).parquet(s"$dir/docstats")
+  }
+
+  /** Build the index from scratch. In: (doc_id, text). */
+  def save(docs: DataFrame, dir: String): Unit = write(docs, dir, "overwrite")
+
+  /** Incrementally index additional documents (doc_ids must be new). */
+  def append(docs: DataFrame, dir: String): Unit = write(docs, dir, "append")
+
+  /** Top-`k` documents for `terms` under Okapi BM25, served from the
+    * saved index. The driver-side collect is the ≤ |terms| bucket ids —
+    * bounded by the query, never by the corpus. */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBm25: empty query")
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketCol.as("bucket")).distinct().as[Long].collect()
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$dir/docstats")
+    Corpus.bm25ScoreFrom(tf, dl, k, k1, b)
+  }
+}
