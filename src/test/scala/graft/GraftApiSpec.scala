@@ -375,5 +375,17 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q07 = SparkEntry.queries("d07_cosine_topk")(spark, sf).collect().toSet
     val a07 = Graft.cosineTopK(vecs, k = 3).collect().toSet
     assert(q07.map(_.toSeq) == a07.map(_.toSeq))
+
+    val q37 = SparkEntry.queries("d37_tfidf_topterms")(spark, sf).collect().toSet
+    val a37 = Graft.tfidfTopTerms(docs).collect().toSet
+    assert(q37.map(_.toSeq) == a37.map(_.toSeq))
+
+    val q38 = SparkEntry.queries("d38_bm25_rank")(spark, sf).collect().toSet
+    val a38 = Graft.bm25Rank(docs, graft.ops.Corpus.Bm25Query).collect().toSet
+    assert(q38.map(_.toSeq) == a38.map(_.toSeq))
+
+    val q36 = SparkEntry.queries("d36_sketch_bound")(spark, sf).collect().toSet
+    val a36 = Graft.sketchWithinBound(docs).collect().toSet
+    assert(q36.map(_.toSeq) == a36.map(_.toSeq))
   }
 }
