@@ -111,6 +111,29 @@ object ScaleSmoke {
     val crossPairs = graft.api.Graft.nearDupAgainstIndex(spark, batch, s"$dir/sketch_index").count()
     println(f"[scale] sketch_index save ${tSave}%.2f s, probe ${(System.nanoTime() - t1) / 1e9}%.2f s ($crossPairs cross pairs)")
 
+    // lexical index: build once, then BM25 searches that read only the
+    // query terms' postings buckets (partition pruning) — search cost
+    // should stay flat as the corpus grows while the direct d38 path
+    // re-tokenizes everything. Query terms come from the synthetic
+    // vocabulary head (Zipf mass ⇒ they occur corpus-wide).
+    // Measured (2026-08, round 8): save 6.2 s / search 2.7 s vs direct
+    // 4.8 s at 50k docs; save 5.1 s / search 2.9 s vs direct 7.8 s at
+    // 100k — the indexed search is FLAT (3 of 64 buckets + the narrow
+    // docstats scan) while the direct path grows with the corpus.
+    val lexTerms = Seq(vocab(0), vocab(1), vocab(2))
+    val lexDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val tL0 = System.nanoTime()
+    graft.api.Graft.lexIndexSave(lexDocs, s"$dir/lex_index")
+    val tLexSave = (System.nanoTime() - tL0) / 1e9
+    val tL1 = System.nanoTime()
+    val hitsIdx = graft.api.Graft.searchBm25(spark, s"$dir/lex_index", lexTerms).count()
+    val tLexSearch = (System.nanoTime() - tL1) / 1e9
+    val tL2 = System.nanoTime()
+    val hitsDirect = graft.api.Graft.bm25Rank(lexDocs, lexTerms).count()
+    val tLexDirect = (System.nanoTime() - tL2) / 1e9
+    println(f"[scale] lex_index save $tLexSave%.2f s, search $tLexSearch%.2f s " +
+      f"($hitsIdx rows) vs direct $tLexDirect%.2f s ($hitsDirect rows)")
+
     // --- curation family (measured 2026-08, round 5): d20 1.6s, d21
     // 2.1s, d23 2.6s at 50k docs; 1.6s / 2.3s / 1.5s at 100k — flat to
     // linear. d22 at the ORACLE's n = 3 is OUTPUT-bound on this Zipf
