@@ -138,7 +138,8 @@ object Bench {
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
     val memoized: Set[String] =
-      graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries
+      graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries ++
+        graft.ops.Corpus.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -180,8 +181,13 @@ object Bench {
         // sources feeding the majority vote; computed distributed (a
         // two-column join, never a collect)
         val vecs = graft.ops.Tables.embeddings(spark, sfDir)
+        // ONE exact top-10 frame (cached) serves both k's — the exact
+        // side is the quadratic baseline, so recomputing it per k (and
+        // again inside the join) would quadruple the untimed bench cost
+        val ex10 = graft.ops.Similarity.cosineTopK(vecs, 10)
+          .select(col("vec_id"), col("rank"), col("neighbor_id")).cache()
         def recallAtK(k: Int): Double = {
-          val ex = graft.ops.Similarity.cosineTopK(vecs, k)
+          val ex = ex10.where(col("rank") <= k)
             .select(col("vec_id"), col("neighbor_id"))
           val denom = ex.count().toDouble
           if (denom == 0) 0.0
@@ -191,18 +197,19 @@ object Bench {
         }
         val r08at3 = recallAtK(3)
         val r08at10 = recallAtK(10)
+        ex10.unpersist()
         // distinct ANN candidates per query under d08's production
         // geometry (auto-derived signature width) — the occupancy claim
         // ("candidates/query stay bounded as N grows") as a number
-        val e = vecs
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-          .where(col("nrm") > 0.0)
+        val e = graft.ops.Similarity.normalizedVecs(vecs)
         val bits = graft.ops.Similarity.annBitsFor(vecs.count())
         val perQuery = graft.ops.Similarity.annCandidatePairs(e, 8, bits, 15)
           .groupBy(col("vec_id"))
           .agg(countDistinct(col("neighbor_id")).cast("double").as("c"))
-        val qs = perQuery.stat.approxQuantile("c", Array(0.5, 0.99), 0.0)
+        // approxQuantile returns EMPTY on an empty frame — degrade to -1
+        // markers rather than throwing away the whole quality block
+        val qsRaw = perQuery.stat.approxQuantile("c", Array(0.5, 0.99), 0.0)
+        val qs = if (qsRaw.length == 2) qsRaw else Array(-1.0, -1.0)
         // d30 vs d28: fraction of vectors whose ANN-path prediction
         // equals the exact-path prediction (null-safe — matching
         // abstentions agree); both emit one row per input vector.

@@ -37,4 +37,26 @@ object Sessions {
       override def onApplicationEnd(
           end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict()
     })
+
+  /** Bookkeeping for [[onStopOnce]]: which tags each session has already
+    * registered. Weak session keys — the map must not itself keep a
+    * stopped session reachable. */
+  private val stopTags =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+
+  /** [[onStop]], but at most once per (session, tag). Callers whose
+    * "already registered?" signal is a cache-registry lookup get it wrong
+    * once the registry evicts that session's entries (a later call would
+    * stack a second identical listener on the bus — listeners are never
+    * deregistered, so a long-lived multi-session app accumulates them).
+    * Registration is tracked here, independent of any cache contents.
+    * Returns whether this call registered (false = tag already had a
+    * listener and `evict` was dropped). */
+  def onStopOnce(s: SparkSession, tag: String)(evict: () => Unit): Boolean =
+    stopTags.synchronized {
+      val tags = stopTags.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+      val fresh = tags.add(tag)
+      if (fresh) onStop(s)(evict)
+      fresh
+    }
 }

@@ -9,6 +9,10 @@ object Verify {
     // extra args = dump only these queries (dev focus mode; the driver
     // passes exactly two args and gets the full surface)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+      "a typo here would otherwise exit 0 with an empty dump")
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -52,6 +52,51 @@ object Corpus {
       |FROM per GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** d39's index directory, built ONCE per (session, data dir) — building
+    * inside the query fn would (a) time full index construction on every
+    * bench invocation of what is meant to showcase the indexed search and
+    * (b) leak a complete index copy into the system temp dir per call.
+    * Directories are deleted recursively when the session stops. */
+  private val lexDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def lexIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = lexDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lex-q").toString
+      LexIndex.save(documents(s, d), dir)
+      val prev = lexDirMemo.putIfAbsent(k, dir)
+      if (prev != null) { deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "corpus-lexdir") { () =>
+          val it = lexDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) { deleteRecursively(e.getValue); it.remove() }
+          }
+        }
+        dir
+      }
+    }
+  }
+
+  /** Query names served from the per-(session, dir) [[lexIndexDir]] memo:
+    * run 1 pays the full index build + search, run 2 only the search —
+    * the bench headlines run 1 (cold) for these, same convention as the
+    * Similarity/Curation memo families. */
+  val MemoizedQueries: Set[String] = Set("d39_bm25_indexed")
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    val p = Path.of(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   /** Winnowing fingerprints of one document (d11), computed in a single
     * pass: md5-prefix hash per 8-char gram, minimum over each full
     * 4-gram window, per-doc distinct (insertion order — the consumer is
@@ -501,11 +546,7 @@ object Corpus {
     // index round-trip (postings write, bucket pruning, parquet read)
     // preserves the direct computation exactly.
     Q("d39_bm25_indexed",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-lex-q").toString
-        LexIndex.save(documents(s, d), dir)
-        LexIndex.searchBm25(s, dir, Bm25Query)
-      },
+      (s, d) => LexIndex.searchBm25(s, lexIndexDir(s, d), Bm25Query),
       Some(Bm25Oracle)),
 
     // d15: embedding-cosine near-duplicate pairs — exact all-pairs at a

@@ -469,9 +469,12 @@ object Curation {
       val hit = cellCache.get(key)
       if (hit != null) hit
       else {
-        // one stop-listener per session, not per entry
-        if (!hasSessionEntry(s))
-          graft.Sessions.onStop(s)(() => evictCellCaches(s))
+        // one stop-listener per session, not per entry — tracked by
+        // Sessions.onStopOnce, NOT by registry contents: the global FIFO
+        // cap can evict all of a session's entries, and inferring
+        // registration from the registry would then re-add a listener on
+        // the session's next call
+        graft.Sessions.onStopOnce(s, "curation-cells")(() => evictCellCaches(s))
         val df = cells.cache()
         cellCache.put(key, df)
         if (cellCache.size > MaxCachedCellFrames) {
@@ -482,12 +485,6 @@ object Curation {
         df
       }
     }
-  }
-
-  private def hasSessionEntry(s: SparkSession): Boolean = {
-    val it = cellCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 eq s) return true
-    false
   }
 
   /** Materialize a [[mixWeights]] plan: per-document copy counts that

@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   * re-adding a doc would double-count it (same contract as
   * `IvfIndex.appendSaved`).
   *
+  * The two tables are two separate parquet commits, so a crash between
+  * them would leave postings and docstats describing DIFFERENT corpora —
+  * new docs present in tf/df but absent from n_docs/avgdl, silently
+  * skewing every other document's BM25 score. Writes therefore follow a
+  * marker protocol: drop `_graft_commit`, write both tables, recreate it.
+  * [[searchBm25]] refuses (fails closed) when the marker is missing —
+  * an interrupted write must be redone (rebuild via [[save]], or re-run
+  * the same [[append]] after deleting the partially-appended doc_ids'
+  * rows is NOT supported; rebuild).
+  *
   * Search reuses [[Corpus.bm25ScoreFrom]], the exact scoring core of the
   * direct-path d38 query, so indexed results equal the direct computation
   * by construction (LexIndexSpec asserts it; d39 hash-gates it against
@@ -50,12 +60,22 @@ object LexIndex {
     Corpus.termStream(docs)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
+  /** Hadoop-FS path of the index-consistency marker (works on any
+    * Spark-reachable filesystem, not just local disk). */
+  private def marker(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   private def write(docs: DataFrame, dir: String, mode: String): Unit = {
+    val (fs, m) = marker(docs.sparkSession, dir)
+    fs.delete(m, false) // invalidate while the two commits are in flight
     postings(docs)
       .withColumn("bucket", bucketCol)
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     docstats(docs).write.mode(mode).parquet(s"$dir/docstats")
+    fs.create(m, true).close()
   }
 
   /** Build the index from scratch. In: (doc_id, text). */
@@ -70,11 +90,17 @@ object LexIndex {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25: empty query")
+    val (fs, m) = marker(spark, dir)
+    require(fs.exists(m),
+      s"searchBm25: $dir has no _graft_commit marker — the index was never " +
+      "fully written or a save/append was interrupted between its postings " +
+      "and docstats commits; scoring it would silently skew BM25. Rebuild " +
+      "with LexIndex.save.")
     import spark.implicits._
     val buckets = terms.toDF("term")
       .select(bucketCol.as("bucket")).distinct().as[Long].collect()
     val tf = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val dl = spark.read.parquet(s"$dir/docstats")
     Corpus.bm25ScoreFrom(tf, dl, k, k1, b)

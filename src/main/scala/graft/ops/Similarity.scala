@@ -436,7 +436,10 @@ object Similarity {
     val existing = memo.get(k)
     if (existing != null) existing
     else {
-      graft.Sessions.onStop(s)(() => memo.keySet.removeIf(_._1 eq s))
+      // onStopOnce: a plain onStop here would add one listener per memo
+      // MISS (every distinct (dir, tag) insert), all evicting the same keys
+      graft.Sessions.onStopOnce(s, "similarity-memo")(
+        () => memo.keySet.removeIf(_._1 eq s))
       val df = f.cache()
       val prev = memo.putIfAbsent(k, df)
       // lost race: do NOT unpersist — CacheManager uncaches by logical
@@ -1014,7 +1017,7 @@ object Similarity {
     * otherwise become every query's "best" neighbor — and, like empty
     * text sketches, they all share one hyperplane signature (every
     * acc = 0 -> all bits set), a skew hot bucket at corpus scale. */
-  private def normalizedVecs(vecs: DataFrame): DataFrame =
+  private[graft] def normalizedVecs(vecs: DataFrame): DataFrame =
     vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))

@@ -291,7 +291,13 @@ object Multimodal {
             if (version == 1 && hs + 32 <= he) (u32(payload, hs + 20), u64(payload, hs + 24))
             else if (version == 0 && hs + 20 <= he) (u32(payload, hs + 12), u32(payload, hs + 16))
             else (0L, 0L)
-          if (timescale <= 0) None
+          // all-ones duration (v0 u32, v1 u64) is ISO 14496-12's "duration
+          // unknown" sentinel (fragmented/live-captured MP4) — a concrete
+          // ~0xFFFFFFFF/timescale seconds would poison downstream duration
+          // stats, so treat it as unparseable (stub fallback)
+          val durationUnknown =
+            if (version == 1) duration == -1L else duration == 0xFFFFFFFFL
+          if (timescale <= 0 || durationUnknown) None
           else {
             val durationMs = duration * 1000L / timescale
             // first visual track's tkhd: width/height are 16.16 fixed

@@ -471,4 +471,15 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     Curation.evictCellCaches(spark)
     assert(Curation.cachedCellCount == 0)
   }
+
+  test("onStopOnce registers one listener per (session, tag), even after eviction") {
+    // the cells registry can be fully swept (cap eviction or the explicit
+    // evict above) — a later cacheCells call must NOT re-register a
+    // session-stop listener; registration is tracked per tag, not
+    // inferred from registry contents
+    assert(Sessions.onStopOnce(spark, "curation-spec-once")(() => ()))
+    assert(!Sessions.onStopOnce(spark, "curation-spec-once")(() => ()))
+    assert(!Sessions.onStopOnce(spark, "curation-spec-once")(() => ()))
+    assert(Sessions.onStopOnce(spark, "curation-spec-other")(() => ()))
+  }
 }

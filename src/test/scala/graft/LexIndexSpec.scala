@@ -40,6 +40,22 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexed == direct)
   }
 
+  test("search fails closed on an index missing its commit marker") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-mark").toString
+    LexIndex.save(docs, dir)
+    // simulate a crash between the postings and docstats commits: the
+    // marker is dropped first and only restored after both writes
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_commit"))
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.searchBm25(spark, dir, Corpus.Bm25Query)
+    }
+    assert(e.getMessage.contains("_graft_commit"))
+    // a fresh save recommits and search works again
+    LexIndex.save(docs, dir)
+    assert(rows(LexIndex.searchBm25(spark, dir, Corpus.Bm25Query)).nonEmpty)
+  }
+
   test("search prunes postings partitions to the query terms' buckets") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-lex-prune").toString

@@ -240,6 +240,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaDispatch.width == 640 && viaDispatch.durationMs == 2000L)
   }
 
+  test("decodeVideoMeta treats the all-ones 'duration unknown' sentinel as unparseable") {
+    // ISO 14496-12: duration is all 1s when it cannot be determined
+    // (fragmented/live MP4) — must NOT surface as ~0xFFFFFFFF/600 seconds
+    val moov = box("moov",
+      mvhd0(timescale = 600, duration = 0xFFFFFFFFL) ++ box("trak", tkhd0(1, 640, 360)))
+    val mp4 = box("ftyp", "isom0000".getBytes("US-ASCII")) ++ moov
+    assert(Multimodal.decodeVideoMeta(mp4).isEmpty)
+  }
+
   test("decodeVideoMeta rejects non-BMFF bytes; dispatch falls back to the stub") {
     assert(Multimodal.decodeVideoMeta("not a video".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeVideoMeta(Array.emptyByteArray).isEmpty)
