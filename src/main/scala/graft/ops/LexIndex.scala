@@ -74,7 +74,18 @@ object LexIndex {
       .withColumn("bucket", bucketCol)
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
-    docstats(docs).write.mode(mode).parquet(s"$dir/docstats")
+    // dl is the per-doc token total = sum(tf) by definition, so a full
+    // build derives it from the postings it JUST wrote — one tokenize +
+    // explode pass over the corpus instead of two (the explode dominates
+    // build cost; the read-back aggregates the far smaller postings
+    // table). Append batches keep the direct computation: their read-back
+    // would include the pre-existing docs' postings.
+    val dl =
+      if (mode == "overwrite")
+        docs.sparkSession.read.parquet(s"$dir/postings")
+          .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      else docstats(docs)
+    dl.write.mode(mode).parquet(s"$dir/docstats")
     fs.create(m, true).close()
   }
 

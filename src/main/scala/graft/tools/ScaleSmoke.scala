@@ -120,6 +120,9 @@ object ScaleSmoke {
     // 4.8 s at 50k docs; save 5.1 s / search 2.9 s vs direct 7.8 s at
     // 100k — the indexed search is FLAT (3 of 64 buckets + the narrow
     // docstats scan) while the direct path grows with the corpus.
+    // After the single-tokenize build (docstats derived from the written
+    // postings instead of a second corpus explode): save 4.9 s at 50k,
+    // 5.6 s at 100k (same host class, ±co-tenant noise).
     val lexTerms = Seq(vocab(0), vocab(1), vocab(2))
     val lexDocs = spark.read.parquet(s"$dir/documents.parquet")
     val tL0 = System.nanoTime()
