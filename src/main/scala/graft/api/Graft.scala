@@ -240,8 +240,18 @@ object Graft {
     * (tokenize once, serve many queries). Reads: doc_id, text. */
   def lexIndexSave(docs: DataFrame, dir: String): Unit = LexIndex.save(docs, dir)
 
-  /** Incrementally index additional documents (doc_ids must be new). */
-  def lexIndexAppend(docs: DataFrame, dir: String): Unit = LexIndex.append(docs, dir)
+  /** Incrementally index additional documents (doc_ids must be new;
+    * `checkDisjoint` verifies against the saved index and refuses the
+    * batch on overlap). */
+  def lexIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    LexIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously index a streaming (doc_id, text) frame; a replayed
+    * micro-batch overwrites its own partitions (exactly-once per batch). */
+  def lexIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    LexIndex.ingest(docs, dir, checkpoint)
 
   /** BM25 retrieval served from a saved [[lexIndexSave]] index — reads
     * only the postings buckets the query terms hash to. */

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Persisted inverted index for BM25 lexical retrieval — the lexical
   * analog of [[IvfIndex]] (vectors) and SketchIndex (MinHash): tokenize
@@ -9,34 +10,49 @@ import org.apache.spark.sql.functions._
   * queries without re-reading the documents.
   *
   * Layout under `dir`:
-  *   - `postings/bucket=N/` — (term, doc_id, tf), partitioned by
+  *   - `postings/ingest_batch=B/bucket=N/` — (term, doc_id, tf),
+  *     partitioned by the write batch and by
   *     `bucket = pmod(xxhash64(term), NumBuckets)`. A search computes its
   *     terms' buckets and reads ONLY those directories (partition
   *     pruning), so query cost scales with the posting lists touched, not
   *     the corpus. Fixed bucket count instead of `partitionBy(term)`
   *     because a corpus-scale vocabulary would mean millions of
   *     directories — the bucket layer keeps the file count bounded while
-  *     preserving pruning.
-  *   - `docstats/` — (doc_id, dl): per-document token counts, the
-  *     length-normalization side. Read in full at search time (one narrow
-  *     scan + two scalar aggregates for n_docs/avgdl); a deployment
-  *     serving many queries would cache it.
+  *     preserving pruning. The batch level makes every write IDEMPOTENT:
+  *     each batch overwrites exactly its own `ingest_batch=B` partitions
+  *     (dynamic partition overwrite), so re-running a failed batch
+  *     replaces its partial output instead of double-counting it.
+  *   - `docstats/ingest_batch=B/` — (doc_id, dl): per-document token
+  *     counts, the length-normalization side, derived per batch from the
+  *     postings that batch just wrote (dl = sum(tf) by definition — ONE
+  *     tokenize + explode pass over the corpus; the read-back aggregates
+  *     the far smaller postings table, pruned to the batch's partition).
+  *     Read in full at search time (one narrow scan + two scalar
+  *     aggregates for n_docs/avgdl); a deployment serving many queries
+  *     would cache it.
   *
-  * [[append]] ingests additional documents incrementally (parquet append
-  * on both tables). Precondition: appended doc_ids are disjoint from
-  * what's already indexed — postings/docstats are keyed facts per doc, so
-  * re-adding a doc would double-count it (same contract as
-  * `IvfIndex.appendSaved`).
+  * [[append]] ingests additional documents incrementally under the next
+  * free batch id; [[ingest]] attaches a Structured Streaming source and
+  * indexes every micro-batch under its checkpointed batch id — a replayed
+  * batch (failure recovery) overwrites its own partitions, so the index
+  * holds each batch's documents exactly once. Precondition for both:
+  * arriving doc_ids are disjoint from what's already indexed —
+  * postings/docstats are keyed facts per doc, so re-adding a doc would
+  * double-count it (same contract as `IvfIndex.appendSaved`;
+  * `append(checkDisjoint = true)` verifies at the cost of a docstats
+  * semi-join). Don't mix concurrent [[append]] and [[ingest]] on one
+  * index: both allocate batch ids and could collide.
   *
   * The two tables are two separate parquet commits, so a crash between
   * them would leave postings and docstats describing DIFFERENT corpora —
   * new docs present in tf/df but absent from n_docs/avgdl, silently
   * skewing every other document's BM25 score. Writes therefore follow a
   * marker protocol: drop `_graft_commit`, write both tables, recreate it.
-  * [[searchBm25]] refuses (fails closed) when the marker is missing —
-  * an interrupted write must be redone (rebuild via [[save]], or re-run
-  * the same [[append]] after deleting the partially-appended doc_ids'
-  * rows is NOT supported; rebuild).
+  * [[searchBm25]] refuses (fails closed) when the marker is missing — an
+  * interrupted write must be redone (re-run the same batch/append, or
+  * rebuild via [[save]]). Under continuous [[ingest]] the marker is
+  * absent during each batch's write window; serve queries from a
+  * snapshot, not the live ingest directory.
   *
   * Search reuses [[Corpus.bm25ScoreFrom]], the exact scoring core of the
   * direct-path d38 query, so indexed results equal the direct computation
@@ -56,10 +72,6 @@ object LexIndex {
     Corpus.termStream(docs)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  private def docstats(docs: DataFrame): DataFrame =
-    Corpus.termStream(docs)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-
   /** Hadoop-FS path of the index-consistency marker (works on any
     * Spark-reachable filesystem, not just local disk). */
   private def marker(spark: SparkSession, dir: String) = {
@@ -67,33 +79,79 @@ object LexIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def write(docs: DataFrame, dir: String, mode: String): Unit = {
-    val (fs, m) = marker(docs.sparkSession, dir)
+  /** One write batch: postings then batch-derived docstats, bracketed by
+    * the consistency marker. `overwriteAll` = full rebuild (static
+    * overwrite replaces the whole table); otherwise dynamic partition
+    * overwrite touches only this batch's `ingest_batch=B` partitions —
+    * re-running a batch id is idempotent. */
+  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val mode = if (overwriteAll) "static" else "dynamic"
+    val (fs, m) = marker(spark, dir)
     fs.delete(m, false) // invalidate while the two commits are in flight
     postings(docs)
+      .withColumn("ingest_batch", lit(batchId))
       .withColumn("bucket", bucketCol)
       .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
-    // dl is the per-doc token total = sum(tf) by definition, so a full
-    // build derives it from the postings it JUST wrote — one tokenize +
-    // explode pass over the corpus instead of two (the explode dominates
-    // build cost; the read-back aggregates the far smaller postings
-    // table). Append batches keep the direct computation: their read-back
-    // would include the pre-existing docs' postings.
-    val dl =
-      if (mode == "overwrite")
-        docs.sparkSession.read.parquet(s"$dir/postings")
-          .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      else docstats(docs)
-    dl.write.mode(mode).parquet(s"$dir/docstats")
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("ingest_batch", "bucket").parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .where(col("ingest_batch") === batchId) // partition-pruned read-back
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("ingest_batch").parquet(s"$dir/docstats")
     fs.create(m, true).close()
   }
 
-  /** Build the index from scratch. In: (doc_id, text). */
-  def save(docs: DataFrame, dir: String): Unit = write(docs, dir, "overwrite")
+  /** Next free [[append]] batch id: one directory listing of the postings
+    * table (bounded by the number of PAST WRITES, not corpus size). */
+  private def nextBatchId(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+  }
 
-  /** Incrementally index additional documents (doc_ids must be new). */
-  def append(docs: DataFrame, dir: String): Unit = write(docs, dir, "append")
+  /** Build the index from scratch. In: (doc_id, text). */
+  def save(docs: DataFrame, dir: String): Unit =
+    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+
+  /** Incrementally index additional documents (doc_ids must be new —
+    * `checkDisjoint` verifies that against the saved docstats with a
+    * semi-join and refuses the batch on overlap, at the cost of one
+    * narrow docstats scan). */
+  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    if (checkDisjoint) {
+      val overlap = docs.select(col("doc_id"))
+        .join(spark.read.parquet(s"$dir/docstats").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "append: batch contains doc_ids already indexed — appending would " +
+        "double-count them (postings/docstats are per-doc keyed facts)")
+    }
+    writeBatch(docs, dir, nextBatchId(spark, dir), overwriteAll = false)
+  }
+
+  /** Continuous ingestion: index every micro-batch of the streaming
+    * (doc_id, text) frame under its checkpointed batch id. Failure
+    * recovery replays the last uncommitted batch with the SAME id, whose
+    * dynamic-overwrite write replaces any partial output — each batch's
+    * documents land exactly once. */
+  def ingest(docs: DataFrame, dir: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+      }
+      .start()
 
   /** Top-`k` documents for `terms` under Okapi BM25, served from the
     * saved index. The driver-side collect is the ≤ |terms| bucket ids —
@@ -105,8 +163,8 @@ object LexIndex {
     require(fs.exists(m),
       s"searchBm25: $dir has no _graft_commit marker — the index was never " +
       "fully written or a save/append was interrupted between its postings " +
-      "and docstats commits; scoring it would silently skew BM25. Rebuild " +
-      "with LexIndex.save.")
+      "and docstats commits; scoring it would silently skew BM25. Re-run " +
+      "the interrupted batch or rebuild with LexIndex.save.")
     import spark.implicits._
     val buckets = terms.toDF("term")
       .select(bucketCol.as("bucket")).distinct().as[Long].collect()
@@ -114,6 +172,7 @@ object LexIndex {
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val dl = spark.read.parquet(s"$dir/docstats")
+      .select(col("doc_id"), col("dl"))
     Corpus.bm25ScoreFrom(tf, dl, k, k1, b)
   }
 }

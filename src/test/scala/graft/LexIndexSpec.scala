@@ -40,6 +40,57 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexed == direct)
   }
 
+  test("append with checkDisjoint refuses a batch that re-adds indexed doc_ids") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-dis").toString
+    LexIndex.save(docs.filter(col("doc_id") < 100), dir)
+    val overlapping = docs.filter(col("doc_id") < 150) // 0..99 already indexed
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.append(overlapping, dir, checkDisjoint = true)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // disjoint batch passes the check and lands
+    LexIndex.append(docs.filter(col("doc_id") >= 100), dir, checkDisjoint = true)
+    assert(rows(LexIndex.searchBm25(spark, dir, Corpus.Bm25Query)) ==
+      rows(Corpus.bm25Rank(docs, Corpus.Bm25Query)))
+  }
+
+  test("re-running a batch id overwrites its own partitions (idempotent replay)") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-replay").toString
+    LexIndex.save(half1, dir)
+    LexIndex.append(half2, dir)
+    val once = rows(LexIndex.searchBm25(spark, dir, Corpus.Bm25Query))
+    // a crash-replay re-runs the SAME batch id: append allocated batch 0,
+    // so replaying half2 under id 0 must replace, not double, its rows
+    LexIndex.writeBatch(half2, dir, batchId = 0L, overwriteAll = false)
+    assert(rows(LexIndex.searchBm25(spark, dir, Corpus.Bm25Query)) == once)
+  }
+
+  test("streaming ingest: micro-batched corpus equals the direct computation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lex-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = LexIndex.ingest(
+      in.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      val all = docs.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = all.partition(_._1 % 3 == 0)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(LexIndex.searchBm25(spark, dir, Corpus.Bm25Query)) ==
+      rows(Corpus.bm25Rank(docs, Corpus.Bm25Query)))
+  }
+
   test("search fails closed on an index missing its commit marker") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-lex-mark").toString
