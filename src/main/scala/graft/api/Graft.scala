@@ -93,6 +93,20 @@ object Graft {
     * re-reading corpus text). Reads: doc_id, text. */
   def sketchIndexSave(docs: DataFrame, dir: String): Unit = SketchIndex.save(docs, dir)
 
+  /** Incrementally sketch additional documents into a saved index
+    * (doc_ids must be new; `checkDisjoint` verifies and refuses the
+    * batch on overlap). */
+  def sketchIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    SketchIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously sketch a streaming (doc_id, text) frame into the
+    * index; a replayed micro-batch overwrites its own partitions
+    * (exactly-once per batch). */
+  def sketchIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    SketchIndex.ingest(docs, dir, checkpoint)
+
   /** Near-duplicate CROSS pairs (exact Jaccard >= 0.8) between a new
     * batch and a persisted sketch index — the incremental-ingestion
     * batch path (the streaming path is graft.streaming.NearDupStream).
@@ -137,6 +151,13 @@ object Graft {
   /** Probe an IVF index for the top-k neighbors per query — output
     * schema matches [[cosineTopK]]/[[annTopK]], so all three neighbor
     * sources interchange downstream. */
+  /** Continuously assign a streaming (vec_id, v) frame to a SAVED IVF
+    * index's cells (exactly-once per micro-batch; see
+    * [[graft.ops.IvfIndex.ingest]]). */
+  def ivfIngest(spark: SparkSession, vectors: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    IvfIndex.ingest(spark, vectors, dir, checkpoint)
+
   def ivfSearchTopK(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       k: Int = 3, probes: Int = 2): DataFrame =
     IvfIndex.searchTopK(spark, model, queries, k, probes)

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Shared write protocol for the persisted index families ([[LexIndex]],
+  * [[SketchIndex]], [[IvfIndex]]): each index is a SET of parquet tables
+  * that must describe the same corpus, but parquet gives one-table
+  * commits only. Two pieces close the gap:
+  *
+  *  1. A `_graft_commit` marker bracketing every multi-table write
+  *     (dropped first, recreated after the last table lands). Readers
+  *     call [[requireCommitted]] and FAIL CLOSED on a missing marker —
+  *     an index whose tables disagree (e.g. postings without their
+  *     docstats, sketches without their buckets) would silently return
+  *     wrong scores or miss duplicates.
+  *
+  *  2. Batch-id partitioning: every write lands under its own
+  *     `ingest_batch=B` partition via DYNAMIC partition overwrite, so
+  *     re-running a batch id replaces that batch's partial output
+  *     instead of appending a second copy. This is what makes failure
+  *     recovery safe: re-run the same batch (or replay the streaming
+  *     micro-batch — the checkpoint preserves its id) and the index
+  *     holds each document exactly once. A full rebuild uses STATIC
+  *     overwrite (batch id -1), replacing the whole table.
+  */
+private[graft] object IndexCommit {
+
+  /** The batch partition column every index table carries. */
+  val BatchCol = "ingest_batch"
+
+  /** Writer option value: full rebuilds replace the table, incremental
+    * batches replace only their own partitions. */
+  def overwriteMode(overwriteAll: Boolean): String =
+    if (overwriteAll) "static" else "dynamic"
+
+  private def markerAt(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Run a multi-table write bracketed by the marker: absent while the
+    * commits are in flight, restored only after all of them landed. */
+  def withGuard[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val (fs, m) = markerAt(spark, dir)
+    fs.delete(m, false)
+    val r = body
+    fs.create(m, true).close()
+    r
+  }
+
+  /** Fail closed when `dir` holds no complete committed write. */
+  def requireCommitted(spark: SparkSession, dir: String, reading: String): Unit = {
+    val (fs, m) = markerAt(spark, dir)
+    require(fs.exists(m),
+      s"$reading: $dir has no _graft_commit marker — the index was never " +
+      "fully written or a save/append was interrupted between its table " +
+      "commits; its tables may describe different corpora. Re-run the " +
+      "interrupted batch or rebuild with save().")
+  }
+
+  /** Next free batch id for `tablePath`: one directory listing, bounded
+    * by the number of PAST WRITES, not corpus size. */
+  def nextBatchId(spark: SparkSession, tablePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(s"$BatchCol="))
+      .map(_.stripPrefix(s"$BatchCol=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Refuse an incremental batch whose `idCol` values are already present
+    * in the saved `table` — per-id keyed facts would double-count. Costs
+    * one narrow scan of the saved table's id column. */
+  def requireDisjoint(batch: DataFrame, tablePath: String, idCol: String): Unit = {
+    val spark = batch.sparkSession
+    val overlap = batch.select(col(idCol))
+      .join(spark.read.parquet(tablePath).select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"append: batch contains $idCol values already indexed — appending " +
+      "would double-count them (index tables are per-id keyed facts)")
+  }
+
+  /** Stamp the batch id column. */
+  def stamped(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn(BatchCol, lit(batchId))
+}

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * On-disk layout (parquet):
   *   <dir>/centroids   (cell INT, v ARRAY<DOUBLE>)   — K rows
-  *   <dir>/cells       (vec_id LONG, v ARRAY<DOUBLE>), partitionBy(cell)
+  *   <dir>/cells/ingest_batch=B/cell=N/  (vec_id LONG, v ARRAY<DOUBLE>)
+  * Writes follow the [[IndexCommit]] protocol: incremental batches land
+  * idempotently under their own `ingest_batch` partitions (replaying a
+  * failed [[appendSaved]]/[[ingest]] batch replaces its partial output),
+  * the centroid+cells pair is bracketed by a commit marker, and [[load]]
+  * fails closed on an interrupted write.
   *
   * Scale notes:
   *  - training: deterministic init (K lowest vec_ids) + Lloyd iterations,
@@ -160,29 +165,73 @@ object IvfIndex {
       .toDF("vec_id", "cell", "v")
   }
 
-  /** [[add]] against an index on disk, appending ONLY the new rows to
-    * the cell-partitioned inverted file (dynamic partition append —
-    * existing cell directories are untouched, so the append cost is the
-    * batch, never the index). */
-  def appendSaved(spark: SparkSession, dir: String, vectors: DataFrame): Unit = {
+  /** [[add]] against an index on disk, writing ONLY the new rows to the
+    * cell-partitioned inverted file under the next free `ingest_batch`
+    * partition (existing directories are untouched, so the append cost is
+    * the batch, never the index; re-running a failed batch id replaces
+    * its partial output — [[IndexCommit]]). `checkDisjoint` refuses a
+    * batch whose vec_ids are already indexed. */
+  def appendSaved(spark: SparkSession, dir: String, vectors: DataFrame,
+      checkDisjoint: Boolean = false): Unit = {
+    if (checkDisjoint)
+      IndexCommit.requireDisjoint(vectors, s"$dir/cells", "vec_id")
     val model = load(spark, dir)
-    assign(spark, model.centroids, vectors)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    writeCells(spark, assign(spark, model.centroids, vectors), dir,
+      IndexCommit.nextBatchId(spark, s"$dir/cells"), overwriteAll = false)
   }
 
+  /** Continuously index a streaming (vec_id, v) frame against the SAVED
+    * quantizer (centroids are loaded once; they only move under a retrain
+    * [[build]] + [[save]]). A replayed micro-batch overwrites its own
+    * partitions (exactly-once per batch). Don't mix concurrent
+    * [[appendSaved]] and [[ingest]] on one index: both allocate batch ids
+    * and could collide. */
+  def ingest(spark: SparkSession, vectors: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val centroids = load(spark, dir).centroids
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty)
+          writeCells(spark, assign(spark, centroids, batch.toDF()), dir, id,
+            overwriteAll = false)
+      }
+      .start()
+  }
+
+  private def writeCells(spark: SparkSession, assigned: DataFrame, dir: String,
+      batchId: Long, overwriteAll: Boolean): Unit =
+    IndexCommit.withGuard(spark, dir) {
+      IndexCommit.stamped(assigned, batchId)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", IndexCommit.overwriteMode(overwriteAll))
+        .partitionBy(IndexCommit.BatchCol, "cell").parquet(s"$dir/cells")
+    }
+
   /** Persist the index: tiny centroid table + cell-partitioned inverted
-    * file (probes prune to their partitions on read). */
+    * file (probes prune to their partitions on read). The two tables are
+    * bracketed by the [[IndexCommit]] marker — [[load]] fails closed on
+    * an interrupted save (centroids describing a different quantizer
+    * than the cells were assigned with would silently misprobe). */
   def save(model: Model, dir: String): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._
-    model.centroids.zipWithIndex
-      .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    model.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    IndexCommit.withGuard(spark, dir) {
+      model.centroids.zipWithIndex
+        .map { case (v, c) => (c, v) }.toSeq.toDF("cell", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      IndexCommit.stamped(model.cells, batchId = -1L)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol, "cell").parquet(s"$dir/cells")
+    }
   }
 
   def load(spark: SparkSession, dir: String): Model = {
     import spark.implicits._
+    IndexCommit.requireCommitted(spark, dir, "IvfIndex.load")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("v")).as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2)

@@ -72,13 +72,6 @@ object LexIndex {
     Corpus.termStream(docs)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  /** Hadoop-FS path of the index-consistency marker (works on any
-    * Spark-reachable filesystem, not just local disk). */
-  private def marker(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
   /** One write batch: postings then batch-derived docstats, bracketed by
     * the consistency marker. `overwriteAll` = full rebuild (static
     * overwrite replaces the whole table); otherwise dynamic partition
@@ -87,34 +80,21 @@ object LexIndex {
   private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
       overwriteAll: Boolean): Unit = {
     val spark = docs.sparkSession
-    val mode = if (overwriteAll) "static" else "dynamic"
-    val (fs, m) = marker(spark, dir)
-    fs.delete(m, false) // invalidate while the two commits are in flight
-    postings(docs)
-      .withColumn("ingest_batch", lit(batchId))
-      .withColumn("bucket", bucketCol)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").option("partitionOverwriteMode", mode)
-      .partitionBy("ingest_batch", "bucket").parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .where(col("ingest_batch") === batchId) // partition-pruned read-back
-      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", mode)
-      .partitionBy("ingest_batch").parquet(s"$dir/docstats")
-    fs.create(m, true).close()
-  }
-
-  /** Next free [[append]] batch id: one directory listing of the postings
-    * table (bounded by the number of PAST WRITES, not corpus size). */
-  private def nextBatchId(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("ingest_batch="))
-      .map(_.stripPrefix("ingest_batch=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
+    val mode = IndexCommit.overwriteMode(overwriteAll)
+    IndexCommit.withGuard(spark, dir) {
+      IndexCommit.stamped(postings(docs), batchId)
+        .withColumn("bucket", bucketCol)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").option("partitionOverwriteMode", mode)
+        .partitionBy(IndexCommit.BatchCol, "bucket").parquet(s"$dir/postings")
+      IndexCommit.stamped(
+        spark.read.parquet(s"$dir/postings")
+          .where(col(IndexCommit.BatchCol) === batchId) // partition-pruned read-back
+          .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        batchId)
+        .write.mode("overwrite").option("partitionOverwriteMode", mode)
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/docstats")
+    }
   }
 
   /** Build the index from scratch. In: (doc_id, text). */
@@ -126,17 +106,11 @@ object LexIndex {
     * semi-join and refuses the batch on overlap, at the cost of one
     * narrow docstats scan). */
   def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    val spark = docs.sparkSession
-    if (checkDisjoint) {
-      val overlap = docs.select(col("doc_id"))
-        .join(spark.read.parquet(s"$dir/docstats").select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        .limit(1).count()
-      require(overlap == 0L,
-        "append: batch contains doc_ids already indexed — appending would " +
-        "double-count them (postings/docstats are per-doc keyed facts)")
-    }
-    writeBatch(docs, dir, nextBatchId(spark, dir), overwriteAll = false)
+    if (checkDisjoint)
+      IndexCommit.requireDisjoint(docs, s"$dir/docstats", "doc_id")
+    writeBatch(docs, dir,
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/postings"),
+      overwriteAll = false)
   }
 
   /** Continuous ingestion: index every micro-batch of the streaming
@@ -159,12 +133,7 @@ object LexIndex {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25: empty query")
-    val (fs, m) = marker(spark, dir)
-    require(fs.exists(m),
-      s"searchBm25: $dir has no _graft_commit marker — the index was never " +
-      "fully written or a save/append was interrupted between its postings " +
-      "and docstats commits; scoring it would silently skew BM25. Re-run " +
-      "the interrupted batch or rebuild with LexIndex.save.")
+    IndexCommit.requireCommitted(spark, dir, "searchBm25")
     import spark.implicits._
     val buckets = terms.toDF("term")
       .select(bucketCol.as("bucket")).distinct().as[Long].collect()

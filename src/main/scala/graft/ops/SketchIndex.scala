@@ -11,8 +11,16 @@ import org.apache.spark.sql.types._
   * index without ever re-reading corpus text.
   *
   * On-disk layout (parquet):
-  *   <dir>/sketches  (doc_id, grams ARRAY<BIGINT>, n INT, mh ARRAY<BIGINT>)
-  *   <dir>/buckets   (bucket BIGINT, doc_id BIGINT, n INT), partitionBy(band)
+  *   <dir>/sketches/ingest_batch=B/  (doc_id, grams ARRAY<BIGINT>, n INT,
+  *                                    mh ARRAY<BIGINT>)
+  *   <dir>/buckets/ingest_batch=B/band=N/  (bucket BIGINT, doc_id BIGINT,
+  *                                          n INT)
+  * Writes follow the [[IndexCommit]] protocol: each batch lands
+  * idempotently under its own `ingest_batch` partitions (replaying a
+  * failed [[append]]/[[ingest]] batch replaces its partial output), the
+  * two tables are bracketed by a commit marker, and [[nearDupAgainst]]
+  * fails closed on an interrupted write (sketches without their buckets
+  * would silently MISS duplicates).
   *
   * Scale notes:
   *  - the bucket table is the probe side's join target and carries 24
@@ -35,12 +43,56 @@ object SketchIndex {
     * not from the in-memory lineage — the gram+minhash UDF pass over the
     * corpus runs exactly once (re-running it for buckets would double the
     * dominant cost of index construction). */
-  def save(docs: DataFrame, dir: String): Unit = {
+  def save(docs: DataFrame, dir: String): Unit =
+    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+
+  /** Incrementally sketch additional documents into a saved index
+    * (doc_ids must be new — `checkDisjoint` verifies against the saved
+    * sketches and refuses the batch on overlap). */
+  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
+    if (checkDisjoint)
+      IndexCommit.requireDisjoint(docs, s"$dir/sketches", "doc_id")
+    writeBatch(docs, dir,
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/sketches"),
+      overwriteAll = false)
+  }
+
+  /** Continuously index a streaming (doc_id, text) frame; a replayed
+    * micro-batch overwrites its own partitions (exactly-once per batch).
+    * Don't mix concurrent [[append]] and [[ingest]] on one index: both
+    * allocate batch ids and could collide. */
+  def ingest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+      }
+      .start()
+
+  /** One write batch under the [[IndexCommit]] protocol: sketches then
+    * read-back-derived buckets inside the marker guard; incremental
+    * batches land under their own `ingest_batch=B` partitions (dynamic
+    * overwrite — re-running a batch id is idempotent), a full rebuild
+    * replaces both tables. */
+  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
     val spark = docs.sparkSession
-    Similarity.sketchTable(docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sketches")
-    Similarity.bandBuckets(spark.read.parquet(s"$dir/sketches"))
-      .write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$dir/buckets")
+    val mode = IndexCommit.overwriteMode(overwriteAll)
+    IndexCommit.withGuard(spark, dir) {
+      IndexCommit.stamped(Similarity.sketchTable(docs), batchId)
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/sketches")
+      IndexCommit.stamped(
+        Similarity.bandBuckets(
+          spark.read.parquet(s"$dir/sketches")
+            .where(col(IndexCommit.BatchCol) === batchId)),
+        batchId)
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
+        .partitionBy(IndexCommit.BatchCol, "band").parquet(s"$dir/buckets")
+    }
   }
 
   /** Near-duplicate pairs (exact Jaccard >= 0.8 over char-3-gram sets)
@@ -50,8 +102,11 @@ object SketchIndex {
     * [[Similarity.nearDupPairs]] on `newDocs`. New ids may collide with
     * indexed ids (re-crawls): identity pairs are excluded by id. */
   def nearDupAgainst(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame = {
+    IndexCommit.requireCommitted(spark, dir, "nearDupAgainst")
     val oldSk = spark.read.parquet(s"$dir/sketches")
+      .select(col("doc_id"), col("grams"), col("n"), col("mh"))
     val oldBuckets = spark.read.parquet(s"$dir/buckets")
+      .select(col("doc_id"), col("n"), col("band"), col("bucket"))
     val newSk = Similarity.sketchTable(newDocs).cache()
     val newBuckets = Similarity.bandBuckets(newSk)
     val cand = oldBuckets.as("x").join(newBuckets.as("y"),

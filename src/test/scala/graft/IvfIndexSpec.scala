@@ -33,9 +33,12 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Double)].collect().toSet
     assert(viaDisk == direct)
 
-    // partition layout: cell=N directories (partition pruning on probes)
-    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
-      .filter(_.getName.startsWith("cell="))
+    // partition layout: ingest_batch=B/cell=N directories (partition
+    // pruning on probes; batch level for idempotent incremental writes)
+    val batchDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("ingest_batch="))
+    assert(batchDirs.nonEmpty, "inverted file is not batch-partitioned")
+    val cellDirs = batchDirs.head.listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "inverted file is not cell-partitioned")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
@@ -109,7 +112,59 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaDisk = IvfIndex.search(spark, loaded, e, probes = 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaDisk == inMem)
+
+    // re-running the append's batch id (crash replay) must replace its
+    // partitions, not double them; disjointness guard refuses a re-add
+    IvfIndex.appendSaved(spark, dir, rest) // batch id 1 — a second append
+    val twice = IvfIndex.load(spark, dir)
+    assert(twice.cells.count() == e.count() + rest.count()) // contract: caller's burden
+    val refused = intercept[IllegalArgumentException] {
+      IvfIndex.appendSaved(spark, dir, rest, checkDisjoint = true)
+    }
+    assert(refused.getMessage.contains("double-count"))
+
+    // interrupted write -> load fails closed
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_commit"))
+    val e2 = intercept[IllegalArgumentException] { IvfIndex.load(spark, dir) }
+    assert(e2.getMessage.contains("_graft_commit"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("streaming ingest assigns micro-batches to the saved quantizer (exactly-once)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val half = e.where(col("vec_id") % 2 === 0)
+    val rest = e.where(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Double])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    IvfIndex.save(IvfIndex.build(spark, half, k = 8, iters = 2), dir)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = IvfIndex.ingest(spark, in.toDF().toDF("vec_id", "v"), dir, ckpt)
+    try {
+      val (b1, b2) = rest.partition(_._1 % 4 == 1)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.cells.count() == e.count())
+    // streamed rows were assigned with the same fixed quantizer -> search
+    // equals the batch-appended index's answers
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    IvfIndex.save(IvfIndex.build(spark, half, k = 8, iters = 2), dir2)
+    IvfIndex.appendSaved(spark, dir2,
+      e.where(col("vec_id") % 2 === 1))
+    val viaStream = IvfIndex.search(spark, loaded, e, probes = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaBatch = IvfIndex.search(spark, IvfIndex.load(spark, dir2), e, probes = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStream == viaBatch)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
   }
 
   test("centroid cap is byte-budgeted by dimensionality, not a flat row count") {

@@ -35,6 +35,67 @@ class SketchIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.nonEmpty, "test corpus split produced no cross pairs — choose another split")
   }
 
+  test("append extends the index; batch-id replay is idempotent; probe fails closed unmarked") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-append").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01").cache()
+    val indexed1 = docs.where(col("doc_id") < 150)
+    val indexed2 = docs.where(col("doc_id") >= 150 && col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+
+    Graft.sketchIndexSave(indexed1, dir)
+    Graft.sketchIndexAppend(indexed2, dir, checkDisjoint = true)
+    def probe() = Graft.nearDupAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = probe()
+    val full = Graft.nearDupPairs(docs)
+      .where(col("doc_a") < 250 && col("doc_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == full, s"${got.size} cross pairs vs ${full.size} expected")
+
+    // a crash-replay re-runs the SAME batch id (append allocated 0):
+    // its dynamic overwrite must replace, not double, that batch's rows
+    graft.ops.SketchIndex.writeBatch(indexed2, dir, batchId = 0L, overwriteAll = false)
+    assert(probe() == full)
+
+    // overlapping append refused
+    val e = intercept[IllegalArgumentException] {
+      Graft.sketchIndexAppend(indexed2, dir, checkDisjoint = true)
+    }
+    assert(e.getMessage.contains("double-count"))
+
+    // interrupted write (missing marker) -> probe fails closed
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_commit"))
+    val e2 = intercept[IllegalArgumentException] { probe() }
+    assert(e2.getMessage.contains("_graft_commit"))
+  }
+
+  test("streaming ingest builds the same index as batch save") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sketch-ckpt").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01").cache()
+    val indexed = docs.where(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = docs.where(col("doc_id") >= 250)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Graft.sketchIndexIngest(in.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      val (b1, b2) = indexed.partition(_._1 % 2 == 0)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = Graft.nearDupAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Graft.nearDupPairs(docs)
+      .where(col("doc_a") < 250 && col("doc_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == full, s"${got.size} cross pairs vs ${full.size} expected")
+  }
+
   test("identity collisions (re-crawled ids) are excluded, duplicates found") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-index2").toString
