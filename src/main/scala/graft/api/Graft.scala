@@ -148,9 +148,6 @@ object Graft {
   def ivfSearch(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       probes: Int = 2): DataFrame = IvfIndex.search(spark, model, queries, probes)
 
-  /** Probe an IVF index for the top-k neighbors per query — output
-    * schema matches [[cosineTopK]]/[[annTopK]], so all three neighbor
-    * sources interchange downstream. */
   /** Continuously assign a streaming (vec_id, v) frame to a SAVED IVF
     * index's cells (exactly-once per micro-batch; see
     * [[graft.ops.IvfIndex.ingest]]). */
@@ -158,6 +155,9 @@ object Graft {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     IvfIndex.ingest(spark, vectors, dir, checkpoint)
 
+  /** Probe an IVF index for the top-k neighbors per query — output
+    * schema matches [[cosineTopK]]/[[annTopK]], so all three neighbor
+    * sources interchange downstream. */
   def ivfSearchTopK(spark: SparkSession, model: IvfIndex.Model, queries: DataFrame,
       k: Int = 3, probes: Int = 2): DataFrame =
     IvfIndex.searchTopK(spark, model, queries, k, probes)
@@ -279,6 +279,22 @@ object Graft {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     LexIndex.searchBm25(spark, dir, terms, k, k1, b)
+
+  /** Compact a fragmented lexical index (one partition per past append/
+    * ingest batch) into a fresh single-generation snapshot at `dst`;
+    * `src` is untouched — point readers at `dst` when it commits. */
+  def lexIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    LexIndex.compactTo(spark, src, dst)
+
+  /** Compact a fragmented sketch index into a fresh snapshot at `dst`
+    * (same generation model as [[lexIndexCompactTo]]). */
+  def sketchIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    SketchIndex.compactTo(spark, src, dst)
+
+  /** Compact a fragmented IVF index into a fresh snapshot at `dst`
+    * (same generation model as [[lexIndexCompactTo]]). */
+  def ivfCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    IvfIndex.compactTo(spark, src, dst)
 
   // ---- corpus curation -----------------------------------------------------
 

@@ -87,4 +87,56 @@ private[graft] object IndexCommit {
   /** Stamp the batch id column. */
   def stamped(df: DataFrame, batchId: Long): DataFrame =
     df.withColumn(BatchCol, lit(batchId))
+
+  /** One table of a compacted index: its directory name, the partition
+    * columns UNDER the batch level, and whether it carries the batch
+    * column at all (an unstamped table — e.g. IVF centroids — is copied
+    * verbatim). */
+  final case class TableSpec(name: String, partitionCols: Seq[String] = Nil,
+      stamped: Boolean = true)
+
+  /** Compact a fragmented index into a fresh snapshot directory: every
+    * stamped table's accumulated `ingest_batch=B` partitions (one per
+    * past [[LexIndex.append]]-style write) are rewritten as the single
+    * batch `-1` a full rebuild would produce, cutting the
+    * directory/file fan-out back to one generation. Correct because
+    * incremental batches are DISJOINT by contract (appends refuse
+    * overlapping ids — [[requireDisjoint]]), so restamping is a pure
+    * layout change: no re-aggregation, no corpus re-read.
+    *
+    * The rewrite lands in `dst`, never in place: an in-place rewrite
+    * would read and overwrite the same files, and a crash mid-swap would
+    * lose the only copy. This is the snapshot-generation model the index
+    * scaladocs recommend for serving anyway — build generation N+1 while
+    * N serves, then point readers at `dst` and retire `src` at leisure.
+    * Crash-safe by the marker protocol: an interrupted compaction leaves
+    * `dst` unmarked (readers fail closed) and `src` untouched — re-run
+    * to completion. */
+  def compactTo(spark: SparkSession, src: String, dst: String,
+      tables: Seq[TableSpec]): Unit = {
+    requireCommitted(spark, src, "compactTo")
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dst)),
+      "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
+      "would overwrite the files it is reading")
+    withGuard(spark, dst) {
+      tables.foreach { t =>
+        val df = spark.read.parquet(s"$src/${t.name}")
+        val (out, parts) =
+          if (t.stamped) (stamped(df.drop(BatchCol), -1L), BatchCol +: t.partitionCols)
+          else (df, t.partitionCols)
+        // cluster rows by their target partitions so each write task hits
+        // one directory instead of all of them (small-file fan-out)
+        val clustered =
+          if (t.partitionCols.nonEmpty) out.repartition(t.partitionCols.map(col): _*)
+          else out
+        val w = clustered.write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+          .parquet(s"$dst/${t.name}")
+      }
+    }
+  }
 }

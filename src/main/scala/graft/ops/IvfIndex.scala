@@ -229,6 +229,17 @@ object IvfIndex {
     }
   }
 
+  /** Rewrite a fragmented index (one `ingest_batch=B` partition per past
+    * [[appendSaved]]/[[ingest]] batch) as a single-generation snapshot
+    * under `dst` — see [[IndexCommit.compactTo]] for the crash-safety and
+    * serving model. Cells stay cell-partitioned, so probes prune
+    * identically; centroids are copied verbatim (the quantizer is
+    * generation-invariant). */
+  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    IndexCommit.compactTo(spark, src, dst, Seq(
+      IndexCommit.TableSpec("centroids", stamped = false),
+      IndexCommit.TableSpec("cells", Seq("cell"))))
+
   def load(spark: SparkSession, dir: String): Model = {
     import spark.implicits._
     IndexCommit.requireCommitted(spark, dir, "IvfIndex.load")

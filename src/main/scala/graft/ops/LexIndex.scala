@@ -127,6 +127,16 @@ object LexIndex {
       }
       .start()
 
+  /** Rewrite a fragmented index (one `ingest_batch=B` partition per past
+    * [[append]]/[[ingest]] batch) as a single-generation snapshot under
+    * `dst` — see [[IndexCommit.compactTo]] for the crash-safety and
+    * serving model. Postings stay bucket-partitioned, so searches prune
+    * identically; they just list one batch directory instead of B. */
+  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    IndexCommit.compactTo(spark, src, dst, Seq(
+      IndexCommit.TableSpec("postings", Seq("bucket")),
+      IndexCommit.TableSpec("docstats")))
+
   /** Top-`k` documents for `terms` under Okapi BM25, served from the
     * saved index. The driver-side collect is the ≤ |terms| bucket ids —
     * bounded by the query, never by the corpus. */

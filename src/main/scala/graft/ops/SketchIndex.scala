@@ -95,6 +95,15 @@ object SketchIndex {
     }
   }
 
+  /** Rewrite a fragmented index (one `ingest_batch=B` partition per past
+    * [[append]]/[[ingest]] batch) as a single-generation snapshot under
+    * `dst` — see [[IndexCommit.compactTo]] for the crash-safety and
+    * serving model. */
+  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    IndexCommit.compactTo(spark, src, dst, Seq(
+      IndexCommit.TableSpec("sketches"),
+      IndexCommit.TableSpec("buckets", Seq("band"))))
+
   /** Near-duplicate pairs (exact Jaccard >= 0.8 over char-3-gram sets)
     * between `newDocs` (doc_id, text) and the indexed corpus. Emitted as
     * (doc_a = indexed id, doc_b = new id, inter_size, union_size) —
