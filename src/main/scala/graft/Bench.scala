@@ -63,7 +63,7 @@ object Bench {
     val extendedSet: Seq[Q] =
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
-        graft.ops.ZOrder.queries
+        graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries
 
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble

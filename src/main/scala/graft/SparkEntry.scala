@@ -15,7 +15,8 @@ object SparkEntry {
   def registered: Seq[Q] =
     Relational.queries ++ TextOps.queries ++ Functions.queries ++
       Similarity.queries ++ graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
-      graft.ops.ZOrder.queries ++ graft.etl.EtlQueries.queries
+      graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
+      graft.etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, Quantize, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -123,6 +123,16 @@ object Graft {
   def cosineTopK(vecs: DataFrame, k: Int = 3,
       maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Similarity.cosineTopK(vecs, k, maxBroadcastBytes)
+
+  /** Affine per-vector int8 quantization of an embedding column — 4x
+    * storage at a worst-case per-element error of (hi - lo)/510.
+    * Reads: vec_id, embedding. Out: vec_id, lo, hi, codes ARRAY<INT>. */
+  def quantizeInt8(vecs: DataFrame): DataFrame = Quantize.quantizeInt8(vecs)
+
+  /** Reconstruct (vec_id, embedding ARRAY<DOUBLE>) from [[quantizeInt8]]
+    * output; the frame drops into [[cosineTopK]]/[[annTopK]]/IVF
+    * unchanged. */
+  def dequantize(quantized: DataFrame): DataFrame = Quantize.dequantize(quantized)
 
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the
