@@ -242,6 +242,13 @@ object Graft {
     * Reads: doc_id, text. */
   def bpeTokenCounts(docs: DataFrame): DataFrame = Corpus.bpeTokenCounts(docs)
 
+  /** Sliding-window chunking: `window`-token chunks every `stride`
+    * tokens (overlap preserves cross-boundary context; short docs emit
+    * themselves). Narrow explode — streaming-safe. Reads: doc_id, text.
+    * Out: doc_id, chunk_id, n_tokens, chunk_text. */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 32): DataFrame =
+    Corpus.chunkWindows(docs, window, stride)
+
   /** Per-language distinct-token HLL++ estimate next to the exact count.
     * Reads: lang, text. */
   def distinctTokenSketch(docs: DataFrame): DataFrame = Corpus.distinctTokenSketch(docs)

@@ -363,6 +363,32 @@ object Corpus {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Sliding-window chunking (d42): split each document into
+    * `window`-token chunks every `stride` tokens — the standard
+    * pretraining/RAG preprocessing step between curation and packing
+    * (overlap = window - stride preserves cross-boundary context; the
+    * last chunk truncates at the document end). Tokens are the repo's
+    * whitespace convention; chunk count is 1 + ceil(max(n - window, 0)
+    * / stride), so every document emits at least one chunk (short docs
+    * emit themselves). A narrow explode — no shuffle, streaming-safe,
+    * and the explode fan-out is bounded by n/stride per doc.
+    * In: (doc_id, text). Out: (doc_id, chunk_id, n_tokens, chunk_text). */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window (stride > window would drop tokens)")
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("nch",
+        (greatest(ceil((size(col("toks")) - lit(window)) / lit(stride.toDouble)), lit(0))
+          + 1).cast(IntegerType))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, nch - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        expr(s"slice(toks, chunk_id * $stride + 1, $window)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast(LongType).as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** BPE-style pre-tokenizer counts (d16) — GPT-2-ish regex written
     * without lookaheads (so Java regex and RE2 agree) next to the
     * whitespace token count. In: (doc_id, text). */
@@ -575,6 +601,26 @@ object Corpus {
              |CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens,
              |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
              |FROM documents""".stripMargin)),
+
+    // d42: sliding-window chunking — 64-token windows every 32 tokens
+    // (the pretraining/RAG step between curation and shard packing).
+    // Integer ids/counts + reassembled chunk text, so the whole
+    // explode/slice pipeline is hash-exact; both engines share the
+    // whitespace-token convention and 1-based inclusive slicing.
+    Q("d42_chunk_windows",
+      (s, d) => chunkWindows(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, toks,
+             |         CAST(greatest(ceil((len(toks) - 64) / 32.0), 0) + 1 AS INT) AS nch
+             |  FROM t),
+             |c AS (SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_id FROM n)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |       CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64)) AS BIGINT) AS n_tokens,
+             |       array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ') AS chunk_text
+             |FROM c""".stripMargin)),
 
     // d18: corpus length distribution — exact interpolated percentiles
     // per language (both engines use the standard (n-1)*p linear

@@ -329,11 +329,17 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q6 = Graft.materializeMix(stream, mixW, dims = Seq("lang"))
       .writeStream.format("memory").queryName("mix_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // chunking is a narrow explode, so it streams too (window 3/stride 2
+    // to exercise multi-chunk docs at this size)
+    val q7 = Graft.chunkWindows(stream, window = 3, stride = 2)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       q4.processAllAvailable(); q5.processAllAvailable(); q6.processAllAvailable()
+      q7.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
@@ -362,7 +368,16 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx")))
       assert(mix.length == 4) // EXACTLY two copies each — no double-emits
       assert(mix.toSet == Set((1L, 1L), (1L, 2L), (3L, 1L), (3L, 2L)))
-    } finally { q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop() }
+      // doc 2 ("der die und das ist", 5 tokens, window 3 / stride 2):
+      // chunks [der die und], [und das ist] — overlap carries "und"
+      val chunks = spark.table("chunk_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          r.getAs[String]("chunk_text")).toMap
+      assert(chunks((2L, 0L)) == "der die und" && chunks((2L, 1L)) == "und das ist")
+      assert(chunks.keys.count(_._1 == 3L) == 3) // 6 tokens -> starts 0,2,4
+    } finally {
+      q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop()
+    }
   }
 
   test("driver queries are the facade operators (delegation equivalence)") {
