@@ -155,6 +155,30 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.forall(_._3 == 0L)) // 21 tokens < one 2048 budget
   }
 
+  test("packChunkShards: chunks pack in (doc, chunk) order under the token budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")), // 10 toks -> chunks at 0,2,4,6,8
+      (1L, "a b c d e"),                              // 5 toks  -> chunks at 0,2
+      (2L, "x y")                                     // 2 toks  -> one chunk
+    ).toDF("doc_id", "text")
+    val packed = Graft.packChunkShards(docs, window = 4, stride = 2, budget = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+
+    val chunks = Graft.chunkWindows(docs, window = 4, stride = 2)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // every chunk is packed exactly once with its token count intact
+    assert(packed.map(r => (r._1, r._2, r._3)).toSeq == chunks.toSeq)
+    // shard assignment is the global (doc_id, chunk_id)-ordered running
+    // token sum divided by the budget — recompute it sequentially
+    var acc = 0L
+    val expected = chunks.map { case (d, c, n) =>
+      val sid = acc / 8; acc += n; (d, c, sid)
+    }.toSeq
+    assert(packed.map(r => (r._1, r._2, r._4)).toSeq == expected)
+  }
+
   test("trainingShards: optional PII scrub and duplicate-span stages apply") {
     import spark.implicits._
     // docs 1/2 share ALL their 3-gram positions (boilerplate template);
