@@ -395,27 +395,12 @@ object Graft {
   /** [[chunkWindows]] then [[packShards]] over the CHUNKS — the
     * realistic pretraining layout, where the packing unit is a
     * context-window chunk rather than a whole document. Chunks ride
-    * through the packer under a reversible composite id
-    * (doc_id * maxChunksPerDoc + chunk_id, decomposed on the way out;
-    * requires doc_id * maxChunksPerDoc to fit a long — at realistic
-    * ids and window/stride this holds by orders of magnitude).
+    * through the packer under a reversible composite id (see
+    * [[graft.ops.Curation.packChunkShards]]).
     * Reads: doc_id, text. Out: doc_id, chunk_id, n_tokens, shard_id. */
   def packChunkShards(docs: DataFrame, window: Int = 64, stride: Int = 32,
-      budget: Long = 2048, partitions: Int = 0): DataFrame = {
-    val chunks = Corpus.chunkWindows(docs, window, stride)
-    // one scalar aggregate: the per-doc chunk-id span, making the
-    // composite id collision-free without assuming a chunk cap
-    val maxRow = chunks.agg(org.apache.spark.sql.functions.max(col("chunk_id"))).head()
-    val m = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
-    Curation.packShards(
-        chunks.select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
-          col("chunk_text").as("text")),
-        budget, partitions)
-      .select(org.apache.spark.sql.functions.expr(s"doc_id DIV $m").as("doc_id"),
-        org.apache.spark.sql.functions.pmod(col("doc_id"),
-          org.apache.spark.sql.functions.lit(m)).as("chunk_id"),
-        col("n_tokens"), col("shard_id"))
-  }
+      budget: Long = 2048, partitions: Int = 0): DataFrame =
+    Curation.packChunkShards(docs, window, stride, budget, partitions)
 
   /** The whole curation pipeline in one call: optional PII scrub
     * (in-place redaction BEFORE anything hashes or counts tokens, so

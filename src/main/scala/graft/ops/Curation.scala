@@ -361,6 +361,33 @@ object Curation {
         expr(s"start div $budget").as("shard_id"))
   }
 
+  /** [[Corpus.chunkWindows]] then [[packShards]] over the CHUNKS — the
+    * realistic pretraining layout, where the packing unit is a
+    * context-window chunk rather than a whole document. Chunks ride
+    * through the packer under a reversible composite id
+    * (doc_id * maxChunksPerDoc + chunk_id, decomposed on the way out;
+    * requires doc_id * maxChunksPerDoc to fit a long — at realistic ids
+    * and window/stride this holds by orders of magnitude). The span
+    * scalar costs one extra narrow aggregate over the chunk counts; the
+    * packing itself inherits packShards' distributed-prefix-sum shape,
+    * ordered by (doc_id, chunk_id) via the composite key.
+    * Reads: doc_id, text. Out: doc_id, chunk_id, n_tokens, shard_id. */
+  def packChunkShards(docs: DataFrame, window: Int = 64, stride: Int = 32,
+      budget: Long = 2048, partitions: Int = 0): DataFrame = {
+    val chunks = Corpus.chunkWindows(docs, window, stride)
+    // one scalar aggregate: the per-doc chunk-id span, making the
+    // composite id collision-free without assuming a chunk cap
+    val maxRow = chunks.agg(max(col("chunk_id"))).head()
+    val m = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
+    packShards(
+        chunks.select((col("doc_id") * m + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text")),
+        budget, partitions)
+      .select(expr(s"doc_id DIV $m").as("doc_id"),
+        pmod(col("doc_id"), lit(m)).as("chunk_id"),
+        col("n_tokens"), col("shard_id"))
+  }
+
   /** Domain-mix sampling weights — the static data-mixing step behind
     * Pile-style corpus weighting (Gao et al. 2020) and DoReMi-style
     * reweighting applied at its simplest: given the corpus' realized
@@ -680,6 +707,31 @@ object Curation {
              |  SELECT doc_id,
              |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
              |  FROM documents)""".stripMargin)),
+
+    // d43: chunk-granularity packing — d42's sliding windows fed through
+    // d23's prefix-sum packer in (doc_id, chunk_id) order. The oracle is
+    // the literal composition of those two queries' SQL, so the
+    // composite-id round trip (encode, range-shuffle, decode) is
+    // hash-gated end-to-end.
+    Q("d43_pack_chunks",
+      (s, d) => packChunkShards(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, toks,
+             |         CAST(greatest(ceil((len(toks) - 64) / 32.0), 0) + 1 AS INT) AS nch
+             |  FROM t),
+             |c AS (SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_id FROM n),
+             |ch AS (
+             |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |         CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64)) AS BIGINT) AS n_tokens
+             |  FROM c)
+             |SELECT doc_id, chunk_id, n_tokens,
+             |  cast(coalesce(sum(n_tokens) OVER (
+             |    ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS BIGINT) // 2048 AS shard_id
+             |FROM ch""".stripMargin)),
 
     Q("d26_mix_weights",
       (s, d) => mixWeights(documents(s, d)),
