@@ -322,6 +322,29 @@ object Graft {
   def repetitionSignals(docs: DataFrame): DataFrame =
     Curation.repetitionSignals(docs)
 
+  /** CCNet-style unigram LM scoring: per-doc add-one-smoothed average
+    * token log-probability under the corpus' own unigram distribution
+    * and its perplexity. Threshold ppl (both tails) to drop boilerplate
+    * and gibberish. The Zipf head of the vocab (top `headK` tokens) is
+    * broadcast for the lookup join, the tail shuffle-joins — see
+    * [[graft.ops.Curation.unigramPpl]] for the skew rationale.
+    * Reads: doc_id, text. Out: doc_id, n_tokens, avg_logprob, ppl. */
+  def unigramPpl(docs: DataFrame, headK: Int = 10000): DataFrame =
+    Curation.unigramPpl(docs, headK)
+
+  /** The model half of [[unigramPpl]] — corpus unigram statistics
+    * (token, cnt, logp), persistable to score later batches against a
+    * frozen model. Reads: text. */
+  def unigramVocab(docs: DataFrame): DataFrame =
+    Curation.unigramVocab(docs)
+
+  /** The scoring half of [[unigramPpl]] — score `docs` against a
+    * [[unigramVocab]]-shaped model from a possibly different corpus;
+    * unseen tokens take the smoothed unseen mass. */
+  def unigramPplAgainst(docs: DataFrame, vocab: DataFrame,
+      headK: Int = 10000): DataFrame =
+    Curation.unigramPplAgainst(docs, vocab, headK)
+
   /** Deterministic stratified sample: exactly min(k, stratum size) docs
     * per `strata` value by ascending md5(doc_id) — reproducible across
     * runs and engines; exact bounded selection (map-side k-buffers),

@@ -137,6 +137,102 @@ object Curation {
         col("r._3").as("top_bigram_count"),
         col("r._4").as("n_bigrams"))
 
+  /** CCNet-style unigram language-model scoring (Wenzek et al. 2020 use
+    * a KenLM 5-gram; the unigram variant keeps the same filtering signal
+    * — boilerplate and gibberish score high-perplexity — while staying
+    * exactly computable from corpus statistics alone): per document, the
+    * add-one-smoothed average token log-probability under the corpus'
+    * own unigram distribution, and its perplexity exp(-avg).
+    * p(t) = (count(t) + 1) / (total_tokens + |vocab|). Callers threshold
+    * ppl to drop outlier docs (both tails: far-below-corpus ppl is
+    * repeated boilerplate, far-above is noise).
+    *
+    * In: (doc_id, text). Out: (doc_id, n_tokens, avg_logprob, ppl) —
+    * the two floats rounded to 4 decimals (the d15/d38 convention: the
+    * per-doc log sum is the only order-sensitive float op).
+    *
+    * This is the composed self-scoring form of the CCNet TWO-PASS shape:
+    * [[unigramVocab]] (train pass — one corpus scan into the token
+    * distribution) then [[unigramPplAgainst]] (score pass — one corpus
+    * scan scored against that model, Zipf-head lookup broadcast). Keep
+    * the halves separate to train once and score later batches against
+    * a frozen model; see each half's scaladoc for its scale shape. */
+  def unigramPpl(docs: DataFrame, headK: Int = 10000): DataFrame =
+    unigramPplAgainst(docs, unigramVocab(docs), headK)
+
+  /** The model half of [[unigramPpl]]: corpus unigram statistics
+    * (token, cnt, logp) with add-one smoothing,
+    * logp = ln((cnt + 1) / (total_tokens + |vocab|)). Persist this frame
+    * to score later batches against a FROZEN model ([[unigramPplAgainst]])
+    * — the CCNet deployment shape, where the reference LM is trained once
+    * and applied to every incoming crawl snapshot.
+    *
+    * Scale: one corpus scan into a token-keyed partial-combined
+    * aggregation (the Zipf head collapses map-side, so "the" crosses the
+    * shuffle once per map partition, not once per occurrence); grand
+    * totals ride a 1-row broadcast cross join (the mixWeights shape). */
+  def unigramVocab(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(wordsCol).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(
+      sum(col("cnt")).cast(DoubleType).as("total"),
+      count(lit(1)).cast(DoubleType).as("nv"))
+    vocab.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt"),
+        log((col("cnt") + lit(1)) / (col("total") + col("nv"))).as("logp"))
+  }
+
+  /** The scoring half of [[unigramPpl]]: per-doc average log-prob and
+    * perplexity of `docs` under a [[unigramVocab]]-shaped model frame —
+    * which may come from a DIFFERENT (earlier, larger) corpus. Tokens
+    * absent from the vocab score at the smoothed unseen mass
+    * ln(1 / (total + |vocab|)), so scoring a new batch never drops or
+    * nulls a document. Output floats rounded to 4 decimals (the d15/d38
+    * convention: the per-doc log sum is the only order-sensitive op).
+    *
+    * Scale: one corpus scan into a (doc_id, token) multiplicity count
+    * (keys are doc-distinct, so Zipf skew does NOT concentrate: "the"
+    * contributes ONE row per doc, spread by hash over all partitions).
+    * The log-prob lookup join is where naive plans die at 100 TB: a
+    * hash-join on token sends every doc's head-word rows to the head
+    * word's one partition. Here the Zipf HEAD (top `headK` tokens by
+    * count — by construction the only tokens frequent enough to skew) is
+    * broadcast, and only the rows it misses shuffle-join the vocab tail,
+    * where per-token fan-in is small by definition; the unseen-mass
+    * constant rides a 1-row broadcast onto that same small branch. In
+    * the composed self-scoring case AQE's stage cache shares the
+    * tokenize/aggregate work with the vocab pass where plans coincide
+    * (measured: 8 scans in the initial plan, 2 — one per pass — at
+    * runtime; see tools/PlanAudit). */
+  def unigramPplAgainst(docs: DataFrame, vocab: DataFrame,
+      headK: Int = 10000): DataFrame = {
+    require(headK >= 0, "need headK >= 0")
+    val unseen = vocab.agg(
+      log(lit(1.0) /
+        (sum(col("cnt")).cast(DoubleType) + count(lit(1)).cast(DoubleType)))
+        .as("unseen_logp"))
+    val docTok = docs
+      .select(col("doc_id"), explode(wordsCol).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
+    val head = vocab.orderBy(col("cnt").desc, col("token")).limit(headK)
+      .select(col("token"), col("logp"))
+    val viaHead = docTok.join(broadcast(head), Seq("token"), "left")
+    val missed = viaHead.where(col("logp").isNull).drop("logp")
+      .join(vocab.select(col("token"), col("logp")), Seq("token"), "left")
+      .crossJoin(broadcast(unseen))
+      .select(col("doc_id"), col("m"),
+        coalesce(col("logp"), col("unseen_logp")).as("logp"))
+    val perDoc = viaHead.where(col("logp").isNotNull)
+      .select(col("doc_id"), col("m"), col("logp"))
+      .unionByName(missed)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast(LongType).as("n_tokens"),
+        sum(col("m") * col("logp")).as("slp"))
+    perDoc.select(col("doc_id"), col("n_tokens"),
+      round(col("slp") / col("n_tokens"), 4).as("avg_logprob"),
+      round(exp(-col("slp") / col("n_tokens")), 4).as("ppl"))
+  }
+
   /** Deterministic stratified sample: exactly min(k, group size) rows per
     * `strata` value, chosen by ascending md5 of the doc id — a stable
     * "random" order that is reproducible across engines and runs (the
@@ -651,6 +747,26 @@ object Curation {
              |       coalesce(agg.top_bigram_count, 0) AS top_bigram_count,
              |       coalesce(agg.n_bigrams, 0) AS n_bigrams
              |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // d44: CCNet-style unigram LM perplexity — add-one-smoothed average
+    // token log-prob under the corpus' own unigram distribution. Both
+    // floats rounded to 4 decimals (the per-doc log sum is the only
+    // order-sensitive op; ln/exp agree across engines well inside 1e-4).
+    Q("d44_unigram_ppl",
+      (s, d) => unigramPpl(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+             |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
+             |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             |             CAST(count(*) AS DOUBLE) AS nv FROM v)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+             |  round(sum(m * ln((cnt + 1) / (total + nv))) / sum(m), 4) AS avg_logprob,
+             |  round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
+             |FROM dt JOIN v USING (token), t
+             |GROUP BY doc_id""".stripMargin)),
 
     Q("d21_stratified_sample",
       (s, d) => stratifiedSample(documents(s, d)),

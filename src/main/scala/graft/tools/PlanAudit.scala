@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *   - d31 materializeMix: 1 Generate (the explode), 0 shuffle exchanges
   *     on the docs path (the only exchanges belong to the cells
   *     aggregation feeding the broadcast).
+  *   - d44 unigramPpl (sf0.01, round 8): BroadcastHashJoin >= 1 (the
+  *     Zipf-head lookup), CartesianProduct 0; BroadcastNestedLoop all
+  *     1-row-side (totals / unseen-mass constants). Initial-plan node
+  *     counts are inflated by subtree duplication across the hit/miss
+  *     union — at runtime AQE's stage cache collapses the duplicated
+  *     tokenize/aggregate stages to 2 corpus scans (one per CCNet pass:
+  *     vocab, scoring), measured via a stage-metrics listener.
   *
   *   sbt "runMain graft.tools.PlanAudit"
   */
@@ -67,6 +74,19 @@ object PlanAudit {
     println("=== d31 Generate (explode): " + countNode(p31, "Generate"))
     println("=== d31 doc_id shuffle exchanges: " +
       countNode(p31, "Exchange hashpartitioning(doc_id"))
+
+    // d44: the Zipf-head lookup must be a BroadcastHashJoin; the only
+    // nested-loop join is the 1-row totals cross join (mixWeights shape);
+    // the tail lookup may be SMJ or shuffled-hash, never cartesian.
+    val p44 = graft.ops.Curation.unigramPpl(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d44 BroadcastHashJoin (head lookup): " +
+      countNode(p44, "BroadcastHashJoin"))
+    println("=== d44 BroadcastNestedLoop (1-row totals only): " +
+      countNode(p44, "BroadcastNestedLoop"))
+    println("=== d44 CartesianProduct: " + countNode(p44, "CartesianProduct"))
+    println("=== d44 token shuffle exchanges: " +
+      countNode(p44, "Exchange hashpartitioning(token"))
     spark.stop()
   }
 }

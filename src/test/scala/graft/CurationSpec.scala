@@ -41,6 +41,60 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(3) == 2L && out.getLong(4) == 2L) // "the the" x2
   }
 
+  test("unigramPpl: matches a sequential reference; head/tail split is invisible") {
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "zyx qwv jkp",           // gibberish: every token unseen elsewhere
+      4L -> "the the the the")       // boilerplate repetition
+    val out = Curation.unigramPpl(corpus, headK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+
+    // sequential reference: corpus unigram counts over all 4 docs
+    val toks = Seq("the cat sat on the mat", "the dog sat on the log",
+      "zyx qwv jkp", "the the the the").flatMap(_.split("\\s+"))
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.size.toDouble
+    val nv = cnt.size.toDouble
+    def ref(text: String): (Long, Double, Double) = {
+      val ws = text.split("\\s+")
+      val slp = ws.map(w => math.log((cnt(w) + 1) / (total + nv))).sum
+      val avg = slp / ws.length
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ws.length.toLong, r4(avg), r4(math.exp(-avg)))
+    }
+    assert(out(1L) == ref("the cat sat on the mat"))
+    assert(out(3L) == ref("zyx qwv jkp"))
+    assert(out(4L) == ref("the the the the"))
+    // gibberish scores strictly higher perplexity than boilerplate
+    assert(out(3L)._3 > out(1L)._3 && out(4L)._3 < out(1L)._3)
+
+    // headK=0 (pure shuffle-join path) and a head covering the whole
+    // vocab produce the identical frame: the split is a plan detail
+    val noHead = Curation.unigramPpl(corpus, headK = 0)
+      .collect().map(_.toSeq).toSet
+    val allHead = Curation.unigramPpl(corpus, headK = 1000)
+      .collect().map(_.toSeq).toSet
+    val split = Curation.unigramPpl(corpus, headK = 2)
+      .collect().map(_.toSeq).toSet
+    assert(noHead == split && allHead == split)
+
+    // frozen-vocab scoring of a NEW batch: seen tokens take their model
+    // logp, unseen tokens the smoothed unseen mass — no doc dropped
+    val vocab = Curation.unigramVocab(corpus)
+    val fresh = docs(9L -> "the cat unseenword")
+    val scored = Curation.unigramPplAgainst(fresh, vocab, headK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expSlp = math.log((cnt("the") + 1) / (total + nv)) +
+      math.log((cnt("cat") + 1) / (total + nv)) +
+      math.log(1.0 / (total + nv))
+    val expAvg = BigDecimal(expSlp / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored == Seq((9L, 3L, expAvg)))
+  }
+
   test("stratifiedSample: exact k per stratum, deterministic, bounded-selection == single window") {
     import spark.implicits._
     val n = 500
