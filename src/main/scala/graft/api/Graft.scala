@@ -345,6 +345,13 @@ object Graft {
       headK: Int = 10000): DataFrame =
     Curation.unigramPplAgainst(docs, vocab, headK)
 
+  /** CCNet perplexity bucketing: head / middle / tail terciles of
+    * [[unigramPpl]] within each language — keep head+middle (or
+    * reweight by bucket) to favor clean text.
+    * Reads: doc_id, text, lang. Out: doc_id, lang, ppl, bucket. */
+  def pplBuckets(docs: DataFrame, headK: Int = 10000): DataFrame =
+    Curation.pplBuckets(docs, headK)
+
   /** Deterministic stratified sample: exactly min(k, stratum size) docs
     * per `strata` value by ascending md5(doc_id) — reproducible across
     * runs and engines; exact bounded selection (map-side k-buffers),

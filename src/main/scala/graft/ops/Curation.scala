@@ -233,6 +233,37 @@ object Curation {
       round(exp(-col("slp") / col("n_tokens")), 4).as("ppl"))
   }
 
+  /** CCNet's perplexity bucketing: within each language, docs are split
+    * into head / middle / tail terciles by [[unigramPpl]] perplexity
+    * (Wenzek et al. 2020 §4.4 — head = lowest-ppl third, the cleanest
+    * text; downstream pipelines keep head+middle or reweight by bucket).
+    * Thresholds are the exact per-language terciles of the 4-decimal
+    * ppl, themselves rounded to 4 decimals: tercile interpolation
+    * weights (1/3, 2/3) over a 4-decimal grid can only produce values
+    * whose 5th decimal pattern is {0, 3, 6}, never the .00005 rounding
+    * boundary, so the bucket comparison is cross-engine deterministic.
+    *
+    * In: (doc_id, text, lang). Out: (doc_id, lang, ppl, bucket).
+    *
+    * Scale: d44's two passes, plus a lang-keyed exact-percentile
+    * aggregation (per-group value buffering — the d18 convention; at
+    * extreme per-lang cardinality swap in approx_percentile) whose
+    * output is |langs| rows broadcast back onto the scored frame, and
+    * one doc_id equi-join to re-attach lang. No corpus-wide sort, no
+    * per-lang single-task window. */
+  def pplBuckets(docs: DataFrame, headK: Int = 10000): DataFrame = {
+    val scored = unigramPpl(docs, headK)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thresholds = scored.groupBy(col("lang")).agg(
+      round(expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)"), 4).as("t1"),
+      round(expr("percentile(ppl, CAST(2 AS DOUBLE) / 3)"), 4).as("t2"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Deterministic stratified sample: exactly min(k, group size) rows per
     * `strata` value, chosen by ascending md5 of the doc id — a stable
     * "random" order that is reproducible across engines and runs (the
@@ -767,6 +798,39 @@ object Curation {
              |  round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
              |FROM dt JOIN v USING (token), t
              |GROUP BY doc_id""".stripMargin)),
+
+    // d45: CCNet perplexity bucketing — per-language head/middle/tail
+    // terciles of d44's ppl. Thresholds and ppl both at the 4-decimal
+    // convention; tercile weights over a 4-decimal grid cannot produce
+    // a .00005 rounding boundary, so the CASE is cross-engine exact.
+    Q("d45_ppl_buckets",
+      (s, d) => pplBuckets(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+             |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
+             |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             |             CAST(count(*) AS DOUBLE) AS nv FROM v),
+             |p AS (
+             |  SELECT doc_id,
+             |    round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
+             |  FROM dt JOIN v USING (token), t
+             |  GROUP BY doc_id),
+             |pl AS (
+             |  SELECT p.doc_id, d.lang, p.ppl
+             |  FROM p JOIN documents d ON p.doc_id = d.doc_id),
+             |th AS (
+             |  SELECT lang,
+             |         round(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 4) AS t1,
+             |         round(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 4) AS t2
+             |  FROM pl GROUP BY lang)
+             |SELECT doc_id, lang, ppl,
+             |       CASE WHEN ppl <= t1 THEN 'head'
+             |            WHEN ppl <= t2 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM pl JOIN th USING (lang)""".stripMargin)),
 
     Q("d21_stratified_sample",
       (s, d) => stratifiedSample(documents(s, d)),

@@ -95,6 +95,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored == Seq((9L, 3L, expAvg)))
   }
 
+  test("pplBuckets: per-lang terciles are ordered and near-balanced") {
+    import spark.implicits._
+    // 9 docs per lang with strictly increasing repetition -> distinct ppl
+    val rows = for {
+      lang <- Seq("aa", "bb"); i <- 1 to 9
+    } yield ((if (lang == "aa") 0L else 100L) + i, lang,
+      (1 to 12).map(j => s"w${lang}_${math.min(j, i)}").mkString(" "))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = Curation.pplBuckets(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.length == 18)
+    for (lang <- Seq("aa", "bb")) {
+      val g = out.filter(_._2 == lang).sortBy(_._3)
+      val sizes = g.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes == Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+      // bucket order follows ppl order
+      assert(g.map(_._4).toSeq ==
+        Seq.fill(3)("head") ++ Seq.fill(3)("middle") ++ Seq.fill(3)("tail"))
+    }
+  }
+
   test("stratifiedSample: exact k per stratum, deterministic, bounded-selection == single window") {
     import spark.implicits._
     val n = 500
