@@ -441,20 +441,24 @@ object Graft {
     * duplicate-span filter (drop docs whose `dupSpanN`-gram positions
     * are duplicated elsewhere in the corpus beyond `maxDupSpanFrac` —
     * the RefinedWeb boilerplate signal; 1.0 disables) → benchmark
+    * optional CCNet LM filter (`dropPplTail` — drop each language's
+    * worst-perplexity tercile under the surviving corpus' own unigram
+    * model, [[pplBuckets]]; requires a `lang` column) → benchmark
     * decontamination (drop docs sharing more than `maxSharedGrams`
     * distinct `contaminationN`-grams with any single eval doc) →
     * token-budget shard packing. `hashGrams` switches the two gram
     * stages to 8-byte xxhash64 shuffles (the production mode). Returns
     * (doc_id, n_tokens, shard_id) over the surviving docs — the
     * corpus-to-training-shards recipe, each stage the already-tested
-    * operator. Reads: doc_id, text, n_chars on `docs`; doc_id, text on
-    * `evalDocs`. */
+    * operator. Reads: doc_id, text, n_chars on `docs` (plus lang when
+    * `dropPplTail`); doc_id, text on `evalDocs`. */
   def trainingShards(docs: DataFrame, evalDocs: DataFrame,
       minWords: Long = 5, maxDupWordFrac: Double = 0.9,
       maxTopBigramFrac: Double = 0.5, maxSharedGrams: Long = 10,
       contaminationN: Int = 3, budget: Long = 2048,
       scrubPii: Boolean = false, maxDupSpanFrac: Double = 1.0,
-      dupSpanN: Int = 5, hashGrams: Boolean = false): DataFrame = {
+      dupSpanN: Int = 5, hashGrams: Boolean = false,
+      dropPplTail: Boolean = false): DataFrame = {
     val base =
       if (scrubPii) docs.withColumn("text", Curation.scrubTextCol(col("text")))
       else docs
@@ -476,14 +480,20 @@ object Graft {
             .otherwise(0.0) <= maxDupSpanFrac)
           .select(col("doc_id")),
         "doc_id")
+    val afterPpl =
+      if (!dropPplTail) afterSpans
+      else afterSpans.join(
+        Curation.pplBuckets(afterSpans).where(col("bucket") =!= "tail")
+          .select(col("doc_id")),
+        "doc_id")
     val contaminated = Curation.contaminationPairs(
-        afterSpans, evalDocs, contaminationN, hashGrams)
+        afterPpl, evalDocs, contaminationN, hashGrams)
       .groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.functions.max(col("n_shared")).as("worst"))
       .where(col("worst") > maxSharedGrams)
       .select(col("doc_id"))
     Curation.packShards(
-      afterSpans.join(contaminated, Seq("doc_id"), "left_anti"),
+      afterPpl.join(contaminated, Seq("doc_id"), "left_anti"),
       budget)
   }
 

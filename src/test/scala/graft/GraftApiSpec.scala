@@ -155,6 +155,34 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.forall(_._3 == 0L)) // 21 tokens < one 2048 budget
   }
 
+  test("trainingShards: dropPplTail removes each language's worst-ppl tercile") {
+    import spark.implicits._
+    // 6 docs, one lang. Docs 1-4 each use 4 words from a shared pool of
+    // 8, any pair overlapping on at most half (char-3-gram Jaccard well
+    // under the 0.8 near-dup threshold, so MinHash dedup keeps them);
+    // every pool word occurs 4x corpus-wide, so all four land at the
+    // same low ppl. Docs 5/6 use corpus-unique words — the worst-ppl
+    // tail tercile — and must be dropped.
+    val corpus = Seq(
+      (1L, "alpha bravo candy delta alpha bravo candy delta"),
+      (2L, "echo forest gulf hotel echo forest gulf hotel"),
+      (3L, "alpha echo candy gulf alpha echo candy gulf"),
+      (4L, "bravo forest delta hotel bravo forest delta hotel"),
+      (5L, "zeta eta theta iota kappa lambda mu nu"),
+      (6L, "xi omicron pi rho sigma tau upsilon phi")
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    val evalSet = Seq((100L, "nothing shared here at all")).toDF("doc_id", "text")
+
+    val without = Graft.trainingShards(corpus, evalSet)
+      .as[(Long, Long, Long)].collect().map(_._1).sorted.toSeq
+    val withPpl = Graft.trainingShards(corpus, evalSet, dropPplTail = true)
+      .as[(Long, Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(without == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(withPpl == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("packChunkShards: chunks pack in (doc, chunk) order under the token budget") {
     import spark.implicits._
     val docs = Seq(
