@@ -171,13 +171,25 @@ object Curation {
     * aggregation (the Zipf head collapses map-side, so "the" crosses the
     * shuffle once per map partition, not once per occurrence); grand
     * totals ride a 1-row broadcast cross join (the mixWeights shape). */
-  def unigramVocab(docs: DataFrame): DataFrame = {
-    val vocab = docs.select(explode(wordsCol).as("token"))
+  def unigramVocab(docs: DataFrame): DataFrame =
+    vocabFromCounts(tokenCounts(docs))
+
+  /** Raw corpus token counts (token, cnt) — the ADDITIVE half of
+    * [[unigramVocab]]: counts from disjoint doc batches merge by
+    * summing, which is what makes the persisted incremental model
+    * ([[LmIndex]]) possible without re-reading old corpus text. */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(wordsCol).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val totals = vocab.agg(
+
+  /** Attach the add-one-smoothed log-probability to a (token, cnt)
+    * frame: logp = ln((cnt + 1) / (total + |vocab|)). Totals ride a
+    * 1-row broadcast cross join. */
+  private[graft] def vocabFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(
       sum(col("cnt")).cast(DoubleType).as("total"),
       count(lit(1)).cast(DoubleType).as("nv"))
-    vocab.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("token"), col("cnt"),
         log((col("cnt") + lit(1)) / (col("total") + col("nv"))).as("logp"))
   }
@@ -752,11 +764,57 @@ object Curation {
     * min-of-2 times are interpreted as the cache-state they measured. */
   val MemoizedQueries: Set[String] =
     Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix",
-      "d32_mix_targets")
+      "d32_mix_targets", "d46_ppl_indexed")
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
     * stands in for a benchmark. */
   private val evalPred = "doc_id % 97 = 0"
+
+  /** Per-(session, sfDir) persisted [[LmIndex]] for d46 — same pattern
+    * as Corpus.lexIndexDir: run 1 pays the model build + score, run 2
+    * only the score; directories die with the session. */
+  private val lmDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def lmIndexDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = lmDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lm-q").toString
+      LmIndex.save(documents(s, d), dir)
+      val prev = lmDirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "curation-lmdir") { () =>
+          val it = lmDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) { Corpus.deleteRecursively(e.getValue); it.remove() }
+          }
+        }
+        dir
+      }
+    }
+  }
+
+  /** The d44 oracle — shared verbatim by d46, whose Spark side scores
+    * against the PERSISTED model: equal output proves the index round
+    * trip (counts write, merged read, smoothing totals) exact. */
+  private val UnigramPplOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+      |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
+      |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+      |             CAST(count(*) AS DOUBLE) AS nv FROM v)
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  round(sum(m * ln((cnt + 1) / (total + nv))) / sum(m), 4) AS avg_logprob,
+      |  round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
+      |FROM dt JOIN v USING (token), t
+      |GROUP BY doc_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
 
@@ -785,19 +843,15 @@ object Curation {
     // order-sensitive op; ln/exp agree across engines well inside 1e-4).
     Q("d44_unigram_ppl",
       (s, d) => unigramPpl(documents(s, d)),
-      Some("""WITH w AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-             |  FROM documents),
-             |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
-             |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
-             |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-             |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
-             |             CAST(count(*) AS DOUBLE) AS nv FROM v)
-             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
-             |  round(sum(m * ln((cnt + 1) / (total + nv))) / sum(m), 4) AS avg_logprob,
-             |  round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
-             |FROM dt JOIN v USING (token), t
-             |GROUP BY doc_id""".stripMargin)),
+      Some(UnigramPplOracle)),
+
+    // d46: the SAME scoring served from the persisted incremental model
+    // (LmIndex), hash-gated by d44's oracle — proving the model round
+    // trip (per-batch counts write, merged read, smoothing totals)
+    // preserves the direct computation exactly.
+    Q("d46_ppl_indexed",
+      (s, d) => unigramPplAgainst(documents(s, d), LmIndex.vocab(s, lmIndexDir(s, d))),
+      Some(UnigramPplOracle)),
 
     // d45: CCNet perplexity bucketing — per-language head/middle/tail
     // terciles of d44's ppl. Thresholds and ppl both at the 4-decimal
