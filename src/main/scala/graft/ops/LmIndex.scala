@@ -64,7 +64,7 @@ object LmIndex {
       }
       .start()
 
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
+  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
       overwriteAll: Boolean): Unit = {
     val spark = docs.sparkSession
     val mode = IndexCommit.overwriteMode(overwriteAll)

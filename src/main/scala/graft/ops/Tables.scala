@@ -70,12 +70,27 @@ object Tables {
   }
 
   /** events with `ts` replaced by `ts_us` (epoch microseconds, Long).
-    * Floor division (ts - pmod) rather than `div` so pre-1970 (negative)
-    * nanos would still match DuckDB's epoch_us truncation semantics. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
-      .drop("ts")
+    * Handles both generations of the driver's parquet: µs-precision
+    * timestamps (read as TIMESTAMP_NTZ; the session pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast reads the
+    * naive value as UTC — exactly DuckDB's epoch_us on a naive
+    * timestamp) and the legacy ns-as-Long encoding (floor division
+    * `ts - pmod` rather than `div` so pre-1970 negative nanos would
+    * still match DuckDB's truncation semantics). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.withColumn("ts_us", tsToMicros(raw.schema("ts").dataType)).drop("ts")
+  }
+
+  /** The `ts` → epoch-µs Long conversion shared by the batch and
+    * streaming event loaders. */
+  private[graft] def tsToMicros(dt: DataType): org.apache.spark.sql.Column = dt match {
+    case LongType         => expr("(ts - pmod(ts, 1000)) div 1000")
+    case TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+    case TimestampType    => expr("unix_micros(ts)")
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported type $other (expected ns-Long or timestamp)")
+  }
 
   // ---- oracle-parity numeric helpers -------------------------------------
 

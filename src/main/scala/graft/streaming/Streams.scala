@@ -25,17 +25,22 @@ private final case class SessionState(startUs: Long, endUs: Long, n: Long)
   */
 object Streams {
 
-  /** Streaming source over the events parquet layout. The files carry
-    * nanosecond timestamps read as Long (spark.sql.legacy.parquet
-    * .nanosAsLong); expose the same epoch-µs `ts_us` the batch loader
+  /** Streaming source over the events parquet layout. A file stream
+    * needs an explicit schema, so the `ts` type is read off the existing
+    * files once (batch footer peek at stream-construction time — new
+    * files must keep the shape, the normal file-stream contract); the
+    * stream then exposes the same epoch-µs `ts_us` the batch loader
     * (graft.ops.Tables.events) exposes, so batch and streaming share one
-    * column contract. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    * column contract across both testdata generations (µs timestamps or
+    * legacy ns-as-Long). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(dir).schema
     spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema(onDisk)
       .parquet(dir)
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      .withColumn("ts_us", graft.ops.Tables.tsToMicros(onDisk("ts").dataType))
       .drop("ts")
+  }
 
   /** Tumbling 1-hour event-time windows per event type, 2-hour watermark
     * (streaming analog of q22_event_hourly). */
