@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, Quantize, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, LmIndex, Quantize, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -344,6 +344,39 @@ object Graft {
   def unigramPplAgainst(docs: DataFrame, vocab: DataFrame,
       headK: Int = 10000): DataFrame =
     Curation.unigramPplAgainst(docs, vocab, headK)
+
+  /** Persist the unigram LM of a corpus for frozen-model scoring
+    * ([[lmVocab]] → [[unigramPplAgainst]]) and additive growth without
+    * re-reading old corpus text. Reads: doc_id, text. */
+  def lmIndexSave(docs: DataFrame, dir: String): Unit = LmIndex.save(docs, dir)
+
+  /** Add a new batch's token counts to a saved model (doc_ids must be
+    * new; `checkDisjoint` verifies and refuses the batch on overlap —
+    * re-counting a doc would double every one of its tokens). */
+  def lmIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    LmIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously grow a saved model from a streaming (doc_id, text)
+    * frame; a replayed micro-batch overwrites its own partitions
+    * (exactly-once per batch). */
+  def lmIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    LmIndex.ingest(docs, dir, checkpoint)
+
+  /** The scoring-ready (token, cnt, logp) model frame of a saved LM —
+    * smoothing totals computed over the MERGED counts, so a model grown
+    * by appends scores identically to a one-shot build. Feed to
+    * [[unigramPplAgainst]]. */
+  def lmVocab(spark: SparkSession, dir: String): DataFrame =
+    LmIndex.vocab(spark, dir)
+
+  /** Compact a fragmented LM (one partition per past append/ingest
+    * batch) into a fresh single-generation snapshot at `dst` (same
+    * generation model as [[lexIndexCompactTo]]; counts MERGE rather than
+    * restamp — addition is associative). */
+  def lmIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    LmIndex.compactTo(spark, src, dst)
 
   /** CCNet perplexity bucketing: head / middle / tail terciles of
     * [[unigramPpl]] within each language — keep head+middle (or
