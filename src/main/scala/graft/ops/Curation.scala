@@ -219,13 +219,36 @@ object Curation {
   def unigramPplAgainst(docs: DataFrame, vocab: DataFrame,
       headK: Int = 10000): DataFrame = {
     require(headK >= 0, "need headK >= 0")
+    val perDoc = tokenLogps(docTokens(docs), vocab, headK)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast(LongType).as("n_tokens"),
+        sum(col("m") * col("logp")).as("slp"))
+    perDoc.select(col("doc_id"), col("n_tokens"),
+      round(col("slp") / col("n_tokens"), 4).as("avg_logprob"),
+      round(exp(-col("slp") / col("n_tokens")), 4).as("ppl"))
+  }
+
+  /** Per-doc token multiplicities (doc_id, token, m) — the scoring-side
+    * tokenization shared by [[unigramPplAgainst]] and [[dsirWeights]].
+    * Keys are doc-distinct, so Zipf skew does not concentrate. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(wordsCol).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
+
+  /** The skew-safe log-prob lookup under a [[unigramVocab]]-shaped model:
+    * (doc_id, token, m) -> (doc_id, m, logp), with vocab-absent tokens at
+    * the smoothed unseen mass ln(1 / (total + |vocab|)). The Zipf HEAD
+    * (top `headK` tokens — by construction the only tokens frequent
+    * enough to skew a token-keyed join) is broadcast; only its misses
+    * shuffle-join the vocab tail, where per-token fan-in is small by
+    * definition; the unseen-mass constant rides a 1-row broadcast onto
+    * that same small branch. */
+  private def tokenLogps(docTok: DataFrame, vocab: DataFrame,
+      headK: Int): DataFrame = {
     val unseen = vocab.agg(
       log(lit(1.0) /
         (sum(col("cnt")).cast(DoubleType) + count(lit(1)).cast(DoubleType)))
         .as("unseen_logp"))
-    val docTok = docs
-      .select(col("doc_id"), explode(wordsCol).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
     val head = vocab.orderBy(col("cnt").desc, col("token")).limit(headK)
       .select(col("token"), col("logp"))
     val viaHead = docTok.join(broadcast(head), Seq("token"), "left")
@@ -234,15 +257,75 @@ object Curation {
       .crossJoin(broadcast(unseen))
       .select(col("doc_id"), col("m"),
         coalesce(col("logp"), col("unseen_logp")).as("logp"))
-    val perDoc = viaHead.where(col("logp").isNotNull)
+    viaHead.where(col("logp").isNotNull)
       .select(col("doc_id"), col("m"), col("logp"))
       .unionByName(missed)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", at its unigram-feature
+    * simplest): per document, the log importance ratio
+    * log w(x) = log p_target(x) - log p_raw(x) under two add-one-smoothed
+    * unigram LMs — the TARGET model trained on a small trusted corpus
+    * (the distribution you want more of) and the RAW model trained on
+    * `docs` itself. Docs whose token distribution looks more like the
+    * target than like the raw corpus score positive. Callers select by
+    * [[dsirSelect]] (the paper's Gumbel top-k resampling) or threshold.
+    * The ratio is a SUM over tokens (not an average): DSIR weights whole
+    * documents, so longer on-target docs legitimately outscore shorter
+    * ones. In: docs + target, both (doc_id, text).
+    * Out: (doc_id, n_tokens, log_ratio), the float rounded to 4 decimals
+    * (the d15/d38 convention — the per-doc log sum is the only
+    * order-sensitive op).
+    *
+    * Scale: ONE tokenize pass over `docs` ([[docTokens]]) feeds BOTH
+    * model lookups (each the [[tokenLogps]] broadcast-head shape), and
+    * the target model's training scan is over the small trusted set by
+    * construction. Nothing corpus-sized is ever collected or sorted. */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+      headK: Int = 10000): DataFrame = {
+    require(headK >= 0, "need headK >= 0")
+    val docTok = docTokens(docs)
+    val raw = tokenLogps(docTok, unigramVocab(docs), headK)
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).cast(LongType).as("n_tokens"),
-        sum(col("m") * col("logp")).as("slp"))
-    perDoc.select(col("doc_id"), col("n_tokens"),
-      round(col("slp") / col("n_tokens"), 4).as("avg_logprob"),
-      round(exp(-col("slp") / col("n_tokens")), 4).as("ppl"))
+        sum(col("m") * col("logp")).as("slp_raw"))
+    val tgt = tokenLogps(docTok, unigramVocab(target), headK)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("logp")).as("slp_tgt"))
+    raw.join(tgt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slp_tgt") - col("slp_raw"), 4).as("log_ratio"))
+  }
+
+  /** DSIR's selection step: Gumbel top-k resampling over
+    * [[dsirWeights]] — add independent Gumbel noise g = -ln(-ln(u)) to
+    * each log weight and take the k largest, which draws k docs WITHOUT
+    * replacement with probability proportional to their importance
+    * weights (the Gumbel-max trick). The noise is deterministic and
+    * engine-independent: u = (h + 0.5) / 2^32 with h the first 8 hex
+    * chars of md5(doc_id) — the d21/d29 coin, offset to (0,1) so both
+    * ln calls are finite — making the selection reproducible across
+    * runs AND engines (hash-gateable; the paper's seeded RNG would be
+    * neither). Scores are ranked at the 4-decimal rounding convention
+    * with doc_id tie-break. Out: (doc_id, score, sel_rank), rank 1..k.
+    *
+    * Scale: [[dsirWeights]] plus a narrow per-row score and a TakeOrdered
+    * top-k (per-partition k-buffers merged at the driver — k rows, never
+    * a global sort); the rank window runs over the k selected rows only. */
+  def dsirSelect(docs: DataFrame, target: DataFrame, k: Int = 100,
+      headK: Int = 10000): DataFrame = {
+    require(k > 0, "need k > 0")
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+      .cast(DoubleType)
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val topk = dsirWeights(docs, target, headK)
+      .select(col("doc_id"),
+        round(col("log_ratio") - log(-log(u)), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    topk.select(col("doc_id"), col("score"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast(LongType).as("sel_rank"))
   }
 
   /** CCNet's perplexity bucketing: within each language, docs are split
@@ -816,6 +899,35 @@ object Curation {
       |FROM dt JOIN v USING (token), t
       |GROUP BY doc_id""".stripMargin
 
+  /** Shared CTE chain of the d47/d48 oracles: per-doc log importance
+    * ratio under the raw (all documents) and target (lang = 'en')
+    * unigram LMs. Mirrors the Spark side's two-sum-then-subtract at the
+    * 4-decimal convention; target-absent tokens score the target model's
+    * unseen mass via the LEFT-join coalesce. */
+  private val DsirCte =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+      |dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2),
+      |vr AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |tr AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+      |              CAST(count(*) AS DOUBLE) AS nv FROM vr),
+      |wt AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents WHERE lang = 'en'),
+      |tokt AS (SELECT doc_id, unnest(ws) AS token FROM wt),
+      |vt AS (SELECT token, count(*) AS cnt FROM tokt GROUP BY 1),
+      |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+      |              CAST(count(*) AS DOUBLE) AS nv FROM vt),
+      |lr AS (
+      |  SELECT dt.doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |    round(sum(m * coalesce(ln((vt.cnt + 1) / (tt.total + tt.nv)),
+      |                           ln(1 / (tt.total + tt.nv))))
+      |          - sum(m * ln((vr.cnt + 1) / (tr.total + tr.nv))), 4) AS log_ratio
+      |  FROM dt JOIN vr USING (token) LEFT JOIN vt USING (token), tr, tt
+      |  GROUP BY dt.doc_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     Q("d20_repetition",
@@ -885,6 +997,42 @@ object Curation {
              |            WHEN ppl <= t2 THEN 'middle'
              |            ELSE 'tail' END AS bucket
              |FROM pl JOIN th USING (lang)""".stripMargin)),
+
+    // d47: DSIR importance weights — log p_target(x) - log p_raw(x)
+    // under two add-one-smoothed unigram LMs, the English slice standing
+    // in for the small trusted target corpus. Cross-engine exact at the
+    // 4-decimal convention (the per-doc log sums are the only
+    // order-sensitive ops; both engines evaluate the same smoothed-logp
+    // expression tree).
+    Q("d47_dsir_weights",
+      (s, d) => dsirWeights(documents(s, d),
+        documents(s, d).where(col("lang") === "en")),
+      Some(DsirCte +
+        "\nSELECT doc_id, n_tokens, log_ratio FROM lr")),
+
+    // d48: DSIR's Gumbel top-k selection over d47 — draws k docs without
+    // replacement with probability proportional to their importance
+    // weights (the Gumbel-max trick), with the engine-independent md5
+    // coin (d21/d29 convention) in place of the paper's seeded RNG:
+    // u = (hex(md5[0:8]) + 0.5) / 2^32 keeps both ln calls finite, so
+    // the SELECTION ITSELF (which docs, in which rank order) is
+    // hash-gated, not just the scores.
+    Q("d48_dsir_select",
+      (s, d) => dsirSelect(documents(s, d),
+        documents(s, d).where(col("lang") === "en")),
+      Some(DsirCte +
+        """,
+          |sc AS (
+          |  SELECT doc_id,
+          |    round(log_ratio -
+          |      ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          |              + 0.5) / 4294967296.0)), 4) AS score
+          |  FROM lr)
+          |SELECT doc_id, score, CAST(rn AS BIGINT) AS sel_rank FROM (
+          |  SELECT doc_id, score,
+          |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 100""".stripMargin)),
 
     Q("d21_stratified_sample",
       (s, d) => stratifiedSample(documents(s, d)),

@@ -95,6 +95,78 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored == Seq((9L, 3L, expAvg)))
   }
 
+  // shared fixture for the DSIR tests: raw corpus + small trusted target
+  private val dsirRaw = Seq(
+    1L -> "the cat sat on the mat",
+    2L -> "the dog sat on the log",
+    3L -> "zyx qwv jkp",
+    4L -> "the the the the")
+  private val dsirTgt = Seq(11L -> "the cat sat", 12L -> "the cat ran")
+
+  private def r4(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Sequential two-model reference of dsirWeights: add-one-smoothed
+    * unigram logps under raw and target counts (an unseen target token's
+    * (0+1)/(T+V) IS the smoothed unseen mass, so getOrElse(0) covers the
+    * coalesce branch). */
+  private def dsirRef(text: String): (Long, Double) = {
+    def model(ds: Seq[(Long, String)]) = {
+      val toks = ds.flatMap(_._2.split("\\s+"))
+      val cnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      (cnt, toks.size.toDouble, cnt.size.toDouble)
+    }
+    val (cr, tr, nr) = model(dsirRaw)
+    val (ct, tt, nt) = model(dsirTgt)
+    val ws = text.split("\\s+")
+    val st = ws.map(w => math.log((ct.getOrElse(w, 0.0) + 1) / (tt + nt))).sum
+    val sr = ws.map(w => math.log((cr(w) + 1) / (tr + nr))).sum
+    (ws.length.toLong, r4(st - sr))
+  }
+
+  test("dsirWeights: matches a sequential two-model reference; head split invisible") {
+    val raw = docs(dsirRaw: _*)
+    val target = docs(dsirTgt: _*)
+    val out = Curation.dsirWeights(raw, target, headK = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    for ((id, text) <- dsirRaw) assert(out(id) == dsirRef(text))
+    // the on-target doc outscores gibberish: DSIR's selection signal
+    assert(out(1L)._2 > out(3L)._2)
+
+    // headK=0 (pure shuffle-join path) and a head covering the whole
+    // vocab produce the identical frame: the split is a plan detail
+    val noHead = Curation.dsirWeights(raw, target, headK = 0)
+      .collect().map(_.toSeq).toSet
+    val allHead = Curation.dsirWeights(raw, target, headK = 1000)
+      .collect().map(_.toSeq).toSet
+    val split = Curation.dsirWeights(raw, target, headK = 2)
+      .collect().map(_.toSeq).toSet
+    assert(noHead == split && allHead == split)
+  }
+
+  test("dsirSelect: Gumbel top-k matches the md5-coin reference, rank order exact") {
+    val k = 3
+    val out = Curation.dsirSelect(docs(dsirRaw: _*), docs(dsirTgt: _*),
+        k = k, headK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gumbel(id: Long) = {
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16).toDouble
+      val u = (h + 0.5) / 4294967296.0
+      -math.log(-math.log(u))
+    }
+    // score = round(rounded log_ratio + gumbel, 4), ranked (desc, doc_id)
+    val expected = dsirRaw
+      .map { case (id, t) => (id, r4(dsirRef(t)._2 + gumbel(id))) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+    assert(out.sortBy(_._3).toSeq == expected)
+  }
+
   test("pplBuckets: per-lang terciles are ordered and near-balanced") {
     import spark.implicits._
     // 9 docs per lang with strictly increasing repetition -> distinct ppl
