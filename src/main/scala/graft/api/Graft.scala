@@ -378,6 +378,22 @@ object Graft {
   def lmIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
     LmIndex.compactTo(spark, src, dst)
 
+  /** DSIR importance weights (Xie et al. 2023): per-doc log importance
+    * ratio log p_target / p_raw under two add-one-smoothed unigram LMs —
+    * `target` is the small trusted corpus whose distribution you want
+    * more of. Select via [[dsirSelect]] or threshold. Reads: doc_id,
+    * text (both frames). */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+      headK: Int = 10000): DataFrame =
+    Curation.dsirWeights(docs, target, headK)
+
+  /** DSIR's Gumbel top-k resampling over [[dsirWeights]]: k docs drawn
+    * without replacement proportionally to their importance weights,
+    * deterministic across runs and engines (md5-coin Gumbel noise). */
+  def dsirSelect(docs: DataFrame, target: DataFrame, k: Int = 100,
+      headK: Int = 10000): DataFrame =
+    Curation.dsirSelect(docs, target, k, headK)
+
   /** CCNet perplexity bucketing: head / middle / tail terciles of
     * [[unigramPpl]] within each language — keep head+middle (or
     * reweight by bucket) to favor clean text.

@@ -167,6 +167,15 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sortBy(_._3).toSeq == expected)
   }
 
+  test("dsirSelect: top-k is a TakeOrdered, never a corpus-wide sort") {
+    val df = Curation.dsirSelect(docs(dsirRaw: _*), docs(dsirTgt: _*),
+      k = 2, headK = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.tools.PlanAudit.countNode(plan, "TakeOrderedAndProject") >= 1, plan)
+    // the only Window is the rank pass over the k selected rows
+    assert(graft.tools.PlanAudit.countNode(plan, "Window") <= 1, plan)
+  }
+
   test("pplBuckets: per-lang terciles are ordered and near-balanced") {
     import spark.implicits._
     // 9 docs per lang with strictly increasing repetition -> distinct ppl

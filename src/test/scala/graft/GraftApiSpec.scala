@@ -454,5 +454,14 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q36 = SparkEntry.queries("d36_sketch_bound")(spark, sf).collect().toSet
     val a36 = Graft.sketchWithinBound(docs).collect().toSet
     assert(q36.map(_.toSeq) == a36.map(_.toSeq))
+
+    val en = docs.where(org.apache.spark.sql.functions.col("lang") === "en")
+    val q47 = SparkEntry.queries("d47_dsir_weights")(spark, sf).collect().toSet
+    val a47 = Graft.dsirWeights(docs, en).collect().toSet
+    assert(q47.map(_.toSeq) == a47.map(_.toSeq))
+
+    val q48 = SparkEntry.queries("d48_dsir_select")(spark, sf).collect().toSet
+    val a48 = Graft.dsirSelect(docs, en).collect().toSet
+    assert(q48.map(_.toSeq) == a48.map(_.toSeq))
   }
 }
