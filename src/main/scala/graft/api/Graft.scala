@@ -387,6 +387,14 @@ object Graft {
       headK: Int = 10000): DataFrame =
     Curation.dsirWeights(docs, target, headK)
 
+  /** The frozen-model form of [[dsirWeights]]: score against two
+    * already-trained [[unigramVocab]]-shaped model frames (e.g. from
+    * persisted [[lmVocab]] models) — train once, score every incoming
+    * batch without retraining. */
+  def dsirWeightsAgainst(docs: DataFrame, rawVocab: DataFrame,
+      targetVocab: DataFrame, headK: Int = 10000): DataFrame =
+    Curation.dsirWeightsAgainst(docs, rawVocab, targetVocab, headK)
+
   /** DSIR's Gumbel top-k resampling over [[dsirWeights]]: k docs drawn
     * without replacement proportionally to their importance weights,
     * deterministic across runs and engines (md5-coin Gumbel noise). */

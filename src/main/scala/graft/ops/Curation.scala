@@ -283,14 +283,27 @@ object Curation {
     * the target model's training scan is over the small trusted set by
     * construction. Nothing corpus-sized is ever collected or sorted. */
   def dsirWeights(docs: DataFrame, target: DataFrame,
-      headK: Int = 10000): DataFrame = {
+      headK: Int = 10000): DataFrame =
+    dsirWeightsAgainst(docs, unigramVocab(docs), unigramVocab(target), headK)
+
+  /** The frozen-model form of [[dsirWeights]]: score `docs` against two
+    * ALREADY-TRAINED [[unigramVocab]]-shaped model frames — the DSIR
+    * deployment shape, where the raw model is trained once on a corpus
+    * snapshot (or served from a persisted [[LmIndex]] via
+    * `LmIndex.vocab`), the target model once on the trusted set, and
+    * every incoming batch scores against both without retraining.
+    * Same output contract and skew-safe lookup shape as
+    * [[dsirWeights]]; tokens absent from either model score that
+    * model's smoothed unseen mass. */
+  def dsirWeightsAgainst(docs: DataFrame, rawVocab: DataFrame,
+      targetVocab: DataFrame, headK: Int = 10000): DataFrame = {
     require(headK >= 0, "need headK >= 0")
     val docTok = docTokens(docs)
-    val raw = tokenLogps(docTok, unigramVocab(docs), headK)
+    val raw = tokenLogps(docTok, rawVocab, headK)
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).cast(LongType).as("n_tokens"),
         sum(col("m") * col("logp")).as("slp_raw"))
-    val tgt = tokenLogps(docTok, unigramVocab(target), headK)
+    val tgt = tokenLogps(docTok, targetVocab, headK)
       .groupBy(col("doc_id"))
       .agg(sum(col("m") * col("logp")).as("slp_tgt"))
     raw.join(tgt, Seq("doc_id"))
@@ -847,25 +860,28 @@ object Curation {
     * min-of-2 times are interpreted as the cache-state they measured. */
   val MemoizedQueries: Set[String] =
     Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix",
-      "d32_mix_targets", "d46_ppl_indexed")
+      "d32_mix_targets", "d46_ppl_indexed", "d49_dsir_indexed")
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
     * stands in for a benchmark. */
   private val evalPred = "doc_id % 97 = 0"
 
-  /** Per-(session, sfDir) persisted [[LmIndex]] for d46 — same pattern
-    * as Corpus.lexIndexDir: run 1 pays the model build + score, run 2
-    * only the score; directories die with the session. */
+  /** Per-(session, sfDir, slice) persisted [[LmIndex]] for d46/d49 —
+    * same pattern as Corpus.lexIndexDir: run 1 pays the model build +
+    * score, run 2 only the score; directories die with the session.
+    * `tag` names the slice ("raw" = whole table) so the d49 target
+    * model memoizes independently of the raw one. */
   private val lmDirMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (SparkSession, String, String), String]()
 
-  private def lmIndexDir(s: SparkSession, d: String): String = {
-    val k = (s, d)
+  private def lmIndexDir(s: SparkSession, d: String, tag: String = "raw",
+      slice: DataFrame => DataFrame = identity): String = {
+    val k = (s, d, tag)
     val hit = lmDirMemo.get(k)
     if (hit != null) hit
     else {
       val dir = java.nio.file.Files.createTempDirectory("graft-lm-q").toString
-      LmIndex.save(documents(s, d), dir)
+      LmIndex.save(slice(documents(s, d)), dir)
       val prev = lmDirMemo.putIfAbsent(k, dir)
       if (prev != null) { Corpus.deleteRecursively(dir); prev }
       else {
@@ -1033,6 +1049,20 @@ object Curation {
           |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
           |  FROM sc)
           |WHERE rn <= 100""".stripMargin)),
+
+    // d49: d47's scoring served from TWO persisted LmIndex models (raw
+    // corpus + English target), hash-gated by d47's oracle — the DSIR
+    // deployment shape (train both models once, score every incoming
+    // batch without retraining), and a second independent proof of the
+    // LmIndex round trip: d46 proves it under the ppl contract, d49
+    // under the two-model log-ratio.
+    Q("d49_dsir_indexed",
+      (s, d) => dsirWeightsAgainst(documents(s, d),
+        LmIndex.vocab(s, lmIndexDir(s, d)),
+        LmIndex.vocab(s, lmIndexDir(s, d, "en",
+          _.where(col("lang") === "en")))),
+      Some(DsirCte +
+        "\nSELECT doc_id, n_tokens, log_ratio FROM lr")),
 
     Q("d21_stratified_sample",
       (s, d) => stratifiedSample(documents(s, d)),

@@ -167,6 +167,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sortBy(_._3).toSeq == expected)
   }
 
+  test("dsirWeightsAgainst: persisted LmIndex models reproduce the direct computation") {
+    import graft.ops.LmIndex
+    val raw = docs(dsirRaw: _*)
+    val target = docs(dsirTgt: _*)
+    val rawDir = java.nio.file.Files.createTempDirectory("dsir-raw").toString
+    val tgtDir = java.nio.file.Files.createTempDirectory("dsir-tgt").toString
+    LmIndex.save(raw, rawDir)
+    LmIndex.save(target, tgtDir)
+    val direct = Curation.dsirWeights(raw, target, headK = 2)
+      .collect().map(_.toSeq).toSet
+    val indexed = Curation.dsirWeightsAgainst(raw,
+        LmIndex.vocab(spark, rawDir), LmIndex.vocab(spark, tgtDir),
+        headK = 2)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+  }
+
   test("dsirSelect: top-k is a TakeOrdered, never a corpus-wide sort") {
     val df = Curation.dsirSelect(docs(dsirRaw: _*), docs(dsirTgt: _*),
       k = 2, headK = 2)
