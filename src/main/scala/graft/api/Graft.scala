@@ -378,6 +378,14 @@ object Graft {
   def lmIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
     LmIndex.compactTo(spark, src, dst)
 
+  /** Bigram LM perplexity — one model order up from [[unigramPpl]]:
+    * add-one-smoothed p(w_i | w_{i-1}) under the corpus' own bigram
+    * counts. Word-order gibberish invisible to unigram statistics
+    * scores high here. Sub-2-token docs emit n_bigrams 0 / NULL score.
+    * Reads: doc_id, text. */
+  def bigramPpl(docs: DataFrame, headK: Int = 10000): DataFrame =
+    Curation.bigramPpl(docs, headK)
+
   /** DSIR importance weights (Xie et al. 2023): per-doc log importance
     * ratio log p_target / p_raw under two add-one-smoothed unigram LMs —
     * `target` is the small trusted corpus whose distribution you want

@@ -283,8 +283,16 @@ object Curation {
     * the target model's training scan is over the small trusted set by
     * construction. Nothing corpus-sized is ever collected or sorted. */
   def dsirWeights(docs: DataFrame, target: DataFrame,
-      headK: Int = 10000): DataFrame =
-    dsirWeightsAgainst(docs, unigramVocab(docs), unigramVocab(target), headK)
+      headK: Int = 10000): DataFrame = {
+    val docTok = docTokens(docs)
+    // the raw model IS docs' own counts: roll docTok up per token
+    // instead of re-tokenizing the corpus — corpus count = Σ_docs m,
+    // and the rollup is a partial-agg over docTok's existing exchange
+    // (one tokenize pass feeds the model AND both scoring lookups)
+    val rawVocab = vocabFromCounts(
+      docTok.groupBy(col("token")).agg(sum(col("m")).as("cnt")))
+    dsirCore(docTok, rawVocab, unigramVocab(target), headK)
+  }
 
   /** The frozen-model form of [[dsirWeights]]: score `docs` against two
     * ALREADY-TRAINED [[unigramVocab]]-shaped model frames — the DSIR
@@ -296,9 +304,12 @@ object Curation {
     * [[dsirWeights]]; tokens absent from either model score that
     * model's smoothed unseen mass. */
   def dsirWeightsAgainst(docs: DataFrame, rawVocab: DataFrame,
-      targetVocab: DataFrame, headK: Int = 10000): DataFrame = {
+      targetVocab: DataFrame, headK: Int = 10000): DataFrame =
+    dsirCore(docTokens(docs), rawVocab, targetVocab, headK)
+
+  private def dsirCore(docTok: DataFrame, rawVocab: DataFrame,
+      targetVocab: DataFrame, headK: Int): DataFrame = {
     require(headK >= 0, "need headK >= 0")
-    val docTok = docTokens(docs)
     val raw = tokenLogps(docTok, rawVocab, headK)
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).cast(LongType).as("n_tokens"),
@@ -339,6 +350,66 @@ object Curation {
     topk.select(col("doc_id"), col("score"),
       row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
         .cast(LongType).as("sel_rank"))
+  }
+
+  /** Bigram LM perplexity — one model order up from [[unigramPpl]],
+    * closing the gap toward CCNet's n-gram scorer (Wenzek et al. 2020
+    * use a 5-gram KenLM; each added order sharpens the same signal —
+    * word-ORDER gibberish that unigram statistics cannot see scores
+    * high here). Per doc: the add-one-smoothed average bigram
+    * log-probability p(w_i | w_{i-1}) = (B(ctx,tok) + 1) / (C(ctx) + V)
+    * under the corpus' own bigram counts B, context totals C = Σ_tok B,
+    * and unigram vocab size V, plus its perplexity exp(-avg). Docs with
+    * fewer than two tokens emit n_bigrams 0 with NULL score (no
+    * invented boundary markers — "no bigram evidence" is a fact the
+    * caller decides on, matching d28's explicit-abstention convention).
+    * Out: (doc_id, n_bigrams, avg_logprob, ppl), floats at the
+    * 4-decimal convention.
+    *
+    * Scale: one tokenize pass; bigram counts B and per-doc
+    * multiplicities key by (ctx, tok) — a far finer key than d44's
+    * token, so the count shuffles are better-spread than the unigram
+    * ones — and the logp lookup reuses the broadcast-head design: the
+    * top-headK bigrams by count broadcast, only head-miss rows shuffle,
+    * so "the the"-class heads never concentrate a partition. The only
+    * ctx-keyed shuffle is model-sized (B ⋈ C), not corpus-sized. */
+  def bigramPpl(docs: DataFrame, headK: Int = 10000): DataFrame = {
+    require(headK >= 0, "need headK >= 0")
+    val ws = docs.select(col("doc_id"), wordsCol.as("ws"))
+    val bi = ws
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(0, size(ws) - 2),
+          |               i -> struct(ws[i] AS ctx, ws[i + 1] AS tok))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.ctx").as("ctx"), col("b.tok").as("tok"))
+    val docBi = bi.groupBy(col("doc_id"), col("ctx"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val bc = bi.groupBy(col("ctx"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val cc = bc.groupBy(col("ctx")).agg(sum(col("cnt")).cast(DoubleType).as("ctot"))
+    val nv = ws.select(explode(col("ws")).as("token"))
+      .agg(countDistinct(col("token")).cast(DoubleType).as("nv"))
+    val model = bc.join(cc, Seq("ctx")).crossJoin(broadcast(nv))
+      .select(col("ctx"), col("tok"), col("cnt"),
+        log((col("cnt") + lit(1)) / (col("ctot") + col("nv"))).as("logp"))
+    val head = model.orderBy(col("cnt").desc, col("ctx"), col("tok"))
+      .limit(headK).select(col("ctx"), col("tok"), col("logp"))
+    val viaHead = docBi.join(broadcast(head), Seq("ctx", "tok"), "left")
+    // inner join: self-scored, every doc bigram exists in the model
+    val missed = viaHead.where(col("logp").isNull).drop("logp")
+      .join(model.select(col("ctx"), col("tok"), col("logp")), Seq("ctx", "tok"))
+      .select(col("doc_id"), col("m"), col("logp"))
+    val perDoc = viaHead.where(col("logp").isNotNull)
+      .select(col("doc_id"), col("m"), col("logp"))
+      .unionByName(missed)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast(LongType).as("n_bigrams"),
+        sum(col("m") * col("logp")).as("slp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 4).as("avg_logprob"),
+        round(exp(-col("slp") / col("n_bigrams")), 4).as("ppl"))
   }
 
   /** CCNet's perplexity bucketing: within each language, docs are split
@@ -1049,6 +1120,33 @@ object Curation {
           |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
           |  FROM sc)
           |WHERE rn <= 100""".stripMargin)),
+
+    // d50: bigram LM perplexity — the order-2 step toward CCNet's
+    // n-gram scorer; word-order gibberish that unigram statistics can't
+    // see scores high here. Sub-2-token docs emit n_bigrams 0 / NULL
+    // score on both sides (no invented boundary markers).
+    Q("d50_bigram_ppl",
+      (s, d) => bigramPpl(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, ws[i] AS ctx, ws[i+1] AS tok
+             |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+             |bc AS (SELECT ctx, tok, count(*) AS cnt FROM bi GROUP BY 1, 2),
+             |cc AS (SELECT ctx, CAST(sum(cnt) AS DOUBLE) AS ctot FROM bc GROUP BY 1),
+             |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS nv
+             |      FROM (SELECT unnest(ws) AS token FROM w)),
+             |db AS (SELECT doc_id, ctx, tok, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+             |p AS (
+             |  SELECT db.doc_id, sum(m) AS nb,
+             |         sum(m * ln((bc.cnt + 1) / (cc.ctot + v.nv))) AS slp
+             |  FROM db JOIN bc USING (ctx, tok) JOIN cc USING (ctx), v
+             |  GROUP BY 1)
+             |SELECT w.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+             |       round(slp / nb, 4) AS avg_logprob,
+             |       round(exp(-slp / nb), 4) AS ppl
+             |FROM w LEFT JOIN p USING (doc_id)""".stripMargin)),
 
     // d49: d47's scoring served from TWO persisted LmIndex models (raw
     // corpus + English target), hash-gated by d47's oracle — the DSIR

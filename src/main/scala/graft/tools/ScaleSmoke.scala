@@ -260,6 +260,53 @@ object ScaleSmoke {
       val cands = graft.ops.Similarity.annCandidatePairs(e, 8, bits, 15).count()
       println(f"[scale] ann_candidates n=$n%8d bits=$bits%2d total=$cands%10d  per_query=${cands.toDouble / n}%8.1f")
     }
+
+    // --- LM / DSIR family growth probe (d44/d47 + the d49 persisted
+    // path): scoring must stay SCAN-dominated — tokenize + the
+    // broadcast-head logp lookup; only head-miss rows shuffle by token,
+    // so elapsed should track corpus size linearly, never superlinearly
+    // (a naive token-keyed lookup join would concentrate the Zipf head
+    // on single partitions). d47 runs the same docTok through TWO model
+    // lookups, so it should cost ~2x d44, not more.
+    // Measured (50k docs, 2026-08, round 8): d44 4.0 -> 3.9 s and d47
+    // 4.9 -> 8.4 s across 25k -> 50k (d47 ~2.2x d44 at 50k). This probe
+    // caught a real defect: the first dsirWeights cut re-tokenized the
+    // corpus for the raw model (12.8 s at 50k, 3x per doubling); rolling
+    // the raw vocab up from docTok's existing aggregation restored the
+    // one-tokenize shape. lm_index: save 1.5 s, 5% append 1.0 s (tracks
+    // the batch, not the corpus), frozen score 1.6 s.
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val n = sub.count()
+      val t0 = System.nanoTime()
+      graft.ops.Curation.unigramPpl(sub)
+        .write.format("noop").mode("overwrite").save()
+      val tPpl = (System.nanoTime() - t0) / 1e9
+      val tgt = sub.where(col("lang") === "en")
+      val t1 = System.nanoTime()
+      graft.ops.Curation.dsirWeights(sub, tgt)
+        .write.format("noop").mode("overwrite").save()
+      val tDsir = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] lm n=$n%8d d44=${tPpl}%.2f s d47=${tDsir}%.2f s")
+    }
+    // persisted LM lifecycle at scale: train once over the corpus,
+    // append a 5%-sized new batch (must write ONLY the batch's counts —
+    // its cost should track the batch, not the corpus), then score the
+    // batch against the frozen merged model (the d49 deployment shape).
+    val tL6 = System.nanoTime()
+    graft.api.Graft.lmIndexSave(docsAll, s"$dir/lm_index")
+    val tLmSave = (System.nanoTime() - tL6) / 1e9
+    val lmBatch = docsAll.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val tL7 = System.nanoTime()
+    graft.api.Graft.lmIndexAppend(lmBatch, s"$dir/lm_index")
+    val tLmApp = (System.nanoTime() - tL7) / 1e9
+    val tL8 = System.nanoTime()
+    val lmScored = graft.ops.Curation.unigramPplAgainst(lmBatch,
+      graft.api.Graft.lmVocab(spark, s"$dir/lm_index")).count()
+    val tLmScore = (System.nanoTime() - tL8) / 1e9
+    println(f"[scale] lm_index save $tLmSave%.2f s, append(5%%) $tLmApp%.2f s, " +
+      f"frozen score $tLmScore%.2f s ($lmScored rows)")
     spark.stop()
   }
 }

@@ -95,6 +95,53 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored == Seq((9L, 3L, expAvg)))
   }
 
+  test("bigramPpl: matches a sequential reference; word order is the signal") {
+    // docs 1 and 5 share the exact same unigram bag — only bigram order
+    // differs: 5 is doc 1 scrambled, so it must score strictly higher
+    val corpus = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "zyx",                    // single token: no bigrams
+      4L -> "the the the the",
+      5L -> "mat the on sat cat the")
+    val out = Curation.bigramPpl(corpus, headK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // sequential reference
+    val texts = Map(
+      1L -> "the cat sat on the mat", 2L -> "the dog sat on the log",
+      3L -> "zyx", 4L -> "the the the the", 5L -> "mat the on sat cat the")
+    val allBi = texts.values.toSeq.flatMap { t =>
+      val ws = t.split("\\s+"); ws.zip(ws.drop(1))
+    }
+    val bCnt = allBi.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cCnt = allBi.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nv = texts.values.toSeq.flatMap(_.split("\\s+")).distinct.size.toDouble
+    def ref(text: String): (Long, Option[Double], Option[Double]) = {
+      val ws = text.split("\\s+")
+      if (ws.length < 2) (0L, None, None)
+      else {
+        val bs = ws.zip(ws.drop(1))
+        val slp = bs.map(b => math.log((bCnt(b) + 1) / (cCnt(b._1) + nv))).sum
+        val avg = slp / bs.length
+        (bs.length.toLong, Some(r4(avg)), Some(r4(math.exp(-avg))))
+      }
+    }
+    for ((id, t) <- texts) assert(out(id) == ref(t), s"doc $id")
+    assert(out(3L) == ((0L, None, None)))
+    // scrambled word order scores strictly higher perplexity
+    assert(out(5L)._3.get > out(1L)._3.get)
+
+    // head split is a plan detail
+    val noHead = Curation.bigramPpl(corpus, headK = 0).collect().map(_.toSeq).toSet
+    val allHead = Curation.bigramPpl(corpus, headK = 1000).collect().map(_.toSeq).toSet
+    val split = Curation.bigramPpl(corpus, headK = 2).collect().map(_.toSeq).toSet
+    assert(noHead == split && allHead == split)
+  }
+
   // shared fixture for the DSIR tests: raw corpus + small trusted target
   private val dsirRaw = Seq(
     1L -> "the cat sat on the mat",

@@ -455,6 +455,10 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a36 = Graft.sketchWithinBound(docs).collect().toSet
     assert(q36.map(_.toSeq) == a36.map(_.toSeq))
 
+    val q50 = SparkEntry.queries("d50_bigram_ppl")(spark, sf).collect().toSet
+    val a50 = Graft.bigramPpl(docs).collect().toSet
+    assert(q50.map(_.toSeq) == a50.map(_.toSeq))
+
     val en = docs.where(org.apache.spark.sql.functions.col("lang") === "en")
     val q47 = SparkEntry.queries("d47_dsir_weights")(spark, sf).collect().toSet
     val a47 = Graft.dsirWeights(docs, en).collect().toSet
