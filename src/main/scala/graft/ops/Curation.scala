@@ -177,10 +177,13 @@ object Curation {
   /** Raw corpus token counts (token, cnt) — the ADDITIVE half of
     * [[unigramVocab]]: counts from disjoint doc batches merge by
     * summing, which is what makes the persisted incremental model
-    * ([[LmIndex]]) possible without re-reading old corpus text. */
+    * ([[LmIndex]]) possible without re-reading old corpus text.
+    * Pre-counted per row ([[tokenCountsUdf]]) so the aggregation input
+    * is per-doc-distinct (token, m) pairs, not the raw token stream;
+    * needs only a text column. */
   private[graft] def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(wordsCol).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    docs.select(explode(tokenCountsUdf(col("text"))).as(Seq("token", "m")))
+      .groupBy(col("token")).agg(sum(col("m")).as("cnt"))
 
   /** Attach the add-one-smoothed log-probability to a (token, cnt)
     * frame: logp = ln((cnt + 1) / (total + |vocab|)). Totals ride a
@@ -202,9 +205,10 @@ object Curation {
     * nulls a document. Output floats rounded to 4 decimals (the d15/d38
     * convention: the per-doc log sum is the only order-sensitive op).
     *
-    * Scale: one corpus scan into a (doc_id, token) multiplicity count
-    * (keys are doc-distinct, so Zipf skew does NOT concentrate: "the"
-    * contributes ONE row per doc, spread by hash over all partitions).
+    * Scale: one corpus scan into per-doc (token, m) multiplicities
+    * computed IN-ROW ([[docTokens]] — a narrow projection; the former
+    * explode + groupBy(doc_id, token) formulation shuffled every token
+    * occurrence in the corpus first).
     * The log-prob lookup join is where naive plans die at 100 TB: a
     * hash-join on token sends every doc's head-word rows to the head
     * word's one partition. Here the Zipf HEAD (top `headK` tokens by
@@ -228,12 +232,44 @@ object Curation {
       round(exp(-col("slp") / col("n_tokens")), 4).as("ppl"))
   }
 
+  /** One-pass per-document bigram multiplicities (ctx, tok, m) — the
+    * order-2 sibling of [[tokenCountsUdf]] for [[bigramPpl]]; sub-2-token
+    * docs return the empty seq (explode drops them; the final left join
+    * restores their zero rows). */
+  private val bigramCountsUdf = udf { (text: String) =>
+    val ws = tokenize(text)
+    val m = new java.util.HashMap[(String, String), Long]()
+    var i = 0
+    while (i < ws.length - 1) {
+      m.merge((ws(i), ws(i + 1)), 1L, (a, b) => a + b); i += 1
+    }
+    scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.iterator
+      .map { case ((a, b), c) => (a, b, c) }.toSeq
+  }
+
+  /** One-pass per-document token multiplicities as a map. Same
+    * Catalyst-parity tokenize as [[repetitionUdf]] (space-only trim,
+    * Locale.ROOT lower, \s+ split). */
+  private val tokenCountsUdf = udf { (text: String) =>
+    val ws = tokenize(text)
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < ws.length) { m.merge(ws(i), 1L, (a, b) => a + b); i += 1 }
+    scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap
+  }
+
   /** Per-doc token multiplicities (doc_id, token, m) — the scoring-side
     * tokenization shared by [[unigramPplAgainst]] and [[dsirWeights]].
-    * Keys are doc-distinct, so Zipf skew does not concentrate. */
-  private def docTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(wordsCol).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
+    * Multiplicity is a per-DOCUMENT fact, so it is computed INSIDE the
+    * row ([[tokenCountsUdf]]) and exploded — a narrow projection — where
+    * the relational formulation (explode the token stream, groupBy
+    * (doc_id, token)) shuffles every token occurrence in the corpus
+    * first. Model-training counts (a corpus-wide fact) still shuffle,
+    * but as rollups of this frame: per-doc-DISTINCT rows, not the raw
+    * stream ([[tokenCounts]]). */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(tokenCountsUdf(col("text"))).as(Seq("token", "m")))
 
   /** The skew-safe log-prob lookup under a [[unigramVocab]]-shaped model:
     * (doc_id, token, m) -> (doc_id, m, logp), with vocab-absent tokens at
@@ -366,28 +402,24 @@ object Curation {
     * Out: (doc_id, n_bigrams, avg_logprob, ppl), floats at the
     * 4-decimal convention.
     *
-    * Scale: one tokenize pass; bigram counts B and per-doc
-    * multiplicities key by (ctx, tok) — a far finer key than d44's
-    * token, so the count shuffles are better-spread than the unigram
-    * ones — and the logp lookup reuses the broadcast-head design: the
-    * top-headK bigrams by count broadcast, only head-miss rows shuffle,
-    * so "the the"-class heads never concentrate a partition. The only
-    * ctx-keyed shuffle is model-sized (B ⋈ C), not corpus-sized. */
+    * Scale: per-doc bigram multiplicities are computed IN-ROW
+    * ([[bigramCountsUdf]] — a narrow projection, no bigram-stream
+    * shuffle); model counts B roll up from those per-doc-distinct rows
+    * under the (ctx, tok) key — far finer than d44's token key, so the
+    * rollup spreads better than the unigram one — and the logp lookup
+    * reuses the broadcast-head design: the top-headK bigrams by count
+    * broadcast, only head-miss rows shuffle, so "the the"-class heads
+    * never concentrate a partition. The only ctx-keyed shuffle is
+    * model-sized (B ⋈ C), not corpus-sized. */
   def bigramPpl(docs: DataFrame, headK: Int = 10000): DataFrame = {
     require(headK >= 0, "need headK >= 0")
-    val ws = docs.select(col("doc_id"), wordsCol.as("ws"))
-    val bi = ws
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ws) >= 2
-          |THEN transform(sequence(0, size(ws) - 2),
-          |               i -> struct(ws[i] AS ctx, ws[i + 1] AS tok))
-          |ELSE array() END""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.ctx").as("ctx"), col("b.tok").as("tok"))
-    val docBi = bi.groupBy(col("doc_id"), col("ctx"), col("tok"))
-      .agg(count(lit(1)).as("m"))
-    val bc = bi.groupBy(col("ctx"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val docBi = docs
+      .select(col("doc_id"), explode(bigramCountsUdf(col("text"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("ctx"), col("b._2").as("tok"),
+        col("b._3").as("m"))
+    val bc = docBi.groupBy(col("ctx"), col("tok")).agg(sum(col("m")).as("cnt"))
     val cc = bc.groupBy(col("ctx")).agg(sum(col("cnt")).cast(DoubleType).as("ctot"))
-    val nv = ws.select(explode(col("ws")).as("token"))
+    val nv = docTokens(docs)
       .agg(countDistinct(col("token")).cast(DoubleType).as("nv"))
     val model = bc.join(cc, Seq("ctx")).crossJoin(broadcast(nv))
       .select(col("ctx"), col("tok"), col("cnt"),

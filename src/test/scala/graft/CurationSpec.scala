@@ -142,6 +142,50 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHead == split && allHead == split)
   }
 
+  test("in-row token/bigram counts equal the relational formulation (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // docTokens/bigramCountsUdf replicate Catalyst trim/lower/split in
+    // JVM code for the narrow plan shape — this property pins the parity
+    // on adversarial text (unicode whitespace variants, multibyte,
+    // case-folding pairs, empty and whitespace-only docs), where a
+    // locale or regex divergence would silently skew every LM score
+    val piece = Gen.oneOf("a", "A", "aa", "а", "Б", "☃", "🦊", "x.y",
+      "-", "", " ", "\t", "\n", " ", "İ", "ß")
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, piece))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val viaUdf = Curation.docTokens(df)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val viaSql = df
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val uniOk = viaUdf == viaSql
+      // bigram parity through the public operator: n_bigrams must match
+      // the SQL adjacent-pair count for every doc
+      val nbUdf = Curation.bigramPpl(df, headK = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nbSql = df
+        .select(col("doc_id"),
+          (size(split(lower(trim(col("text"))), "\\s+")) - 1).as("nb"))
+        .collect().map(r => r.getLong(0) -> math.max(0L, r.getInt(1).toLong)).toMap
+      uniOk && nbUdf == nbSql
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("docTokens is a narrow projection: no token-stream shuffle") {
+    val plan = Curation.docTokens(docs(1L -> "a b a", 2L -> "c"))
+      .queryExecution.executedPlan.toString
+    assert(graft.tools.PlanAudit.countNode(plan, "Exchange") == 0, plan)
+  }
+
   // shared fixture for the DSIR tests: raw corpus + small trusted target
   private val dsirRaw = Seq(
     1L -> "the cat sat on the mat",
