@@ -242,6 +242,14 @@ object Graft {
     * Reads: doc_id, text. */
   def bpeTokenCounts(docs: DataFrame): DataFrame = Corpus.bpeTokenCounts(docs)
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016): the top
+    * `merges` character-pair merges from the corpus' word histogram —
+    * tokenizer induction as a first-class op. Merge rounds run over
+    * word TYPES (vocab-sized), never corpus tokens. Reads: text.
+    * Out: (rank, lhs, rhs, cnt). */
+  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame =
+    Corpus.bpeTrain(docs, merges)
+
   /** Sliding-window chunking: `window`-token chunks every `stride`
     * tokens (overlap preserves cross-boundary context; short docs emit
     * themselves). Narrow explode — streaming-safe. Reads: doc_id, text.

@@ -399,6 +399,113 @@ object Corpus {
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"))
   }
 
+  /** Adjacent symbol pairs of a \u0001<sym>\u0002-delimited string —
+    * the pair-extraction step of [[bpeTrain]]'s merge rounds. */
+  private val bpePairsUdf = udf { (s: String) =>
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val close = s.indexOf('\u0002', i + 1)
+      syms += s.substring(i + 1, close)
+      i = close + 1
+    }
+    (0 until syms.length - 1).map(j => (syms(j), syms(j + 1)))
+  }
+
+  /** Distributed BPE merge learning (d51) — tokenizer induction
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"): learn the top `merges` character-pair merges
+    * from the corpus' word histogram. The classic map-reduce
+    * formulation: the corpus collapses ONCE into (word, freq) TYPES —
+    * the only corpus-wide pass — and every merge round then runs over
+    * the vocab-sized type table: explode adjacent symbol pairs, weight
+    * by freq, take the global argmax, and apply the chosen merge with a
+    * literal left-to-right `replace` over the delimited symbol string.
+    * No end-of-word marker (in-word merges only — a documented variant
+    * choice, not load-bearing). Symbols ride \u0001<sym>\u0002 strings,
+    * which makes `replace` of a bracketed pair EXACTLY BPE's
+    * left-to-right non-overlapping merge ("[a][a][a]" + (a,a) ->
+    * "[aa][a]"); corpus text must not contain \u0001/\u0002 (true of
+    * any text corpus). Out: (rank, lhs, rhs, cnt) — merge rank
+    * 1..merges, the merged pair, its weighted pair count when chosen;
+    * ties break (cnt DESC, lhs, rhs) in binary string order, so the
+    * learned merge TABLE is cross-engine exact and d51 hash-gates it
+    * against a K-stage unrolled DuckDB oracle.
+    *
+    * Scale: merge rounds touch word TYPES (Heaps-law vocab — ~1e6-1e8
+    * rows at 100 TB), never corpus tokens; each round is one
+    * partial-combined pair aggregation + a 1-row TakeOrdered (the only
+    * driver-side collect: ONE argmax row per round, the bounded-collect
+    * class of d17's centroids), and the running symbolization is
+    * localCheckpoint-pinned per round so lineage stays flat. Stops
+    * early if no pair remains (every word fully merged). */
+  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame = {
+    require(merges > 0, "need merges > 0")
+    val spark = docs.sparkSession
+    val O = "\u0001"; val C = "\u0002"
+    var words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        regexp_replace(col("word"), "(.)", O + "$1" + C).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val best = words
+        .select(col("freq"), explode(bpePairsUdf(col("s"))).as("p"))
+        .groupBy(col("p._1").as("lhs"), col("p._2").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0); val r = best(0).getString(1)
+        out += ((k.toLong, l, r, best(0).getLong(2)))
+        words = words.withColumn("s",
+          replace(col("s"), lit(O + l + C + O + r + C), lit(O + l + r + C)))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** The d51 oracle: `k` unrolled merge stages, each one pair-count +
+    * argmax + replace — the literal SQL transcription of [[bpeTrain]]'s
+    * loop (chr(1)/chr(2) are the symbol delimiters). */
+  private[graft] def bpeOracleSql(k: Int): String = {
+    val ext = "regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)"
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |         regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |p$i AS (
+        |  SELECT ss[j] AS lhs, ss[j+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, $ext AS ss FROM w${i - 1}),
+        |    UNNEST(range(1, len(ss))) AS t(j)
+        |  GROUP BY 1, 2),
+        |b$i AS (SELECT $i AS rank, lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (i < k) sb ++= s""",
+        |w$i AS (
+        |  SELECT word, freq,
+        |         replace(s, chr(1)||lhs||chr(2)||chr(1)||rhs||chr(2),
+        |                 chr(1)||lhs||rhs||chr(2)) AS s
+        |  FROM w${i - 1}, b$i)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** Per-language document-length distribution (d18): exact interpolated
     * percentiles ((n-1)*p linear interpolation — a per-group sort;
     * approx_percentile is the documented 100 TB fallback).
@@ -601,6 +708,15 @@ object Corpus {
              |CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens,
              |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
              |FROM documents""".stripMargin)),
+
+    // d51: BPE merge learning — the tokenizer-induction step upstream
+    // of d16's pre-tokenizer and d42's chunker. Integer weighted counts
+    // + binary-order tie-break make the learned merge table itself
+    // hash-exact; the oracle is the 8-stage unrolled transcription of
+    // the merge loop.
+    Q("d51_bpe_train",
+      (s, d) => bpeTrain(documents(s, d), merges = 8),
+      Some(bpeOracleSql(8))),
 
     // d42: sliding-window chunking — 64-token windows every 32 tokens
     // (the pretraining/RAG step between curation and shard packing).
