@@ -250,6 +250,12 @@ object Graft {
   def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame =
     Corpus.bpeTrain(docs, merges)
 
+  /** The learned tokenizer's segmentation half: the corpus subword
+    * vocabulary after applying [[bpeTrain]]'s merges — the table a
+    * tokenizer ships as its vocab. Reads: text. Out: (subword, freq). */
+  def bpeSegment(docs: DataFrame, merges: Int = 8): DataFrame =
+    Corpus.bpeSegment(docs, merges)
+
   /** Sliding-window chunking: `window`-token chunks every `stride`
     * tokens (overlap preserves cross-boundary context; short docs emit
     * themselves). Narrow explode — streaming-safe. Reads: doc_id, text.

@@ -402,6 +402,12 @@ object Corpus {
   /** Adjacent symbol pairs of a \u0001<sym>\u0002-delimited string —
     * the pair-extraction step of [[bpeTrain]]'s merge rounds. */
   private val bpePairsUdf = udf { (s: String) =>
+    val syms = parseSyms(s)
+    (0 until syms.length - 1).map(j => (syms(j), syms(j + 1)))
+  }
+
+  /** Parse a delimited symbol string into its symbol list. */
+  private def parseSyms(s: String): scala.collection.mutable.ArrayBuffer[String] = {
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {
@@ -409,8 +415,11 @@ object Corpus {
       syms += s.substring(i + 1, close)
       i = close + 1
     }
-    (0 until syms.length - 1).map(j => (syms(j), syms(j + 1)))
+    syms
   }
+
+  /** The symbols themselves — [[bpeSegment]]'s final explode. */
+  private val bpeSymsUdf = udf { (s: String) => parseSyms(s).toSeq }
 
   /** Distributed BPE merge learning (d51) — tokenizer induction
     * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
@@ -439,7 +448,26 @@ object Corpus {
     * class of d17's centroids), and the running symbolization is
     * localCheckpoint-pinned per round so lineage stays flat. Stops
     * early if no pair remains (every word fully merged). */
-  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame = {
+  def bpeTrain(docs: DataFrame, merges: Int = 8): DataFrame =
+    bpeCore(docs, merges)._1
+
+  /** Corpus subword vocabulary under the learned `merges`-round BPE
+    * tokenizer (d52) — [[bpeTrain]]'s segmentation half: apply the
+    * learned merge sequence to every word TYPE and emit each resulting
+    * subword with its corpus frequency (Σ word freq over the types it
+    * appears in, counted once per occurrence within the word). This is
+    * the table a tokenizer ships as its vocab. In: (text). Out:
+    * (subword, freq). Same scale shape as the trainer: one corpus pass
+    * into word types, then vocab-sized narrow work. */
+  def bpeSegment(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val words = bpeCore(docs, merges)._2
+    words
+      .select(col("freq"), explode(bpeSymsUdf(col("s"))).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("freq")).as("freq"))
+  }
+
+  private def bpeCore(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges > 0, "need merges > 0")
     val spark = docs.sparkSession
     val O = "\u0001"; val C = "\u0002"
@@ -470,13 +498,15 @@ object Corpus {
       }
     }
     import spark.implicits._
-    out.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+    (out.toSeq.toDF("rank", "lhs", "rhs", "cnt"), words)
   }
 
-  /** The d51 oracle: `k` unrolled merge stages, each one pair-count +
-    * argmax + replace — the literal SQL transcription of [[bpeTrain]]'s
-    * loop (chr(1)/chr(2) are the symbol delimiters). */
-  private[graft] def bpeOracleSql(k: Int): String = {
+  /** The d51/d52 oracle: `k` unrolled merge stages, each one pair-count
+    * + argmax + replace — the literal SQL transcription of
+    * [[bpeTrain]]'s loop (chr(1)/chr(2) are the symbol delimiters).
+    * `segment = true` emits the final symbolization's subword histogram
+    * (d52) instead of the merge table (d51). */
+  private[graft] def bpeOracleSql(k: Int, segment: Boolean = false): String = {
     val ext = "regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)"
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
@@ -493,16 +523,22 @@ object Corpus {
         |    UNNEST(range(1, len(ss))) AS t(j)
         |  GROUP BY 1, 2),
         |b$i AS (SELECT $i AS rank, lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
-      if (i < k) sb ++= s""",
+      if (i < k || segment) sb ++= s""",
         |w$i AS (
         |  SELECT word, freq,
         |         replace(s, chr(1)||lhs||chr(2)||chr(1)||rhs||chr(2),
         |                 chr(1)||lhs||rhs||chr(2)) AS s
         |  FROM w${i - 1}, b$i)""".stripMargin
     }
-    sb ++= "\n" + (1 to k).map(i =>
-      s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt FROM b$i")
-      .mkString("\nUNION ALL\n")
+    if (segment)
+      sb ++= s"""
+        |SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS freq FROM (
+        |  SELECT freq, unnest($ext) AS sym FROM w$k)
+        |GROUP BY 1""".stripMargin
+    else
+      sb ++= "\n" + (1 to k).map(i =>
+        s"SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, cnt FROM b$i")
+        .mkString("\nUNION ALL\n")
     sb.toString
   }
 
@@ -717,6 +753,13 @@ object Corpus {
     Q("d51_bpe_train",
       (s, d) => bpeTrain(documents(s, d), merges = 8),
       Some(bpeOracleSql(8))),
+
+    // d52: the learned tokenizer's segmentation half — the corpus
+    // subword vocabulary after applying d51's 8 merges, gated by the
+    // same unrolled oracle with a final subword-histogram stage.
+    Q("d52_bpe_segment",
+      (s, d) => bpeSegment(documents(s, d), merges = 8),
+      Some(bpeOracleSql(8, segment = true))),
 
     // d42: sliding-window chunking — 64-token windows every 32 tokens
     // (the pretraining/RAG step between curation and shard packing).

@@ -93,6 +93,54 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length < 10) // single-char tails exhaust well before 10
   }
 
+  /** Reference segmentation: replay [[refBpe]]'s merge loop and return
+    * the final subword histogram. */
+  private def refSegment(texts: Seq[String], merges: Int): Map[String, Long] = {
+    val words = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach { t =>
+      t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+        .foreach(w => words.update(w, words.getOrElse(w, 0L) + 1L))
+    }
+    var syms: Map[String, Vector[String]] = words.keysIterator.map { w =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      w -> b.result()
+    }.toMap
+    refBpe(texts, merges).foreach { case (_, l, r, _) =>
+      syms = syms.map { case (w, ss) =>
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < ss.length) {
+          if (j < ss.length - 1 && ss(j) == l && ss(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += ss(j); j += 1 }
+        }
+        w -> b.result()
+      }
+    }
+    val hist = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, ss) <- syms; sym <- ss)
+      hist.update(sym, hist.getOrElse(sym, 0L) + words(w))
+    hist.toMap
+  }
+
+  test("bpeSegment: subword histogram matches the reference replay") {
+    val texts = Seq("abab abab aab", "abab aab ждж")
+    val got = Corpus.bpeSegment(
+        docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*),
+        merges = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refSegment(texts, 3))
+    // total subword mass == total character mass (merges conserve chars)
+    val chars = texts.flatMap(_.split("\\s+")).map(_.length).sum
+    assert(got.map { case (s, f) => s.length * f }.sum == chars)
+  }
+
   test("distributed trainer == sequential reference (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // small alphabet forces heavy pair collisions and ties, the spots
