@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *     union — at runtime AQE's stage cache collapses the duplicated
   *     tokenize/aggregate stages to 2 corpus scans (one per CCNet pass:
   *     vocab, scoring), measured via a stage-metrics listener.
+  *   - d47 dsirWeights (sf0.01, round 8): BroadcastHashJoin 6 (two
+  *     head lookups through the hit/miss union duplication),
+  *     CartesianProduct 0, and ZERO (doc_id, token) exchanges — the
+  *     in-row multiplicity UDF keeps the scoring-side tokenization
+  *     narrow (CurationSpec asserts docTokens exchange-free).
   *
   *   sbt "runMain graft.tools.PlanAudit"
   */
@@ -87,6 +92,19 @@ object PlanAudit {
     println("=== d44 CartesianProduct: " + countNode(p44, "CartesianProduct"))
     println("=== d44 token shuffle exchanges: " +
       countNode(p44, "Exchange hashpartitioning(token"))
+
+    // d47: two head lookups (raw + target models) — BroadcastHashJoin
+    // count doubles d44's; the docTok side must reach them WITHOUT a
+    // (doc_id, token) exchange (in-row multiplicity UDF — the narrow
+    // docTokens shape, asserted exchange-free in CurationSpec).
+    val p47 = graft.ops.Curation
+      .dsirWeights(docs, docs.where(col("lang") === "en"))
+      .queryExecution.executedPlan.toString
+    println("=== d47 BroadcastHashJoin (two head lookups): " +
+      countNode(p47, "BroadcastHashJoin"))
+    println("=== d47 CartesianProduct: " + countNode(p47, "CartesianProduct"))
+    println("=== d47 doc_id,token shuffle exchanges (want 0): " +
+      countNode(p47, "Exchange hashpartitioning(doc_id, token"))
     spark.stop()
   }
 }
