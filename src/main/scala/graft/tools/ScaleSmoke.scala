@@ -268,13 +268,17 @@ object ScaleSmoke {
     // (a naive token-keyed lookup join would concentrate the Zipf head
     // on single partitions). d47 runs the same docTok through TWO model
     // lookups, so it should cost ~2x d44, not more.
-    // Measured (50k docs, 2026-08, round 8): d44 4.0 -> 3.9 s and d47
-    // 4.9 -> 8.4 s across 25k -> 50k (d47 ~2.2x d44 at 50k). This probe
-    // caught a real defect: the first dsirWeights cut re-tokenized the
-    // corpus for the raw model (12.8 s at 50k, 3x per doubling); rolling
-    // the raw vocab up from docTok's existing aggregation restored the
-    // one-tokenize shape. lm_index: save 1.5 s, 5% append 1.0 s (tracks
-    // the batch, not the corpus), frozen score 1.6 s.
+    // Measured (quiet host, 2026-08, round 8, after the in-row
+    // multiplicity UDF): d44 3.8 -> 3.7 s and d47 5.5 -> 5.6 s across a
+    // 50k -> 100k doubling — FLAT (the 32-core scan absorbs the linear
+    // token work at this scale; nothing superlinear left). This probe
+    // caught two real defects en route: the first dsirWeights cut
+    // re-tokenized the corpus for its raw model (12.8 s at 50k, 3x per
+    // doubling — fixed by rolling the raw vocab up from docTok), and
+    // the original explode+groupBy docTokens shuffled the full token
+    // stream (replaced by the in-row UDF; CurationSpec asserts the path
+    // exchange-free). lm_index at 100k: save 1.4 s, 5% append 1.1 s
+    // (tracks the batch, not the corpus), frozen score 1.6 s.
     Seq(2, 1).foreach { invFrac =>
       val sub = docsAll.where(col("doc_id") % invFrac === 0)
       val n = sub.count()

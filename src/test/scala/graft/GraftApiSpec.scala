@@ -459,6 +459,14 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a50 = Graft.bigramPpl(docs).collect().toSet
     assert(q50.map(_.toSeq) == a50.map(_.toSeq))
 
+    val q51 = SparkEntry.queries("d51_bpe_train")(spark, sf).collect().toSet
+    val a51 = Graft.bpeTrain(docs).collect().toSet
+    assert(q51.map(_.toSeq) == a51.map(_.toSeq))
+
+    val q52 = SparkEntry.queries("d52_bpe_segment")(spark, sf).collect().toSet
+    val a52 = Graft.bpeSegment(docs).collect().toSet
+    assert(q52.map(_.toSeq) == a52.map(_.toSeq))
+
     val en = docs.where(org.apache.spark.sql.functions.col("lang") === "en")
     val q47 = SparkEntry.queries("d47_dsir_weights")(spark, sf).collect().toSet
     val a47 = Graft.dsirWeights(docs, en).collect().toSet
