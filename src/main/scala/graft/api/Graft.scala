@@ -256,6 +256,15 @@ object Graft {
   def bpeSegment(docs: DataFrame, merges: Int = 8): DataFrame =
     Corpus.bpeSegment(docs, merges)
 
+  /** Semantic benchmark decontamination: training vectors within cosine
+    * `threshold` of an eval vector — the embedding-space companion of
+    * [[contaminationPairs]] (catches paraphrase leaks the n-gram check
+    * is blind to). Eval side broadcasts (small by definition). Reads:
+    * vec_id, embedding (both frames). Out: (train_id, eval_id, sim). */
+  def semanticContaminationPairs(train: DataFrame, evalVecs: DataFrame,
+      threshold: Double = 0.3): DataFrame =
+    Corpus.semanticContaminationPairs(train, evalVecs, threshold)
+
   /** Sliding-window chunking: `window`-token chunks every `stride`
     * tokens (overlap preserves cross-boundary context; short docs emit
     * themselves). Narrow explode — streaming-safe. Reads: doc_id, text.

@@ -363,6 +363,40 @@ object Corpus {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Semantic benchmark decontamination (d53): which training vectors
+    * sit within cosine `threshold` of an evaluation vector — the
+    * embedding-space companion of d22's n-gram decontamination (modern
+    * pipelines check both: lexical overlap catches verbatim leaks,
+    * embedding similarity catches paraphrase/near-translation leaks the
+    * n-gram check is blind to). In: train + eval frames of
+    * (vec_id, embedding ARRAY<numeric>). Out: (train_id, eval_id, sim)
+    * for sim >= threshold, sim at the 4-decimal convention.
+    *
+    * Scale: the eval side is small BY DEFINITION (a benchmark), so it
+    * broadcasts — the d22 shape — and the pair stream is a narrow
+    * broadcast nested-loop over the training corpus inside codegen'd
+    * vec_dot: one corpus scan, no shuffle. Zero-norm vectors (failed
+    * encodes) have no direction to compare — their sim is explicitly
+    * NULL (guarded division, which ANSI mode requires anyway) and the
+    * threshold filter drops them. */
+  def semanticContaminationPairs(train: DataFrame, evalVecs: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val denom = col("q.nrm") * col("c.nrm")
+    prep(train).as("q").join(broadcast(prep(evalVecs).as("c")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("train_id"), col("c.vec_id").as("eval_id"),
+        when(denom > 0.0,
+          call_function("vec_dot", col("q.v"), col("c.v")) / denom)
+          .as("sim_raw"))
+      .where(col("sim_raw") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("sim_raw"), 4).as("sim"))
+  }
+
   /** Sliding-window chunking (d42): split each document into
     * `window`-token chunks every `stride` tokens — the standard
     * pretraining/RAG preprocessing step between curation and packing
@@ -744,6 +778,27 @@ object Corpus {
              |CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_tokens,
              |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
              |FROM documents""".stripMargin)),
+
+    // d53: semantic decontamination — d22's eval-slice convention
+    // (vec_id % 97) in embedding space; the paraphrase-leak check the
+    // n-gram gate is blind to. Eval side broadcast, exact cosine.
+    Q("d53_semantic_decontaminate",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        semanticContaminationPairs(
+          e.where(col("vec_id") % 97 =!= 0),
+          e.where(col("vec_id") % 97 === 0))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+             |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+             |s AS (
+             |  SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+             |         list_dot_product(t.v, ev.v)
+             |           / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS sim_raw
+             |  FROM t, ev WHERE t.vec_id <> ev.vec_id)
+             |SELECT train_id, eval_id, round(sim_raw, 4) AS sim
+             |FROM s WHERE sim_raw >= 0.3""".stripMargin)),
 
     // d51: BPE merge learning — the tokenizer-induction step upstream
     // of d16's pre-tokenizer and d42's chunker. Integer weighted counts

@@ -38,6 +38,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree.toDouble / annRows.length > 0.8, s"recall@1 = $agree/${annRows.length}")
   }
 
+  test("semanticContaminationPairs: planted paraphrase found, zero-norm dropped, eval broadcast") {
+    import spark.implicits._
+    // train vec 1 is a near-copy of eval vec 100 (cos ~0.999); train
+    // vec 2 is orthogonal; train vec 3 is a zero vector (failed encode)
+    val train = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Corpus.semanticContaminationPairs(train, ev, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) == Set((1L, 100L)))
+    assert(out.head._3 > 0.99)
+    // the eval side broadcasts; the train side never shuffles
+    val plan = graft.ops.Corpus.semanticContaminationPairs(train, ev)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(graft.tools.PlanAudit.countNode(plan, "Exchange hashpartitioning") == 0, plan)
+  }
+
   test("blocked NLJ fallback emits exactly the broadcast baseline's pairs") {
     import spark.implicits._
     val vecs = graft.ops.Tables.embeddings(spark, sf)
