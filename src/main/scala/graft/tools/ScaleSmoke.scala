@@ -293,6 +293,23 @@ object ScaleSmoke {
       val tDsir = (System.nanoTime() - t1) / 1e9
       println(f"[scale] lm n=$n%8d d44=${tPpl}%.2f s d47=${tDsir}%.2f s")
     }
+    // --- BPE trainer growth probe (d51): rounds run over word TYPES,
+    // so elapsed should track the (Heaps-law) vocab, not the corpus —
+    // a doubling of docs grows the type table sublinearly and the
+    // 8-round loop cost with it; the only corpus-sized work is the one
+    // histogram pass.
+    // Measured (2026-08, round 8): 2.4 s at 50k docs -> 1.7 s at 100k —
+    // FLAT (this synthetic vocab is fixed at 5k types, so the rounds
+    // cost the same at any corpus size; only the histogram pass grows,
+    // and the 32-core scan absorbs it).
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val n = sub.count()
+      val tB = System.nanoTime()
+      val nMerges = graft.ops.Corpus.bpeTrain(sub, merges = 8).count()
+      println(f"[scale] bpe n=$n%8d merges=$nMerges ${(System.nanoTime() - tB) / 1e9}%.2f s")
+    }
+
     // persisted LM lifecycle at scale: train once over the corpus,
     // append a 5%-sized new batch (must write ONLY the batch's counts —
     // its cost should track the batch, not the corpus), then score the
