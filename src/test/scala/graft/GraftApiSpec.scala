@@ -386,12 +386,23 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q7 = Graft.chunkWindows(stream, window = 3, stride = 2)
       .writeStream.format("memory").queryName("chunk_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // semantic decontamination is a stream-static broadcast join plus a
+    // narrow filter — screen ARRIVING training vectors against the
+    // fixed eval set micro-batch by micro-batch
+    val inV = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val vstream = inV.toDF().toDF("vec_id", "embedding")
+    val evalVecs = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q8 = Graft.semanticContaminationPairs(vstream, evalVecs, threshold = 0.9)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
       q.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       q4.processAllAvailable(); q5.processAllAvailable(); q6.processAllAvailable()
       q7.processAllAvailable()
+      inV.addData((1L, Seq(1.0f, 0.05f)), (2L, Seq(0.0f, 1.0f)))
+      q8.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
@@ -427,8 +438,13 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[String]("chunk_text")).toMap
       assert(chunks((2L, 0L)) == "der die und" && chunks((2L, 1L)) == "und das ist")
       assert(chunks.keys.count(_._1 == 3L) == 3) // 6 tokens -> starts 0,2,4
+      // only the near-parallel arriving vector flags against the eval set
+      val decon = spark.table("decon_stream").collect()
+        .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+      assert(decon.toSet == Set((1L, 100L)))
     } finally {
       q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop()
+      q8.stop()
     }
   }
 
