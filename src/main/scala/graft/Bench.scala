@@ -63,7 +63,8 @@ object Bench {
     val extendedSet: Seq[Q] =
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
-        graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries
+        graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
+        graft.api.PipelineQueries.queries
 
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
