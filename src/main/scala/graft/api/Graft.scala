@@ -256,6 +256,14 @@ object Graft {
   def bpeSegment(docs: DataFrame, merges: Int = 8): DataFrame =
     Corpus.bpeSegment(docs, merges)
 
+  /** Per-document token counts under the learned BPE tokenizer — the
+    * budget-accounting step with the REAL tokenizer rather than the
+    * whitespace proxy. Reads: doc_id, text. Out: (doc_id,
+    * n_bpe_subwords). */
+  def bpeEncodeCounts(docs: DataFrame, merges: Int = 8,
+      headK: Int = 10000): DataFrame =
+    Corpus.bpeEncodeCounts(docs, merges, headK)
+
   /** Semantic benchmark decontamination: training vectors within cosine
     * `threshold` of an eval vector — the embedding-space companion of
     * [[contaminationPairs]] (catches paraphrase leaks the n-gram check

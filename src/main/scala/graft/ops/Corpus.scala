@@ -501,6 +501,39 @@ object Corpus {
       .agg(sum(col("freq")).as("freq"))
   }
 
+  /** Per-document token counts under the learned `merges`-round BPE
+    * tokenizer (d55) — the token-budget accounting step run with the
+    * REAL tokenizer rather than the whitespace proxy (d02) or the
+    * pre-tokenizer regex (d16): context-window packing, mix weighting
+    * and shard budgets all count THESE tokens in production. In:
+    * (doc_id, text). Out: (doc_id, n_bpe_subwords).
+    *
+    * Scale: the per-word subword length is a vocab-sized lookup table;
+    * the doc-side join reuses the Zipf-head pattern (top `headK` words
+    * by corpus freq broadcast — by construction the only words frequent
+    * enough to skew a token-keyed join — misses shuffle against the
+    * vocab tail, where per-token fan-in is small by definition). */
+  def bpeEncodeCounts(docs: DataFrame, merges: Int = 8,
+      headK: Int = 10000): DataFrame = {
+    require(headK >= 0, "need headK >= 0")
+    val words = bpeCore(docs, merges)._2
+    val wlen = words.select(col("word").as("token"), col("freq"),
+      size(bpeSymsUdf(col("s"))).cast(LongType).as("n_syms"))
+    val docTok = Curation.docTokens(docs)
+    val head = wlen.orderBy(col("freq").desc, col("token")).limit(headK)
+      .select(col("token"), col("n_syms"))
+    val viaHead = docTok.join(broadcast(head), Seq("token"), "left")
+    // inner join: self-trained, every corpus word is in the vocab
+    val missed = viaHead.where(col("n_syms").isNull).drop("n_syms")
+      .join(wlen.select(col("token"), col("n_syms")), Seq("token"))
+      .select(col("doc_id"), col("m"), col("n_syms"))
+    viaHead.where(col("n_syms").isNotNull)
+      .select(col("doc_id"), col("m"), col("n_syms"))
+      .unionByName(missed)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("n_syms")).as("n_bpe_subwords"))
+  }
+
   private def bpeCore(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges > 0, "need merges > 0")
     val spark = docs.sparkSession
@@ -539,8 +572,10 @@ object Corpus {
     * + argmax + replace — the literal SQL transcription of
     * [[bpeTrain]]'s loop (chr(1)/chr(2) are the symbol delimiters).
     * `segment = true` emits the final symbolization's subword histogram
-    * (d52) instead of the merge table (d51). */
-  private[graft] def bpeOracleSql(k: Int, segment: Boolean = false): String = {
+    * (d52) instead of the merge table (d51); `encode = true` emits the
+    * per-doc subword counts (d55). */
+  private[graft] def bpeOracleSql(k: Int, segment: Boolean = false,
+      encode: Boolean = false): String = {
     val ext = "regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)"
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
@@ -557,14 +592,25 @@ object Corpus {
         |    UNNEST(range(1, len(ss))) AS t(j)
         |  GROUP BY 1, 2),
         |b$i AS (SELECT $i AS rank, lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
-      if (i < k || segment) sb ++= s""",
+      if (i < k || segment || encode) sb ++= s""",
         |w$i AS (
         |  SELECT word, freq,
         |         replace(s, chr(1)||lhs||chr(2)||chr(1)||rhs||chr(2),
         |                 chr(1)||lhs||rhs||chr(2)) AS s
         |  FROM w${i - 1}, b$i)""".stripMargin
     }
-    if (segment)
+    if (encode)
+      sb ++= s""",
+        |wl AS (SELECT word, len($ext) AS n_syms FROM w$k),
+        |dt AS (
+        |  SELECT doc_id, word, count(*) AS m FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(m * n_syms) AS BIGINT) AS n_bpe_subwords
+        |FROM dt JOIN wl USING (word)
+        |GROUP BY doc_id""".stripMargin
+    else if (segment)
       sb ++= s"""
         |SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS freq FROM (
         |  SELECT freq, unnest($ext) AS sym FROM w$k)
@@ -799,6 +845,14 @@ object Corpus {
              |  FROM t, ev WHERE t.vec_id <> ev.vec_id)
              |SELECT train_id, eval_id, round(sim_raw, 4) AS sim
              |FROM s WHERE sim_raw >= 0.3""".stripMargin)),
+
+    // d55: token-budget accounting under the LEARNED tokenizer — the
+    // counts packing/mixing use in production, vs d02's whitespace and
+    // d16's pre-tokenizer proxies. Gated by the unrolled merge oracle
+    // with a per-doc subword-count stage.
+    Q("d55_bpe_encode",
+      (s, d) => bpeEncodeCounts(documents(s, d), merges = 8),
+      Some(bpeOracleSql(8, encode = true))),
 
     // d51: BPE merge learning — the tokenizer-induction step upstream
     // of d16's pre-tokenizer and d42's chunker. Integer weighted counts

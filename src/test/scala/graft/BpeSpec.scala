@@ -141,6 +141,44 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map { case (s, f) => s.length * f }.sum == chars)
   }
 
+  test("bpeEncodeCounts: per-doc subword counts match the reference replay") {
+    val texts = Seq("abab abab aab", "abab aab zz")
+    val df = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val got = Corpus.bpeEncodeCounts(df, merges = 3, headK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: replay merges, count subwords per doc token by token
+    val refWordLen: Map[String, Long] = {
+      val hist = refSegment(texts, 3) // proves syms conserve; recompute per word
+      val words = texts.flatMap(_.split("\\s+")).distinct
+      // reuse refBpe merges to segment each word
+      var syms: Map[String, Vector[String]] = words.map { w =>
+        w -> w.map(_.toString).toVector
+      }.toMap
+      refBpe(texts, 3).foreach { case (_, l, r, _) =>
+        syms = syms.map { case (w, ss) =>
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < ss.length) {
+            if (j < ss.length - 1 && ss(j) == l && ss(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += ss(j); j += 1 }
+          }
+          w -> b.result()
+        }
+      }
+      assert(hist.nonEmpty) // refSegment exercised on the same corpus
+      syms.view.mapValues(_.length.toLong).toMap
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split("\\s+").map(refWordLen).sum
+    }.toMap
+    assert(got == expected)
+    // headK split is a plan detail
+    val allHead = Corpus.bpeEncodeCounts(df, merges = 3, headK = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allHead == expected)
+  }
+
   test("distributed trainer == sequential reference (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // small alphabet forces heavy pair collisions and ties, the spots
