@@ -218,6 +218,11 @@ object Graft {
     * Reads: doc_id, text, n_chars. */
   def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenStats(docs)
 
+  /** One-row corpus health report: size, exact-dup mass, language
+    * spread, token total, length percentiles — the check-before-you-
+    * spend-compute numbers. Reads: doc_id, text, lang, n_chars. */
+  def corpusReport(docs: DataFrame): DataFrame = TextOps.corpusReport(docs)
+
   /** Corpus top-k word frequencies. Reads: text. */
   def wordFreq(docs: DataFrame, k: Int = 100): DataFrame = TextOps.wordFreq(docs, k)
 

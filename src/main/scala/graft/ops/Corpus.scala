@@ -846,6 +846,22 @@ object Corpus {
              |SELECT train_id, eval_id, round(sim_raw, 4) AS sim
              |FROM s WHERE sim_raw >= 0.3""".stripMargin)),
 
+    // d56: one-row corpus health report (TextOps.corpusReport) — exact
+    // integer aggregates + rounded exact percentiles, so the whole
+    // report is hash-gated. Registered here (the EXTENDED bench set):
+    // TextOps.queries is part of the bench BASELINE set, which must
+    // stay the exact query list BASELINE.md's r01 total measured.
+    Q("d56_corpus_report",
+      (s, d) => TextOps.corpusReport(documents(s, d)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             |  round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+             |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
+             |FROM documents""".stripMargin)),
+
     // d55: token-budget accounting under the LEARNED tokenizer — the
     // counts packing/mixing use in production, vs d02's whitespace and
     // d16's pre-tokenizer proxies. Gated by the unrolled merge oracle

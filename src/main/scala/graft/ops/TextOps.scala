@@ -28,6 +28,27 @@ object TextOps {
         min(col("doc_id")).as("keeper_doc_id"),
         max(col("n_chars")).as("n_chars"))
 
+  /** One-row corpus health report (d56) — the numbers a pipeline
+    * operator checks before spending compute: corpus size, exact-dup
+    * mass (docs beyond their text's first copy), language spread, token
+    * total, and length percentiles. In: (doc_id, text, lang, n_chars).
+    * Out: one row of scalars.
+    *
+    * Scale: one corpus scan into a single global aggregation (the two
+    * count-distincts ride Spark's Expand; output is ONE row), plus the
+    * exact-percentile buffer of d18's convention — swap in
+    * approx_percentile at extreme scale. */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast(LongType))
+          .as("total_tokens"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.99D)"), 4).as("p99_chars"))
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_unique_texts"))
+
   /** Whitespace token count + punctuation count per document.
     * In: (doc_id, text, n_chars). */
   def tokenStats(docs: DataFrame): DataFrame =
