@@ -53,6 +53,36 @@ object Graft {
       thresholdDen: Int = 5): DataFrame =
     Similarity.jaccardPrefixPairs(docs, thresholdNum, thresholdDen)
 
+  /** Directed word-4-gram containment pairs at C(A→B) = |A∩B|/|A| >=
+    * thresholdNum/thresholdDen — the near-SUPERSET detector Jaccard is
+    * blind to (dedup pipelines drop the contained side). Subject-side
+    * prefix filtering; exact integer verification. Reads: doc_id, text. */
+  def containmentPairs(docs: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame =
+    Similarity.containmentPairs(docs, thresholdNum, thresholdDen)
+
+  /** SemDeDup-style keep-list: (vec_id, kept) with kept = false iff a
+    * smaller-id vector sits within cosine `threshold`. Exact pair
+    * source; compose [[semDedupKeepFrom]] over ANN candidates at scale.
+    * Reads: vec_id, embedding. */
+  def semDedupKeep(vecs: DataFrame, threshold: Double = 0.4,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Corpus.semDedupKeep(vecs, threshold, maxBroadcastBytes)
+
+  /** The [[semDedupKeep]] rule over a caller-supplied near-duplicate
+    * pair stream (vec_a < vec_b) — IVF cell products, LSH buckets, or a
+    * persisted index as the sub-quadratic candidate source. */
+  def semDedupKeepFrom(vecs: DataFrame, pairs: DataFrame): DataFrame =
+    Corpus.semDedupKeepFrom(vecs, pairs)
+
+  /** Semantic near-duplicate clusters: connected components over the
+    * exact cosine pair graph at `threshold` → (vec_id, cluster_id,
+    * cluster_size); only vectors with >= 1 near-duplicate appear.
+    * Reads: vec_id, embedding. */
+  def semanticDupClusters(spark: SparkSession, vecs: DataFrame,
+      threshold: Double = 0.4, maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Corpus.semanticDupClusters(spark, vecs, threshold, maxBroadcastBytes)
+
   /** SimHash near-duplicate pairs at hamming <= maxHamming (exact recall
     * by 15-bit-chunk pigeonhole for maxHamming <= 3). Reads: doc_id, text. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
@@ -200,6 +230,15 @@ object Graft {
     * and get [[knnClassify]]'s exact semantics over it. */
   def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =
     Similarity.knnClassifyFrom(vecs, neighbors)
+
+  /** Contrastive hard-negative mining: per labeled anchor, the top-k
+    * most-similar vectors with a DIFFERENT label → (vec_id, rank,
+    * neighbor_id). Exact baseline; label-filter an ANN candidate stream
+    * through [[Similarity.topKRanks]]'s contract at scale.
+    * Reads: vec_id, embedding, label. */
+  def hardNegativeTopK(vecs: DataFrame, k: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Similarity.hardNegativeTopK(vecs, k, maxBroadcastBytes)
 
   /** Quantize a new vector batch against an existing index's fixed
     * centroids and union it in — index maintenance without retraining

@@ -397,6 +397,63 @@ object Corpus {
         round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup keep-list (d57): per vector, `kept`
+    * is false iff some SMALLER-id vector sits within cosine `threshold`
+    * — the deterministic, parallel-friendly relaxation of the greedy
+    * sequential scan (Abbas et al. 2023 prune within k-means clusters;
+    * the keep rule here is global and exact, so it is oracle-gateable).
+    * A vector with no near-neighbor is always kept; of an a–b–c chain
+    * with sim(a,c) below threshold this drops BOTH b and c where the
+    * sequential greedy scan would re-keep c — a strictly more
+    * aggressive dedup that never drops a vector without a kept-or-
+    * dropped near-duplicate of smaller id. One row per input vector.
+    * In: (vec_id, embedding ARRAY<numeric>). Out: (vec_id, kept BOOL).
+    *
+    * Scale: the pair source is [[cosineNearDupPairs]] — broadcast NLJ
+    * with the blocked fragment-replicate fallback; only above-threshold
+    * pairs survive into the distinct + left-anti shape, so the dedup
+    * bookkeeping shuffles near-duplicate ids only, never the corpus.
+    * The sub-quadratic pair source at 100 TB is the IVF cell product or
+    * [[Similarity.annTopK]] candidates (same keep rule composes over
+    * any (vec_a, vec_b) pair stream via [[semDedupKeepFrom]]). */
+  def semDedupKeep(vecs: DataFrame, threshold: Double = 0.4,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    semDedupKeepFrom(vecs, cosineNearDupPairs(vecs, threshold, maxBroadcastBytes))
+
+  /** The d57 keep rule over a CALLER-SUPPLIED near-duplicate pair
+    * stream (vec_a < vec_b) — the open seam for sub-quadratic candidate
+    * sources (IVF cell products, LSH buckets, a persisted SketchIndex):
+    * a vector is dropped iff it appears as the LARGER id of any pair. */
+  def semDedupKeepFrom(vecs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    vecs.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup").isNull.as("kept"))
+  }
+
+  /** Semantic near-duplicate clusters (d58): connected components over
+    * the exact cosine pair graph at `threshold` — the embedding-space
+    * companion of d14's n-gram near-dup components (SemDeDup's
+    * "duplicate groups" without the k-means blinders: a cluster is a
+    * maximal set chained by pairwise similarity, its id the smallest
+    * member id). Only vectors with at least one near-duplicate appear
+    * (d14's convention — singletons are "kept" by definition and carry
+    * no dedup decision). In: (vec_id, embedding ARRAY<numeric>).
+    * Out: (vec_id, cluster_id, cluster_size).
+    *
+    * Scale: pair generation is the d15 exact join (swap in a candidate
+    * source at 100 TB); the component step is [[Similarity]]'s
+    * large/small-star contraction with the explicitly bounded in-memory
+    * endgame — near-dup ids only, never the corpus. */
+  def semanticDupClusters(s: org.apache.spark.sql.SparkSession, vecs: DataFrame,
+      threshold: Double = 0.4, maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Similarity.connectedComponents(s,
+      cosineNearDupPairs(vecs, threshold, maxBroadcastBytes)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .select(col("v").as("vec_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+
   /** Sliding-window chunking (d42): split each document into
     * `window`-token chunks every `stride` tokens — the standard
     * pretraining/RAG preprocessing step between curation and packing
@@ -845,6 +902,46 @@ object Corpus {
              |  FROM t, ev WHERE t.vec_id <> ev.vec_id)
              |SELECT train_id, eval_id, round(sim_raw, 4) AS sim
              |FROM s WHERE sim_raw >= 0.3""".stripMargin)),
+
+    // d57: SemDeDup keep-list — drop any vector with a smaller-id cosine
+    // neighbor at the d15 threshold; boolean + id output, so the gate is
+    // hash-exact. Both sides share d15's pair expression verbatim.
+    Q("d57_semdedup_keep",
+      (s, d) => semDedupKeep(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dup AS (
+             |  SELECT DISTINCT c.vec_id
+             |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+             |  WHERE list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.4)
+             |SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+             |FROM embeddings""".stripMargin)),
+
+    // d58: semantic near-dup clusters — connected components over the
+    // d15 cosine pair graph, labels = smallest member id (the engine's
+    // union-find/star contraction and the oracle's recursive reachability
+    // CTE both converge to min-id labels). d14's convention: only
+    // vectors with >= 1 near-duplicate appear.
+    Q("d58_semdedup_clusters",
+      (s, d) => semanticDupClusters(s, Tables.embeddings(s, d)),
+      Some("""WITH RECURSIVE np AS MATERIALIZED (
+             |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |  SELECT q.vec_id AS a, c.vec_id AS b
+             |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+             |  WHERE list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.4
+             |),
+             |edges AS MATERIALIZED (SELECT a, b FROM np UNION ALL SELECT b, a FROM np),
+             |nodes AS (SELECT DISTINCT a AS v FROM edges),
+             |reach AS (
+             |  SELECT v, v AS l FROM nodes
+             |  UNION
+             |  SELECT r.v, e.b AS l FROM reach r JOIN edges e ON e.a = r.l
+             |),
+             |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
+             |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+             |SELECT v AS vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM lab JOIN csz USING (cluster_id)""".stripMargin)),
 
     // d56: one-row corpus health report (TextOps.corpusReport) — exact
     // integer aggregates + rounded exact percentiles, so the whole

@@ -832,6 +832,59 @@ object Similarity {
     verifyPairs(cand, grams, num, den)
   }
 
+  /** Asymmetric n-gram containment pairs (d60): directed (doc_a, doc_b)
+    * where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| >= num/den over
+    * word 4-grams — the near-SUPERSET detector Jaccard is blind to (a
+    * paragraph quoted whole inside a much longer doc has high
+    * containment but low Jaccard; dedup pipelines drop the contained
+    * side). Broder's containment coefficient with d19's exact-integer
+    * threshold convention. In: (doc_id, text). Out: (doc_a, doc_b,
+    * inter_size, n_a) — doc_a the contained (subject) side.
+    *
+    * Scale: prefix filtering on the SUBJECT side only — C >= num/den
+    * forces |A∩B| >= ceil(num*|A|/den), so A's (n - ceil(num*n/den) + 1)
+    * rarest grams must hit B's full gram set; candidates are the
+    * equi-join of subject prefixes against the full posting stream
+    * (asymmetric SSJoin: the object side cannot be prefix-filtered
+    * because containment does not bound |B| from above — only the
+    * |B| >= ceil(num*|A|/den) lower bound rides the join condition).
+    * Exact verification reuses [[verifyPairs]]' machinery: id-keyed
+    * gram-array re-attach + the native sorted_inter_count merge scan,
+    * so work is proportional to candidates, never corpus². */
+  def containmentPairs(docs: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      "threshold must be a rational in (0, 1]")
+    containmentFrom(wordGramsOf(docs).cache(), thresholdNum, thresholdDen)
+  }
+
+  private[ops] def containmentFrom(grams: DataFrame, num: Int, den: Int): DataFrame = {
+    val sh = grams.select(col("doc_id"), size(col("grams")).as("n"),
+      explode(col("grams")).as("g"))
+    // document frequency lands on each exploded row in one pass (d19's
+    // shape); the subject prefix is built from each doc's RAREST grams
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    val prefix = ranked
+      .where(col("rn") <= col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cand = prefix.as("x").join(sh.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n").cast(LongType) * den >= col("x.n").cast(LongType) * num)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_inter_count", col("ga.grams"), col("gb.grams"))
+          .cast(LongType).as("inter_size"),
+        size(col("ga.grams")).cast(LongType).as("n_a"))
+      .where(col("inter_size") * den >= col("n_a") * num)
+  }
+
   /** Self-join of a normalized vector table under `cond` (a predicate
     * over aliases "q" and "c") — the pair source of the exact cosine
     * baselines (d07/d15). While the table's estimated footprint fits
@@ -1007,6 +1060,34 @@ object Similarity {
     * both the id universe and the (vec_id, label) seed set. */
   def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =
     majorityVote(vecs, neighbors.select(col("vec_id"), col("neighbor_id")))
+
+  /** Contrastive hard-negative mining (d59): per labeled anchor, the
+    * top-`k` most-similar vectors carrying a DIFFERENT label — the
+    * negatives an embedding/reranker trainer actually wants (easy
+    * negatives are already far; the near-but-wrong ones define the
+    * decision boundary). Unlabeled vectors neither anchor nor serve as
+    * negatives. Output matches the top-k family contract: (vec_id,
+    * rank, neighbor_id), rank by (sim DESC, neighbor_id ASC).
+    *
+    * Scale: same shape as [[cosineTopK]] — broadcast NLJ with the
+    * blocked fragment-replicate fallback, pairs streaming into the
+    * bounded TopKAgg (k rows per anchor cross the shuffle); the label
+    * inequality rides INSIDE the join condition, so mismatched pairs
+    * die in codegen before the aggregate. Exact and quadratic BY
+    * SEMANTICS (the declared baseline); at 100 TB feed [[topKRanks]]
+    * from an ANN/IVF candidate stream label-filtered the same way. */
+  def hardNegativeTopK(vecs: DataFrame, k: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val labeled = vecs.where(col("label").isNotNull)
+    val e = labeled.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"), col("label"))
+    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val pairs = selfCosineJoin(labeled, withNorm,
+        col("q.label") =!= col("c.label"), maxBroadcastBytes)
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("neighbor_id"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+    topKRanks(pairs, k)
+  }
 
   /** (vec_id, v, nrm) with zero-norm vectors excluded — the shared entry
     * of the cosine family. Norms are computed once per VECTOR (pre-join
@@ -1402,7 +1483,48 @@ object Similarity {
              |SELECT q.vec_id, b.predicted_label,
              |       COALESCE(b.votes, CAST(0 AS BIGINT)) AS votes
              |FROM (SELECT vec_id FROM embeddings) q
-             |LEFT JOIN best b USING (vec_id)""".stripMargin))
+             |LEFT JOIN best b USING (vec_id)""".stripMargin)),
+
+    // d59: contrastive hard-negative mining — d07's exact top-k with the
+    // label-inequality predicate inside the join condition; ids and
+    // ranks only, so the gate is hash-exact. The oracle mirrors d07's
+    // ranking (sim DESC, neighbor ASC) over different-label pairs.
+    Q("d59_hard_negatives",
+      (s, d) => hardNegativeTopK(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             |          FROM embeddings WHERE label IS NOT NULL),
+             |sim AS (
+             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.v, c.v)
+             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |  FROM e q JOIN e c ON q.label <> c.label)
+             |SELECT vec_id, rank, neighbor_id FROM (
+             |  SELECT vec_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sim)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // d60: asymmetric n-gram containment — the near-superset detector
+    // next to d19's symmetric Jaccard, over the SAME memoized word-4-gram
+    // hash table (hash-vs-string intersection counts agree because the
+    // corpus is collision-checked in SimilarityPrimitivesSpec). Directed
+    // pairs; integer sizes only, so the gate is hash-exact.
+    Q("d60_containment_prefix",
+      (s, d) => containmentFrom(docWordGrams(s, d), 4, 5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+             |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) u
+             |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, inter_size, za.n AS n_a
+             |FROM inter JOIN sizes za ON za.doc_id = doc_a
+             |WHERE inter_size * 5 >= za.n * 4""".stripMargin))
   )
 
   /** The d17 bench binding's IVF knobs, exported so bench.json's quality
@@ -1416,5 +1538,6 @@ object Similarity {
     * independent cold measurement — the bench marks them in its artifact
     * so a reader can interpret the per-run times correctly. */
   val MemoizedQueries: Set[String] =
-    Set("d06_minhash_lsh", "d14_dedup_components", "d19_jaccard_prefix")
+    Set("d06_minhash_lsh", "d14_dedup_components", "d19_jaccard_prefix",
+      "d60_containment_prefix")
 }
