@@ -943,6 +943,29 @@ object Corpus {
              |SELECT v AS vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
              |FROM lab JOIN csz USING (cluster_id)""".stripMargin)),
 
+    // d61: the d57 keep rule over the ANN pair source in its EXACT mode
+    // (d35's geometry: 1 table x 1 bit, probeFlips 1 probes both buckets,
+    // so every pair is a candidate) — the composition that actually runs
+    // at scale (candidate pairs -> keep rule), driver-adjudicated under
+    // d57's oracle. Zero-norm vectors never pair on either path (the ANN
+    // path excludes them from candidates; the exact path's NULL sim fails
+    // the threshold), so the keep-lists agree on the full id universe.
+    Q("d61_semdedup_ann_exact",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+        semDedupKeepFrom(vecs,
+          Similarity.cosineNearDupPairsAnn(vecs, threshold = 0.4,
+            tables = 1, bitsPerTable = 1, probeFlips = 1))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dup AS (
+             |  SELECT DISTINCT c.vec_id
+             |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+             |  WHERE list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.4)
+             |SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+             |FROM embeddings""".stripMargin)),
+
     // d56: one-row corpus health report (TextOps.corpusReport) — exact
     // integer aggregates + rounded exact percentiles, so the whole
     // report is hash-gated. Registered here (the EXTENDED bench set):

@@ -95,6 +95,19 @@ class SemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2 == Set((10L, 30L, 4L, 5L), (30L, 10L, 4L, 5L)))
   }
 
+  test("d61: ANN-pair keep-list at exact geometry equals the exact keep-list") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Corpus.semDedupKeep(vecs)
+      .as[(Long, Boolean)].collect().toMap
+    val ann = Corpus.semDedupKeepFrom(vecs,
+        Similarity.cosineNearDupPairsAnn(vecs, threshold = 0.4,
+          tables = 1, bitsPerTable = 1, probeFlips = 1))
+      .as[(Long, Boolean)].collect().toMap
+    assert(ann == exact)
+    assert(exact.values.exists(!_), "corpus should contain at least one drop")
+  }
+
   test("d60: agrees with brute-force containment on the sf0.001 corpus") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
