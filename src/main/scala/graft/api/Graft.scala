@@ -514,6 +514,21 @@ object Graft {
     * gram appearing in at least one other document — catches boilerplate
     * that survives doc-level dedup. `hashGrams = true` shuffles 8-byte
     * gram hashes instead of strings. Reads: doc_id, text. */
+  /** Maximal cross-document duplicate-span token intervals per doc —
+    * the cut list of exact substring dedup (Lee et al. 2022):
+    * (doc_id, span_start, span_end, n_dup_grams), 0-based inclusive
+    * token positions. Reads: doc_id, text. */
+  def dupSpanIntervals(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.dupSpanIntervals(docs, n, hashGrams)
+
+  /** The scrubbed corpus: every token under a [[dupSpanIntervals]]
+    * interval removed, single-spaced rebuild, one row per input doc →
+    * (doc_id, clean_text, n_kept_tokens). Reads: doc_id, text. */
+  def dedupScrub(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.dedupScrub(docs, n, hashGrams)
+
   def dupSpanStats(docs: DataFrame, n: Int = 5,
       hashGrams: Boolean = false): DataFrame =
     Curation.dupSpanStats(docs, n, hashGrams)

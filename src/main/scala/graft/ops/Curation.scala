@@ -647,6 +647,111 @@ object Curation {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
   }
 
+  /** The (doc_id, pos, gram) position stream shared by d62/d63: one row
+    * per n-gram START position (0-based, token units), gram text under
+    * the corpus lower/trim/whitespace convention. Pure Catalyst
+    * (transform + slice + array_join inside codegen) — no UDF. */
+  private def gramPositions(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+        .as(Seq("pos", "gram")))
+
+  /** Maximal cross-document duplicate-span intervals (d62) — the
+    * REMOVAL step of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): where
+    * d25 reports per-doc duplicate-span COUNTS, this emits the actual
+    * token intervals to cut — every maximal run of positions whose word
+    * `n`-gram also appears in ANOTHER document, overlapping/adjacent
+    * gram hits merged (consecutive hit positions p, q chain while
+    * q - p <= n). In: (doc_id, text). Out: (doc_id, span_start,
+    * span_end, n_dup_grams) — token-position interval [start, end]
+    * inclusive, 0-based, plus the number of duplicated gram positions
+    * it merges. Integer outputs, so the gate is hash-exact.
+    *
+    * Scale: the gram position stream is a narrow explode; the
+    * cross-doc document-frequency pass shuffles the DISTINCT
+    * (doc, gram) set once keyed by gram (d19's count-over-window
+    * pattern — a mega-hot gram buffers rows bounded by its containing-
+    * doc count); hit positions re-attach by (doc_id, gram); the
+    * interval merge is a lag/sum gaps-and-islands window PARTITIONED
+    * PER DOC (ordered by an int within one document — never a corpus
+    * sort). At 100 TB, hash the gram strings to 8 bytes before the
+    * shuffles (the d22/d25 `hashGrams` trade) — gram content is only
+    * ever compared for equality. */
+  def dupSpanIntervals(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    dupSpanIslands(docs, n, hashGrams)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + (n - 1)).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_grams"))
+  }
+
+  /** (doc_id, pos, island) for every duplicated-gram position — the
+    * shared core of d62 (interval aggregation) and d63 (scrub). */
+  private def dupSpanIslands(docs: DataFrame, n: Int,
+      hashGrams: Boolean): DataFrame = {
+    val pos0 = gramPositions(docs, n)
+    val pos = if (hashGrams) pos0.withColumn("gram", xxhash64(col("gram"))) else pos0
+    // grams present in >= 2 documents, as (doc_id, gram) pairs: distinct
+    // once, then the containing-doc count lands via count-over-window in
+    // the same shuffle (no groupBy + join-back double scan)
+    val dupDocGram = pos.select(col("doc_id"), col("gram")).distinct()
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("n_docs") >= 2)
+      .select(col("doc_id"), col("gram"))
+    val hits = pos.join(dupDocGram, Seq("doc_id", "gram"))
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("pos"), col("island"))
+  }
+
+  /** Duplicate-span-scrubbed corpus (d63): rebuild each document's text
+    * with every token covered by a d62 interval removed — the second
+    * half of Lee-et-al exact substring dedup (cut the repeated passage
+    * everywhere, keep the surrounding prose; pair with d57/d06 which
+    * drop WHOLE documents). Tokens are the lower/trim/whitespace
+    * convention, output re-joined single-spaced; a fully-duplicated
+    * document survives as an empty string (one row per input doc — "all
+    * cut" and "absent" are different facts). In: (doc_id, text). Out:
+    * (doc_id, clean_text, n_kept_tokens).
+    *
+    * Scale: covered positions explode from the interval hits (bounded
+    * by dup-gram positions x n); the rebuild is one anti-join on
+    * (doc_id, pos) plus a per-doc sorted re-aggregation — shuffles
+    * keyed by doc_id, per-doc cost bounded by document length, never a
+    * global sort. */
+  def dedupScrub(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+"))
+        .as(Seq("p", "tok")))
+    val covered = dupSpanIslands(docs, n, hashGrams)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order — the "split the corpus into training shards" step. Each doc
     * is assigned the shard where it STARTS in the concatenated token
@@ -1238,6 +1343,67 @@ object Curation {
              |       cast(greatest(0, len(ws) - 4) AS BIGINT) AS n_spans,
              |       cast(coalesce(dup.dup_spans, 0) AS BIGINT) AS dup_spans
              |FROM w LEFT JOIN dup USING (doc_id)""".stripMargin)),
+
+    // d62: maximal duplicate-span intervals — d25's counting signal
+    // upgraded to the actual cut list. Both sides build the identical
+    // position stream, cross-doc dup-gram set, and gaps-and-islands
+    // merge; integer outputs only.
+    Q("d62_dup_span_intervals",
+      (s, d) => dupSpanIntervals(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             |  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             |nd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+             |       GROUP BY gram HAVING count(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM g JOIN nd USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM hits),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM isl)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+             |       CAST(count(*) AS BIGINT) AS n_dup_grams
+             |FROM isl2 GROUP BY doc_id, island""".stripMargin)),
+
+    // d63: the scrubbed corpus — tokens under any d62 interval removed,
+    // single-spaced rebuild, one row per input doc (fully-cut docs as
+    // empty string). The oracle rebuilds via string_agg ORDER BY
+    // position == the engine's array_sort(collect_list(struct)).
+    Q("d63_dedup_scrub",
+      (s, d) => dedupScrub(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             |  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             |nd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+             |       GROUP BY gram HAVING count(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM g JOIN nd USING (gram)),
+             |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+             |        FROM hits, UNNEST(range(0, 5)) AS r(o)),
+             |toks AS (SELECT doc_id, i - 1 AS p, ws[i] AS tok
+             |         FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+             |kept AS (
+             |  SELECT t.doc_id, t.p, t.tok
+             |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+             |  WHERE c.p IS NULL),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             |               CAST(count(*) AS BIGINT) AS n_kept_tokens
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |       coalesce(a.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     Q("d23_pack_shards",
       (s, d) => packShards(documents(s, d)),

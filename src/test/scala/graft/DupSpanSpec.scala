@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.Curation
+
+/** d62 duplicate-span intervals + d63 scrub on planted passages: a
+  * 7-token passage shared by two docs must merge its three overlapping
+  * 5-gram hits into ONE interval per doc; within-doc-only repetition
+  * must not flag (cross-doc convention, same as d25); the scrub must
+  * cut exactly the covered tokens and keep one row per doc.
+  */
+class DupSpanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("dupspan-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g x1 x2"),        // shared passage at tokens 0-6
+      (2L, "y1 y2 a b c d e f g"),        // same passage at tokens 2-8
+      (3L, "u v w p q r s t"),            // unique
+      (4L, "m n o p q m n o p q")         // repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+  }
+
+  test("d62: overlapping gram hits merge to one maximal interval per doc") {
+    import spark.implicits._
+    val out = Curation.dupSpanIntervals(corpus)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 6L, 3L), (2L, 2L, 8L, 3L)))
+  }
+
+  test("d62: hashGrams mode produces the identical interval set") {
+    import spark.implicits._
+    val plain = Curation.dupSpanIntervals(corpus)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val hashed = Curation.dupSpanIntervals(corpus, hashGrams = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(hashed == plain)
+  }
+
+  test("d63: scrub cuts exactly the covered tokens, one row per doc") {
+    import spark.implicits._
+    val out = Curation.dedupScrub(corpus)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("x1 x2", 2L)))
+    assert(out(2L) == (("y1 y2", 2L)))
+    assert(out(3L) == (("u v w p q r s t", 8L)))
+    assert(out(4L) == (("m n o p q m n o p q", 10L)))
+    assert(out.size == 4)
+  }
+
+  test("d63: a fully-duplicated doc survives as an empty row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5"),
+      (2L, "p1 p2 p3 p4 p5")).toDF("doc_id", "text")
+    val out = Curation.dedupScrub(docs)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "", 0L), (2L, "", 0L)))
+  }
+
+  test("d62/d63 agree: tokens minus kept equals interval coverage (sf0.001)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val spans = Curation.dupSpanIntervals(docs)
+    // intervals are disjoint and ordered per doc (maximality)
+    val rows = spans.orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, sp) =>
+      sp.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1, s"overlap/adjacency: $a $b")
+        case _ =>
+      }
+    }
+    val covered = rows.groupBy(_._1).view
+      .mapValues(_.map(s => s._3 - s._2 + 1).sum).toMap
+    val nTok = docs.select($"doc_id",
+        size(split(lower(trim($"text")), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val kept = Curation.dedupScrub(docs)
+      .select($"doc_id", $"n_kept_tokens").as[(Long, Long)].collect().toMap
+    nTok.foreach { case (id, n) =>
+      assert(n - kept(id) == covered.getOrElse(id, 0L), s"doc $id")
+    }
+    assert(rows.nonEmpty, "corpus should contain at least one dup span")
+  }
+}
