@@ -105,6 +105,42 @@ object PlanAudit {
     println("=== d47 CartesianProduct: " + countNode(p47, "CartesianProduct"))
     println("=== d47 doc_id,token shuffle exchanges (want 0): " +
       countNode(p47, "Exchange hashpartitioning(doc_id, token"))
+
+    // d59: same exact-NLJ shape as d07 — the pair source must be a
+    // broadcast nested-loop (or the blocked fallback), never a
+    // CartesianProduct, and the top-k aggregation shuffles k rows/query.
+    val p59 = graft.ops.Similarity.hardNegativeTopK(vecs)
+      .queryExecution.executedPlan.toString
+    println("=== d59 BroadcastNestedLoop (pair source): " +
+      countNode(p59, "BroadcastNestedLoop"))
+    println("=== d59 CartesianProduct (want 0): " +
+      countNode(p59, "CartesianProduct"))
+
+    // d60: candidates from an equi-join on gram (prefix x postings) —
+    // never a nested-loop; windows partitioned (gram / doc_id).
+    val p60 = graft.ops.Similarity.containmentPairs(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d60 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p60, "CartesianProduct") + countNode(p60, "BroadcastNestedLoop")))
+    println("=== d60 Window nodes (df + prefix rank, partitioned): " +
+      countNode(p60, "Window"))
+
+    // d62/d63: the islands window is doc-partitioned; the dup-gram df
+    // pass is one gram-keyed exchange over the DISTINCT (doc, gram) set;
+    // no nested-loop anywhere.
+    val p62 = graft.ops.Curation.dupSpanIntervals(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d62 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p62, "CartesianProduct") + countNode(p62, "BroadcastNestedLoop")))
+    println("=== d62 Window nodes: " + countNode(p62, "Window"))
+    println("=== d62 gram shuffle exchanges: " +
+      countNode(p62, "Exchange hashpartitioning(gram"))
+    val p63 = graft.ops.Curation.dedupScrub(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d63 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p63, "CartesianProduct") + countNode(p63, "BroadcastNestedLoop")))
+    println("=== d63 doc_id shuffle exchanges: " +
+      countNode(p63, "Exchange hashpartitioning(doc_id"))
     spark.stop()
   }
 }
