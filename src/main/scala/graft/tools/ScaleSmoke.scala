@@ -88,6 +88,20 @@ object ScaleSmoke {
     // corpora with homogeneous feature distributions -> OUTPUT is ~1.1e9
     // rows here, streamed at ~4M rows/s). Pass query names as args 3+ to
     // run a subset.
+    // Round-9 gram-family probes (2026-08): d60 containment 21.9 s at
+    // 50k docs -> 16.8 s at 100k (flat — candidate pairs are prefix-
+    // bounded; outputs 1.7k -> 3.6k rows, linear), d62 dup-span
+    // intervals 10.1 -> 16.6 s (~1.65x per corpus doubling — the df
+    // window over the distinct (doc, gram) set dominates; output rows
+    // linear at 77k -> 175k). d63's count() here is join-eliminated
+    // (the final doc_id left join carries no counted columns), so its
+    // honest cost was measured with a noop write: 24.1 s at 100k docs
+    // for the full scrub incl. the d62 pipeline and per-doc rebuild.
+    // The vector-side round-9 ops (d57/d58/d59) share d07/d15's
+    // quadratic-BY-SEMANTICS exact pair source — their scale paths are
+    // the ANN compositions (d61's keep rule over cosineNearDupPairsAnn;
+    // label-filtered annTopK), whose candidate growth d08's probe
+    // already bounds flat.
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("d06_minhash_lsh", "d19_jaccard_prefix", "d14_dedup_components",
