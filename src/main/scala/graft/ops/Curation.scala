@@ -697,14 +697,19 @@ object Curation {
       hashGrams: Boolean): DataFrame = {
     val pos0 = gramPositions(docs, n)
     val pos = if (hashGrams) pos0.withColumn("gram", xxhash64(col("gram"))) else pos0
-    // grams present in >= 2 documents, as (doc_id, gram) pairs: distinct
-    // once, then the containing-doc count lands via count-over-window in
-    // the same shuffle (no groupBy + join-back double scan)
-    val dupDocGram = pos.select(col("doc_id"), col("gram")).distinct()
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // the cross-doc dup-gram SET (gram only): distinct (doc, gram) once,
+    // containing-doc count via partial-aggregated groupBy. Position rows
+    // then attach by a gram-only LEFT SEMI join — the dup-gram set is the
+    // small side by construction (only grams repeated across documents),
+    // so AQE broadcasts it and the position stream never shuffles; the
+    // (doc_id, gram) equi-join formulation shuffled the full position
+    // stream by a wide string key for the same row set (measured 16.6 s
+    // -> see ScaleSmoke — the df pass dominates d62).
+    val dupGrams = pos.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
-      .select(col("doc_id"), col("gram"))
-    val hits = pos.join(dupDocGram, Seq("doc_id", "gram"))
+      .select(col("gram"))
+    val hits = pos.join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
