@@ -491,5 +491,29 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q48 = SparkEntry.queries("d48_dsir_select")(spark, sf).collect().toSet
     val a48 = Graft.dsirSelect(docs, en).collect().toSet
     assert(q48.map(_.toSeq) == a48.map(_.toSeq))
+
+    val q57 = SparkEntry.queries("d57_semdedup_keep")(spark, sf).collect().toSet
+    val a57 = Graft.semDedupKeep(vecs).collect().toSet
+    assert(q57.map(_.toSeq) == a57.map(_.toSeq))
+
+    val q58 = SparkEntry.queries("d58_semdedup_clusters")(spark, sf).collect().toSet
+    val a58 = Graft.semanticDupClusters(spark, vecs).collect().toSet
+    assert(q58.map(_.toSeq) == a58.map(_.toSeq))
+
+    val q59 = SparkEntry.queries("d59_hard_negatives")(spark, sf).collect().toSet
+    val a59 = Graft.hardNegativeTopK(vecs).collect().toSet
+    assert(q59.map(_.toSeq) == a59.map(_.toSeq))
+
+    val q60 = SparkEntry.queries("d60_containment_prefix")(spark, sf).collect().toSet
+    val a60 = Graft.containmentPairs(docs).collect().toSet
+    assert(q60.map(_.toSeq) == a60.map(_.toSeq))
+
+    val q62 = SparkEntry.queries("d62_dup_span_intervals")(spark, sf).collect().toSet
+    val a62 = Graft.dupSpanIntervals(docs).collect().toSet
+    assert(q62.map(_.toSeq) == a62.map(_.toSeq))
+
+    val q63 = SparkEntry.queries("d63_dedup_scrub")(spark, sf).collect().toSet
+    val a63 = Graft.dedupScrub(docs).collect().toSet
+    assert(q63.map(_.toSeq) == a63.map(_.toSeq))
   }
 }
