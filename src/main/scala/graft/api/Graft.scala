@@ -489,6 +489,24 @@ object Graft {
     * [[unigramPpl]] within each language — keep head+middle (or
     * reweight by bucket) to favor clean text.
     * Reads: doc_id, text, lang. Out: doc_id, lang, ppl, bucket. */
+  /** Model-based quality filtering trained in-engine: full-batch
+    * logistic GD over d04's quality features (each iteration one
+    * 4-double gradient aggregation), then score every doc →
+    * (doc_id, score, predicted). Reads: doc_id, text, lang. */
+  def lrQualityScores(docs: DataFrame, iters: Int = 3,
+      lr: Double = 1.0): DataFrame =
+    Curation.lrQualityScores(docs, iters, lr)
+
+  /** The trained LR model as a persistable (feature, weight) frame. */
+  def lrWeightsFrame(docs: DataFrame, iters: Int = 3,
+      lr: Double = 1.0): DataFrame =
+    Curation.lrWeightsFrame(docs, iters, lr)
+
+  /** Score a new batch against a frozen [[lrWeightsFrame]] model — one
+    * narrow scan, 4-row model broadcast, no retraining. */
+  def lrScoreAgainst(docs: DataFrame, weights: DataFrame): DataFrame =
+    Curation.lrScoreAgainst(docs, weights)
+
   def pplBuckets(docs: DataFrame, headK: Int = 10000): DataFrame =
     Curation.pplBuckets(docs, headK)
 

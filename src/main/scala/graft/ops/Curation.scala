@@ -475,6 +475,109 @@ object Curation {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** The model-based quality-filter stage, trained IN the engine (d64):
+    * logistic regression over per-document quality features by
+    * full-batch gradient descent — each iteration is ONE corpus
+    * aggregation reduced map-side to a 4-double gradient (the exact
+    * shape distributed GD takes on a cluster; the only driver-side data
+    * is the weight vector, like IvfIndex's K-centroid collect). The
+    * demo seed label is lang='en' (in production the seed set comes
+    * from human/LLM annotation; the mechanics are label-agnostic).
+    * Features: bias, stopword_ratio, avg_token_len/10,
+    * round(ln(n_tokens)/10, 6) — d04's exact-parity expressions, the
+    * ln rounded so the one libm-sourced feature is bit-stable across
+    * engines. Gradients and weight updates round at 6 decimals each
+    * iteration (the d44/d47 float convention, making the whole descent
+    * path — and so the oracle's unrolled replay of it — hash-exact).
+    *
+    * In: (doc_id, text, lang). Out of [[lrQualityScores]]:
+    * (doc_id, score, predicted) — score = round(sigmoid(w·x), 4),
+    * predicted = (w·x >= 0). */
+  def lrQualityWeights(docs: DataFrame, iters: Int = 3,
+      lr: Double = 1.0): Seq[Double] = {
+    require(iters >= 1 && lr > 0, "need iters >= 1, lr > 0")
+    val f = lrFeatures(docs).cache()
+    try {
+      var w = Seq(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to iters) {
+        val p = sigmoidOf(w)
+        val row = f.agg(
+          round(avg((p - col("y")) * col("b")), 6),
+          round(avg((p - col("y")) * col("s")), 6),
+          round(avg((p - col("y")) * col("a")), 6),
+          round(avg((p - col("y")) * col("t")), 6)).head()
+        w = w.indices.map { j =>
+          BigDecimal(w(j) - lr * row.getDouble(j))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      w
+    } finally { f.unpersist(); () }
+  }
+
+  /** The trained d64 model as a persistable (feature, weight) frame —
+    * the LmIndex-style "train once, score later batches" seam. */
+  def lrWeightsFrame(docs: DataFrame, iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    LrFeatureNames.zip(lrQualityWeights(docs, iters, lr))
+      .toDF("feature", "weight")
+  }
+
+  /** Train + score in one call (the registered d64 form). */
+  def lrQualityScores(docs: DataFrame, iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    val w = lrQualityWeights(docs, iters, lr)
+    val z = zOf(Seq(col("wb"), col("ws"), col("wa"), col("wt")))
+    lrFeatures(docs)
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1).select(lit(w(0)).as("wb"), lit(w(1)).as("ws"),
+          lit(w(2)).as("wa"), lit(w(3)).as("wt"))))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (z >= 0.0).as("predicted"))
+  }
+
+  /** Score a (new) batch against a frozen (feature, weight) frame from
+    * [[lrWeightsFrame]] (d65): one narrow scan over the batch with the
+    * 4-row model broadcast — no retraining, the d49 pattern for the LR
+    * family. */
+  def lrScoreAgainst(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val wrow = weights.agg(
+      max(when(col("feature") === "b", col("weight"))).as("wb"),
+      max(when(col("feature") === "s", col("weight"))).as("ws"),
+      max(when(col("feature") === "a", col("weight"))).as("wa"),
+      max(when(col("feature") === "t", col("weight"))).as("wt"))
+    val z = zOf(Seq(col("wb"), col("ws"), col("wa"), col("wt")))
+    lrFeatures(docs).crossJoin(broadcast(wrow))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (z >= 0.0).as("predicted"))
+  }
+
+  private val LrFeatureNames = Seq("b", "s", "a", "t")
+
+  /** (doc_id, b, s, a, t, y): d04's exact-parity quality expressions as
+    * features plus the lang='en' demo seed label. */
+  private def lrFeatures(docs: DataFrame): DataFrame =
+    TextOps.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"),
+        lit(1.0).as("b"),
+        col("stopword_ratio").as("s"),
+        (col("avg_token_len") / 10.0).as("a"),
+        round(log(col("n_tokens").cast(DoubleType)) / 10.0, 6).as("t"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  private def zOf(w: Seq[Column]): Column =
+    w(0) * col("b") + w(1) * col("s") + w(2) * col("a") + w(3) * col("t")
+
+  private def sigmoidOf(w: Seq[Double]): Column = {
+    val z = zOf(w.map(lit(_)))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Deterministic stratified sample: exactly min(k, group size) rows per
     * `strata` value, chosen by ascending md5 of the doc id — a stable
     * "random" order that is reproducible across engines and runs (the
@@ -1128,6 +1231,55 @@ object Curation {
       |FROM dt JOIN v USING (token), t
       |GROUP BY doc_id""".stripMargin
 
+  /** The d64/d65 oracle: the full-batch GD path UNROLLED — three
+    * gradient/update rounds as 1-row CTEs over d04's exact-parity
+    * feature expressions, every gradient and weight rounded at 6
+    * decimals exactly like the engine's descent loop, then the scoring
+    * scan at the 4-decimal convention. `predicted` compares the raw
+    * margin to 0 (identical doubles both sides — no libm in the
+    * margin: the one ln-sourced feature is pre-rounded). */
+  private val LrOracle =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         1.0 AS b,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |              w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |           / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS s,
+      |         (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |           / len(regexp_split_to_array(lower(trim(text)), '\s+'))) / 10.0 AS a,
+      |         round(ln(len(regexp_split_to_array(lower(trim(text)), '\s+'))) / 10.0, 6) AS t,
+      |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wa, 0.0 AS wt),
+      |g1 AS (
+      |  SELECT round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * b), 6) AS gb,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * s), 6) AS gs,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * a), 6) AS ga,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * t), 6) AS gt
+      |  FROM f, w0),
+      |w1 AS (SELECT round(w0.wb - gb, 6) AS wb, round(w0.ws - gs, 6) AS ws,
+      |              round(w0.wa - ga, 6) AS wa, round(w0.wt - gt, 6) AS wt FROM w0, g1),
+      |g2 AS (
+      |  SELECT round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * b), 6) AS gb,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * s), 6) AS gs,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * a), 6) AS ga,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * t), 6) AS gt
+      |  FROM f, w1),
+      |w2 AS (SELECT round(w1.wb - gb, 6) AS wb, round(w1.ws - gs, 6) AS ws,
+      |              round(w1.wa - ga, 6) AS wa, round(w1.wt - gt, 6) AS wt FROM w1, g2),
+      |g3 AS (
+      |  SELECT round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * b), 6) AS gb,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * s), 6) AS gs,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * a), 6) AS ga,
+      |         round(avg((1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))) - y) * t), 6) AS gt
+      |  FROM f, w2),
+      |w3 AS (SELECT round(w2.wb - gb, 6) AS wb, round(w2.ws - gs, 6) AS ws,
+      |              round(w2.wa - ga, 6) AS wa, round(w2.wt - gt, 6) AS wt FROM w2, g3)
+      |SELECT doc_id,
+      |       round(1.0/(1.0 + exp(-(wb*b + ws*s + wa*a + wt*t))), 4) AS score,
+      |       (wb*b + ws*s + wa*a + wt*t) >= 0.0 AS predicted
+      |FROM f, w3""".stripMargin
+
   /** Shared CTE chain of the d47/d48 oracles: per-doc log importance
     * ratio under the raw (all documents) and target (lang = 'en')
     * unigram LMs. Mirrors the Spark side's two-sum-then-subtract at the
@@ -1226,6 +1378,26 @@ object Curation {
              |            WHEN ppl <= t2 THEN 'middle'
              |            ELSE 'tail' END AS bucket
              |FROM pl JOIN th USING (lang)""".stripMargin)),
+
+    // d64: the model-based quality filter trained in-engine — full-batch
+    // logistic GD, 3 iterations, each a single 4-double gradient
+    // aggregation; the oracle replays the identical descent path
+    // unrolled (the d51 unrolled-iteration precedent applied to floats
+    // under the 6-decimal step convention).
+    Q("d64_lr_quality",
+      (s, d) => lrQualityScores(documents(s, d)),
+      Some(LrOracle)),
+
+    // d65: the same scores served from the FROZEN (feature, weight)
+    // frame — the train-once/score-batches seam (d49's pattern for the
+    // LR family), gated by the identical oracle so the weight-frame
+    // round trip is driver-adjudicated.
+    Q("d65_lr_score_frozen",
+      (s, d) => {
+        val docs = documents(s, d)
+        lrScoreAgainst(docs, lrWeightsFrame(docs))
+      },
+      Some(LrOracle)),
 
     // d47: DSIR importance weights — log p_target(x) - log p_raw(x)
     // under two add-one-smoothed unigram LMs, the English slice standing
