@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.ops.Curation
 
 /** d62 duplicate-span intervals + d63 scrub on planted passages: a
@@ -60,6 +61,43 @@ class DupSpanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Curation.dedupScrub(docs)
       .as[(Long, String, Long)].collect().toSet
     assert(out == Set((1L, "", 0L), (2L, "", 0L)))
+  }
+
+  test("d62: matches a sequential brute force on random corpora (property)") {
+    import spark.implicits._
+    val n = 3
+    def brute(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val pos = docs.map { case (id, t) =>
+        val w = t.trim.toLowerCase.split("\\s+").toSeq
+        id -> (if (w.length < n) Seq.empty[String]
+               else w.sliding(n).map(_.mkString(" ")).toSeq)
+      }
+      val dupGrams = pos.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      pos.flatMap { case (id, gs) =>
+        val hits = gs.zipWithIndex.collect { case (g, i) if dupGrams(g) => i }
+        if (hits.isEmpty) Nil
+        else {
+          val islands = hits.tail.foldLeft(List(List(hits.head))) { (acc, p) =>
+            if (p - acc.head.head <= n) (p :: acc.head) :: acc.tail
+            else List(p) :: acc
+          }.map(_.reverse).reverse
+          islands.map(is =>
+            (id, is.head.toLong, (is.last + n - 1).toLong, is.length.toLong))
+        }
+      }.toSet
+    }
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(4, 8).flatMap(m => Gen.listOfN(m, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val got = Curation.dupSpanIntervals(corpus.toDF("doc_id", "text"), n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      got == brute(corpus)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("d62/d63 agree: tokens minus kept equals interval coverage (sf0.001)") {
