@@ -559,16 +559,23 @@ object Curation {
   private val LrFeatureNames = Seq("b", "s", "a", "t")
 
   /** (doc_id, b, s, a, t, y): d04's exact-parity quality expressions as
-    * features plus the lang='en' demo seed label. */
-  private def lrFeatures(docs: DataFrame): DataFrame =
-    TextOps.qualityScore(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"),
-        lit(1.0).as("b"),
-        col("stopword_ratio").as("s"),
-        (col("avg_token_len") / 10.0).as("a"),
-        round(log(col("n_tokens").cast(DoubleType)) / 10.0, 6).as("t"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    * features plus the lang='en' demo seed label. ONE narrow projection
+    * — no join back onto the input (identical arithmetic to
+    * TextOps.qualityScore's columns), so the frozen scoring path
+    * ([[lrScoreAgainst]]) runs unchanged on a streaming DataFrame. */
+  private def lrFeatures(docs: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val stop = typedLit(Seq("the", "a", "of", "and", "to", "in"))
+    val nTok = size(toks).cast(LongType)
+    docs.select(col("doc_id"),
+      lit(1.0).as("b"),
+      (size(filter(toks, w => array_contains(stop, w))).cast(LongType)
+        .cast(DoubleType) / nTok).as("s"),
+      ((length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok)
+        / 10.0).as("a"),
+      round(log(nTok.cast(DoubleType)) / 10.0, 6).as("t"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+  }
 
   private def zOf(w: Seq[Column]): Column =
     w(0) * col("b") + w(1) * col("s") + w(2) * col("a") + w(3) * col("t")

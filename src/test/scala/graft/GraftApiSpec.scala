@@ -395,6 +395,14 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q8 = Graft.semanticContaminationPairs(vstream, evalVecs, threshold = 0.9)
       .writeStream.format("memory").queryName("decon_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // the frozen LR scorer is a narrow projection + 4-row static model
+    // broadcast — model-based quality filtering of ARRIVING docs with no
+    // retraining (the train half stays batch-side by design)
+    val lrW = Seq(("b", -0.5), ("s", 4.0), ("a", 0.0), ("t", 0.0))
+      .toDF("feature", "weight")
+    val q9 = Graft.lrScoreAgainst(stream, lrW)
+      .writeStream.format("memory").queryName("lr_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
@@ -403,6 +411,7 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       q7.processAllAvailable()
       inV.addData((1L, Seq(1.0f, 0.05f)), (2L, Seq(0.0f, 1.0f)))
       q8.processAllAvailable()
+      q9.processAllAvailable()
       val tok = spark.table("tok_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
       assert(tok == Map(1L -> 5L, 2L -> 5L, 3L -> 6L))
@@ -442,9 +451,15 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val decon = spark.table("decon_stream").collect()
         .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
       assert(decon.toSet == Set((1L, 100L)))
+      // doc 1 ("the quick brown fox, truly!": s = 1/5, z = -0.5 + 4*0.2
+      // = 0.3) clears the planted s-heavy model's margin; docs 2 and 3
+      // (no stopwords, z = -0.5) stay below it — one row per arrival
+      val lrs = spark.table("lr_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("predicted")).toMap
+      assert(lrs == Map(1L -> true, 2L -> false, 3L -> false))
     } finally {
       q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop()
-      q8.stop()
+      q8.stop(); q9.stop()
     }
   }
 
