@@ -231,6 +231,14 @@ object Graft {
   def knnClassifyFrom(vecs: DataFrame, neighbors: DataFrame): DataFrame =
     Similarity.knnClassifyFrom(vecs, neighbors)
 
+  /** Nearest-class-centroid labeling: per-label prototype means
+    * broadcast into one scoring scan → (vec_id, predicted_label, sim) —
+    * the O(N·L) scalable counterpart of [[knnClassify]]. Unlabeled
+    * vectors don't shape prototypes but are still classified.
+    * Reads: vec_id, embedding, label. */
+  def prototypeClassify(vecs: DataFrame): DataFrame =
+    Similarity.prototypeClassify(vecs)
+
   /** Contrastive hard-negative mining: per labeled anchor, the top-k
     * most-similar vectors with a DIFFERENT label → (vec_id, rank,
     * neighbor_id). Exact baseline; label-filter an ANN candidate stream

@@ -1098,6 +1098,49 @@ object Similarity {
     * otherwise become every query's "best" neighbor — and, like empty
     * text sketches, they all share one hyperplane signature (every
     * acc = 0 -> all bits set), a skew hot bucket at corpus scale. */
+  /** Nearest-class-centroid classification (d66): per-label prototype =
+    * element-wise mean of that label's embeddings (rounded at 6 decimals
+    * so the float mean is cross-engine stable), every vector labeled by
+    * its most-cosine-similar prototype (ties to the smallest label) —
+    * the O(N·L) SCALABLE counterpart of d28's O(N²) kNN labeling
+    * (prototypical-network style: one centroid per class replaces the
+    * corpus as the comparison set). Integer label + 4-decimal sim
+    * output, so the gate is hash-exact. In: (vec_id,
+    * embedding ARRAY<numeric>, label INT — null = unlabeled, excluded
+    * from prototypes but still classified). Out: (vec_id,
+    * predicted_label, sim).
+    *
+    * Scale: the prototype pass explodes (dim, val) and aggregates to
+    * L×dim cells (map-side partial sums — the shuffle carries one
+    * partial row per task per cell, never vectors); prototypes rebuild
+    * into L rows that broadcast into a narrow scoring scan. No
+    * all-pairs anything; the classify half is one corpus pass. */
+  def prototypeClassify(vecs: DataFrame): DataFrame = {
+    val e = vecs.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val protos = e.where(col("label").isNotNull)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), c -> c.m)")
+        .as("p"))
+      .withColumn("pnrm", sqrt(vecDot(col("p"), col("p"))))
+      .where(col("pnrm") > 0.0)
+      .select(col("label").as("proto_label"), col("p"), col("pnrm"))
+    val scored = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0.0)
+      .crossJoin(broadcast(protos))
+      .select(col("vec_id"),
+        col("proto_label"),
+        (vecDot(col("v"), col("p")) / (col("nrm") * col("pnrm"))).as("sim"))
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("proto_label")).as("negLabel"))).as("best"))
+      .select(col("vec_id"), (-col("best.negLabel")).as("predicted_label"),
+        round(col("best.sim"), 4).as("sim"))
+  }
+
   private[graft] def normalizedVecs(vecs: DataFrame): DataFrame =
     vecs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -1503,6 +1546,34 @@ object Similarity {
              |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
              |  FROM sim)
              |WHERE rank <= 3""".stripMargin)),
+
+    // d66: nearest-class-centroid classification — per-label prototype
+    // means (rounded 6 so the only order-dependent float is bit-stable),
+    // broadcast into a narrow scoring scan; integer label + 4-decimal
+    // sim, hash-exact. The oracle rebuilds prototypes via UNNEST(range)
+    // element indexing and replays the (sim DESC, label) argmax.
+    Q("d66_prototype_classify",
+      (s, d) => prototypeClassify(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |pd AS (
+             |  SELECT label, i AS idx, round(avg(v[i]), 6) AS m
+             |  FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+             |  WHERE label IS NOT NULL
+             |  GROUP BY label, i),
+             |pr AS (SELECT label AS proto_label, list(m ORDER BY idx) AS p
+             |       FROM pd GROUP BY label),
+             |pn AS (SELECT proto_label, p, sqrt(list_dot_product(p, p)) AS pnrm
+             |       FROM pr WHERE list_dot_product(p, p) > 0),
+             |sc AS (
+             |  SELECT e.vec_id, pn.proto_label,
+             |         list_dot_product(e.v, pn.p)
+             |           / (sqrt(list_dot_product(e.v, e.v)) * pn.pnrm) AS sim
+             |  FROM e, pn WHERE list_dot_product(e.v, e.v) > 0)
+             |SELECT vec_id, proto_label AS predicted_label, round(sim, 4) AS sim
+             |FROM (SELECT vec_id, proto_label, sim,
+             |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, proto_label) AS rn
+             |      FROM sc)
+             |WHERE rn = 1""".stripMargin)),
 
     // d60: asymmetric n-gram containment — the near-superset detector
     // next to d19's symmetric Jaccard, over the SAME memoized word-4-gram
