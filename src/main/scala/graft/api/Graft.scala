@@ -164,6 +164,13 @@ object Graft {
     * unchanged. */
   def dequantize(quantized: DataFrame): DataFrame = Quantize.dequantize(quantized)
 
+  /** Johnson–Lindenstrauss ±1 random projection to `outDim` dimensions
+    * (deterministic md5-derived signs — reproducible across runs and
+    * engines). Out: (vec_id, embedding ARRAY<DOUBLE>) — drops into
+    * [[cosineTopK]]/[[annTopK]]/IVF unchanged. Narrow, streaming-safe. */
+  def randomProject(vecs: DataFrame, outDim: Int = 16): DataFrame =
+    Quantize.randomProject(vecs, outDim)
+
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the
     * signature width from a corpus count so bucket occupancy (and with it
@@ -281,6 +288,18 @@ object Graft {
 
   /** Corpus composition by language x source. Reads: lang, source, n_chars. */
   def composition(docs: DataFrame): DataFrame = TextOps.composition(docs)
+
+  /** Pairwise source-vocabulary Jaccard overlap — the duplicate-source
+    * diagnostic read before mixture weighting. Shuffles at vocabulary
+    * width, never corpus width. Reads: source, text. */
+  def sourceOverlap(docs: DataFrame, dim: String = "source"): DataFrame =
+    TextOps.sourceOverlap(docs, dim)
+
+  /** Deterministic train/validation/test assignment from the md5 coin
+    * of the doc id — stable under corpus growth and re-runs (a doc
+    * never migrates splits). Narrow, streaming-safe. Reads: doc_id. */
+  def hashSplit(docs: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame =
+    Curation.hashSplit(docs, valPct, testPct)
 
   /** Heuristic language identification (stopword profiles + CJK override).
     * Reads: doc_id, text, lang (pass lit(null) lang for unlabeled data). */
@@ -596,6 +615,19 @@ object Graft {
     * alongside. Narrow codegen'd regexp chain — streaming-safe.
     * Reads: doc_id, text. */
   def piiScrub(docs: DataFrame): DataFrame = Curation.piiScrub(docs)
+
+  /** Gopher-style heuristic keep/drop gate (Rae et al. 2021 §A1.1):
+    * word-count bounds, mean-word-length bounds, stop-word evidence,
+    * alphabetic-word fraction, symbol density — every signal returned
+    * alongside the boolean verdict. Narrow codegen'd projection —
+    * streaming-safe. Reads: doc_id, text. */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Long = 2, minAlphaRatio: Double = 0.8,
+      maxSymbolRatio: Double = 0.1): DataFrame =
+    Curation.gopherRules(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      minStopHits, minAlphaRatio, maxSymbolRatio)
 
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order (shard_id = tokens-before div budget) — distributed prefix

@@ -1171,6 +1171,76 @@ object Curation {
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
         .cast(LongType).as("n_phones"))
 
+  /** Gopher-style rule-based document filter (d67) — the heuristic
+    * keep/drop gate of Rae et al. 2021 (§A1.1), the stage a web-scale
+    * pipeline runs BEFORE any model-based scoring: per-document word
+    * count bounds, mean word length bounds, minimum stop-word evidence,
+    * minimum alphabetic-word fraction, and maximum symbol (#/ellipsis)
+    * density. Out: (doc_id, n_words, mean_word_len, stop_hits,
+    * alpha_ratio, symbol_ratio, keep) — every signal is kept alongside
+    * the verdict so downstream audits can see WHICH rule fired without
+    * re-scanning text.
+    *
+    * Scale: one narrow codegen'd projection — no UDF, no shuffle,
+    * streaming-safe; like d27 the scan cost is the whole cost. Ratios
+    * are single IEEE divisions of exact integer counts (d04's
+    * convention), so the DuckDB oracle hash-matches without rounding. */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Long = 2, minAlphaRatio: Double = 0.8,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val nW = size(toks).cast(LongType)
+    val meanLen =
+      length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nW
+    val stopSet = typedLit(Seq("the", "a", "of", "and", "to", "in"))
+    val stopHits =
+      size(filter(toks, w => array_contains(stopSet, w))).cast(LongType)
+    val alphaRatio =
+      size(filter(toks, w => w.rlike("[a-z]"))).cast(DoubleType) / nW
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+        .cast(LongType)
+    val symbolRatio = (nHash + nEllipsis).cast(DoubleType) / nW
+    docs
+      .select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+        stopHits.as("stop_hits"), alphaRatio.as("alpha_ratio"),
+        symbolRatio.as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("stop_hits") >= minStopHits &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("symbol_ratio") <= maxSymbolRatio)
+  }
+
+  /** Deterministic train/validation/test split (d69) — the assignment a
+    * training pipeline must make exactly once and never revisit: bucket
+    * 0..99 from the md5 coin of the doc id (the d21/d29 convention), the
+    * first `testPct` buckets are test, the next `valPct` validation, the
+    * rest train. Hash-based (not row_number-based) assignment is the
+    * scale-correct form: membership is a pure function of the id, so it
+    * is stable under corpus growth, reshuffling, and re-runs — a doc
+    * never migrates between splits when new data arrives (the property
+    * that keeps eval sets uncontaminated across pipeline versions). Out:
+    * (doc_id, bucket, split).
+    *
+    * Scale: one narrow codegen'd projection — no shuffle, streaming-safe. */
+  def hashSplit(docs: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "need 0 <= valPct + testPct <= 100")
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).as("bucket")
+    docs.select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "validation")
+          .otherwise("train"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** Query names whose plans read a [[mixWeights]] cached cells frame:
@@ -1718,6 +1788,49 @@ object Curation {
              |SELECT doc_id, lang, source, CAST(u.i AS BIGINT) AS copy_idx
              |FROM a, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS i) u
              |WHERE n_copies > 0""".stripMargin)),
+
+    Q("d67_gopher_rules",
+      (s, d) => gopherRules(documents(s, d)),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+             |    length(text) - length(replace(text, '#', '')) AS n_hash,
+             |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+             |         AS BIGINT) AS n_ell,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+             |      AS n_nonspace
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(n_nonspace AS DOUBLE) / len(ws) AS mean_word_len,
+             |    CAST(len(list_filter(ws,
+             |        w -> w IN ('the','a','of','and','to','in'))) AS BIGINT)
+             |      AS stop_hits,
+             |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+             |         AS DOUBLE) / len(ws) AS alpha_ratio,
+             |    CAST(n_hash + n_ell AS DOUBLE) / len(ws) AS symbol_ratio
+             |  FROM f)
+             |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
+             |  symbol_ratio,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND stop_hits >= 2 AND alpha_ratio >= 0.8
+             |   AND symbol_ratio <= 0.1) AS keep
+             |FROM g""".stripMargin)),
+
+    Q("d69_hash_split",
+      (s, d) => hashSplit(documents(s, d)),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 100 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 10 THEN 'test'
+             |       WHEN bucket < 20 THEN 'validation'
+             |       ELSE 'train' END AS split
+             |FROM b""".stripMargin)),
 
     Q("d27_pii_scrub",
       (s, d) => piiScrub(documents(s, d)),

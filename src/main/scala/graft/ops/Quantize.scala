@@ -51,6 +51,45 @@ object Quantize {
       expr("transform(codes, c -> lo + (cast(c AS DOUBLE) * (hi - lo)) / 255.0)")
         .as("embedding"))
 
+  /** Johnson–Lindenstrauss sign random projection (d70) — reduce
+    * `embedding` to `outDim` dimensions with a deterministic ±1 matrix
+    * (Achlioptas 2003's database-friendly projection, signs drawn from
+    * md5 of the (row, column) pair instead of a seeded RNG so the
+    * matrix is reproducible across runs AND engines — the d21/d29 coin
+    * convention): y_j = Σ_i sign(i,j)·x_i / √outDim, each component
+    * rounded at 4 decimals (the per-component sum is the one
+    * order-sensitive float op, the d44 convention). Out: (vec_id,
+    * embedding ARRAY<DOUBLE>) — named `embedding` so the projected
+    * frame drops into the whole neighbor family unchanged (d71 gates
+    * exactly that composition).
+    *
+    * Scale: a narrow per-row chain of codegen'd collection expressions
+    * — no UDF, no shuffle, no broadcast matrix, streaming-safe; at
+    * 100 TB the projection IS the scan. The 4x-64x width reduction it
+    * buys turns every downstream shuffle/index of the neighbor family
+    * into one over short vectors. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, "need outDim >= 1")
+    val v = expr("transform(embedding, x -> cast(x AS double))")
+    val ys = (0 until outDim).map { j =>
+      val signed = transform(v, (x, i) =>
+        x * when(conv(substring(md5(concat(i.cast("string"), lit("_" + j))),
+            1, 8), 16, 10).cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+      round(aggregate(signed, lit(0.0), (acc, e) => acc + e)
+        / sqrt(lit(outDim.toDouble)), 4)
+    }
+    vectors.select(col("vec_id"), array(ys: _*).as("embedding"))
+  }
+
+  /** [[randomProject]] in long form — (vec_id, j, y), one row per
+    * projected component — the driver/oracle binding (the typed compare
+    * has no canonical cross-engine arrow list type, the d40 note). */
+  def randomProjectLong(vectors: DataFrame, outDim: Int = 16): DataFrame =
+    randomProject(vectors, outDim)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("y"))
+
   def queries: Seq[Q] = Seq(
 
     // d40: the quantization arithmetic itself, hash-gated — codes are
@@ -91,6 +130,51 @@ object Quantize {
              |  SELECT vec_id,
              |         list_transform(codes, c -> lo + (CAST(c AS DOUBLE) * (hi - lo)) / 255.0) AS v
              |  FROM qz),
+             |sim AS (
+             |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.v, c.v)
+             |           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+             |  FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+             |SELECT vec_id, rank, neighbor_id FROM (
+             |  SELECT vec_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sim)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // d70: the projection arithmetic itself, hash-gated in long form
+    // (one row per projected component; see the d40 arrow-list note).
+    Q("d70_random_project",
+      (s, d) => randomProjectLong(Tables.embeddings(s, d)),
+      Some("""WITH x AS (
+             |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+             |  FROM embeddings, UNNEST(range(len(embedding))) AS t(i))
+             |SELECT vec_id, j,
+             |       round(sum(v * CASE WHEN CAST('0x' || substr(md5(i || '_' || j), 1, 8)
+             |                               AS BIGINT) % 2 = 0
+             |                     THEN 1.0 ELSE -1.0 END)
+             |             / sqrt(16.0), 4) AS y
+             |FROM x, UNNEST(range(16)) AS tj(j)
+             |GROUP BY vec_id, j""".stripMargin)),
+
+    // d71: exact cosine top-3 over the PROJECTED vectors — the whole
+    // reduced-width retrieval path hash-adjudicated end-to-end (the
+    // d41 pattern applied to dimensionality reduction; both engines
+    // replay the deterministic projection, so ranks compare exactly,
+    // including the extra sim ties a 16-wide space introduces).
+    Q("d71_topk_projected",
+      (s, d) => Similarity.cosineTopK(randomProject(Tables.embeddings(s, d))),
+      Some("""WITH x AS (
+             |  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+             |  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+             |p AS (
+             |  SELECT vec_id, j,
+             |       round(sum(v * CASE WHEN CAST('0x' || substr(md5(i || '_' || j), 1, 8)
+             |                               AS BIGINT) % 2 = 0
+             |                     THEN 1.0 ELSE -1.0 END)
+             |             / sqrt(16.0), 4) AS y
+             |  FROM x, UNNEST(range(16)) AS tj(j)
+             |  GROUP BY vec_id, j),
+             |e AS (SELECT vec_id, list(y ORDER BY j) AS v FROM p GROUP BY vec_id),
              |sim AS (
              |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
              |         list_dot_product(q.v, c.v)

@@ -96,6 +96,38 @@ object TextOps {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** Pairwise source-vocabulary overlap (d68) — the diagnostic a
+    * mixture designer reads before weighting sources: for every source
+    * pair, the exact Jaccard similarity of their word vocabularies
+    * (plus both vocabulary sizes and the intersection count). A pair of
+    * crawls with jaccard near 1 is the same content under two names —
+    * weight one, not both. In: (source, text). Out: (source_a, source_b,
+    * vocab_a, vocab_b, n_common, jaccard), source_a < source_b.
+    *
+    * Scale: everything shuffles at VOCABULARY width, never corpus width
+    * — the distinct (source, word) set is the only large intermediate,
+    * and the word-keyed self-join fans out at most #sources² rows per
+    * word (sources are dozens, not millions). The tiny per-source size
+    * frame broadcasts into the final join. */
+  def sourceOverlap(docs: DataFrame, dim: String = "source"): DataFrame = {
+    val vocab = docs
+      .select(col(dim).as("g"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .distinct()
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    vocab.as("a")
+      .join(vocab.withColumnRenamed("g", "g2").as("b"), "word")
+      .where(col("g") < col("g2"))
+      .groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("n", "vocab_a")), Seq("g"))
+      .join(broadcast(sizes.toDF("g2", "vocab_b")), Seq("g2"))
+      .select(col("g").as("source_a"), col("g2").as("source_b"),
+        col("vocab_a"), col("vocab_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("vocab_a") + col("vocab_b") - col("n_common"))).as("jaccard"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -129,6 +161,23 @@ object TextOps {
              |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
              |  / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
              |FROM documents""".stripMargin)),
+
+    Q("d68_source_overlap",
+      (s, d) => sourceOverlap(documents(s, d)),
+      Some("""WITH v AS (
+             |  SELECT DISTINCT g, word FROM (
+             |    SELECT source AS g,
+             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+             |    FROM documents)),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+             |i AS (
+             |  SELECT a.g AS g, b.g AS g2, CAST(count(*) AS BIGINT) AS n_common
+             |  FROM v a JOIN v b USING (word)
+             |  WHERE a.g < b.g GROUP BY 1, 2)
+             |SELECT i.g AS source_a, i.g2 AS source_b,
+             |  sa.n AS vocab_a, sb.n AS vocab_b, n_common,
+             |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+             |FROM i JOIN s sa ON sa.g = i.g JOIN s sb ON sb.g = i.g2""".stripMargin)),
 
     Q("d05_lang_source",
       (s, d) => composition(documents(s, d)),

@@ -662,6 +662,79 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("gopherRules: each rule fires on its planted violator") {
+    val longDoc = (Seq("the", "a") ++ Seq.fill(60)("word")).mkString(" ")
+    val out = Curation.gopherRules(docs(
+        1L -> longDoc,                                     // passes all rules
+        2L -> "the a short doc only",                      // < minWords
+        3L -> (Seq("the", "a") ++ Seq.fill(60)("xy")).mkString(" "),  // mean len < 3
+        4L -> Seq.fill(60)("word").mkString(" "),          // no stop words
+        5L -> (Seq("the", "a") ++ Seq.fill(30)("word") ++
+          Seq.fill(30)("123")).mkString(" "),              // alpha ratio < 0.8
+        6L -> (Seq("the", "a") ++ Seq.fill(50)("word") ++
+          Seq.fill(10)("###")).mkString(" ")),             // symbol ratio > 0.1
+        minWords = 50)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false))
+  }
+
+  test("gopherRules: signal arithmetic on a hand-computed doc") {
+    // 4 words, 17 non-space chars, 1 stop hit, 3 alphabetic words,
+    // one '#' and one '...' -> 2 symbols
+    val out = Curation.gopherRules(docs(1L -> "the word# x... 12345"))
+      .collect().head
+    assert(out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 17.0 / 4)   // incl. '#', '.' and digits
+    assert(out.getLong(3) == 1L)
+    assert(out.getDouble(4) == 3.0 / 4)
+    assert(out.getDouble(5) == 2.0 / 4)
+  }
+
+  test("gopherRules is a narrow streaming-safe projection (no shuffle in the plan)") {
+    val plan = Curation.gopherRules(docs(1L -> "x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hashSplit: buckets match a sequential md5 reference; proportions are sane") {
+    import spark.implicits._
+    val ids = (1L to 500L)
+    val out = Curation.hashSplit(ids.map(i => (i, "x")).toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    def refBucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    ids.foreach { id =>
+      val (bucket, split) = out(id)
+      assert(bucket == refBucket(id))
+      val expected =
+        if (bucket < 10) "test" else if (bucket < 20) "validation" else "train"
+      assert(split == expected)
+    }
+    val counts = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("test") > 20 && counts("validation") > 20)
+  }
+
+  test("hashSplit: membership is stable under corpus growth (no migration)") {
+    import spark.implicits._
+    val small = Curation.hashSplit((1L to 100L).map(i => (i, "x")).toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect().toSet
+    val large = Curation.hashSplit((1L to 1000L).map(i => (i, "x")).toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect().filter(_._1 <= 100L).toSet
+    assert(small == large)
+  }
+
+  test("hashSplit is a narrow streaming-safe projection (no shuffle in the plan)") {
+    val plan = Curation.hashSplit(docs(1L -> "x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("packShards: equals the naive global-window formulation") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

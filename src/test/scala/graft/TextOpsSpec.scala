@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.TextOps
+
+/** TextOps corpus diagnostics beyond the oracle-gated d01–d05 surface:
+  * pairwise source-vocabulary overlap (d68).
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("textops-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((src, text), i) => (i.toLong, src, text) }
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("sourceOverlap: hand-computed Jaccard; pairs are ordered; disjoint pairs absent") {
+    val out = TextOps.sourceOverlap(docs(
+        "B" -> "b c d",          // declared out of order: output must sort
+        "A" -> "a b c",
+        "A" -> "a a b",          // duplicate words collapse into the vocab set
+        "C" -> "zz"))            // shares nothing with A or B
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // A vocab {a,b,c}, B vocab {b,c,d}: common {b,c} -> jaccard 2/4
+    assert(out == Map(("A", "B") -> ((3L, 3L, 2L, 0.5))))
+  }
+
+  test("sourceOverlap: identical sources have jaccard 1") {
+    val out = TextOps.sourceOverlap(docs(
+        "A" -> "x y z", "B" -> "z y x")).collect().head
+    assert(out.getDouble(5) == 1.0)
+  }
+}
