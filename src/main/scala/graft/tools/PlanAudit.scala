@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   *     CartesianProduct 0, and ZERO (doc_id, token) exchanges — the
   *     in-row multiplicity UDF keeps the scoring-side tokenization
   *     narrow (CurationSpec asserts docTokens exchange-free).
+  *   - d68 sourceOverlap (sf0.01, round 10): CartesianProduct/BNLJ 0;
+  *     BroadcastHashJoin 3 (the two tiny size-frame joins, plus AQE
+  *     electing broadcast for the word self-join at this vocab size —
+  *     at corpus scale that one degrades gracefully to SMJ).
+  *   - d71 projected top-k (sf0.01, round 10): CartesianProduct 0,
+  *     BroadcastNestedLoop 1 — exactly d07's declared pair-source
+  *     shape; the projection adds no exchange of its own.
   *
   *   sbt "runMain graft.tools.PlanAudit"
   */
@@ -141,6 +148,27 @@ object PlanAudit {
       (countNode(p63, "CartesianProduct") + countNode(p63, "BroadcastNestedLoop")))
     println("=== d63 doc_id shuffle exchanges: " +
       countNode(p63, "Exchange hashpartitioning(doc_id"))
+
+    // d68: both joins on the tiny per-source size frame must broadcast;
+    // the word-keyed self-join is an equi-join (SMJ/shuffled-hash),
+    // never a nested loop.
+    val p68 = graft.ops.TextOps.sourceOverlap(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d68 BroadcastHashJoin (size frames): " +
+      countNode(p68, "BroadcastHashJoin"))
+    println("=== d68 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p68, "CartesianProduct") + countNode(p68, "BroadcastNestedLoop")))
+
+    // d71: projection feeding the exact top-k — the projection itself
+    // adds no exchange beyond d07's own shape (broadcast NLJ pair
+    // source + bounded top-k agg).
+    val p71 = graft.ops.Similarity
+      .cosineTopK(graft.ops.Quantize.randomProject(vecs))
+      .queryExecution.executedPlan.toString
+    println("=== d71 CartesianProduct (want 0): " +
+      countNode(p71, "CartesianProduct"))
+    println("=== d71 BroadcastNestedLoop (pair source): " +
+      countNode(p71, "BroadcastNestedLoop"))
     spark.stop()
   }
 }
