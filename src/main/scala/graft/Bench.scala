@@ -64,6 +64,7 @@ object Bench {
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
         graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
+        graft.ops.Pq.queries ++
         graft.api.PipelineQueries.queries
 
     def loadavg(): Double =

@@ -16,6 +16,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ Functions.queries ++
       Similarity.queries ++ graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
+      graft.ops.Pq.queries ++
       graft.api.PipelineQueries.queries ++
       graft.etl.EtlQueries.queries
 

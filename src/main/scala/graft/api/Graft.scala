@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, LmIndex, Quantize, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, LmIndex, Pq, Quantize, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -170,6 +170,34 @@ object Graft {
     * [[cosineTopK]]/[[annTopK]]/IVF unchanged. Narrow, streaming-safe. */
   def randomProject(vecs: DataFrame, outDim: Int = 16): DataFrame =
     Quantize.randomProject(vecs, outDim)
+
+  /** Train a product-quantization codebook (m subspaces × k centroids,
+    * Lloyd) over (vec_id, embedding) — the faiss-IndexPQ storage path:
+    * m·log2(k) bits per vector vs dim·4 bytes. See [[graft.ops.Pq]]. */
+  def pqTrain(spark: SparkSession, vecs: DataFrame, m: Int, k: Int = 256,
+      iters: Int = 3): Pq.PqCodebook = Pq.train(spark, vecs, m, k, iters)
+
+  /** Exact-mode PQ codebook: every distinct subvector its own centroid —
+    * lossless encoding (the d72/d73 gate geometry; budget-checked). */
+  def pqTrainExact(spark: SparkSession, vecs: DataFrame, m: Int): Pq.PqCodebook =
+    Pq.trainExact(spark, vecs, m)
+
+  /** Encode (vec_id, embedding) to (vec_id, codes ARRAY<INT>) against a
+    * frozen codebook — narrow broadcast map, streaming-safe. */
+  def pqEncode(spark: SparkSession, vecs: DataFrame, cb: Pq.PqCodebook): DataFrame =
+    Pq.encode(spark, vecs, cb)
+
+  /** Reconstruct (vec_id, embedding ARRAY<DOUBLE>) from PQ codes; the
+    * decoded frame drops into [[cosineTopK]]/[[annTopK]]/IVF unchanged. */
+  def pqDecode(encoded: DataFrame, cb: Pq.PqCodebook): DataFrame =
+    Pq.decode(encoded, cb)
+
+  /** ADC cosine top-k: full-precision queries against PQ codes — each
+    * query builds one m×k lookup table, each candidate costs m lookups.
+    * Out: (vec_id, rank, neighbor_id), [[cosineTopK]]'s schema/order. */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, cb: Pq.PqCodebook,
+      k: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Pq.topKAdc(queries, encoded, cb, k, maxBroadcastBytes)
 
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the

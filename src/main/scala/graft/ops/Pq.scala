@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the trained-codebook compression that
+  * turns a 100 TB float32 embedding corpus into a ~3 TB code corpus:
+  * each vector splits into `m` contiguous subvectors, each subvector is
+  * replaced by the id of its nearest centroid in a per-subspace
+  * codebook of `k` entries, so a vector stores as m·log2(k) bits
+  * (m=16, k=256: 16 bytes) instead of dim·4. Where [[Quantize]]'s
+  * affine int8 scheme is training-free and 4x, this is the
+  * faiss-`IndexPQ` path: 16-64x, at the cost of a small Lloyd
+  * training pass.
+  *
+  * Retrieval is ADC — asymmetric distance computation: the QUERY stays
+  * full-precision, each query builds one m×k lookup table of
+  * subspace dot products, and every candidate scores as m table
+  * lookups instead of dim multiplications. [[topKAdc]] expresses the
+  * whole kernel in codegen'd collection expressions (the LUT is a
+  * per-query array column; scoring is an m-step `aggregate` over it),
+  * so the pair stream never leaves whole-stage codegen and the
+  * codebook rides the plan as one literal — no UDF, no driver loop.
+  *
+  * Correctness is driver-adjudicated through the family's exact-mode
+  * convention (the d33/d35/d61 pattern: gate the degenerate geometry
+  * where the approximate structure is provably exact, in the SAME code
+  * path production runs): [[trainExact]] builds the codebook from the
+  * DISTINCT subvectors themselves, making encoding lossless, so
+  *   - d72 hash-gates the codes: nearest-centroid assignment against
+  *     the sorted-distinct codebook must reproduce DuckDB's
+  *     `dense_rank() OVER (PARTITION BY subspace ORDER BY subvector)`;
+  *   - d73 hash-gates ADC retrieval end-to-end: with lossless codes,
+  *     the LUT sum IS the subspace-decomposed dot product, and the
+  *     oracle replays the identical arithmetic (per-subspace
+  *     `list_dot_product`s folded in subspace order — float addition
+  *     is not associative, so the oracle mirrors the engine's
+  *     summation ORDER, not just its value).
+  * The lossy path (real `k`) is covered by `PqSpec`: planted-cluster
+  * recall, reconstruction error bounds, determinism, and
+  * ADC == decode-then-score equality.
+  *
+  * Scale: training is the [[IvfIndex]] Lloyd shape — every iteration is
+  * ONE narrow pass folding each partition into m×k (sum, count)
+  * accumulators; only those tiny rows are ever collected (m·k·subDim
+  * doubles ≈ the codebook itself, budget-checked). Encoding and
+  * decoding are narrow broadcast maps, streaming-safe. [[topKAdc]]
+  * broadcasts the CODE table (m+a few bytes per candidate — the whole
+  * point of PQ is that this side is tiny); above the broadcast budget
+  * it switches to the fragment-replicate blocked join
+  * ([[Similarity.selfCosineJoin]]'s trade), and at corpus scale the
+  * candidate side arrives pre-pruned (IVF cells / LSH buckets — the
+  * faiss IVFPQ composition, same seam as [[Similarity]]'s
+  * `*From` operators). */
+object Pq {
+
+  /** Per-subspace codebooks: `centroids(s)(c)` is the `subDim`-wide
+    * centroid for code `c` of subspace `s`. Subspace code counts may
+    * differ (exact mode derives them from the data). */
+  final case class PqCodebook(subDim: Int, centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def dim: Int = m * subDim
+    def kmax: Int = centroids.map(_.length).max
+
+    /** Nearest-centroid code per subspace (squared L2, ties to the
+      * smallest code — the order DuckDB's dense_rank gives the sorted
+      * exact codebook). */
+    private[ops] def encodeOne(v: Array[Double]): Array[Int] = {
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cents = centroids(s)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = v(s * subDim + i) - cent(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best; s += 1
+      }
+      out
+    }
+
+    /** Squared norm of centroid `c` of subspace `s`, summed in index
+      * order (matches `vec_dot`'s sequential fold bit-for-bit). */
+    private[ops] def centSq(s: Int, c: Int): Double = {
+      val cent = centroids(s)(c)
+      var acc = 0.0; var i = 0
+      while (i < cent.length) { acc += cent(i) * cent(i); i += 1 }
+      acc
+    }
+  }
+
+  /** Same driver-heap ceiling class as [[IvfIndex]]: the codebook (and
+    * in exact mode, the distinct-subvector set) is the only thing ever
+    * collected. */
+  private[graft] val CodebookBudgetBytes: Long = 256L << 20
+
+  private def castDouble(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+
+  private def dimOf(e: DataFrame): Int = {
+    val row = e.select(size(col("v"))).take(1)
+    require(row.nonEmpty && !row(0).isNullAt(0), "need at least one vector")
+    row(0).getInt(0)
+  }
+
+  /** Lexicographic double-array order — DuckDB's list comparison on
+    * equal-length finite lists (the data contract: embeddings are
+    * finite; ±0.0 would compare equal there but ordered here). */
+  private def lexLt(a: Array[Double], b: Array[Double]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = java.lang.Double.compare(a(i), b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** EXACT-mode codebook: every distinct subvector, sorted, is its own
+    * centroid — encoding is lossless and code assignment reproduces
+    * `dense_rank` over the sorted distinct set, which is what lets d72/
+    * d73 hash-gate the production code path. Driver-side cost is the
+    * distinct subvector set (budget-checked); real corpora use
+    * [[train]]. */
+  def trainExact(spark: SparkSession, vectors: DataFrame, m: Int): PqCodebook = {
+    import spark.implicits._
+    require(m >= 1, "need m >= 1 subspaces")
+    val e = castDouble(vectors)
+    val dim = dimOf(e)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    val subs = e
+      .select(explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(v, s * $w + 1, $w) AS sub))"))
+        .as("x"))
+      .select(col("x.s"), col("x.sub")).distinct()
+      .as[(Int, Array[Double])].collect()
+    require(subs.length.toLong * (w * 8 + 16) <= CodebookBudgetBytes,
+      s"${subs.length} distinct subvectors of width $w exceed the " +
+        s"${CodebookBudgetBytes >> 20} MB codebook budget; use train() with a fixed k")
+    val cents = Array.tabulate(m) { s =>
+      subs.iterator.filter(_._1 == s).map(_._2).toArray.sortWith(lexLt)
+    }
+    PqCodebook(w, cents)
+  }
+
+  /** Lloyd-trained codebook, all `m` subspaces in the same pass: each
+    * iteration folds every partition into m×k local (sum, count)
+    * accumulators and collects at most m×k tiny rows per partition,
+    * driver-folded in partition order (deterministic under a fixed
+    * partitioning — the [[IvfIndex.build]] shape; the vector set itself
+    * never shuffles). Init is the first `k` vectors' subvectors in
+    * vec_id order; a cell that captures no vectors keeps its previous
+    * centroid (standard Lloyd). */
+  def train(spark: SparkSession, vectors: DataFrame, m: Int, k: Int = 256,
+      iters: Int = 3): PqCodebook = {
+    import spark.implicits._
+    require(m >= 1 && k >= 1 && iters >= 0, "need m >= 1, k >= 1, iters >= 0")
+    val e = castDouble(vectors).as[(Long, Array[Double])]
+    val dim = dimOf(castDouble(vectors))
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    require(m.toLong * k * (w * 8 + 16) <= CodebookBudgetBytes,
+      s"m=$m x k=$k centroids of width $w exceed the " +
+        s"${CodebookBudgetBytes >> 20} MB codebook budget")
+    val first = e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    require(first.nonEmpty, "need at least one vector to train")
+    val kk = math.min(k, first.length) // corpus smaller than k: one cell per vector
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => first.map(v => java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w)))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(PqCodebook(w, cents))
+      val parts = e.mapPartitions { it =>
+        val cb = bc.value
+        val sums = Array.ofDim[Array[Double]](cb.m, cb.kmax)
+        val counts = Array.ofDim[Long](cb.m, cb.kmax)
+        it.foreach { case (_, v) =>
+          val codes = cb.encodeOne(v)
+          var s = 0
+          while (s < cb.m) {
+            val c = codes(s)
+            if (sums(s)(c) == null) sums(s)(c) = new Array[Double](cb.subDim)
+            var i = 0
+            while (i < cb.subDim) { sums(s)(c)(i) += v(s * cb.subDim + i); i += 1 }
+            counts(s)(c) += 1
+            s += 1
+          }
+        }
+        for {
+          s <- (0 until cb.m).iterator; c <- 0 until cb.kmax
+          if counts(s)(c) > 0
+        } yield (s, c, sums(s)(c), counts(s)(c))
+      }.collect() // <= m*k rows per partition, driver-folded in partition order
+      val acc = Array.ofDim[Array[Double]](m, kk)
+      val n = Array.ofDim[Long](m, kk)
+      parts.foreach { case (s, c, sum, cnt) =>
+        if (acc(s)(c) == null) acc(s)(c) = new Array[Double](w)
+        var i = 0
+        while (i < w) { acc(s)(c)(i) += sum(i); i += 1 }
+        n(s)(c) += cnt
+      }
+      cents = Array.tabulate(m) { s =>
+        Array.tabulate(kk) { c =>
+          if (n(s)(c) > 0) acc(s)(c).map(_ / n(s)(c)) else cents(s)(c)
+        }
+      }
+    }
+    PqCodebook(w, cents)
+  }
+
+  /** Encode (vec_id, embedding) to (vec_id, codes ARRAY<INT>) — a
+    * narrow broadcast map (streaming-safe; the index-maintenance path:
+    * arriving vectors encode against the frozen codebook, which only
+    * moves under a retrain). */
+  def encode(spark: SparkSession, vectors: DataFrame, cb: PqCodebook): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    castDouble(vectors).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        require(v.length == bc.value.dim,
+          s"vector width ${v.length} != codebook dim ${bc.value.dim}")
+        (id, bc.value.encodeOne(v))
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** Flattened (s, c) -> centroid literal, zero-vector padded where a
+    * subspace has fewer codes than kmax (padding is never addressed by
+    * a valid code). */
+  private def centroidLit(cb: PqCodebook): Column = {
+    val flat: Seq[Seq[Double]] = for {
+      s <- 0 until cb.m; c <- 0 until cb.kmax
+    } yield if (c < cb.centroids(s).length) cb.centroids(s)(c).toSeq
+      else Seq.fill(cb.subDim)(0.0)
+    typedLit(flat)
+  }
+
+  /** Reconstruct (vec_id, embedding ARRAY<DOUBLE>) from codes — named
+    * `embedding` so the decoded frame drops into the whole neighbor
+    * family unchanged (the [[Quantize.dequantize]] convention). Pure
+    * codegen: the codebook rides the plan as one literal, the rebuild
+    * is m array lookups + a flatten. */
+  def decode(encoded: DataFrame, cb: PqCodebook): DataFrame = {
+    val cl = centroidLit(cb)
+    val kmax = cb.kmax
+    encoded.select(col("vec_id"),
+      flatten(transform(sequence(lit(0), lit(cb.m - 1)),
+        s => element_at(cl, s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1))))
+        .as("embedding"))
+  }
+
+  /** ADC cosine top-k: full-precision `queries` against PQ-`encoded`
+    * candidates. Out: (vec_id, rank, neighbor_id), rank 1..k by
+    * (sim DESC, neighbor_id ASC) — the family's total order
+    * ([[Similarity.cosineTopK]]'s schema, so PQ drops into d28-style
+    * vote stages unchanged).
+    *
+    * Arithmetic contract (what d73 gates): sim is the subspace-
+    * decomposed cosine — numerator Σ_s LUT(s)(code_s) and both norms
+    * folded in subspace order, each subspace dot sequential — so in
+    * exact mode the result is bit-identical to an oracle replaying the
+    * same decomposition. The LUT (m·kmax doubles) materializes once per
+    * query row; every candidate then costs m lookups — the ADC trade.
+    *
+    * Candidates broadcast while the CODE table fits `maxBroadcastBytes`
+    * (m ints + id per row — PQ's entire purpose is making this side
+    * small); beyond it the same pair stream flows through the blocked
+    * fragment-replicate join (hash candidates into blocks, replicate
+    * queries per block — [[Similarity.selfCosineJoin]]'s trade). At
+    * corpus scale feed a pruned `encoded` (IVF cell / LSH bucket
+    * members — the faiss IVFPQ composition). */
+  def topKAdc(queries: DataFrame, encoded: DataFrame, cb: PqCodebook, k: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
+    val m = cb.m; val w = cb.subDim; val kmax = cb.kmax
+    val cl = centroidLit(cb)
+    val csqLit = typedLit(for { s <- 0 until m; c <- 0 until kmax }
+      yield if (c < cb.centroids(s).length) cb.centSq(s, c) else 0.0)
+
+    val subDot: (Column, Column) => Column = (v, s) =>
+      call_function("vec_dot", slice(v, s * lit(w) + lit(1), lit(w)),
+        slice(v, s * lit(w) + lit(1), lit(w)))
+    val q = castDouble(queries).select(col("vec_id"),
+      flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(sequence(lit(0), lit(kmax - 1)), c =>
+          call_function("vec_dot",
+            slice(col("v"), s * lit(w) + lit(1), lit(w)),
+            element_at(cl, s * lit(kmax) + c + lit(1)))))).as("lut"),
+      sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + subDot(col("v"), s))).as("qn"))
+
+    val cand = encoded.select(col("vec_id").as("cid"), col("codes"))
+      .withColumn("cn", sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(csqLit,
+          s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))))
+      .select(col("cid"), col("codes"), col("cn"))
+
+    val blocks = {
+      val n = encoded.count()
+      val est = n * (m.toLong * 4 + 32)
+      math.max(1L, (est + maxBroadcastBytes - 1) / maxBroadcastBytes)
+        .min(Int.MaxValue.toLong).toInt
+    }
+    val pairs0 =
+      if (blocks <= 1) q.join(broadcast(cand), col("vec_id") =!= col("cid"))
+      else {
+        val c = cand.withColumn("blk", pmod(hash(col("cid")), lit(blocks)))
+        val qb = q.withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})")))
+        qb.join(c, qb("blk") === c("blk") && col("vec_id") =!= col("cid"))
+      }
+    val pairs = pairs0.select(col("vec_id"), col("cid").as("neighbor_id"),
+      (aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))
+        / (col("qn") * col("cn"))).as("sim"))
+    Similarity.topKRanks(pairs, k)
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // d72: the code assignment itself, hash-gated in exact mode — the
+    // production argmin-over-centroids kernel must reproduce dense_rank
+    // over the sorted distinct subvector set (codes join to a string,
+    // the d40 arrow-list note). m=8 over the 64-wide embeddings.
+    Q("d72_pq_codes_exact",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+        encode(s, vecs, trainExact(s, vecs, m = 8))
+          .select(col("vec_id"), array_join(col("codes"), ",").as("codes"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+             |      FROM e, UNNEST(range(8)) AS t(s)),
+             |c AS (SELECT vec_id, s,
+             |             dense_rank() OVER (PARTITION BY s ORDER BY sub) - 1 AS code
+             |      FROM s)
+             |SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes
+             |FROM c GROUP BY vec_id""".stripMargin)),
+
+    // d73: ADC retrieval end-to-end in exact mode — train -> encode ->
+    // LUT -> m-lookup scoring -> top-k, hash-gated by an oracle that
+    // replays the subspace-decomposed arithmetic in the engine's
+    // summation order (lossless codes make LUT sums exact dots).
+    Q("d73_pq_topk_exact",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+        val cb = trainExact(s, vecs, m = 8)
+        topKAdc(vecs, encode(s, vecs, cb), cb)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        sqrt(list_reduce(list_transform(range(8),
+             |               s -> list_dot_product(v[(s*8+1):(s*8+8)], v[(s*8+1):(s*8+8)])),
+             |             (x, y) -> x + y)) AS nrm
+             |      FROM e),
+             |sim AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             |          list_reduce(list_transform(range(8),
+             |              s -> list_dot_product(q.v[(s*8+1):(s*8+8)], c.v[(s*8+1):(s*8+8)])),
+             |            (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+             |        FROM n q JOIN n c ON q.vec_id <> c.vec_id)
+             |SELECT vec_id, rank, neighbor_id FROM (
+             |  SELECT vec_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sim)
+             |WHERE rank <= 3""".stripMargin)))
+}

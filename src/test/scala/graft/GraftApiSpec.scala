@@ -530,5 +530,10 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q63 = SparkEntry.queries("d63_dedup_scrub")(spark, sf).collect().toSet
     val a63 = Graft.dedupScrub(docs).collect().toSet
     assert(q63.map(_.toSeq) == a63.map(_.toSeq))
+
+    val q73 = SparkEntry.queries("d73_pq_topk_exact")(spark, sf).collect().toSet
+    val cb = Graft.pqTrainExact(spark, vecs, m = 8)
+    val a73 = Graft.pqTopK(vecs, Graft.pqEncode(spark, vecs, cb), cb).collect().toSet
+    assert(q73.map(_.toSeq) == a73.map(_.toSeq))
   }
 }
