@@ -268,62 +268,136 @@ object Pq {
     * decomposed cosine — numerator Σ_s LUT(s)(code_s) and both norms
     * folded in subspace order, each subspace dot sequential — so in
     * exact mode the result is bit-identical to an oracle replaying the
-    * same decomposition. The LUT (m·kmax doubles) materializes once per
-    * query row; every candidate then costs m lookups — the ADC trade.
+    * same decomposition.
     *
-    * Candidates broadcast while the CODE table fits `maxBroadcastBytes`
-    * (m ints + id per row — PQ's entire purpose is making this side
-    * small); beyond it the same pair stream flows through the blocked
+    * While the CODE table fits `maxBroadcastBytes` (m ints + id per
+    * row — PQ's entire purpose is making this side small) the kernel is
+    * a broadcast mapPartitions scan: each query builds its m×kmax LUT
+    * ONCE in a primitive array, then every candidate costs m lookups
+    * and the per-query top-k never leaves the task (no pair shuffle at
+    * all). This is the one place the family drops below Catalyst on
+    * purpose: the LUT only pays if it is REUSED across candidates, and
+    * a join cannot express that — a LUT column gets copied into every
+    * joined pair row (measured: 128 KB × 4M pairs ≈ 0.5 TB of row
+    * copies, 60+ s where the kernel takes under a second).
+    *
+    * Beyond the budget the same pair set flows through the blocked
     * fragment-replicate join (hash candidates into blocks, replicate
-    * queries per block — [[Similarity.selfCosineJoin]]'s trade). At
-    * corpus scale feed a pruned `encoded` (IVF cell / LSH bucket
-    * members — the faiss IVFPQ composition). */
+    * queries per block — [[Similarity.selfCosineJoin]]'s trade), scored
+    * per pair from the codebook literal (m subspace dots — full-dot
+    * flops, slim rows, same fold order so the two paths are
+    * bit-identical; `PqSpec` asserts it). At corpus scale feed a pruned
+    * `encoded` (IVF cell / LSH bucket members — the faiss IVFPQ
+    * composition). */
   def topKAdc(queries: DataFrame, encoded: DataFrame, cb: PqCodebook, k: Int = 3,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
     val m = cb.m; val w = cb.subDim; val kmax = cb.kmax
-    val cl = centroidLit(cb)
-    val csqLit = typedLit(for { s <- 0 until m; c <- 0 until kmax }
-      yield if (c < cb.centroids(s).length) cb.centSq(s, c) else 0.0)
-
-    val subDot: (Column, Column) => Column = (v, s) =>
-      call_function("vec_dot", slice(v, s * lit(w) + lit(1), lit(w)),
-        slice(v, s * lit(w) + lit(1), lit(w)))
-    val q = castDouble(queries).select(col("vec_id"),
-      flatten(transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(sequence(lit(0), lit(kmax - 1)), c =>
-          call_function("vec_dot",
-            slice(col("v"), s * lit(w) + lit(1), lit(w)),
-            element_at(cl, s * lit(kmax) + c + lit(1)))))).as("lut"),
-      sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + subDot(col("v"), s))).as("qn"))
-
-    val cand = encoded.select(col("vec_id").as("cid"), col("codes"))
-      .withColumn("cn", sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(csqLit,
-          s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))))
-      .select(col("cid"), col("codes"), col("cn"))
-
+    val spark = queries.sparkSession
     val blocks = {
       val n = encoded.count()
       val est = n * (m.toLong * 4 + 32)
       math.max(1L, (est + maxBroadcastBytes - 1) / maxBroadcastBytes)
         .min(Int.MaxValue.toLong).toInt
     }
-    val pairs0 =
-      if (blocks <= 1) q.join(broadcast(cand), col("vec_id") =!= col("cid"))
-      else {
-        val c = cand.withColumn("blk", pmod(hash(col("cid")), lit(blocks)))
-        val qb = q.withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})")))
-        qb.join(c, qb("blk") === c("blk") && col("vec_id") =!= col("cid"))
-      }
-    val pairs = pairs0.select(col("vec_id"), col("cid").as("neighbor_id"),
-      (aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("lut"),
-          s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))
-        / (col("qn") * col("cn"))).as("sim"))
-    Similarity.topKRanks(pairs, k)
+
+    if (blocks <= 1) {
+      import spark.implicits._
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val bcCand = spark.sparkContext.broadcast(
+        encoded.select(col("vec_id"), col("codes")).as[(Long, Array[Int])].collect())
+      castDouble(queries).as[(Long, Array[Double])].mapPartitions { it =>
+        val cbv = bcCb.value; val cand = bcCand.value
+        val mm = cbv.m; val ww = cbv.subDim; val km = cbv.kmax
+        // per-candidate reconstruction norms, once per task
+        val cn = new Array[Double](cand.length)
+        var j = 0
+        while (j < cand.length) {
+          var acc = 0.0; var s = 0
+          while (s < mm) { acc += cbv.centSq(s, cand(j)._2(s)); s += 1 }
+          cn(j) = math.sqrt(acc); j += 1
+        }
+        val lut = new Array[Double](mm * km)
+        val bestS = new Array[Double](k); val bestI = new Array[Long](k)
+        it.flatMap { case (qid, v) =>
+          // LUT: subspace s × code c -> dot(q_s, centroid), sequential
+          var s = 0
+          while (s < mm) {
+            val cents = cbv.centroids(s)
+            var c = 0
+            while (c < cents.length) {
+              val cent = cents(c)
+              var d = 0.0; var i = 0
+              while (i < ww) { d += v(s * ww + i) * cent(i); i += 1 }
+              lut(s * km + c) = d; c += 1
+            }
+            s += 1
+          }
+          // query norm in the SAME subspace-decomposed fold as the
+          // oracle/blocked path (float addition is not associative —
+          // a flat sum would drift an ulp and flip near-tie ranks)
+          var qsq = 0.0; var qs = 0
+          while (qs < mm) {
+            var d = 0.0; var i = 0
+            while (i < ww) { val x = v(qs * ww + i); d += x * x; i += 1 }
+            qsq += d; qs += 1
+          }
+          val qn = math.sqrt(qsq)
+          // top-k selection under TopKAgg's total order: Double.compare
+          // (NaN greatest), -0.0 -> 0.0, ties to the smaller id
+          var n = 0
+          var ji = 0
+          while (ji < cand.length) {
+            val (cid, codes) = cand(ji)
+            if (cid != qid) {
+              var num = 0.0; var ss = 0
+              while (ss < mm) { num += lut(ss * km + codes(ss)); ss += 1 }
+              val sim0 = num / (qn * cn(ji))
+              val sim = if (sim0 == 0.0) 0.0 else sim0
+              var pos = n
+              while (pos > 0 && {
+                  val c = java.lang.Double.compare(sim, bestS(pos - 1))
+                  c > 0 || (c == 0 && cid < bestI(pos - 1))
+                }) pos -= 1
+              if (pos < k) {
+                val last = math.min(n, k - 1)
+                var t = last
+                while (t > pos) { bestS(t) = bestS(t - 1); bestI(t) = bestI(t - 1); t -= 1 }
+                bestS(pos) = sim; bestI(pos) = cid
+                if (n < k) n += 1
+              }
+            }
+            ji += 1
+          }
+          (0 until n).map(r => (qid, (r + 1).toLong, bestI(r)))
+        }
+      }.toDF("vec_id", "rank", "neighbor_id")
+    } else {
+      val cl = centroidLit(cb)
+      val csqLit = typedLit(for { s <- 0 until m; c <- 0 until kmax }
+        yield if (c < cb.centroids(s).length) cb.centSq(s, c) else 0.0)
+      val subDot: (Column, Column) => Column = (v, s) =>
+        call_function("vec_dot", slice(v, s * lit(w) + lit(1), lit(w)),
+          slice(v, s * lit(w) + lit(1), lit(w)))
+      val q = castDouble(queries).select(col("vec_id"), col("v"),
+        sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + subDot(col("v"), s))).as("qn"))
+      val cand = encoded.select(col("vec_id").as("cid"), col("codes"))
+        .withColumn("cn", sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(csqLit,
+            s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))))
+      val c = cand.withColumn("blk", pmod(hash(col("cid")), lit(blocks)))
+      val qb = q.withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})")))
+      val pairs = qb.join(c, qb("blk") === c("blk") && col("vec_id") =!= col("cid"))
+        .select(col("vec_id"), col("cid").as("neighbor_id"),
+          (aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+            (acc, s) => acc + call_function("vec_dot",
+              slice(col("v"), s * lit(w) + lit(1), lit(w)),
+              element_at(cl, s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1))))
+            / (col("qn") * col("cn"))).as("sim"))
+      Similarity.topKRanks(pairs, k)
+    }
   }
 
   def queries: Seq[Q] = Seq(
