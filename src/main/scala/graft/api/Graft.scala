@@ -199,6 +199,14 @@ object Graft {
       k: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Pq.topKAdc(queries, encoded, cb, k, maxBroadcastBytes)
 
+  /** IVFPQ retrieval (faiss IndexIVFPQ): the IVF inverted file with PQ
+    * codes in place of raw vectors — candidates bounded by cell
+    * occupancy × probes, the candidate shuffle m ints per vector. The
+    * 100 TB composition; see [[graft.ops.Pq.ivfPqTopK]]. */
+  def ivfPqTopK(spark: SparkSession, model: IvfIndex.Model, cb: Pq.PqCodebook,
+      queries: DataFrame, k: Int = 3, probes: Int = 2): DataFrame =
+    Pq.ivfPqTopK(spark, model, cb, queries, k, probes)
+
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the
     * signature width from a corpus count so bucket occupancy (and with it

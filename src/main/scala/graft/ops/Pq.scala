@@ -293,11 +293,10 @@ object Pq {
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(maxBroadcastBytes > 0, "maxBroadcastBytes must be positive")
-    val m = cb.m; val w = cb.subDim; val kmax = cb.kmax
     val spark = queries.sparkSession
     val blocks = {
       val n = encoded.count()
-      val est = n * (m.toLong * 4 + 32)
+      val est = n * (cb.m.toLong * 4 + 32)
       math.max(1L, (est + maxBroadcastBytes - 1) / maxBroadcastBytes)
         .min(Int.MaxValue.toLong).toInt
     }
@@ -374,30 +373,99 @@ object Pq {
         }
       }.toDF("vec_id", "rank", "neighbor_id")
     } else {
-      val cl = centroidLit(cb)
-      val csqLit = typedLit(for { s <- 0 until m; c <- 0 until kmax }
-        yield if (c < cb.centroids(s).length) cb.centSq(s, c) else 0.0)
-      val subDot: (Column, Column) => Column = (v, s) =>
-        call_function("vec_dot", slice(v, s * lit(w) + lit(1), lit(w)),
-          slice(v, s * lit(w) + lit(1), lit(w)))
-      val q = castDouble(queries).select(col("vec_id"), col("v"),
-        sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + subDot(col("v"), s))).as("qn"))
+      val q = castDouble(queries)
+        .select(col("vec_id"), col("v"), subNorm(cb, col("v")).as("qn"))
       val cand = encoded.select(col("vec_id").as("cid"), col("codes"))
-        .withColumn("cn", sqrt(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + element_at(csqLit,
-            s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1)))))
+        .withColumn("cn", codeNorm(cb, col("codes")))
       val c = cand.withColumn("blk", pmod(hash(col("cid")), lit(blocks)))
       val qb = q.withColumn("blk", explode(expr(s"sequence(0, ${blocks - 1})")))
       val pairs = qb.join(c, qb("blk") === c("blk") && col("vec_id") =!= col("cid"))
         .select(col("vec_id"), col("cid").as("neighbor_id"),
-          (aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-            (acc, s) => acc + call_function("vec_dot",
-              slice(col("v"), s * lit(w) + lit(1), lit(w)),
-              element_at(cl, s * lit(kmax) + element_at(col("codes"), s + lit(1)) + lit(1))))
-            / (col("qn") * col("cn"))).as("sim"))
+          (adcNum(cb, col("v"), col("codes")) / (col("qn") * col("cn"))).as("sim"))
       Similarity.topKRanks(pairs, k)
     }
+  }
+
+  /** sqrt of the subspace-decomposed squared norm of a full vector —
+    * the fold order the whole PQ family (and its oracle) uses. */
+  private def subNorm(cb: PqCodebook, v: Column): Column =
+    sqrt(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
+      acc + call_function("vec_dot",
+        slice(v, s * lit(cb.subDim) + lit(1), lit(cb.subDim)),
+        slice(v, s * lit(cb.subDim) + lit(1), lit(cb.subDim)))))
+
+  /** sqrt of a PQ-coded vector's reconstruction squared norm, from the
+    * per-(subspace, code) squared-norm literal. */
+  private def codeNorm(cb: PqCodebook, codes: Column): Column = {
+    val csqLit = typedLit(for { s <- 0 until cb.m; c <- 0 until cb.kmax }
+      yield if (c < cb.centroids(s).length) cb.centSq(s, c) else 0.0)
+    sqrt(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(csqLit,
+        s * lit(cb.kmax) + element_at(codes, s + lit(1)) + lit(1))))
+  }
+
+  /** Per-pair ADC numerator: Σ_s dot(q_s, centroid(s, code_s)), folded
+    * in subspace order — full-dot flops but slim pair rows (no LUT
+    * column; see the [[topKAdc]] scaladoc). Native codegen'd expression
+    * ([[graft.plans.NativeFns.pqAdcNum]]): the HOF formulation
+    * (aggregate over slice + element_at) is CodegenFallback and
+    * allocates a slice per (pair, subspace) — measured ~8x slower on a
+    * 4M-pair stream. The flattened codebook rides the plan as ONE
+    * array<double> literal. */
+  private def adcNum(cb: PqCodebook, v: Column, codes: Column): Column = {
+    val flat: Seq[Double] = for {
+      s <- 0 until cb.m; c <- 0 until cb.kmax; i <- 0 until cb.subDim
+    } yield if (c < cb.centroids(s).length) cb.centroids(s)(c)(i) else 0.0
+    call_function("pq_adc_num", v, codes, typedLit(flat))
+  }
+
+  /** IVFPQ retrieval — the faiss IndexIVFPQ composition, the form that
+    * runs at 100 TB: the inverted file stores PQ CODES in place of raw
+    * vectors (built here by one narrow encode map over the model's
+    * cells), each query probes its `probes` nearest cells, and only
+    * those cells' members are ADC-scored — candidate count is bounded
+    * by cell occupancy × probes, never the corpus, and the shuffled
+    * candidate side is m ints per vector, not dim floats.
+    *
+    * Output and order are [[topKAdc]]'s ((vec_id, rank, neighbor_id),
+    * sim DESC / id ASC). Zero-norm vectors are excluded on both sides
+    * ([[IvfIndex.searchTopK]]'s convention). In exact mode
+    * (probes = cell count, lossless codebook) the result equals
+    * [[topKAdc]] — d74 hash-gates exactly that composition under d73's
+    * replayed-arithmetic oracle. */
+  def ivfPqTopK(spark: SparkSession, model: IvfIndex.Model, cb: PqCodebook,
+      queries: DataFrame, k: Int = 3, probes: Int = 2): DataFrame = {
+    require(k >= 1 && probes >= 1, "need k >= 1, probes >= 1")
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val codedCells = model.cells.select(col("vec_id"), col("cell"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .map { case (id, cell, v) => (id, cell, bcCb.value.encodeOne(v)) }
+      .toDF("cid", "cell", "codes")
+      .withColumn("cn", codeNorm(cb, col("codes")))
+      .where(col("cn") > 0.0)
+    val bcCents = spark.sparkContext.broadcast(model.centroids)
+    val probed = castDouble(queries).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cents = bcCents.value
+        val excluded = new Array[Boolean](cents.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Int)]
+        var p = 0
+        while (p < math.min(probes, cents.length)) {
+          val best = IvfIndex.nearest(cents, v, excluded)
+          if (best >= 0) { excluded(best) = true; out += ((id, v, best)) }
+          p += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "v", "cell")
+      .withColumn("qn", subNorm(cb, col("v")))
+      .where(col("qn") > 0.0)
+    val pairs = probed.join(codedCells, "cell")
+      .where(col("vec_id") =!= col("cid"))
+      .select(col("vec_id"), col("cid").as("neighbor_id"),
+        (adcNum(cb, col("v"), col("codes")) / (col("qn") * col("cn"))).as("sim"))
+    Similarity.topKRanks(pairs, k)
   }
 
   def queries: Seq[Q] = Seq(
@@ -431,20 +499,43 @@ object Pq {
         val cb = trainExact(s, vecs, m = 8)
         topKAdc(vecs, encode(s, vecs, cb), cb)
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (SELECT vec_id, v,
-             |        sqrt(list_reduce(list_transform(range(8),
-             |               s -> list_dot_product(v[(s*8+1):(s*8+8)], v[(s*8+1):(s*8+8)])),
-             |             (x, y) -> x + y)) AS nrm
-             |      FROM e),
-             |sim AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
-             |          list_reduce(list_transform(range(8),
-             |              s -> list_dot_product(q.v[(s*8+1):(s*8+8)], c.v[(s*8+1):(s*8+8)])),
-             |            (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
-             |        FROM n q JOIN n c ON q.vec_id <> c.vec_id)
-             |SELECT vec_id, rank, neighbor_id FROM (
-             |  SELECT vec_id, neighbor_id,
-             |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-             |  FROM sim)
-             |WHERE rank <= 3""".stripMargin)))
+      Some(SubspaceTopkOracle)),
+
+    // d74: the IVFPQ composition in exact mode — coded inverted file,
+    // probes = all cells, lossless codebook: the cell-pruned candidate
+    // union is the full pair set and ADC sums are exact dots, so the
+    // 100 TB form (probe -> cell join -> per-pair code scoring) is
+    // driver-adjudicated under the same replayed-arithmetic oracle.
+    Q("d74_ivfpq_topk_exact",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+        val cb = trainExact(s, vecs, m = 8)
+        // at probes = k the result is independent of quantizer quality
+        // (every cell is probed), so one Lloyd pass suffices for the
+        // gate; d33 exercises the full 3-iteration build
+        val model = IvfIndex.build(s, castDouble(vecs), k = 16, iters = 1)
+        ivfPqTopK(s, model, cb, vecs, k = 3, probes = 16)
+      },
+      Some(SubspaceTopkOracle)))
+
+  /** The d73/d74 oracle: exact cosine top-3 with numerator and both
+    * norms replayed in the engine's subspace-decomposed fold order
+    * (8 subspaces of width 8 over the 64-wide embeddings table). */
+  private val SubspaceTopkOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_transform(range(8),
+      |               s -> list_dot_product(v[(s*8+1):(s*8+8)], v[(s*8+1):(s*8+8)])),
+      |             (x, y) -> x + y)) AS nrm
+      |      FROM e),
+      |sim AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+      |          list_reduce(list_transform(range(8),
+      |              s -> list_dot_product(q.v[(s*8+1):(s*8+8)], c.v[(s*8+1):(s*8+8)])),
+      |            (x, y) -> x + y) / (q.nrm * c.nrm) AS sim
+      |        FROM n q JOIN n c ON q.vec_id <> c.vec_id)
+      |SELECT vec_id, rank, neighbor_id FROM (
+      |  SELECT vec_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sim)
+      |WHERE rank <= 3""".stripMargin
 }

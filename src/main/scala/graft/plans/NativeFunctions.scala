@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -55,6 +55,35 @@ object NativeFns {
     * path of the near-dup family (d06/d19 verify ~1e5 candidate pairs x
     * ~300-element gram sets per partition). Precondition (sorted, distinct)
     * is established once per document by the gram-extraction UDFs. */
+  /** ADC numerator for one (query, coded-candidate) pair: per subspace
+    * s, the sequential dot of the query's subspace-s slice with the
+    * codebook centroid the candidate's code selects, the subspace
+    * partials folded in s order — bit-identical to the subspace-
+    * decomposed oracle fold (graft.ops.Pq's d73/d74 convention).
+    * `flat` is the codebook flattened at (s * kmax + code) * subDim;
+    * m = |codes|, subDim = |v| / m, kmax = |flat| / (m * subDim) all
+    * derive from the argument shapes, so the expression needs no
+    * scalar children. The per-pair hot path of PQ retrieval: the HOF
+    * formulation (aggregate over slice + element_at) is
+    * CodegenFallback and allocates a slice per (pair, subspace) —
+    * measured 8x slower at 4M pairs. */
+  def pqAdcNum(v: ArrayData, codes: ArrayData, flat: ArrayData): Double = {
+    val m = codes.numElements()
+    val w = v.numElements() / m
+    val kmax = flat.numElements() / (m * w)
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val base = (s * kmax + codes.getInt(s)) * w
+      var d = 0.0
+      var i = 0
+      while (i < w) { d += v.getDouble(s * w + i) * flat.getDouble(base + i); i += 1 }
+      acc += d
+      s += 1
+    }
+    acc
+  }
+
   def sortedInterCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -139,6 +168,33 @@ case class SortedInterCount(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_inter_count"
+}
+
+/** `pq_adc_num(array<double>, array<int>, array<double>) -> double` as a
+  * native codegen'd expression: the per-pair ADC numerator of PQ
+  * retrieval (see NativeFns.pqAdcNum — subspace-ordered fold, shapes
+  * derived from the arguments; the third argument is the flattened
+  * codebook, in practice a literal the plan carries once). */
+case class PqAdcNumExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_adc_num expects (array<double>, array<int>, array<double>), got " +
+          s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    NativeFns.pqAdcNum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.NativeFns.pqAdcNum($a, $b, $c);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): PqAdcNumExpr = copy(first = f, second = s, third = t)
+  override def prettyName: String = "pq_adc_num"
 }
 
 /** Base for the three native text expressions: null-in → null-out, and a
@@ -231,5 +287,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_inter_count"),
       info("sorted_inter_count", "merge-scan intersection size of two sorted distinct array<bigint> columns"),
       (es: Seq[Expression]) => SortedInterCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("pq_adc_num"),
+      info("pq_adc_num", "per-pair ADC numerator against a flattened PQ codebook"),
+      (es: Seq[Expression]) => PqAdcNumExpr(es(0), es(1), es(2))))
   }
 }

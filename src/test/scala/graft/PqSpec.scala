@@ -142,6 +142,35 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(broad.exceptAll(blocked).isEmpty && blocked.exceptAll(broad).isEmpty)
   }
 
+  test("IVFPQ at full probes with an exact codebook equals the ADC kernel") {
+    val cb = Graft.pqTrainExact(spark, vecs, m = 8)
+    val dv = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = Graft.ivfBuild(spark, dv, k = 8)
+    val ivfpq = Graft.ivfPqTopK(spark, model, cb, vecs, k = 3, probes = 8)
+    val adc = Graft.pqTopK(vecs, Graft.pqEncode(spark, vecs, cb), cb)
+    assert(ivfpq.exceptAll(adc).isEmpty && adc.exceptAll(ivfpq).isEmpty)
+  }
+
+  test("lossy IVFPQ under pruned probes keeps planted cluster recall") {
+    val p = planted(clusters = 4, perCluster = 25, dim = 16)
+    val cb = Graft.pqTrain(spark, p, m = 4, k = 8, iters = 3)
+    val dv = p.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = Graft.ivfBuild(spark, dv, k = 4)
+    val got = Graft.ivfPqTopK(spark, model, cb, p, k = 1, probes = 2)
+      .select(col("vec_id"), col("neighbor_id").as("a"))
+    val exact1 = graft.ops.Similarity.cosineTopK(p, k = 1)
+      .select(col("vec_id"), col("neighbor_id").as("e"))
+    val joined = got.join(exact1, "vec_id")
+    val n = joined.count()
+    val agree = joined
+      .select((floor(col("a") / 25) === floor(col("e") / 25)).cast("int").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    assert(n == 100, s"IVFPQ dropped queries: $n of 100")
+    assert(agree >= 0.95, s"cluster-level top-1 agreement $agree < 0.95")
+  }
+
   test("codebook budget and shape guards fail fast") {
     intercept[IllegalArgumentException] {
       Graft.pqTrainExact(spark, vecs, m = 7) // 64 % 7 != 0
