@@ -169,6 +169,24 @@ object PlanAudit {
       countNode(p71, "CartesianProduct"))
     println("=== d71 BroadcastNestedLoop (pair source): " +
       countNode(p71, "BroadcastNestedLoop"))
+
+    // d74: the IVFPQ composition — the probe->cell join must be an
+    // equi-join on cell (SMJ/shuffled-hash/broadcast by size), never a
+    // nested loop, and the only shuffles are the cell join + the
+    // bounded top-k aggregation (no vector-wide exchange: the candidate
+    // side carries m ints). The codebook must ride as a literal, not a
+    // join.
+    val cbA = graft.ops.Pq.trainExact(spark, vecs, m = 8)
+    val dvA = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val modelA = graft.ops.IvfIndex.build(spark, dvA, k = 16, iters = 1)
+    val p74 = graft.ops.Pq.ivfPqTopK(spark, modelA, cbA, vecs, k = 3, probes = 16)
+      .queryExecution.executedPlan.toString
+    println("=== d74 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p74, "CartesianProduct") + countNode(p74, "BroadcastNestedLoop")))
+    println("=== d74 cell-join exchanges: " +
+      countNode(p74, "Exchange hashpartitioning(cell"))
+    println("=== d74 total Exchange nodes: " + countNode(p74, "Exchange"))
     spark.stop()
   }
 }
