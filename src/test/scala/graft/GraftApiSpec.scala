@@ -403,6 +403,15 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q9 = Graft.lrScoreAgainst(stream, lrW)
       .writeStream.format("memory").queryName("lr_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // PQ encoding against a FROZEN codebook is a narrow broadcast map —
+    // arriving vectors get codes micro-batch by micro-batch (the
+    // index-maintenance path; training stays batch-side, like LR/LM)
+    val cbS = Graft.pqTrainExact(spark,
+      Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      m = 2)
+    val q10 = Graft.pqEncode(spark, vstream, cbS)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
@@ -457,9 +466,16 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lrs = spark.table("lr_stream").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("predicted")).toMap
       assert(lrs == Map(1L -> true, 2L -> false, 3L -> false))
+      // arriving vectors encode against the frozen 2x2 exact codebook:
+      // subspace centroids are [0.0, 1.0] each, so (1.0, 0.05) -> [1, 0]
+      // and (0.0, 1.0) -> [0, 1]
+      q10.processAllAvailable()
+      val pqc = spark.table("pq_stream").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1).toList).toMap
+      assert(pqc == Map(1L -> List(1, 0), 2L -> List(0, 1)))
     } finally {
       q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop()
-      q8.stop(); q9.stop()
+      q8.stop(); q9.stop(); q10.stop()
     }
   }
 
