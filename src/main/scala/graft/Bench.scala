@@ -141,7 +141,7 @@ object Bench {
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
     val memoized: Set[String] =
       graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries ++
-        graft.ops.Corpus.MemoizedQueries
+        graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

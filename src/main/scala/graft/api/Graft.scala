@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, LmIndex, Pq, Quantize, Similarity, SketchIndex, TextOps}
+import graft.ops.{Corpus, Curation, IvfIndex, LexIndex, LmIndex, Pq, PqIndex, Quantize, Similarity, SketchIndex, TextOps}
 
 /** The engine's public DataFrame-in / DataFrame-out library surface.
   *
@@ -206,6 +206,32 @@ object Graft {
   def ivfPqTopK(spark: SparkSession, model: IvfIndex.Model, cb: Pq.PqCodebook,
       queries: DataFrame, k: Int = 3, probes: Int = 2): DataFrame =
     Pq.ivfPqTopK(spark, model, cb, queries, k, probes)
+
+  /** Persist a PQ index (codebook + encoded corpus — the 16-64x at-rest
+    * form); crash-safe under the shared index-commit marker. */
+  def pqIndexSave(spark: SparkSession, cb: Pq.PqCodebook, vectors: DataFrame,
+      dir: String): Unit = PqIndex.save(spark, cb, vectors, dir)
+
+  /** ADC top-k served from a SAVED PQ index (codes + codebook only; the
+    * raw vectors never load). */
+  def pqIndexSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 3): DataFrame = PqIndex.searchSaved(spark, dir, queries, k)
+
+  /** Encode a batch against the saved codebook and append it under its
+    * own replayable `ingest_batch` partition. */
+  def pqIndexAppend(spark: SparkSession, dir: String, vectors: DataFrame,
+      checkDisjoint: Boolean = false): Unit =
+    PqIndex.appendSaved(spark, dir, vectors, checkDisjoint)
+
+  /** Continuously encode a streaming (vec_id, embedding) frame into a
+    * saved PQ index (exactly-once per micro-batch). */
+  def pqIndexIngest(spark: SparkSession, vectors: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    PqIndex.ingest(spark, vectors, dir, checkpoint)
+
+  /** Snapshot-compact a fragmented PQ index into a fresh directory. */
+  def pqIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    PqIndex.compactTo(spark, src, dst)
 
   /** Best approximate neighbor per vector via random-hyperplane LSH.
     * Geometry scales with the corpus: `bitsPerTable = 0` derives the

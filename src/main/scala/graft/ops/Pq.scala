@@ -468,6 +468,41 @@ object Pq {
     Similarity.topKRanks(pairs, k)
   }
 
+  /** d75's index directory, built ONCE per (session, data dir) — the
+    * [[Corpus]] d39 convention: building inside the query fn would time
+    * full index construction on every invocation of what showcases the
+    * SERVED search, and leak an index copy into the temp dir per call.
+    * Directories are deleted recursively when the session stops. */
+  private val pqDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def pqIndexDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = pqDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-q").toString
+      val vecs = Tables.embeddings(s, d)
+      PqIndex.save(s, trainExact(s, vecs, m = 8), vecs, dir)
+      val prev = pqDirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "pq-indexdir") { () =>
+          val it = pqDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) { Corpus.deleteRecursively(e.getValue); it.remove() }
+          }
+        }
+        dir
+      }
+    }
+  }
+
+  /** Served from the [[pqIndexDir]] memo: run 1 pays index build +
+    * search, run 2 only the search (the bench headlines run 1). */
+  val MemoizedQueries: Set[String] = Set("d75_pq_index_search")
+
   def queries: Seq[Q] = Seq(
 
     // d72: the code assignment itself, hash-gated in exact mode — the
@@ -516,6 +551,15 @@ object Pq {
         val model = IvfIndex.build(s, castDouble(vecs), k = 16, iters = 1)
         ivfPqTopK(s, model, cb, vecs, k = 3, probes = 16)
       },
+      Some(SubspaceTopkOracle)),
+
+    // d75: the same retrieval served from the PERSISTED index (d39's
+    // convention applied to PQ) — save -> load -> ADC search through
+    // the parquet round trip, hash-gated by the same oracle: the
+    // at-rest form (m-int codes + kilobyte codebook, raw vectors never
+    // re-read) must reproduce the direct computation exactly.
+    Q("d75_pq_index_search",
+      (s, d) => PqIndex.searchSaved(s, pqIndexDir(s, d), Tables.embeddings(s, d)),
       Some(SubspaceTopkOracle)))
 
   /** The d73/d74 oracle: exact cosine top-3 with numerator and both
