@@ -168,8 +168,8 @@ object Graft {
     * (deterministic md5-derived signs — reproducible across runs and
     * engines). Out: (vec_id, embedding ARRAY<DOUBLE>) — drops into
     * [[cosineTopK]]/[[annTopK]]/IVF unchanged. Narrow, streaming-safe. */
-  def randomProject(vecs: DataFrame, outDim: Int = 16): DataFrame =
-    Quantize.randomProject(vecs, outDim)
+  def randomProject(vecs: DataFrame, outDim: Int = 16, dim: Int = 0): DataFrame =
+    Quantize.randomProject(vecs, outDim, dim)
 
   /** Train a product-quantization codebook (m subspaces × k centroids,
     * Lloyd) over (vec_id, embedding) — the faiss-IndexPQ storage path:
