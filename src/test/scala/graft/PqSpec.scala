@@ -171,6 +171,50 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= 0.95, s"cluster-level top-1 agreement $agree < 0.95")
   }
 
+  test("property: exact-mode ADC equals a sequential brute force on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // brute force replays the subspace-decomposed cosine with plain
+    // Scala loops — independent of every engine primitive (vec_dot,
+    // the LUT kernel, TopKAgg), same fold order
+    def brute(corpus: Seq[(Long, Array[Double])], m: Int, k: Int): Set[(Long, Long, Long)] = {
+      val w = corpus.head._2.length / m
+      def subNorm(v: Array[Double]): Double = math.sqrt(
+        (0 until m).map(s => (0 until w).map(i => v(s * w + i) * v(s * w + i)).sum).sum)
+      corpus.flatMap { case (qid, q) =>
+        val qn = subNorm(q)
+        val scored = corpus.filter(_._1 != qid).map { case (cid, c) =>
+          var num = 0.0
+          (0 until m).foreach { s =>
+            var d = 0.0
+            (0 until w).foreach(i => d += q(s * w + i) * c(s * w + i))
+            num += d
+          }
+          (cid, num / (qn * subNorm(c)))
+        }
+        scored.sortBy { case (cid, sim) => (-sim, cid) }.take(k)
+          .zipWithIndex.map { case ((cid, _), r) => (qid, (r + 1).toLong, cid) }
+      }.toSet
+    }
+    // no all-zero vectors: a 0/0 cosine is NaN, whose rank order is an
+    // engine convention (NaN-greatest) this brute force doesn't model —
+    // the fixed-corpus tests cover it via the d07 equality
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-4, 4).map(_.toDouble / 2))
+      .map(v => if (v.forall(_ == 0.0)) v.updated(0, 0.5) else v)
+    val corpusGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, vecGen))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.map { case (i, v) => (i, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val cb = Pq.trainExact(spark, df, m = 4)
+      val got = Pq.topKAdc(df, Pq.encode(spark, df, cb), cb, k = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      got == brute(corpus, m = 4, k = 2)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("codebook budget and shape guards fail fast") {
     intercept[IllegalArgumentException] {
       Graft.pqTrainExact(spark, vecs, m = 7) // 64 % 7 != 0
