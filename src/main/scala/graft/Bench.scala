@@ -199,6 +199,19 @@ object Bench {
         }
         val r08at3 = recallAtK(3)
         val r08at10 = recallAtK(10)
+        // lossy PQ (m=8, k=16 codes — 16x storage) top-3 recall against
+        // the same exact frame: the measured quality number behind the
+        // d72-d75 exact-mode gates' production setting
+        val pqRecall = {
+          val cb = graft.ops.Pq.train(spark, vecs, m = 8, k = 16, iters = 3)
+          val ex3 = ex10.where(col("rank") <= 3)
+            .select(col("vec_id"), col("neighbor_id"))
+          val denom = ex3.count().toDouble
+          if (denom == 0) 0.0
+          else graft.ops.Pq.topKAdc(vecs, graft.ops.Pq.encode(spark, vecs, cb), cb, 3)
+            .select(col("vec_id"), col("neighbor_id"))
+            .join(ex3, Seq("vec_id", "neighbor_id")).count() / denom
+        }
         ex10.unpersist()
         // distinct ANN candidates per query under d08's production
         // geometry (auto-derived signature width) — the occupancy claim
@@ -230,6 +243,7 @@ object Bench {
           s""""d08_recall_at10":${f(r08at10)},""" +
           s""""d08_cand_p50":${f(qs(0))},"d08_cand_p99":${f(qs(1))},""" +
           s""""d17_recall":${f(r17)},"d30_agreement":${f(a30)},""" +
+          s""""pq16x_recall_at3":${f(pqRecall)},""" +
           s""""d17_cells":${graft.ops.Similarity.D17Cells},""" +
           s""""d17_probes":${graft.ops.Similarity.D17Probes}},"""
       } catch {
