@@ -64,8 +64,9 @@ object Bench {
       graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
         graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
-        graft.ops.Pq.queries ++
-        graft.api.PipelineQueries.queries
+        graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
+        graft.api.PipelineQueries.queries ++
+        graft.sources.TextSources.queries
 
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
@@ -141,7 +142,8 @@ object Bench {
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
     val memoized: Set[String] =
       graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries ++
-        graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries
+        graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries ++
+        graft.sources.TextSources.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

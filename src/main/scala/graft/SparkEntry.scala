@@ -16,8 +16,9 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ Functions.queries ++
       Similarity.queries ++ graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
-      graft.ops.Pq.queries ++
+      graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.api.PipelineQueries.queries ++
+      graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -691,6 +691,35 @@ object Graft {
     Curation.gopherRules(docs, minWords, maxWords, minMeanLen, maxMeanLen,
       minStopHits, minAlphaRatio, maxSymbolRatio)
 
+  /** Misra-Gries heavy-hitter token frequencies → (token, est_count,
+    * err_bound): est_count undercounts by at most err_bound, and every
+    * token with frequency > N/(capacity+1) is guaranteed present.
+    * Map-side summaries are bounded at `capacity` entries, so the
+    * shuffle is partitions x capacity regardless of corpus size; with
+    * capacity >= the distinct-token count the result is the exact
+    * frequency table (err_bound 0). Reads: text. */
+  def heavyHitters(docs: DataFrame, capacity: Int = 1 << 12): DataFrame =
+    graft.ops.Lexical.heavyHitters(docs, capacity)
+
+  /** Top-k adjacent-bigram collocations by frequency with PMI scores —
+    * phrase mining over the corpus. Row selection is by exact integer
+    * ordering (n DESC, w1, w2); pmi rides along at 4 decimals. Reads:
+    * doc_id, text. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topK: Int = 100): DataFrame =
+    graft.ops.Lexical.pmiBigrams(docs, minCount, topK)
+
+  /** Per-document character-level Shannon entropy (code-point
+    * distribution) — the gibberish/binary detector. Narrow projection,
+    * streaming-safe. Reads: doc_id, text. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    graft.ops.Lexical.charEntropy(docs)
+
+  /** Per-document type-token ratio and hapax-legomenon ratio — the
+    * repetition/gibberish lexical signals. Narrow projection,
+    * streaming-safe. Reads: doc_id, text. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    graft.ops.Lexical.lexicalDiversity(docs)
+
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order (shard_id = tokens-before div budget) — distributed prefix
     * sum, never a single-task global window. Reads: doc_id, text. */
@@ -797,6 +826,36 @@ object Graft {
   def referenceEtlWrite(spark: SparkSession, corpusDir: String,
       outDir: String): graft.etl.EtlTables =
     graft.etl.ReferenceEtl.writeAll(spark, corpusDir, outDir)
+
+  // ---- interchange sources -------------------------------------------------
+
+  /** JSONL sink (one JSON object per line, one file per partition). */
+  def writeJsonl(df: DataFrame, dir: String): Unit =
+    graft.sources.TextSources.writeJsonl(df, dir)
+
+  /** Schema-pinned FAILFAST JSONL source. */
+  def readJsonl(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.TextSources.readJsonl(spark, dir, schema)
+
+  /** PERMISSIVE JSONL source: malformed lines quarantined into a
+    * `_corrupt_record` column instead of failing or vanishing — the
+    * ingest shape for untrusted corpus drops. */
+  def readJsonlQuarantine(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.TextSources.readJsonlQuarantine(spark, dir, schema)
+
+  /** CSV sink with RFC quote-doubling, `\N` null sentinel (empty-vs-null
+    * survives the round trip), and writer-side trimming disabled. */
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    graft.sources.TextSources.writeCsv(df, dir)
+
+  /** Schema-pinned FAILFAST reader for [[writeCsv]] output; `multiLine`
+    * opts into whole-file parsing for embedded-newline data. */
+  def readCsv(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      multiLine: Boolean = false): DataFrame =
+    graft.sources.TextSources.readCsv(spark, dir, schema, multiLine)
 
   // ---- multimodal ----------------------------------------------------------
 

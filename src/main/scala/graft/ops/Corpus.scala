@@ -88,7 +88,7 @@ object Corpus {
     * Similarity/Curation memo families. */
   val MemoizedQueries: Set[String] = Set("d39_bm25_indexed")
 
-  private[ops] def deleteRecursively(dir: String): Unit = {
+  private[graft] def deleteRecursively(dir: String): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     val p = Path.of(dir)

@@ -236,7 +236,7 @@ object Curation {
     * order-2 sibling of [[tokenCountsUdf]] for [[bigramPpl]]; sub-2-token
     * docs return the empty seq (explode drops them; the final left join
     * restores their zero rows). */
-  private val bigramCountsUdf = udf { (text: String) =>
+  private[graft] val bigramCountsUdf = udf { (text: String) =>
     val ws = tokenize(text)
     val m = new java.util.HashMap[(String, String), Long]()
     var i = 0

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *   - d71 projected top-k (sf0.01, round 10): CartesianProduct 0,
   *     BroadcastNestedLoop 1 — exactly d07's declared pair-source
   *     shape; the projection adds no exchange of its own.
+  *   - d76 heavy hitters (sf0.01, round 11): 0 token-keyed exchanges
+  *     (map-side MG summaries; the only exchanges are the loader's
+  *     round-robin + the single-group final merge). d77 PMI: 0
+  *     CartesianProduct, 2 BroadcastHashJoin (winner lookups), 0
+  *     doc-keyed exchanges (in-row bigram multiplicities). d78/d79:
+  *     0 hash exchanges — pure narrow projections.
   *
   *   sbt "runMain graft.tools.PlanAudit"
   */
@@ -187,6 +193,44 @@ object PlanAudit {
     println("=== d74 cell-join exchanges: " +
       countNode(p74, "Exchange hashpartitioning(cell"))
     println("=== d74 total Exchange nodes: " + countNode(p74, "Exchange"))
+
+    // d77: bigram/unigram rollups are model-sized; the winner joins ride
+    // broadcast; totals are 1-row nested-loop cross joins — never a
+    // CartesianProduct, and no (doc_id, ...) exchange (in-row bigram
+    // multiplicities, the d50 shape).
+    val p77 = graft.ops.Lexical.pmiBigrams(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d77 CartesianProduct (want 0): " +
+      countNode(p77, "CartesianProduct"))
+    println("=== d77 BroadcastHashJoin (winner lookups): " +
+      countNode(p77, "BroadcastHashJoin"))
+    println("=== d77 doc_id shuffle exchanges (want 0): " +
+      countNode(p77, "Exchange hashpartitioning(doc_id"))
+
+    // d78/d79: pure narrow projections — ZERO hash exchanges (the one
+    // RoundRobin exchange in the plan is Tables.documents' test-scale
+    // spread of the single parquet file, not the operator's).
+    val p78 = graft.ops.Lexical.charEntropy(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d78 hash exchanges (want 0): " +
+      countNode(p78, "Exchange hashpartitioning"))
+    val p79 = graft.ops.Lexical.lexicalDiversity(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d79 hash exchanges (want 0): " +
+      countNode(p79, "Exchange hashpartitioning"))
+
+    // d76: the MG aggregation must be partial-then-final (map-side
+    // summaries) — one single-group exchange, no token-keyed exchange.
+    // (heavyHitters itself is eager — the returned frame is the bounded
+    // local summary — so audit the aggregation it runs.)
+    val p76 = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(new graft.ops.MgAgg(4096).toColumn)
+      .queryExecution.executedPlan.toString
+    println("=== d76 token shuffle exchanges (want 0): " +
+      countNode(p76, "Exchange hashpartitioning(token"))
+    println("=== d76 total Exchange nodes: " + countNode(p76, "Exchange"))
     spark.stop()
   }
 }

@@ -403,6 +403,31 @@ object ScaleSmoke {
         f"adc(1k q) $tAdcS%.2f s ($nAdc rows), ivf($cells cells) $tIvf%.2f s, " +
         f"ivfpq(1k q, 8 probes) $tIvfPq%.2f s ($nIvfPq rows)")
     }
+
+    // --- lexical family growth probe (d76-d79): MG shuffle volume is
+    // partitions x capacity (corpus-size-independent), so heavyHitters
+    // must scale with scan cost alone; PMI rolls up to model-sized
+    // (vocab^2-bounded bigram) counts; entropy/diversity are narrow.
+    // Doubling the corpus must ~double wall time at most (scan-bound),
+    // and the MG summary row count must stay <= capacity exactly.
+    for (frac <- Seq(0.5, 1.0)) {
+      val slice = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % lit((1 / frac).toInt) === 0)
+      val t0 = System.nanoTime()
+      val hh = graft.api.Graft.heavyHitters(slice, capacity = 1 << 10)
+      val nHh = hh.count()
+      val tHh = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nPmi = graft.api.Graft.pmiBigrams(slice, minCount = 5, topK = 200).count()
+      val tPmi = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nEnt = graft.api.Graft.charEntropy(slice).count() +
+        graft.api.Graft.lexicalDiversity(slice).count()
+      val tNar = (System.nanoTime() - t2) / 1e9
+      require(nHh <= (1 << 10), s"MG summary exceeded capacity: $nHh")
+      println(f"[scale] lexical frac=$frac%.1f hh $tHh%.2f s ($nHh tokens), " +
+        f"pmi $tPmi%.2f s ($nPmi rows), entropy+diversity $tNar%.2f s ($nEnt rows)")
+    }
     spark.stop()
   }
 }

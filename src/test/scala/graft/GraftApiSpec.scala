@@ -412,6 +412,14 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q10 = Graft.pqEncode(spark, vstream, cbS)
       .writeStream.format("memory").queryName("pq_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // char entropy / lexical diversity are narrow per-doc projections —
+    // the d78/d79 quality signals score arriving docs unchanged
+    val q11 = Graft.charEntropy(stream)
+      .writeStream.format("memory").queryName("ent_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val q12 = Graft.lexicalDiversity(stream)
+      .writeStream.format("memory").queryName("lex_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       in.addData((1L, "the quick brown fox, truly!", "en"), (2L, "der die und das ist", "de"),
         (3L, "mail me at spam@example.com from 10.0.0.1", "en"))
@@ -473,9 +481,17 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pqc = spark.table("pq_stream").collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1).toList).toMap
       assert(pqc == Map(1L -> List(1, 0), 2L -> List(0, 1)))
+      q11.processAllAvailable(); q12.processAllAvailable()
+      val ent = spark.table("ent_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_cp")).toMap
+      assert(ent == Map(1L -> 27L, 2L -> 19L, 3L -> 41L))
+      val lex = spark.table("lex_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct")))).toMap
+      assert(lex(1L) == ((5L, 5L)) && lex(2L) == ((5L, 5L)))
     } finally {
       q.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop()
-      q8.stop(); q9.stop(); q10.stop()
+      q8.stop(); q9.stop(); q10.stop(); q11.stop(); q12.stop()
     }
   }
 
