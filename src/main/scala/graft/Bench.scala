@@ -65,6 +65,7 @@ object Bench {
         graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
         graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
         graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
+        graft.ops.HashIndex.queries ++
         graft.api.PipelineQueries.queries ++
         graft.sources.TextSources.queries
 
@@ -143,7 +144,8 @@ object Bench {
     val memoized: Set[String] =
       graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries ++
         graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries ++
-        graft.sources.TextSources.MemoizedQueries
+        graft.sources.TextSources.MemoizedQueries ++
+        graft.ops.HashIndex.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

@@ -17,6 +17,7 @@ object SparkEntry {
       Similarity.queries ++ graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
+      graft.ops.HashIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

@@ -144,6 +144,31 @@ object Graft {
   def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame =
     SketchIndex.nearDupAgainst(spark, newDocs, dir)
 
+  /** Persist a content-hash index for incremental EXACT dedup (the
+    * sketch index's exact sibling — hash once, answer "seen before, and
+    * who owns it" per arriving batch). Reads: doc_id, text. */
+  def hashIndexSave(docs: DataFrame, dir: String): Unit =
+    graft.ops.HashIndex.save(docs, dir)
+
+  /** Incrementally hash additional documents into a saved index
+    * (doc_ids must be new under `checkDisjoint`; duplicate TEXT is the
+    * index's purpose and always allowed). */
+  def hashIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.HashIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously hash a streaming (doc_id, text) frame into the index
+    * (exactly-once per micro-batch). */
+  def hashIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.HashIndex.ingest(docs, dir, checkpoint)
+
+  /** Exact-dedup answers for an arriving batch against the persisted
+    * index: (doc_id, content_hash, dup_of, is_new) with dup_of the
+    * smallest indexed owner of the same text. Reads: doc_id, text. */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame =
+    graft.ops.HashIndex.dedupAgainst(spark, newDocs, dir)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).
@@ -472,6 +497,11 @@ object Graft {
   def sketchIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
     SketchIndex.compactTo(spark, src, dst)
 
+  /** Compact a fragmented content-hash index into a fresh snapshot at
+    * `dst` (same generation model as [[lexIndexCompactTo]]). */
+  def hashIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    graft.ops.HashIndex.compactTo(spark, src, dst)
+
   /** Compact a fragmented IVF index into a fresh snapshot at `dst`
     * (same generation model as [[lexIndexCompactTo]]). */
   def ivfCompactTo(spark: SparkSession, src: String, dst: String): Unit =
@@ -719,6 +749,15 @@ object Graft {
     * streaming-safe. Reads: doc_id, text. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
     graft.ops.Lexical.lexicalDiversity(docs)
+
+  /** Vocabulary truncation: tokens whose corpus share falls below
+    * shareNum/shareDen (an exact integer predicate) are replaced with
+    * `unk` in the canonical token stream — the LM-prep step that keeps
+    * rare-tail noise out of embedding tables. Out: (doc_id, n_tokens,
+    * n_replaced, text_unk). Reads: doc_id, text. */
+  def unkReplace(docs: DataFrame, shareNum: Long = 1, shareDen: Long = 500,
+      unk: String = "<unk>"): DataFrame =
+    graft.ops.Lexical.unkReplace(docs, shareNum, shareDen, unk)
 
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order (shard_id = tokens-before div budget) — distributed prefix

@@ -238,6 +238,53 @@ object Lexical {
         (col("l._2").cast(DoubleType) / col("l._1")).as("ttr"),
         (col("l._3").cast(DoubleType) / col("l._2")).as("hapax_ratio"))
 
+  // ---- d83: vocabulary truncation --------------------------------------
+
+  /** Vocabulary truncation — the LM-prep step that replaces tokens whose
+    * corpus share falls below shareNum/shareDen with an `<unk>` marker
+    * (rare-tail tokens blow up embedding tables and are mostly typos /
+    * OCR noise; every classic n-gram / word-level LM pipeline runs
+    * this). Rarity is an exact integer predicate (c * shareDen <
+    * total * shareNum — no float threshold), so the replaced set is
+    * engine-independent. Out: (doc_id, n_tokens, n_replaced, text_unk)
+    * where text_unk is the canonical token stream (lowercased,
+    * single-space — the d63 rebuild convention) with rare tokens
+    * replaced.
+    *
+    * Scale: token counts roll up from per-doc-distinct rows (the
+    * [[Curation.docTokens]] shape — narrow in-row multiplicities, the
+    * only wide exchange is model-sized); the rare set attaches back by
+    * a token-keyed semi join whose fan-out is the rare tokens' own
+    * occurrence count (below-share by definition); per-doc rare lists
+    * ride a doc-keyed rollup of the DISTINCT (doc, token) frame; the
+    * rebuild is one narrow in-row transform — no (doc, position)
+    * shuffle anywhere. */
+  def unkReplace(docs: DataFrame, shareNum: Long = 1, shareDen: Long = 500,
+      unk: String = "<unk>"): DataFrame = {
+    require(shareNum > 0 && shareDen > 0, "need positive share fraction")
+    val tc = Curation.docTokens(docs)
+      .groupBy(col("token")).agg(sum(col("m")).as("c"))
+    val tot = tc.agg(sum(col("c")).as("total"))
+    val rare = tc.crossJoin(broadcast(tot))
+      .where(col("c") * shareDen < col("total") * shareNum)
+      .select(col("token"))
+    val bad = Curation.docTokens(docs).select(col("doc_id"), col("token"))
+      .join(rare, Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("token")).as("bads"))
+    val words = wordsCol
+    docs.join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bads"), array()).as("badsC"),
+        words.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        size(filter(col("ws"), w => array_contains(col("badsC"), w)))
+          .cast(LongType).as("n_replaced"),
+        array_join(transform(col("ws"),
+          w => when(array_contains(col("badsC"), w), unk).otherwise(w)), " ")
+          .as("text_unk"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** d76 runs the sketch in EXACT MODE: capacity 2^17 exceeds any
@@ -297,6 +344,28 @@ object Lexical {
              |       coalesce(n_unique_chars, 0) AS n_unique_chars,
              |       coalesce(entropy, 0.0) AS entropy
              |FROM documents d LEFT JOIN tt USING (doc_id) LEFT JOIN e USING (doc_id)""".stripMargin)),
+
+    Q("d83_unk_replace",
+      (s, d) => unkReplace(documents(s, d)),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+             |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
+             |r AS (SELECT tok FROM tc, tot WHERE c * 500 < total * 1),
+             |p AS (SELECT doc_id, ws[i] AS tok, i
+             |      FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+             |q AS (SELECT doc_id, i,
+             |             CASE WHEN tok IN (SELECT tok FROM r)
+             |                  THEN '<unk>' ELSE tok END AS tok2,
+             |             CASE WHEN tok IN (SELECT tok FROM r)
+             |                  THEN 1 ELSE 0 END AS rep
+             |      FROM p)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(rep) AS BIGINT) AS n_replaced,
+             |       string_agg(tok2, ' ' ORDER BY i) AS text_unk
+             |FROM q GROUP BY 1""".stripMargin)),
 
     Q("d79_lexical_diversity",
       (s, d) => lexicalDiversity(documents(s, d)),

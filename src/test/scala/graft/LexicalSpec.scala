@@ -170,6 +170,37 @@ class LexicalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
   }
 
+  // ---- d83: unk replacement --------------------------------------------
+
+  test("unkReplace replaces exactly the below-share tokens, in place") {
+    // 20 tokens total; share threshold 1/10 -> tokens with c*10 < 20
+    // (i.e. count 1) are rare: exactly "y" and "z"
+    val texts = Seq(
+      "a a a a a b b b b y", // 10 tokens
+      "a a a b b b c c c z") // 10 tokens (c has 3 >= 2)
+    val got = Lexical.unkReplace(docsOf(texts), shareNum = 1, shareDen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((10L, 1L, "a a a a a b b b b <unk>")))
+    assert(got(1L) == ((10L, 1L, "a a a b b b c c c <unk>")))
+  }
+
+  test("unkReplace is the identity rebuild when nothing is rare") {
+    val texts = Seq("X  y x", "y x y")
+    val got = Lexical.unkReplace(docsOf(texts), shareNum = 1, shareDen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // canonical rebuild: lowercased, single-spaced, zero replacements
+    assert(got(0L) == ((0L, "x y x")))
+    assert(got(1L) == ((0L, "y x y")))
+  }
+
+  test("registered d83 binding actually replaces the rare tail on the test corpus") {
+    val rows = SparkEntry.queries("d83_unk_replace")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) > 0),
+      "threshold is vacuous on the test corpus — no rare tokens replaced")
+  }
+
   test("MG sketch is a streaming aggregate: heavy hitters over a stream in bounded memory") {
     // the mergeable summary is exactly what an unbounded stream needs —
     // complete-mode global aggregation whose state is <= capacity entries
