@@ -219,6 +219,15 @@ object PlanAudit {
     println("=== d79 hash exchanges (want 0): " +
       countNode(p79, "Exchange hashpartitioning"))
 
+    // d83: no (doc, position) machinery anywhere — the rebuild is an
+    // in-row transform; no window, no cartesian; the only exchanges are
+    // the model-sized token rollup and the doc-keyed rare-list rollup.
+    val p83 = graft.ops.Lexical.unkReplace(docs)
+      .queryExecution.executedPlan.toString
+    println("=== d83 CartesianProduct (want 0): " +
+      countNode(p83, "CartesianProduct"))
+    println("=== d83 Window nodes (want 0): " + countNode(p83, "Window"))
+
     // d76: the MG aggregation must be partial-then-final (map-side
     // summaries) — one single-group exchange, no token-keyed exchange.
     // (heavyHitters itself is eager — the returned frame is the bounded
