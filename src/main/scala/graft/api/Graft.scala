@@ -118,6 +118,12 @@ object Graft {
     docs.join(exactKeep, "doc_id").join(nearDrop, Seq("doc_id"), "left_anti")
   }
 
+  /** Corpus snapshot diff: added / removed / changed / same per doc_id
+    * between two corpus versions — one full-outer equi-join on the
+    * unique id, content compared by hash. Reads: doc_id, text. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    TextOps.snapshotDiff(oldDocs, newDocs)
+
   /** Persist a MinHash sketch index of a corpus for incremental dedup
     * (sketch once; dedupe each arriving batch against the index without
     * re-reading corpus text). Reads: doc_id, text. */
@@ -633,6 +639,14 @@ object Graft {
     * per `strata` value by ascending md5(doc_id) — reproducible across
     * runs and engines; exact bounded selection (map-side k-buffers),
     * never a stratum-wide sort. Reads: doc_id, <strata>. */
+  /** Per-stratum best-k documents by d04's stopword_ratio (descending,
+    * doc_id tie-break) — bounded MinKAgg selection under an IEEE
+    * order-preserving key, never a stratum-wide window sort. Out:
+    * (strata, doc_id, stopword_ratio, rank). Reads: doc_id, text,
+    * strata. */
+  def qualityTopK(docs: DataFrame, strata: String = "lang", k: Int = 10): DataFrame =
+    Curation.qualityTopK(docs, strata, k)
+
   def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20): DataFrame =
     Curation.stratifiedSample(docs, strata, k)
 

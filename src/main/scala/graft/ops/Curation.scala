@@ -618,6 +618,55 @@ object Curation {
         (col("pos") + 1).cast(LongType).as("sample_rank"))
   }
 
+  /** IEEE-754 order-preserving encoding: ascending doubles map to
+    * ascending unsigned longs (the standard sign-flip trick), so a
+    * fixed-width hex rendering sorts lexicographically in NUMERIC order
+    * with zero precision loss — what lets [[MinKAgg]]'s string-keyed
+    * k-selection rank by an arbitrary double EXACTLY (a decimal
+    * rendering would collapse near-ties the oracle's full-precision
+    * ORDER BY still distinguishes). */
+  private[graft] def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b < 0) ~b else b ^ java.lang.Long.MIN_VALUE
+  }
+
+  /** Hex key DESCENDING in `d` (k-smallest keys = k-largest doubles). */
+  private val descKeyUdf = udf { (d: Double) => f"${~sortableBits(d)}%016x" }
+
+  /** Per-stratum best-k documents by quality signal (d84) — the "select
+    * the best docs per domain under a budget" step between scoring and
+    * packing. Ranks by d04's stopword_ratio DESCENDING (bit-identical
+    * across engines — d04's oracle gates the exact divisions), doc_id
+    * ascending on ties. Out: (strata, doc_id, stopword_ratio, rank).
+    *
+    * Scale: selection rides [[MinKAgg]] under the order-preserving
+    * [[sortableBits]] key — constant-size k-buffers with map-side
+    * partial aggregation, so each stratum's reduce task receives at
+    * most k rows per map partition and nothing ever sorts beyond a
+    * k-element insertion; a window-rank formulation would shuffle and
+    * SORT every stratum end-to-end. The winners (strata x k rows)
+    * broadcast back onto the scored frame to re-attach the score. */
+  def qualityTopK(docs: DataFrame, strata: String = "lang", k: Int = 10,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    require(k > 0, "need k > 0")
+    val mink = udaf(new MinKAgg(k))
+    val scored = TextOps.qualityScore(docs, stopwords)
+      .join(docs.select(col("doc_id"), col(strata)), Seq("doc_id"))
+      .where(col("doc_id").isNotNull)
+    val winners = scored
+      .select(col(strata).as("stratum"), descKeyUdf(col("stopword_ratio")).as("key"),
+        col("doc_id"))
+      .groupBy(col("stratum"))
+      .agg(mink(col("key"), col("doc_id")).as("t"))
+      .select(col("stratum").as(strata),
+        posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+      .select(col(strata), col("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+    scored.select(col("doc_id"), col("stopword_ratio"))
+      .join(broadcast(winners), Seq("doc_id"))
+      .select(col(strata), col("doc_id"), col("stopword_ratio"), col("rank"))
+  }
+
   /** Distinct lowercased word n-grams per document. */
   private[graft] def wordNGrams(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "need n >= 1")
@@ -1788,6 +1837,53 @@ object Curation {
              |SELECT doc_id, lang, source, CAST(u.i AS BIGINT) AS copy_idx
              |FROM a, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS i) u
              |WHERE n_copies > 0""".stripMargin)),
+
+    // d85 binds TextOps.snapshotDiff here (the EXTENDED set): TextOps'
+    // own list feeds the bench's frozen 31-query baseline total, which
+    // must not grow (round-over-round ratios would stop being
+    // apples-to-apples). The planted new snapshot drops doc_id % 3 = 0,
+    // mutates % 5 = 0, and keeps the rest — all four statuses appear.
+    Q("d85_snapshot_diff",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextOps.snapshotDiff(
+          docs.where(col("doc_id") % 3 =!= 2),
+          docs.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text")).as("text")))
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 2),
+             |n AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |                  ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 3 <> 0)
+             |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |       CASE WHEN o.doc_id IS NULL THEN 'added'
+             |            WHEN n.doc_id IS NULL THEN 'removed'
+             |            WHEN o.h = n.h THEN 'same' ELSE 'changed' END AS status,
+             |       o.h AS old_hash, n.h AS new_hash
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),
+
+    Q("d84_quality_topk",
+      (s, d) => qualityTopK(documents(s, d)),
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |q AS (SELECT doc_id, lang,
+             |        CAST(len(list_filter(ws,
+             |          w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |          / len(ws) AS stopword_ratio
+             |      FROM s),
+             |rk AS (SELECT doc_id, lang, stopword_ratio,
+             |        CAST(row_number() OVER (PARTITION BY lang
+             |          ORDER BY stopword_ratio DESC, doc_id) AS BIGINT) AS rank
+             |       FROM q)
+             |SELECT lang, doc_id, stopword_ratio, rank FROM rk
+             |WHERE rank <= 10""".stripMargin)),
 
     Q("d67_gopher_rules",
       (s, d) => gopherRules(documents(s, d)),

@@ -90,6 +90,28 @@ object TextOps {
         (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"))
   }
 
+  /** Corpus snapshot diff (d85) — the audit a pipeline runs between two
+    * crawls/versions of the same corpus before re-spending compute:
+    * which documents were added, removed, changed (same id, different
+    * content hash), or carried over unchanged. In: two (doc_id, text)
+    * frames. Out: (doc_id, status in {added, removed, changed, same},
+    * old_hash, new_hash).
+    *
+    * Scale: ONE full-outer equi-join on the unique doc_id key (sort-
+    * merge, no skew possible), hashes computed in-scan — content never
+    * compares byte-wise, so wide text columns only flow into md5. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "same")
+          .otherwise("changed").as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
   /** Corpus composition by language × source. In: (lang, source, n_chars). */
   def composition(docs: DataFrame): DataFrame =
     docs

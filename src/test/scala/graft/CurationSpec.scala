@@ -819,4 +819,47 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Sessions.onStopOnce(spark, "curation-spec-once")(() => ()))
     assert(Sessions.onStopOnce(spark, "curation-spec-other")(() => ()))
   }
+
+  test("sortableBits preserves double ordering exactly (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dbl = Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300),
+      Gen.oneOf(0.0, -0.0, 1.0 / 3.0, 0.3333333333333333, Double.MinPositiveValue,
+        -Double.MinPositiveValue, 1e-320, Double.MaxValue, Double.MinValue))
+    val prop = Prop.forAll(dbl, dbl) { (a, b) =>
+      java.lang.Long.compareUnsigned(
+        Curation.sortableBits(a), Curation.sortableBits(b)).sign ==
+        java.lang.Double.compare(a, b).sign
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("qualityTopK selects the same rows and ranks as a window brute force") {
+    import spark.implicits._
+    // two strata; ratios engineered with shared values to exercise the
+    // doc_id tie-break (docs 1/2 tie at 1/2; docs 10/12 tie at 1/3)
+    val docs = Seq(
+      (1L, "the a x y", "en"), (2L, "of to p q", "en"), (3L, "the x y z", "en"),
+      (4L, "x y z w", "en"),
+      (10L, "the x y", "de"), (11L, "the of x", "de"), (12L, "a p q", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.qualityTopK(docs, "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val brute = graft.ops.TextOps.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("stopword_ratio").desc, col("doc_id"))))
+      .where(col("rank") <= 2)
+      .select(col("lang"), col("doc_id"), col("stopword_ratio"),
+        col("rank").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == brute)
+    // the en tie at 1/2 broke toward the smaller doc_id
+    assert(got.contains(("en", 1L, 0.5, 1L)) && got.contains(("en", 2L, 0.5, 2L)))
+    assert(got.contains(("de", 11L, 2.0 / 3.0, 1L)) && got.contains(("de", 10L, 1.0 / 3.0, 2L)))
+  }
 }

@@ -38,4 +38,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "A" -> "x y z", "B" -> "z y x")).collect().head
     assert(out.getDouble(5) == 1.0)
   }
+
+  test("snapshotDiff classifies added/removed/changed/same") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val got = TextOps.snapshotDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("registered d85 binding yields all four statuses on the test corpus") {
+    val counts = SparkEntry.queries("d85_snapshot_diff")(spark, "/root/testdata/sf0.001")
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("added", "removed", "changed", "same").subsetOf(counts.keySet), counts.toString)
+  }
 }
