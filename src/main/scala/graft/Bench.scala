@@ -13,9 +13,12 @@ import graft.ops.Q
   * on stdout outgrew the driver's tail capture).
   *
   * "value" totals the SAME query set BENCH_r01's 66.2 s baseline measured
-  * (the §2B relational + d01-d05 text surface), so round-over-round ratios
-  * stay apples-to-apples; operators added later (UDF/sampling, similarity,
-  * corpus ops) are timed in "extended" and totalled separately. The
+  * (the §2B relational + TextOps surface — 31 queries: q01-q25, d01-d05,
+  * and d68, which binds in TextOps; the Functions-bound q26-q30 are
+  * extended), so round-over-round ratios stay apples-to-apples; operators
+  * added later (UDF/sampling, similarity, corpus ops) are timed in
+  * "extended" and totalled separately — new operators register OUTSIDE
+  * TextOps/Relational so this set stays frozen. The
   * corpus-ETL e* queries run on the fixed reference corpus, not sfDir, so
   * they are excluded from scaling benchmarks.
   *
