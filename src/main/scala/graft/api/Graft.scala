@@ -650,6 +650,48 @@ object Graft {
   def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20): DataFrame =
     Curation.stratifiedSample(docs, strata, k)
 
+  /** Deterministic global shuffle order: 1-based position of each doc in
+    * the md5(seed:doc_id) permutation of the corpus — the reproducible
+    * "epoch order" materialization. Window-free total sort. Out:
+    * (<idCol>, position). Reads: idCol. */
+  def shuffleOrder(docs: DataFrame, seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame =
+    Curation.shuffleOrder(docs, seed, idCol)
+
+  /** Deterministic round-robin interleave across `groupCol`: seeded
+    * rank within each group, then rank-1 docs of every group first,
+    * rank-2 next, … — sources mixed evenly through the epoch. Out:
+    * (doc_id, group, rank_in_group, position). Reads: doc_id, groupCol. */
+  def interleaveOrder(docs: DataFrame, groupCol: String = "source",
+      seed: String = "graft"): DataFrame =
+    Curation.interleaveOrder(docs, groupCol, seed)
+
+  /** Temperature-scaled source upsampling factors relative to the
+    * largest source: w_s = (n_max/n_s)^(1−τ) — τ = 1 natural, τ = 0
+    * full equalization, τ = 0.5 the multilingual-sampling default
+    * (exactly-rounded sqrt path). Out: (<groupCol>, n_docs, weight);
+    * feed to [[applyMix]] to materialize. Reads: groupCol. */
+  def temperatureWeights(docs: DataFrame, groupCol: String = "source",
+      tau: Double = 0.5): DataFrame =
+    Curation.temperatureWeights(docs, groupCol, tau)
+
+  /** Length-bucketed batch assignment: bucket by d02 token count under
+    * `edges`, rank within bucket by (n_tokens, doc_id), cut batches of
+    * `batchSize` — minimizes padding waste. Window-free at any bucket
+    * skew. Out: (doc_id, bucket, n_tokens, rank_in_bucket, batch_idx).
+    * Reads: doc_id, text. */
+  def lengthBatches(docs: DataFrame, edges: Seq[Int] = Seq(8, 16, 32, 64, 128),
+      batchSize: Int = 32): DataFrame =
+    Curation.lengthBatches(docs, edges, batchSize)
+
+  /** End-to-end epoch assembly: temperature upsampling factors →
+    * md5-coin copy expansion → seeded epoch positions over the
+    * composite (doc_id, copy_idx) identity. Out: (doc_id, <groupCol>,
+    * copy_idx, position). Reads: doc_id, groupCol. */
+  def epochPlan(docs: DataFrame, groupCol: String = "source",
+      tau: Double = 0.5, seed: String = "graft"): DataFrame =
+    Curation.epochPlan(docs, groupCol, tau, seed)
+
   /** Benchmark decontamination: (training doc, eval doc, shared distinct
     * word-n-gram count) pairs — flag or drop training docs overlapping an
     * eval set. The eval side is broadcast (benchmarks are small).
@@ -909,6 +951,16 @@ object Graft {
       schema: org.apache.spark.sql.types.StructType,
       multiLine: Boolean = false): DataFrame =
     graft.sources.TextSources.readCsv(spark, dir, schema, multiLine)
+
+  /** ORC sink (columnar stripes, one file per partition). */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    graft.sources.TextSources.writeOrc(df, dir)
+
+  /** Schema-pinned ORC source (column pruning + predicate pushdown, like
+    * parquet). */
+  def readOrc(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.TextSources.readOrc(spark, dir, schema)
 
   // ---- multimodal ----------------------------------------------------------
 

@@ -667,6 +667,159 @@ object Curation {
       .select(col(strata), col("doc_id"), col("stopword_ratio"), col("rank"))
   }
 
+  /** Deterministic global shuffle order (d87) — the "materialize the
+    * training order" step: every example gets a position in one
+    * pseudo-random permutation of the corpus, reproducible from the
+    * seed alone (order = md5(seed:doc_id), so re-running on the same
+    * corpus re-derives the same epoch order, and a grown corpus only
+    * inserts new rows into the permutation without reshuffling runs
+    * already consumed positions). Out: (doc_id, position), 1-based.
+    *
+    * Scale: one range-partitioned total sort via [[Ids.sequenceBy]] —
+    * a window-free row numbering whose count and data jobs share one
+    * shuffle. A total sort is the honest minimum for materializing a
+    * global order; nothing here funnels through a single task. */
+  def shuffleOrder(docs: DataFrame, seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat_ws(":", lit(seed), col(idCol).cast(StringType))).as("skey"))
+    Ids.sequenceBy(keyed, Seq(col("skey"), col(idCol)), "position")
+      .select(col(idCol), col("position"))
+  }
+
+  /** Deterministic round-robin interleave across groups (d88) — the
+    * "mix sources evenly through the epoch" ordering: rank documents
+    * within each group by a seeded hash, then emit rank-1 docs of every
+    * group (in group order), then rank-2, and so on — smaller sources
+    * simply exhaust early. The uniform-mixing counterpart of the
+    * weighted [[mixWeights]]/[[applyMix]] pair: those decide HOW MANY
+    * copies of each doc train, this decides WHERE in the epoch each doc
+    * lands. Out: (doc_id, group, rank_in_group, position), 1-based.
+    *
+    * Scale: two range-partitioned total sorts ([[Ids.sequenceBy]]) and
+    * one #groups-row aggregate broadcast back — no Window node
+    * anywhere, no per-group single-task sort (a
+    * `row_number over (partition by group)` would funnel each group
+    * through one task; here every group's ranking rides the range
+    * exchange). The per-group start offsets come from min(gseq), which
+    * is invariant to range-bound sampling because the (group, skey, id)
+    * order is total. */
+  def interleaveOrder(docs: DataFrame, groupCol: String = "source",
+      seed: String = "graft"): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col(groupCol),
+      md5(concat_ws(":", lit(seed), col("doc_id").cast(StringType))).as("skey"))
+    val inGroup = groupRank(keyed, groupCol,
+        Seq(col("skey"), col("doc_id")), "rank_in_group")
+      .select(col("doc_id"), col(groupCol), col("rank_in_group"))
+    Ids.sequenceBy(inGroup, Seq(col("rank_in_group"), col(groupCol)), "position")
+      .select(col("doc_id"), col(groupCol), col("rank_in_group"), col("position"))
+  }
+
+  /** 1-based rank within each `groupCol` value under the total order
+    * `order` — the window-free `row_number over (partition by group
+    * order by ...)`: one range sort by (group, order...) makes group
+    * blocks contiguous in the global [[Ids.sequenceBy]] numbering, so
+    * rank = gseq − group's start offset, and the offsets are just
+    * min(gseq) per group — a #groups-row aggregate broadcast back. No
+    * per-group single-task sort at ANY group cardinality or skew (a
+    * partitioned Window funnels each group through one task). The
+    * ranged frame (callers pass a slim projection) is pinned so the
+    * offsets aggregate and the join read ONE materialization instead of
+    * re-executing the range sort (d23's pinning rationale — though a
+    * re-execution would at least be CORRECT here, gseq being a rank in
+    * a total order and thus invariant to range-bound sampling). */
+  private[graft] def groupRank(df: DataFrame, groupCol: String,
+      order: Seq[Column], rankCol: String): DataFrame = {
+    val g = Ids.sequenceBy(df, col(groupCol) +: order, "gseq")
+      .localCheckpoint()
+    val offs = g.groupBy(col(groupCol)).agg(min(col("gseq")).as("goff"))
+    g.join(broadcast(offs), Seq(groupCol))
+      .withColumn(rankCol, col("gseq") - col("goff") + 1L)
+      .drop("gseq", "goff")
+  }
+
+  /** Temperature-scaled source upsampling weights (d89) — the
+    * multilingual-sampling rule (Conneau & Lample 2019 §3.1): sampling
+    * shares q_s ∝ p_s^τ flatten the natural shares p_s, boosting tail
+    * sources. Emitted as per-source upsampling factors RELATIVE TO THE
+    * LARGEST source, w_s = (n_max/n_s)^(1−τ) — the largest source keeps
+    * weight 1.0 and every factor is one correctly-rounded double
+    * operation chain on exact long counts (τ = 0.5 routes through
+    * `sqrt`, which IEEE requires correctly rounded in BOTH engines —
+    * a normalized q_s would need a float SUM over sources, whose
+    * fold order no engine pins). Out: (<groupCol>, n_docs, weight).
+    *
+    * Scale: one #groups aggregate + a 1-row max broadcast
+    * (crossJoin(broadcast) — the d26 totals shape). Feed the weights to
+    * [[applyMix]]'s copy semantics to materialize the upsampling. */
+  def temperatureWeights(docs: DataFrame, groupCol: String = "source",
+      tau: Double = 0.5): DataFrame = {
+    require(tau >= 0 && tau <= 1, "need 0 <= tau <= 1")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("mx"))
+    val ratio = col("mx").cast(DoubleType) / col("n_docs")
+    val w =
+      if (tau == 0.5) sqrt(ratio)            // exactly rounded in IEEE
+      else if (tau == 1.0) lit(1.0)          // natural sampling
+      else if (tau == 0.0) ratio             // full equalization
+      else pow(ratio, 1.0 - tau)             // platform-rounded (~1 ulp)
+    counts.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n_docs"), w.as("weight"))
+  }
+
+  /** Length-bucketed batch assignment (d90) — the padding-efficiency
+    * step: bucket documents by whitespace token count (d02's n_tokens
+    * semantics) under explicit `edges`, rank within each bucket by
+    * (n_tokens, doc_id) so neighbors have near-equal lengths, and cut
+    * batches of `batchSize` off each bucket's ranking. Out: (doc_id,
+    * bucket, n_tokens, rank_in_bucket, batch_idx); bucket = number of
+    * edges ≤ n_tokens (0-based), batch_idx 0-based within bucket.
+    *
+    * Scale: bucketing is a narrow integer projection; the ranking is
+    * [[groupRank]] — the window-free contiguous-block numbering, safe
+    * at any bucket skew (and length buckets ARE skewed: the corpus mode
+    * bucket dwarfs the tails). */
+  def lengthBatches(docs: DataFrame, edges: Seq[Int] = Seq(8, 16, 32, 64, 128),
+      batchSize: Int = 32): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, "need sorted nonempty edges")
+    require(batchSize > 0, "need batchSize > 0")
+    val arr = edges.mkString("array(", ",", ")")
+    val t = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .withColumn("bucket",
+        expr(s"size(filter($arr, e -> e <= n_tokens))").cast(LongType))
+    groupRank(t, "bucket", Seq(col("n_tokens"), col("doc_id")), "rank_in_bucket")
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        col("rank_in_bucket"),
+        // integer DIV, not `/` (Spark's `/` on longs is DOUBLE division)
+        expr(s"(rank_in_bucket - 1L) div $batchSize").as("batch_idx"))
+  }
+
+  /** End-to-end epoch assembly (d91) — the composition a trainer
+    * actually consumes: [[temperatureWeights]] decides each source's
+    * upsampling factor, [[materializeMix]] expands docs into tagged
+    * copies under the md5-coin copy rule, and a final seeded total sort
+    * positions every copy in the epoch (the [[shuffleOrder]] machinery
+    * over the composite (doc_id, copy_idx) identity, so two copies of
+    * one doc land at unrelated positions). Out: (doc_id, <groupCol>,
+    * copy_idx, position). Deterministic end to end — every stage is a
+    * correctly-rounded or integer rule, so the whole plan hash-gates.
+    *
+    * Scale: the stages' own shapes — #groups aggregate + broadcast,
+    * narrow explode, one range-partitioned total sort. */
+  def epochPlan(docs: DataFrame, groupCol: String = "source",
+      tau: Double = 0.5, seed: String = "graft"): DataFrame = {
+    val w = temperatureWeights(docs, groupCol, tau)
+      .select(col(groupCol), col("weight"))
+    val expanded = materializeMix(docs, w, Seq(groupCol))
+    val keyed = expanded.withColumn("skey",
+      md5(concat_ws(":", lit(seed), col("doc_id").cast(StringType),
+        col("copy_idx").cast(StringType))))
+    Ids.sequenceBy(keyed, Seq(col("skey"), col("doc_id"), col("copy_idx")), "position")
+      .select(col("doc_id"), col(groupCol), col("copy_idx"), col("position"))
+  }
+
   /** Distinct lowercased word n-grams per document. */
   private[graft] def wordNGrams(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "need n >= 1")
@@ -1884,6 +2037,87 @@ object Curation {
              |       FROM q)
              |SELECT lang, doc_id, stopword_ratio, rank FROM rk
              |WHERE rank <= 10""".stripMargin)),
+
+    Q("d87_shuffle_order",
+      (s, d) => shuffleOrder(documents(s, d)),
+      Some("""SELECT doc_id,
+             |       CAST(row_number() OVER (
+             |         ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |         AS BIGINT) AS position
+             |FROM documents""".stripMargin)),
+
+    Q("d88_interleave_order",
+      (s, d) => interleaveOrder(documents(s, d)),
+      Some("""WITH k AS (
+             |  SELECT doc_id, source,
+             |         md5('graft:' || CAST(doc_id AS VARCHAR)) AS skey
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY source ORDER BY skey, doc_id)
+             |           AS BIGINT) AS rank_in_group
+             |  FROM k)
+             |SELECT doc_id, source, rank_in_group,
+             |       CAST(row_number() OVER (ORDER BY rank_in_group, source)
+             |         AS BIGINT) AS position
+             |FROM r""".stripMargin)),
+
+    Q("d89_temperature_mix",
+      (s, d) => temperatureWeights(documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |m AS (SELECT max(n_docs) AS mx FROM c)
+             |SELECT source, n_docs,
+             |       sqrt(CAST(mx AS DOUBLE) / n_docs) AS weight
+             |FROM c, m""".stripMargin)),
+
+    Q("d91_epoch_plan",
+      (s, d) => epochPlan(documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |m AS (SELECT max(n_docs) AS mx FROM c),
+             |w AS (SELECT source, sqrt(CAST(mx AS DOUBLE) / n_docs) AS weight
+             |      FROM c, m),
+             |a AS (SELECT d.doc_id, d.source,
+             |             CAST(floor(weight) AS BIGINT) +
+             |             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+             |                       printf('%08x', CAST(least(4294967295, floor((weight - floor(weight)) * 4294967296.0)) AS BIGINT))
+             |                  THEN 1 ELSE 0 END AS n_copies
+             |      FROM documents d JOIN w USING (source)),
+             |e AS (SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx
+             |      FROM a, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS i) u
+             |      WHERE n_copies > 0)
+             |SELECT doc_id, source, copy_idx,
+             |       CAST(row_number() OVER (ORDER BY
+             |         md5('graft:' || CAST(doc_id AS VARCHAR) || ':' ||
+             |             CAST(copy_idx AS VARCHAR)),
+             |         doc_id, copy_idx) AS BIGINT) AS position
+             |FROM e""".stripMargin)),
+
+    Q("d90_length_batches",
+      (s, d) => lengthBatches(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |           AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(len(list_filter([8,16,32,64,128],
+             |           e -> e <= n_tokens)) AS BIGINT) AS bucket
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id, bucket, n_tokens,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY bucket ORDER BY n_tokens, doc_id)
+             |           AS BIGINT) AS rank_in_bucket
+             |  FROM b)
+             |SELECT doc_id, bucket, n_tokens, rank_in_bucket,
+             |       (rank_in_bucket - 1) // 32 AS batch_idx
+             |FROM r""".stripMargin)),
 
     Q("d67_gopher_rules",
       (s, d) => gopherRules(documents(s, d)),

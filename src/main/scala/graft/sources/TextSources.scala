@@ -6,16 +6,16 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ops.{Q, Tables}
 
-/** Interchange sources/sinks beyond parquet — the JSONL and CSV formats
-  * corpus snapshots actually arrive in. Thin, deliberately-pinned
-  * wrappers over Spark's native json/csv data sources: explicit schema
+/** Interchange sources/sinks beyond parquet — the JSONL, CSV, and ORC
+  * formats corpus snapshots actually arrive in. Thin, deliberately-pinned
+  * wrappers over Spark's native json/csv/orc data sources: explicit schema
   * always (schema inference re-reads the data and guesses — a corrupt
   * line silently widens a column to string), FAILFAST by default (a
   * malformed record is an error, not a silent null row), PERMISSIVE
   * kept as an explicit opt-in that quarantines bad lines into a
   * `_corrupt_record` column instead of dropping them.
   *
-  * The registered queries d80/d81 gate the WRITE → READ round trip
+  * The registered queries d80/d81/d86 gate the WRITE → READ round trip
   * against the DuckDB oracle reading the ORIGINAL parquet: equality
   * proves the sink/source pair preserves every row and value, including
   * the quoting/escaping path. Scale: both formats read/write
@@ -69,6 +69,19 @@ object TextSources {
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir)
+
+  /** Columnar ORC — the OTHER splittable columnar interchange format
+    * large corpora arrive in (Hive-era lakes are ORC, not parquet).
+    * Spark's native orc source: columnar scan with column pruning and
+    * predicate pushdown exactly like parquet, zlib-compressed stripes,
+    * one file per task. Schema is pinned on read — ORC files are
+    * self-describing, but an explicit schema turns a drifted upstream
+    * file into a read error instead of a silently reshaped frame. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
 
   /** Read [[writeCsv]] output under an explicit schema, FAILFAST.
     * `multiLine` re-assembles records whose quoted fields contain
@@ -126,7 +139,8 @@ object TextSources {
   /** Run 2 of each round-trip query reads the memoized written
     * directory — the bench marks them so a warm read is never reported
     * as the cold write+read cost. */
-  val MemoizedQueries: Set[String] = Set("d80_jsonl_roundtrip", "d81_csv_roundtrip")
+  val MemoizedQueries: Set[String] =
+    Set("d80_jsonl_roundtrip", "d81_csv_roundtrip", "d86_orc_roundtrip")
 
   def queries: Seq[Q] = {
     val oracle = "SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -141,6 +155,12 @@ object TextSources {
         (s, d) => {
           val schema = Tables.documents(s, d).schema
           docCols(readCsv(s, roundTripDir(s, d, "csv", writeCsv), schema))
+        },
+        Some(oracle)),
+      Q("d86_orc_roundtrip",
+        (s, d) => {
+          val schema = Tables.documents(s, d).schema
+          docCols(readOrc(s, roundTripDir(s, d, "orc", writeOrc), schema))
         },
         Some(oracle)))
   }

@@ -240,6 +240,23 @@ object PlanAudit {
     println("=== d76 token shuffle exchanges (want 0): " +
       countNode(p76, "Exchange hashpartitioning(token"))
     println("=== d76 total Exchange nodes: " + countNode(p76, "Exchange"))
+
+    // d87/d88/d90: the ordering ops RETURN RDD-backed frames (sequenceBy's
+    // zipWithIndex), whose executedPlan is an opaque RDD scan — the
+    // auditable DataFrame stage is groupRank's output (checkpoint scan +
+    // offsets aggregate + join): ZERO Window nodes despite row_number
+    // semantics, and the offsets join rides broadcast. Varied group
+    // column — a lit() constant would let Catalyst fold the join key.
+    val keyed = docs
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 7).cast("string")))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(":", lit("graft"), col("doc_id").cast("string"))).as("skey"))
+    val p88 = graft.ops.Curation.groupRank(keyed, "source",
+        Seq(col("skey"), col("doc_id")), "rank_in_group")
+      .queryExecution.executedPlan.toString
+    println("=== d88/d90 groupRank Window nodes (want 0): " + countNode(p88, "Window"))
+    println("=== d88/d90 groupRank BroadcastHashJoin (offsets, want >=1): " +
+      countNode(p88, "BroadcastHashJoin"))
     spark.stop()
   }
 }

@@ -428,6 +428,25 @@ object ScaleSmoke {
       println(f"[scale] lexical frac=$frac%.1f hh $tHh%.2f s ($nHh tokens), " +
         f"pmi $tPmi%.2f s ($nPmi rows), entropy+diversity $tNar%.2f s ($nEnt rows)")
     }
+
+    // d87/d88/d90 ordering family: range-sort-based numbering must scale
+    // like the sort (n log n per row ~ flat per-item at these sizes);
+    // the group-offsets side is #groups rows regardless of corpus size.
+    for (frac <- Seq(0.5, 1.0)) {
+      val slice = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % lit((1 / frac).toInt) === 0)
+      val t0 = System.nanoTime()
+      val nSh = graft.api.Graft.shuffleOrder(slice).count()
+      val tSh = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nIl = graft.api.Graft.interleaveOrder(slice).count()
+      val tIl = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nLb = graft.api.Graft.lengthBatches(slice).count()
+      val tLb = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] order frac=$frac%.1f d87 $tSh%.2f s ($nSh rows), " +
+        f"d88 $tIl%.2f s ($nIl rows), d90 $tLb%.2f s ($nLb rows)")
+    }
     spark.stop()
   }
 }

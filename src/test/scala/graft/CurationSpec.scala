@@ -862,4 +862,144 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains(("en", 1L, 0.5, 1L)) && got.contains(("en", 2L, 0.5, 2L)))
     assert(got.contains(("de", 11L, 2.0 / 3.0, 1L)) && got.contains(("de", 10L, 1.0 / 3.0, 2L)))
   }
+
+  test("shuffleOrder equals the window brute force and is a 1..n permutation") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val got = Curation.shuffleOrder(ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = ids
+      .withColumn("position", row_number().over(Window.orderBy(
+        md5(concat_ws(":", lit("graft"), col("doc_id").cast("string"))),
+        col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+    assert(got.values.toSeq.sorted == (1L to 200L))
+  }
+
+  test("shuffleOrder: seeded determinism, seed sensitivity, growth keeps relative order") {
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: String): Seq[Long] =
+      Curation.shuffleOrder(df, seed).orderBy("position")
+        .collect().map(_.getLong(0)).toSeq
+    val a = order(ids, "graft")
+    assert(a == order(ids, "graft"), "same seed must reproduce the epoch order")
+    assert(a != order(ids, "other"), "a different seed must permute differently")
+    // growing the corpus inserts new docs into the permutation without
+    // reordering the survivors relative to each other
+    val grown = order((0L until 150L).toDF("doc_id"), "graft")
+    assert(grown.filter(_ < 100L) == a)
+  }
+
+  test("interleaveOrder equals the window brute force and round-robins groups") {
+    import spark.implicits._
+    // unequal group sizes: en 5, de 3, fr 1 — small groups exhaust early
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "en")) ++
+        Seq.tabulate(3)(i => (10L + i, "de")) :+ ((20L, "fr")))
+      .toDF("doc_id", "source")
+    val got = Curation.interleaveOrder(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val brute = docs
+      .withColumn("skey",
+        md5(concat_ws(":", lit("graft"), col("doc_id").cast("string"))))
+      .withColumn("rank_in_group", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("rank_in_group"), col("source"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("rank_in_group"), col("position"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == brute.toSet)
+    val byPos = got.sortBy(_._4)
+    // while all three groups are live, consecutive positions cycle de,en,fr
+    assert(byPos.take(3).map(_._2).toSeq == Seq("de", "en", "fr"))
+    assert(byPos.map(_._4).toSeq == (1L to 9L))
+    // ranks never decrease along the epoch and fr appears exactly once
+    assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq)
+    assert(byPos.count(_._2 == "fr") == 1)
+  }
+
+  test("groupRank plan: offsets ride a broadcast join, no Window nodes") {
+    import spark.implicits._
+    // the returned frames of the ordering ops are RDD-backed (sequenceBy's
+    // zipWithIndex), so THEIR executedPlan is an opaque RDD scan — the
+    // auditable DataFrame stage is groupRank's output (checkpoint scan +
+    // offsets aggregate + join), which is where a Window or a shuffled
+    // join could sneak in
+    val docs = (0L until 200L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(concat_ws(":", lit("graft"), col("doc_id").cast("string"))).as("skey"))
+    val plan = Curation.groupRank(keyed, "source",
+        Seq(col("skey"), col("doc_id")), "rank_in_group")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ranking must never plan a Window")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"offsets join must broadcast, got:\n$plan")
+  }
+
+  test("temperatureWeights: hand-computed factors at tau = 0.5 / 0 / 1") {
+    import spark.implicits._
+    // sources sized 9 / 4 / 1 — perfect squares so sqrt is exact
+    val docs = (Seq.fill(9)("a") ++ Seq.fill(4)("b") :+ "c")
+      .zipWithIndex.map { case (src, i) => (i.toLong, src) }
+      .toDF("doc_id", "source")
+    def weights(tau: Double): Map[String, (Long, Double)] =
+      Curation.temperatureWeights(docs, "source", tau)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(weights(0.5) == Map("a" -> (9L, 1.0), "b" -> (4L, 1.5), "c" -> (1L, 3.0)))
+    assert(weights(0.0) == Map("a" -> (9L, 1.0), "b" -> (4L, 2.25), "c" -> (1L, 9.0)))
+    assert(weights(1.0) == Map("a" -> (9L, 1.0), "b" -> (4L, 1.0), "c" -> (1L, 1.0)))
+  }
+
+  test("epochPlan: temperature copies expand correctly and positions are a permutation") {
+    import spark.implicits._
+    // sources 9/4/1 -> weights 1.0 / 1.5 / 3.0 (see temperatureWeights test)
+    val docs = (Seq.fill(9)("a") ++ Seq.fill(4)("b") :+ "c")
+      .zipWithIndex.map { case (src, i) => (i.toLong, src) }
+      .toDF("doc_id", "source")
+    val out = Curation.epochPlan(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are exactly 1..N with no gaps or repeats
+    assert(out.map(_._4).sorted.toSeq == (1L to out.length))
+    // weight 1.0 -> exactly one copy of each 'a' doc; weight 3.0 -> the
+    // single 'c' doc carries copies 1..3; weight 1.5 -> every 'b' doc 1
+    // or 2 copies, and the counts equal applyMix's gated coin rule
+    assert(out.count(_._2 == "a") == 9)
+    assert(out.filter(_._2 == "c").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    val bCounts = out.filter(_._2 == "b").groupBy(_._1).view.mapValues(_.length).toMap
+    val coin = Curation.applyMix(docs,
+        Curation.temperatureWeights(docs, "source").select(col("source"), col("weight")),
+        Seq("source"))
+      .where(col("source") === "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+    assert(bCounts == coin)
+    assert(bCounts.values.forall(n => n == 1 || n == 2))
+  }
+
+  test("lengthBatches equals the window brute force; batches respect size and bucket") {
+    import spark.implicits._
+    // lengths straddling the 4/8 edges, with ties to exercise doc_id order
+    val docs = (0L until 40L).map(i =>
+        (i, Seq.fill(((i * 7) % 11).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.lengthBatches(docs, edges = Seq(4, 8), batchSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val brute = docs
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("bucket",
+        expr("size(filter(array(4,8), e -> e <= n_tokens))").cast("long"))
+      .withColumn("rank_in_bucket", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      .withColumn("batch_idx", expr("(rank_in_bucket - 1L) div 3"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        col("rank_in_bucket"), col("batch_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == brute.toSet)
+    // no (bucket, batch) holds more than batchSize docs, and token spans
+    // within a batch never interleave with a later batch's tokens
+    val byBatch = got.groupBy(t => (t._2, t._5))
+    assert(byBatch.values.forall(_.length <= 3))
+    for (((b, i), rows) <- byBatch; next <- byBatch.get((b, i + 1)))
+      assert(rows.map(_._3).max <= next.map(_._3).min)
+  }
 }

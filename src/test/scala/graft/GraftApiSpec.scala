@@ -567,5 +567,21 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cb = Graft.pqTrainExact(spark, vecs, m = 8)
     val a73 = Graft.pqTopK(vecs, Graft.pqEncode(spark, vecs, cb), cb).collect().toSet
     assert(q73.map(_.toSeq) == a73.map(_.toSeq))
+
+    val q87 = SparkEntry.queries("d87_shuffle_order")(spark, sf).collect().toSet
+    val a87 = Graft.shuffleOrder(docs).collect().toSet
+    assert(q87.map(_.toSeq) == a87.map(_.toSeq))
+
+    val q88 = SparkEntry.queries("d88_interleave_order")(spark, sf).collect().toSet
+    val a88 = Graft.interleaveOrder(docs).collect().toSet
+    assert(q88.map(_.toSeq) == a88.map(_.toSeq))
+
+    val q89 = SparkEntry.queries("d89_temperature_mix")(spark, sf).collect().toSet
+    val a89 = Graft.temperatureWeights(docs).collect().toSet
+    assert(q89.map(_.toSeq) == a89.map(_.toSeq))
+
+    val q90 = SparkEntry.queries("d90_length_batches")(spark, sf).collect().toSet
+    val a90 = Graft.lengthBatches(docs).collect().toSet
+    assert(q90.map(_.toSeq) == a90.map(_.toSeq))
   }
 }

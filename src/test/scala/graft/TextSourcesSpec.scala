@@ -71,6 +71,19 @@ class TextSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("ORC round trip is lossless on nasty strings and nulls (property)") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val df = rows(texts)
+      val dir = tmp()
+      try {
+        TextSources.writeOrc(df, dir)
+        collectSet(TextSources.readOrc(spark, dir, df.schema)) == collectSet(df)
+      } finally graft.ops.Corpus.deleteRecursively(dir)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("CSV preserves the empty-string / null distinction") {
     import spark.implicits._
     val df = Seq((1L, "", "x"), (2L, null: String, "y")).toDF("id", "a", "b")
@@ -105,11 +118,11 @@ class TextSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Corpus.deleteRecursively(dir)
   }
 
-  test("registered d80/d81 bindings reproduce the documents table") {
+  test("registered d80/d81/d86 bindings reproduce the documents table") {
     val sf = "/root/testdata/sf0.001"
     val want = graft.ops.Tables.documents(spark, sf)
       .collect().map(_.toSeq).toSet
-    for (q <- Seq("d80_jsonl_roundtrip", "d81_csv_roundtrip")) {
+    for (q <- Seq("d80_jsonl_roundtrip", "d81_csv_roundtrip", "d86_orc_roundtrip")) {
       val got = SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSet
       assert(got == want, s"$q diverged from the source table")
     }
