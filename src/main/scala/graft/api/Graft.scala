@@ -692,6 +692,13 @@ object Graft {
       tau: Double = 0.5, seed: String = "graft"): DataFrame =
     Curation.epochPlan(docs, groupCol, tau, seed)
 
+  /** Curriculum ordering: 1-based position under (score DESC, doc_id)
+    * for any per-doc score frame — the order-by-merit epoch layout.
+    * Exact double ranking (IEEE order-preserving key), window-free.
+    * Out: (doc_id, <scoreCol>, position). Reads: doc_id, scoreCol. */
+  def curriculumOrder(scored: DataFrame, scoreCol: String = "score"): DataFrame =
+    Curation.curriculumOrder(scored, scoreCol)
+
   /** Benchmark decontamination: (training doc, eval doc, shared distinct
     * word-n-gram count) pairs — flag or drop training docs overlapping an
     * eval set. The eval side is broadcast (benchmarks are small).

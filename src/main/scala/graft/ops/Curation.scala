@@ -820,6 +820,24 @@ object Curation {
       .select(col("doc_id"), col(groupCol), col("copy_idx"), col("position"))
   }
 
+  /** Curriculum ordering (d92) — position docs easiest-first (or any
+    * monotone schedule): 1-based position under (score DESC, doc_id),
+    * for a caller-supplied per-doc score frame. The third member of the
+    * ordering family: d87 shuffles, d88 interleaves, this one ORDERS BY
+    * MERIT — the curriculum-learning epoch layout. In: (doc_id,
+    * <scoreCol>). Out: (doc_id, <scoreCol>, position).
+    *
+    * Scale: one range-partitioned total sort ([[Ids.sequenceBy]] under
+    * the IEEE order-preserving [[sortableBits]] key via [[descKeyUdf]] —
+    * ranking by the raw double EXACTLY, not by a decimal rendering),
+    * window-free like the rest of the family. */
+  def curriculumOrder(scored: DataFrame, scoreCol: String = "score"): DataFrame = {
+    val keyed = scored.select(col("doc_id"), col(scoreCol),
+      descKeyUdf(col(scoreCol)).as("ckey"))
+    Ids.sequenceBy(keyed, Seq(col("ckey"), col("doc_id")), "position")
+      .select(col("doc_id"), col(scoreCol), col("position"))
+  }
+
   /** Distinct lowercased word n-grams per document. */
   private[graft] def wordNGrams(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "need n >= 1")
@@ -2096,6 +2114,25 @@ object Curation {
              |             CAST(copy_idx AS VARCHAR)),
              |         doc_id, copy_idx) AS BIGINT) AS position
              |FROM e""".stripMargin)),
+
+    Q("d92_curriculum_order",
+      (s, d) => curriculumOrder(
+        TextOps.qualityScore(documents(s, d))
+          .select(col("doc_id"), col("stopword_ratio").as("score")),
+        "score"),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |q AS (SELECT doc_id,
+             |        CAST(len(list_filter(ws,
+             |          w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |          / len(ws) AS score
+             |      FROM s)
+             |SELECT doc_id, score,
+             |       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+             |         AS BIGINT) AS position
+             |FROM q""".stripMargin)),
 
     Q("d90_length_batches",
       (s, d) => lengthBatches(documents(s, d)),

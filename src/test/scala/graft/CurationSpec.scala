@@ -976,6 +976,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bCounts.values.forall(n => n == 1 || n == 2))
   }
 
+  test("curriculumOrder equals the window brute force (desc double order, ties on id)") {
+    import spark.implicits._
+    // engineered ties (0.5 twice, 0.0 twice) plus denormal-ish spread
+    val scored = Seq((1L, 0.5), (2L, 0.5), (3L, 0.75), (4L, 0.0),
+        (5L, 0.0), (6L, 1.0 / 3.0), (7L, Double.MinPositiveValue))
+      .toDF("doc_id", "score")
+    val got = Curation.curriculumOrder(scored)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val brute = scored
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.find(_._1 == 3L).get._3 == 1L) // best score leads the epoch
+  }
+
   test("lengthBatches equals the window brute force; batches respect size and bucket") {
     import spark.implicits._
     // lengths straddling the 4/8 edges, with ties to exercise doc_id order

@@ -583,5 +583,16 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q90 = SparkEntry.queries("d90_length_batches")(spark, sf).collect().toSet
     val a90 = Graft.lengthBatches(docs).collect().toSet
     assert(q90.map(_.toSeq) == a90.map(_.toSeq))
+
+    val q91 = SparkEntry.queries("d91_epoch_plan")(spark, sf).collect().toSet
+    val a91 = Graft.epochPlan(docs).collect().toSet
+    assert(q91.map(_.toSeq) == a91.map(_.toSeq))
+
+    val q92 = SparkEntry.queries("d92_curriculum_order")(spark, sf).collect().toSet
+    val a92 = Graft.curriculumOrder(
+      graft.ops.TextOps.qualityScore(docs)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("stopword_ratio").as("score"))).collect().toSet
+    assert(q92.map(_.toSeq) == a92.map(_.toSeq))
   }
 }
