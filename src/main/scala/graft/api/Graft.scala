@@ -45,6 +45,13 @@ object Graft {
     * → (doc_id, cluster_id, cluster_size). Reads: doc_id, text. */
   def nearDupClusters(docs: DataFrame): DataFrame = Similarity.nearDupClusters(docs)
 
+  /** Quality-aware dedup keepers: per near-dup cluster, the
+    * highest-quality member (stopword_ratio, ties to the smaller id) —
+    * keep-the-best dedup instead of keep-min-id. Out: (cluster_id,
+    * keeper_id, best_score, cluster_size). Reads: doc_id, text. */
+  def dedupBestKeepers(docs: DataFrame): DataFrame =
+    Similarity.dedupBestKeepers(docs)
+
   /** Exact word-4-gram Jaccard pairs at J >= thresholdNum/thresholdDen
     * via PPJoin-style prefix filtering — exact recall at ANY threshold
     * (the MinHash path's fixed band tuning loses recall below ~0.75).

@@ -643,6 +643,28 @@ object Similarity {
     } finally sk.unpersist()
   }
 
+  /** Quality-aware dedup keepers (d93): per near-dup cluster, the
+    * HIGHEST-quality member (d04's stopword_ratio, ties to the smaller
+    * doc_id) — the production dedup policy, vs the arbitrary min-id
+    * keeper d01/d14 default to. Out: (cluster_id, keeper_id,
+    * best_score, cluster_size). Reads: doc_id, text. */
+  def dedupBestKeepers(docs: DataFrame): DataFrame =
+    bestKeepersFrom(
+      nearDupClusters(docs).select(col("doc_id"), col("cluster_id")), docs)
+
+  /** The keeper selection alone: one struct-max aggregate over the
+    * clustered docs — field-lexicographic (score, −id) max is an exact
+    * double ordering with deterministic ties, and the only shuffle is
+    * clusters-sized. */
+  private[graft] def bestKeepersFrom(comp: DataFrame, docs: DataFrame): DataFrame =
+    comp.join(TextOps.qualityScore(docs).select(col("doc_id"), col("stopword_ratio")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("stopword_ratio").as("s"), (-col("doc_id")).as("nid"))).as("t"),
+        count(lit(1)).cast(LongType).as("cluster_size"))
+      .select(col("cluster_id"), (-col("t.nid")).as("keeper_id"),
+        col("t.s").as("best_score"), col("cluster_size"))
+
   // ---- connected components (d14) ------------------------------------------
 
   /** One large-star round: every node u points its larger neighbors at
@@ -1424,6 +1446,57 @@ object Similarity {
              |SELECT v AS doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
              |FROM lab JOIN csz USING (cluster_id)""".stripMargin)),
 
+    // d93: quality-aware dedup keeper — the production near-dup POLICY:
+    // per duplicate cluster, keep the HIGHEST-QUALITY member (d04's
+    // stopword_ratio; ties to the smaller doc_id), not the arbitrary
+    // min-id keeper d01/d14 default to. One struct-max aggregate over
+    // the clustered docs (field-lexicographic (score, -id) max — exact
+    // double ordering, deterministic ties), so the only added shuffle
+    // beyond d14's machinery is clusters-sized. Shares the memoized
+    // near-dup pair tables with d06/d14/d19 (marked memoized).
+    Q("d93_dedup_best_keeper",
+      (s, d) => bestKeepersFrom(
+        connectedComponents(s,
+          nearDupPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id")),
+        documents(s, d)),
+      Some("""WITH RECURSIVE np AS MATERIALIZED (
+             |  WITH sh AS (
+             |    SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+             |    FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |         LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+             |  ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |  inter AS (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2)
+             |  SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes za ON za.doc_id = doc_a
+             |  JOIN sizes zb ON zb.doc_id = doc_b
+             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4
+             |),
+             |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM np UNION ALL SELECT doc_b, doc_a FROM np),
+             |nodes AS (SELECT DISTINCT a AS v FROM edges),
+             |reach AS (
+             |  SELECT v, v AS l FROM nodes
+             |  UNION
+             |  SELECT r.v, e.b AS l FROM reach r JOIN edges e ON e.a = r.l
+             |),
+             |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
+             |sc AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |           / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS s
+             |  FROM documents),
+             |j AS (SELECT lab.v AS doc_id, cluster_id, s
+             |      FROM lab JOIN sc ON sc.doc_id = lab.v)
+             |SELECT cluster_id,
+             |       first(doc_id ORDER BY s DESC, doc_id) AS keeper_id,
+             |       max(s) AS best_score,
+             |       CAST(count(*) AS BIGINT) AS cluster_size
+             |FROM j GROUP BY cluster_id""".stripMargin)),
+
     // d17: IVF approximate neighbor search — the second ANN index family
     // (k-means coarse quantizer), built on the first-class IvfIndex
     // surface (build/save/load/search — the production path persists the
@@ -1610,5 +1683,5 @@ object Similarity {
     * so a reader can interpret the per-run times correctly. */
   val MemoizedQueries: Set[String] =
     Set("d06_minhash_lsh", "d14_dedup_components", "d19_jaccard_prefix",
-      "d60_containment_prefix")
+      "d60_containment_prefix", "d93_dedup_best_keeper")
 }

@@ -65,6 +65,31 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = Graft.dedupedCorpus(docsDf).collect()
     assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
     assert(kept.head.schema.fieldNames.contains("text"))
+
+    // quality-aware keeper: all three cluster members tie at ratio
+    // 3/12, so the tie breaks to the smallest doc_id
+    val keepBest = Graft.dedupBestKeepers(docsDf).collect()
+    assert(keepBest.length == 1)
+    assert(keepBest.head.getAs[Long]("cluster_id") == 1L)
+    assert(keepBest.head.getAs[Long]("keeper_id") == 1L)
+    assert(keepBest.head.getAs[Double]("best_score") == 0.25)
+    assert(keepBest.head.getAs[Long]("cluster_size") == 3L)
+  }
+
+  test("dedupBestKeepers prefers the higher-quality member over the smaller id") {
+    import spark.implicits._
+    // doc 11 = doc 10 + " the": near-identical char-3-gram sets, but 11
+    // carries a higher stopword_ratio (3/12 > 2/11) — the keeper must be
+    // the LATER, better doc, the exact case min-id dedup gets wrong
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over lazy dog again and again"),
+      (11L, "the quick brown fox jumps over lazy dog again and again the"))
+      .toDF("doc_id", "text")
+    val out = Graft.dedupBestKeepers(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keeper_id") == 11L)
+    assert(out.head.getAs[Double]("best_score") == 0.25)
+    assert(out.head.getAs[Long]("cluster_size") == 2L)
   }
 
   test("degenerate docs (null / sub-gram text) never reach the LSH index") {
