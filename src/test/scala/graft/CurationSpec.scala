@@ -937,6 +937,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"offsets join must broadcast, got:\n$plan")
   }
 
+  test("groupRank equals the window row_number on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random sizes and group cardinalities, including 1 group (fully
+    // contiguous) and singleton groups — the offset arithmetic must
+    // survive every partition-boundary placement
+    val gen = for {
+      n <- Gen.chooseNum(1, 500)
+      g <- Gen.chooseNum(1, 12)
+      mods <- Gen.listOfN(n, Gen.chooseNum(0, g - 1))
+    } yield mods.zipWithIndex.map { case (m, i) => (i.toLong, s"g$m") }
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("doc_id", "grp")
+      val keyed = df.select(col("doc_id"), col("grp"),
+        md5(concat_ws(":", lit("p"), col("doc_id").cast("string"))).as("skey"))
+      val got = Curation.groupRank(keyed, "grp",
+          Seq(col("skey"), col("doc_id")), "rk")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+      val brute = keyed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+      got == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("temperatureWeights: hand-computed factors at tau = 0.5 / 0 / 1") {
     import spark.implicits._
     // sources sized 9 / 4 / 1 — perfect squares so sqrt is exact
