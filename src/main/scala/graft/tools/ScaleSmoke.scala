@@ -444,8 +444,17 @@ object ScaleSmoke {
       val t2 = System.nanoTime()
       val nLb = graft.api.Graft.lengthBatches(slice).count()
       val tLb = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val nEp = graft.api.Graft.epochPlan(slice).count()
+      val tEp = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val nCu = graft.api.Graft.curriculumOrder(
+        graft.api.Graft.qualityScore(slice)
+          .select(col("doc_id"), col("stopword_ratio").as("score"))).count()
+      val tCu = (System.nanoTime() - t4) / 1e9
       println(f"[scale] order frac=$frac%.1f d87 $tSh%.2f s ($nSh rows), " +
-        f"d88 $tIl%.2f s ($nIl rows), d90 $tLb%.2f s ($nLb rows)")
+        f"d88 $tIl%.2f s ($nIl rows), d90 $tLb%.2f s ($nLb rows), " +
+        f"d91 $tEp%.2f s ($nEp rows), d92 $tCu%.2f s ($nCu rows)")
     }
     spark.stop()
   }
