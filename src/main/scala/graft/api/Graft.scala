@@ -377,6 +377,12 @@ object Graft {
     * spend-compute numbers. Reads: doc_id, text, lang, n_chars. */
   def corpusReport(docs: DataFrame): DataFrame = TextOps.corpusReport(docs)
 
+  /** [[corpusReport]] broken out per `groupCol` (default source) — the
+    * source-level triage view, plus mean tokens/doc. One row per group.
+    * Reads: text, lang, n_chars, groupCol. */
+  def sourceReport(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    TextOps.sourceReport(docs, groupCol)
+
   /** Corpus top-k word frequencies. Reads: text. */
   def wordFreq(docs: DataFrame, k: Int = 100): DataFrame = TextOps.wordFreq(docs, k)
 

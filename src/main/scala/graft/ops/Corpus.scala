@@ -982,6 +982,24 @@ object Corpus {
              |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
              |FROM documents""".stripMargin)),
 
+    // d94: the per-source breakout of d56 — source-level triage (which
+    // feeds are junk) under the same deterministic conventions; the one
+    // computed double (avg_tokens) is a single correctly-rounded
+    // division under the established round-to-4 convention.
+    Q("d94_source_report",
+      (s, d) => TextOps.sourceReport(documents(s, d)),
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             |  round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+             |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs,
+             |  round(CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             |    / count(*), 4) AS avg_tokens
+             |FROM documents GROUP BY source""".stripMargin)),
+
     // d55: token-budget accounting under the LEARNED tokenizer — the
     // counts packing/mixing use in production, vs d02's whitespace and
     // d16's pre-tokenizer proxies. Gated by the unrolled merge oracle

@@ -49,6 +49,31 @@ object TextOps {
         round(expr("percentile(n_chars, 0.99D)"), 4).as("p99_chars"))
       .withColumn("n_exact_dup_docs", col("n_docs") - col("n_unique_texts"))
 
+  /** Per-group corpus health report (d94) — [[corpusReport]] broken out
+    * by `groupCol`, the source-level triage view ("which feeds are
+    * junk"): doc/unique/lang counts, token mass, exact length
+    * percentiles, exact-dup count, and mean tokens/doc per group. Same
+    * deterministic conventions as d56 (exact integer aggregates; the
+    * one computed double is a single correctly-rounded division under
+    * the round-to-4 convention d44 established). Out one row per group.
+    *
+    * Scale: one scan into a #groups-row aggregation; the two
+    * count-distincts ride Spark's Expand (2 buffer passes), and the
+    * exact-percentile buffer is d18's convention — swap in
+    * approx_percentile at extreme scale. */
+  def sourceReport(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast(LongType))
+          .as("total_tokens"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.99D)"), 4).as("p99_chars"))
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_unique_texts"))
+      .withColumn("avg_tokens",
+        round(col("total_tokens").cast(DoubleType) / col("n_docs"), 4))
+
   /** Whitespace token count + punctuation count per document.
     * In: (doc_id, text, n_chars). */
   def tokenStats(docs: DataFrame): DataFrame =

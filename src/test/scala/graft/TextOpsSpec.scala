@@ -54,4 +54,30 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(Set("added", "removed", "changed", "same").subsetOf(counts.keySet), counts.toString)
   }
+
+  test("sourceReport: hand-computed per-source aggregates incl. dup and avg tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "one two three", "en"),    // 3 tokens
+      (2L, "A", "one two three", "en"),    // exact dup of 1
+      (3L, "A", "four", "de"),             // 1 token, second lang
+      (4L, "B", "x y", "en"))              // 2 tokens
+      .toDF("doc_id", "source", "text", "lang")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+    val out = TextOps.sourceReport(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_unique_texts") == 2L)
+    assert(a.getAs[Long]("n_langs") == 2L)
+    assert(a.getAs[Long]("total_tokens") == 7L)
+    assert(a.getAs[Long]("n_exact_dup_docs") == 1L)
+    assert(a.getAs[Double]("avg_tokens") == 2.3333)
+    // A n_chars: 13, 13, 4 -> p50 = 13
+    assert(a.getAs[Double]("p50_chars") == 13.0)
+    val b = out("B")
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Double]("avg_tokens") == 2.0)
+  }
 }
