@@ -979,6 +979,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(weights(1.0) == Map("a" -> (9L, 1.0), "b" -> (4L, 1.0), "c" -> (1L, 1.0)))
   }
 
+  test("lengthBatches equals the window brute force on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      lens <- Gen.listOfN(n, Gen.chooseNum(1, 40))
+      batch <- Gen.chooseNum(1, 8)
+    } yield (lens.zipWithIndex.map { case (l, i) =>
+      (i.toLong, Seq.fill(l)("w").mkString(" "))
+    }, batch)
+    val prop = Prop.forAll(gen) { case (rows, batch) =>
+      val df = rows.toDF("doc_id", "text")
+      val got = Curation.lengthBatches(df, edges = Seq(4, 8, 16), batchSize = batch)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+      val brute = df
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("bucket",
+          expr("size(filter(array(4,8,16), e -> e <= n_tokens))").cast("long"))
+        .withColumn("rank_in_bucket", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+        .withColumn("batch_idx", expr(s"(rank_in_bucket - 1L) div $batch"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("bucket"), r.getAs[Long]("rank_in_bucket"),
+            r.getAs[Long]("batch_idx")))).toMap
+      got == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("epochPlan: temperature copies expand correctly and positions are a permutation") {
     import spark.implicits._
     // sources 9/4/1 -> weights 1.0 / 1.5 / 3.0 (see temperatureWeights test)
