@@ -9,18 +9,36 @@ import graft.ops.Q
   * per-query map, quality, load; small enough that log interleaving can't
   * truncate it) plus the FULL artifact to bench.json (per-run times, the
   * extended per-query map, memoization markers — everything adjudication
-  * needs; BENCH_r06/r07 recorded "parsed": null because the full artifact
-  * on stdout outgrew the driver's tail capture).
+  * needs). The compact line is ALSO written to bench_summary.json and
+  * echoed on stderr: BENCH_r06–r08 recorded "parsed": null because the
+  * stdout line arrived through sbt's logger; build.sbt now sets
+  * `run / outputStrategy := StdoutOutput` so the forked JVM's stdout
+  * reaches the driver raw, and the two side channels make the line
+  * recoverable even if that regresses.
   *
   * "value" totals the SAME query set BENCH_r01's 66.2 s baseline measured
-  * (the §2B relational + TextOps surface — 31 queries: q01-q25, d01-d05,
-  * and d68, which binds in TextOps; the Functions-bound q26-q30 are
-  * extended), so round-over-round ratios stay apples-to-apples; operators
-  * added later (UDF/sampling, similarity, corpus ops) are timed in
-  * "extended" and totalled separately — new operators register OUTSIDE
-  * TextOps/Relational so this set stays frozen. The
-  * corpus-ETL e* queries run on the fixed reference corpus, not sfDir, so
-  * they are excluded from scaling benchmarks.
+  * (the §2B relational + TextOps surface — 30 queries: q01–q25 and
+  * d01–d05; the Functions-bound q26–q30 are extended), so round-over-round
+  * ratios stay apples-to-apples; operators added later (UDF/sampling,
+  * similarity, corpus ops) are timed in "extended" and totalled separately
+  * — new operators register OUTSIDE TextOps/Relational so this set stays
+  * frozen. (Rounds 10–12 had d68 registered in TextOps, drifting the r08
+  * headline to 31 queries — the registration now lives in Corpus and the
+  * set is back to r01's 30.) The corpus-ETL e* queries run on the fixed
+  * reference corpus, not sfDir, so they are excluded from scaling
+  * benchmarks.
+  *
+  * HEADLINE ISOLATION: the r07→r08 comparison showed a uniform ~25% drift
+  * across every headline query with no outlier — the signature of suite
+  * growth (130 queries + quality probes in one JVM: code-cache/GC
+  * pressure), not of any plan change. The headline set therefore now runs
+  * in a FRESH CHILD JVM (same flags, same classpath, same warmups — the
+  * environment r01's baseline measured) before the parent creates its own
+  * session for the extended set; "headline_jvm" records "fresh", or
+  * "in_process" when forking isn't possible (classpath unavailable) and
+  * the old single-JVM path ran. "load_phases" records the 1-min loadavg
+  * around each timed phase so self-contention is visible per phase, not
+  * just at process start.
   *
   * Each query is executed with a noop-format write so the full plan runs
   * (a bare .count() lets Catalyst prune computed projections and
@@ -58,27 +76,145 @@ object Bench {
   private val LoadGateAttempts = 3
   private val LoadGateWaitMs = 60000L
 
+  /** The frozen headline set — exactly the queries BENCH_r01's recorded
+    * baseline measured. Binding registries: Relational (q01–q25) and
+    * TextOps (d01–d05). */
+  private def baselineSet: Seq[Q] =
+    graft.ops.Relational.queries ++ graft.ops.TextOps.queries
+
+  private def extendedSet: Seq[Q] =
+    graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
+      graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
+      graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
+      graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
+      graft.ops.HashIndex.queries ++
+      graft.api.PipelineQueries.queries ++
+      graft.sources.TextSources.queries
+
+  private def loadavg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Warm a session the way every timed phase expects: similarity-family
+    * codegen/UDF/aggregator classes on SYNTHETIC rows (never sfDir, so the
+    * memoized sketch/pair caches stay cold), then ONE representative
+    * parquet scan + decimal agg (the r02 bench showed a trivial
+    * spark.range warmup lets the first timed query absorb ~6 s of one-time
+    * parquet/codegen/AQE setup). A warmup failure must not kill the run
+    * before the errors/timing contract exists — the same defect would then
+    * surface (and be recorded) when q01 runs timed. */
+  private def warm(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    try graft.ops.Similarity.warm(spark)
+    catch { case e: Throwable => System.err.println(s"[bench] sim warmup failed: ${e.getMessage}") }
+    try baselineSet.find(_.name == "q01_pricing_summary")
+      .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+  }
+
+  /** Time each query TWICE (noop write). For cache-free queries the
+    * headline later records the min: co-tenant CPU steal hits runs at
+    * random, so min-of-2 is steal-resistant by construction; min, not
+    * mean, because steal only ever ADDS time. Memoized queries instead
+    * headline the COLD run 1. -1 marks a failed run; a query is an error
+    * only when BOTH runs fail. */
+  private def time(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      qs: Seq[Q]): Seq[(String, Seq[Double])] = qs.map { q =>
+    def once(): Double =
+      try {
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} run FAILED: ${e.getMessage}")
+          -1.0
+      }
+    q.name -> Seq(once(), once())
+  }
+
+  /** Child-JVM entry: time ONLY the headline set in this fresh process and
+    * write a line-oriented result file (tab-separated `name r1 r2`, plus
+    * `#loadavg_pre`/`#loadavg_post` comment lines) for the parent to merge.
+    * Exit 0 even when queries fail — the -1 markers carry the failures and
+    * the parent owns the error contract. */
+  private def childMain(sfDir: String, outPath: String): Unit = {
+    val spark = Sessions.build("graft-bench-headline")
+    val pre = loadavg()
+    warm(spark, sfDir)
+    val rs = time(spark, sfDir, baselineSet)
+    val post = loadavg()
+    val sb = new StringBuilder
+    sb.append(s"#loadavg_pre\t$pre\n").append(s"#loadavg_post\t$post\n")
+    rs.foreach { case (k, v) => sb.append(s"$k\t${v.mkString("\t")}\n") }
+    Files.writeString(Paths.get(outPath), sb.toString)
+    spark.stop()
+  }
+
+  /** Fork a fresh JVM running [[childMain]] over the headline set: same
+    * java binary, same JVM args (the --add-opens set, -Xmx, system props —
+    * taken from this JVM's own input arguments), same classpath (real,
+    * because build.sbt forks `run`). Returns the headline timings plus the
+    * child's own phase loadavg samples, or None if forking isn't possible
+    * or the child failed — caller falls back to in-process timing. */
+  private def forkHeadline(sfDir: String): Option[(Seq[(String, Seq[Double])], Double, Double)] = {
+    val cp = sys.props.getOrElse("java.class.path", "")
+    // under a non-forked launcher the classpath is the launcher jar, not
+    // the app — detect by our own classes' presence being impossible to
+    // guarantee; cheap proxy: Spark must be on it
+    if (!cp.contains("spark-core")) return None
+    try {
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray(Array.empty[String])
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      val out = Files.createTempFile("bench_headline", ".tsv").toString
+      val cmd: java.util.List[String] = {
+        val l = new java.util.ArrayList[String]()
+        l.add(javaBin); jvmArgs.foreach(l.add)
+        l.add("-cp"); l.add(cp); l.add("graft.Bench"); l
+      }
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child stdout (Spark logs) must NOT pollute the parent's stdout —
+      // the driver parses our stdout tail; send both streams to stderr
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.appendTo(new java.io.File("bench_child.log")))
+      val p = pb.start()
+      val code = p.waitFor()
+      if (code != 0) { System.err.println(s"[bench] headline child exited $code"); return None }
+      val lines = Files.readAllLines(Paths.get(out))
+      var pre = -1.0; var post = -1.0
+      val rs = scala.collection.mutable.ListBuffer.empty[(String, Seq[Double])]
+      lines.forEach { ln =>
+        val ps = ln.split("\t")
+        if (ps.length >= 2 && ps(0) == "#loadavg_pre") pre = ps(1).toDouble
+        else if (ps.length >= 2 && ps(0) == "#loadavg_post") post = ps(1).toDouble
+        else if (ps.length >= 3) rs += (ps(0) -> ps.drop(1).toSeq.map(_.toDouble))
+      }
+      Files.deleteIfExists(Paths.get(out))
+      // sanity: every headline query must be present, else fall back
+      if (rs.size == baselineSet.size) Some((rs.toList, pre, post)) else {
+        System.err.println(s"[bench] headline child returned ${rs.size}/${baselineSet.size} queries")
+        None
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] headline fork failed: ${e.getMessage}"); None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.build("graft-bench")
+    if (sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")) {
+      childMain(sfDir, sys.env("SPARK_GRAFT_BENCH_OUT"))
+      return
+    }
 
-    val baselineSet: Seq[Q] = graft.ops.Relational.queries ++ graft.ops.TextOps.queries
-    val extendedSet: Seq[Q] =
-      graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
-        graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
-        graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
-        graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
-        graft.ops.HashIndex.queries ++
-        graft.api.PipelineQueries.queries ++
-        graft.sources.TextSources.queries
-
-    def loadavg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-
-    // Load gate: sampled BEFORE the warmups — at this point the bench has
-    // done driver-side JVM setup only (near-zero runnable threads), so a
-    // high 1-min loadavg is co-tenant steal by construction. Wait it out
+    // Load gate: sampled BEFORE anything heavy — at this point the bench
+    // has done driver-side JVM setup only (near-zero runnable threads), so
+    // a high 1-min loadavg is co-tenant steal by construction. Wait it out
     // (bounded) rather than record a contaminated run. SPARK_GRAFT_NO_GATE=1
     // skips the wait for dev loops.
     var gateAttempts = 1
@@ -95,53 +231,29 @@ object Bench {
     }
     val gateMet = loadPre <= LoadGateThreshold
 
-    // Warm with a REPRESENTATIVE query (real parquet scan + decimal agg):
-    // the r02 bench showed a trivial spark.range warmup lets the first
-    // timed query absorb ~6 s of one-time parquet/codegen/AQE setup,
-    // corrupting round-over-round per-query comparisons.
-    // A warmup failure must not kill the run before the errors/timing
-    // contract exists — the same defect would then surface (and be
-    // recorded) when q01 runs timed.
-    // Warm the similarity family's codegen/UDF/aggregator classes on
-    // SYNTHETIC in-memory rows — never sfDir, so the memoized sketch/pair
-    // caches stay cold and the timed queries still pay their own pipeline.
-    // Runs BEFORE the q01 warmup so the representative scan+agg is the
-    // last thing executed when q01's timed run starts.
-    try graft.ops.Similarity.warm(spark)
-    catch { case e: Throwable => System.err.println(s"[bench] sim warmup failed: ${e.getMessage}") }
-    try baselineSet.find(_.name == "q01_pricing_summary")
-      .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Phase 1 — headline, in a FRESH JVM (see scaladoc). The parent's own
+    // SparkSession is created only after the child exits so the child
+    // times against an idle host, not against a second local[32] session.
+    val headlineFresh = forkHeadline(sfDir)
+    val headlineJvm = if (headlineFresh.isDefined) "fresh" else "in_process"
 
-    // Each query runs TWICE. For cache-free queries the headline records
-    // the min: co-tenant CPU steal hits runs at random, so min-of-2 is
-    // steal-resistant by construction (rounds 4 and 5 each produced a
-    // contaminated driver bench the judge had to re-adjudicate); min, not
-    // mean, because steal only ever ADDS time. Memoized queries instead
-    // headline the COLD run 1 (see the scaladoc). Both raw runs ride
-    // along in "runs".
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    def time(qs: Seq[Q]): Seq[(String, Seq[Double])] = qs.map { q =>
-      // each run guards itself: a transient failure on ONE run must not
-      // discard the other run's valid timing (a query is an error only
-      // when BOTH runs fail)
-      def once(): Double =
-        try {
-          val t0 = System.nanoTime()
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} run FAILED: ${e.getMessage}")
-            -1.0
-        }
-      val runs = Seq(once(), once())
-      if (!runs.exists(_ >= 0)) errors += q.name
-      q.name -> runs
+    val spark = Sessions.build("graft-bench")
+    warm(spark, sfDir)
+    val (base, loadHeadPre, loadHeadPost) = headlineFresh match {
+      case Some((rs, pre, post)) => (rs, pre, post)
+      case None =>
+        val pre = loadavg()
+        val rs = time(spark, sfDir, baselineSet)
+        (rs, pre, loadavg())
     }
 
-    val base = time(baselineSet)
-    val ext = time(extendedSet)
+    // Phase 2 — extended, in the parent JVM.
+    val loadExtPre = loadavg()
+    val ext = time(spark, sfDir, extendedSet)
+    val loadExtPost = loadavg()
+
+    val errors: Seq[String] =
+      (base ++ ext).collect { case (k, v) if !v.exists(_ >= 0) => k }
 
     def f(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
     val memoized: Set[String] =
@@ -169,7 +281,7 @@ object Bench {
     // bounds live in SimilaritySpec / RecallCheck).
     val quality =
       try {
-        import org.apache.spark.sql.functions.{col, countDistinct, expr, sqrt, call_function}
+        import org.apache.spark.sql.functions.{col, countDistinct}
         val qmap = graft.SparkEntry.queries
         val exact = qmap("d07_cosine_topk")(spark, sfDir)
           .where(col("rank") === 1)
@@ -206,19 +318,26 @@ object Bench {
         }
         val r08at3 = recallAtK(3)
         val r08at10 = recallAtK(10)
-        // lossy PQ (m=8, k=16 codes — 16x storage) top-3 recall against
-        // the same exact frame: the measured quality number behind the
-        // d72-d75 exact-mode gates' production setting
-        val pqRecall = {
-          val cb = graft.ops.Pq.train(spark, vecs, m = 8, k = 16, iters = 3)
-          val ex3 = ex10.where(col("rank") <= 3)
-            .select(col("vec_id"), col("neighbor_id"))
-          val denom = ex3.count().toDouble
-          if (denom == 0) 0.0
-          else graft.ops.Pq.topKAdc(vecs, graft.ops.Pq.encode(spark, vecs, cb), cb, 3)
-            .select(col("vec_id"), col("neighbor_id"))
-            .join(ex3, Seq("vec_id", "neighbor_id")).count() / denom
-        }
+        // lossy PQ top-3 recall at the PUBLISHED production knobs
+        // (Pq.DefaultM × Pq.DefaultK, raw ADC and the refine
+        // composition at Pq.DefaultRerank — r08 measured the old
+        // m=8/k=16 default at 0.113 recall@3, so the default is now
+        // chosen by the measured compression-vs-recall ladder; see
+        // Pq.scala's ladder scaladoc and PqSpec's ≥0.8 refined floor)
+        val ex3 = ex10.where(col("rank") <= 3)
+          .select(col("vec_id"), col("neighbor_id")).cache()
+        val denomPq = ex3.count().toDouble
+        val cbDefault = graft.ops.Pq.train(spark, vecs,
+          m = graft.ops.Pq.DefaultM, k = graft.ops.Pq.DefaultK, iters = 3)
+        val encDefault = graft.ops.Pq.encode(spark, vecs, cbDefault)
+        def pqHits(res: org.apache.spark.sql.DataFrame): Double =
+          if (denomPq == 0) 0.0
+          else res.select(col("vec_id"), col("neighbor_id"))
+            .join(ex3, Seq("vec_id", "neighbor_id")).count() / denomPq
+        val pqRaw = pqHits(graft.ops.Pq.topKAdc(vecs, encDefault, cbDefault, 3))
+        val pqRefined = pqHits(graft.ops.Pq.topKAdcRefined(vecs, encDefault, vecs,
+          cbDefault, 3, rerank = graft.ops.Pq.DefaultRerank))
+        ex3.unpersist()
         ex10.unpersist()
         // distinct ANN candidates per query under d08's production
         // geometry (auto-derived signature width) — the occupancy claim
@@ -250,7 +369,12 @@ object Bench {
           s""""d08_recall_at10":${f(r08at10)},""" +
           s""""d08_cand_p50":${f(qs(0))},"d08_cand_p99":${f(qs(1))},""" +
           s""""d17_recall":${f(r17)},"d30_agreement":${f(a30)},""" +
-          s""""pq16x_recall_at3":${f(pqRecall)},""" +
+          s""""pq_default_recall_at3":${f(pqRaw)},""" +
+          s""""pq_refined_recall_at3":${f(pqRefined)},""" +
+          s""""pq_default_m":${graft.ops.Pq.DefaultM},""" +
+          s""""pq_default_k":${graft.ops.Pq.DefaultK},""" +
+          s""""pq_default_rerank":${graft.ops.Pq.DefaultRerank},""" +
+          s""""pq_default_compression":"${graft.ops.Pq.defaultCompressionLabel(vecs)}",""" +
           s""""d17_cells":${graft.ops.Similarity.D17Cells},""" +
           s""""d17_probes":${graft.ops.Similarity.D17Probes}},"""
       } catch {
@@ -282,6 +406,10 @@ object Bench {
     val gate =
       s""""load_gate":{"threshold":${f(LoadGateThreshold)},"attempts":$gateAttempts,""" +
         s""""met":$gateMet},"""
+    val phases =
+      s""""headline_jvm":"$headlineJvm","load_phases":{""" +
+        s""""headline_pre":${f(loadHeadPre)},"headline_post":${f(loadHeadPost)},""" +
+        s""""extended_pre":${f(loadExtPre)},"extended_post":${f(loadExtPost)}},"""
 
     // compact summary — the driver-parsed stdout line
     val summary =
@@ -289,7 +417,7 @@ object Bench {
         s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
         s""""extended_total_cold":${f(totCold(ext))},$quality""" +
         s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null)",""" +
-        s"""$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
+        s"""$phases$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     // full artifact — everything above plus per-run detail
     val full =
@@ -298,11 +426,15 @@ object Bench {
         s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality""" +
         s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null)",""" +
         s""""runs":${runsObj(base ++ ext)},"warm":${warmObj(base ++ ext)},""" +
-        s""""memoized":$memo,$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
+        s""""memoized":$memo,$phases$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
-    // single atomic stdout write, LAST line of the run, so log
-    // interleaving can't split it and tail capture can't miss it
+    // the compact line, recoverable three ways: a fixed small file the
+    // tail can't truncate, stderr, and a single atomic stdout write as
+    // the LAST line of the run (raw — build.sbt's StdoutOutput strategy
+    // keeps sbt's logger out of the forked JVM's stdout)
+    Files.writeString(Paths.get("bench_summary.json"), summary + "\n")
+    System.err.println(summary)
     System.out.println(summary)
     System.out.flush()
     spark.stop()

@@ -237,6 +237,16 @@ object Graft {
       k: Int = 3, maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Pq.topKAdc(queries, encoded, cb, k, maxBroadcastBytes)
 
+  /** ADC top-k with exact re-ranking (faiss refine): codes propose
+    * `rerank` candidates, only those pairs fetch full vectors for exact
+    * cosine re-scoring — the published way to buy retrieval quality
+    * back at a given compression (see the measured ladder on
+    * [[graft.ops.Pq.DefaultM]]). Out: [[cosineTopK]]'s schema/order. */
+  def pqTopKRefined(queries: DataFrame, encoded: DataFrame, vectors: DataFrame,
+      cb: Pq.PqCodebook, k: Int = 3, rerank: Int = Pq.DefaultRerank,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Pq.topKAdcRefined(queries, encoded, vectors, cb, k, rerank, maxBroadcastBytes)
+
   /** IVFPQ retrieval (faiss IndexIVFPQ): the IVF inverted file with PQ
     * codes in place of raw vectors — candidates bounded by cell
     * occupancy × probes, the candidate shuffle m ints per vector. The
@@ -741,6 +751,14 @@ object Graft {
   def dedupScrub(docs: DataFrame, n: Int = 5,
       hashGrams: Boolean = false): DataFrame =
     Curation.dedupScrub(docs, n, hashGrams)
+
+  /** Line-level boilerplate removal (CCNet/C4 style): drop every line
+    * whose distinct-document frequency exceeds `maxDocFreq` (headers,
+    * nav, cookie banners), rebuild documents from surviving lines in
+    * order. Runs BEFORE doc-level dedup in real pipelines. In: (doc_id,
+    * text). Out: (doc_id, clean_text, n_kept_lines, n_dropped_lines). */
+  def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame =
+    Curation.boilerplateScrub(docs, maxDocFreq)
 
   def dupSpanStats(docs: DataFrame, n: Int = 5,
       hashGrams: Boolean = false): DataFrame =

@@ -1000,6 +1000,28 @@ object Corpus {
              |    / count(*), 4) AS avg_tokens
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // d68: pairwise source-vocabulary overlap (TextOps.sourceOverlap).
+    // Registered here, NOT in TextOps.queries: TextOps binds part of
+    // the FROZEN bench baseline set (BASELINE.md's r01 query list), and
+    // d68 is a round-10 addition — r08 adjudication flagged its TextOps
+    // registration as baseline drift.
+    Q("d68_source_overlap",
+      (s, d) => TextOps.sourceOverlap(documents(s, d)),
+      Some("""WITH v AS (
+             |  SELECT DISTINCT g, word FROM (
+             |    SELECT source AS g,
+             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+             |    FROM documents)),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+             |i AS (
+             |  SELECT a.g AS g, b.g AS g2, CAST(count(*) AS BIGINT) AS n_common
+             |  FROM v a JOIN v b USING (word)
+             |  WHERE a.g < b.g GROUP BY 1, 2)
+             |SELECT i.g AS source_a, i.g2 AS source_b,
+             |  sa.n AS vocab_a, sb.n AS vocab_b, n_common,
+             |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+             |FROM i JOIN s sa ON sa.g = i.g JOIN s sb ON sb.g = i.g2""".stripMargin)),
+
     // d55: token-budget accounting under the LEARNED tokenizer — the
     // counts packing/mixing use in production, vs d02's whitespace and
     // d16's pre-tokenizer proxies. Gated by the unrolled merge oracle

@@ -1087,6 +1087,76 @@ object Curation {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** Line-level boilerplate removal (d95) — the CCNet/C4 pre-dedup
+    * stage (Wenzek et al. 2020 dedup paragraphs by hash across shards;
+    * Raffel et al. 2020 drop boilerplate lines): split each document
+    * into lines, count each distinct non-blank line's DOCUMENT frequency
+    * across the corpus, drop every occurrence of lines appearing in more
+    * than `maxDocFreq` documents (headers, nav bars, cookie banners —
+    * content that repeats across pages is template, not prose), and
+    * rebuild each document from its surviving lines in original order.
+    * Blank lines carry document structure, not content, and are always
+    * kept; a fully-boilerplate document survives as an empty string (one
+    * row per input doc — d63's convention). Runs BEFORE document-level
+    * dedup in real pipelines: boilerplate inflates every doc-level
+    * similarity signal. In: (doc_id, text). Out: (doc_id, clean_text,
+    * n_kept_lines, n_dropped_lines).
+    *
+    * Scale: one narrow line explode; the doc-frequency aggregation
+    * shuffles the DISTINCT (doc, line) set at distinct-line width (cap
+    * the key by hashing lines — the d06 `hashGrams` trade — when line
+    * text is wide); the drop is a left-anti equi-join against only the
+    * above-threshold lines (a tiny frame — boilerplate is by definition
+    * few distinct strings — so it broadcasts); the rebuild is d63's
+    * per-doc sorted re-aggregation, keyed by doc_id, never a global
+    * sort. */
+  def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame = {
+    require(maxDocFreq >= 1, "need maxDocFreq >= 1")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+    val boiler = lines
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast(LongType).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L)))
+          .as("n_dropped_lines"))
+  }
+
+  /** The d95 gate fixture: the driver's `documents` are single-line, so
+    * the gate corpus is derived IN the query — each text reflowed into
+    * 10-token lines and wrapped in a shared header/footer line. The
+    * planted wrapper has document frequency = corpus size (must drop
+    * everywhere); body lines inherit their text's true document
+    * frequency (exact-duplicate docs' lines cross the threshold
+    * honestly). The oracle replays the identical construction. */
+  private[ops] def plantedBoilerplate(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nLines = ceil(size(toks) / lit(10.0)).cast(IntegerType)
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit("=== BOILER HEADER ==="),
+        array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => array_join(slice(toks, i * lit(10) + lit(1), lit(10)), " ")),
+          "\n"),
+        lit("=== BOILER FOOTER ===")).as("text"))
+  }
+
   /** Pack documents into contiguous fixed-token-budget shards in doc_id
     * order — the "split the corpus into training shards" step. Each doc
     * is assigned the shard where it STARTS in the concatenated token
@@ -1878,6 +1948,50 @@ object Curation {
              |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
              |       coalesce(a.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens
              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // d95: line-level boilerplate removal over the planted multi-line
+    // fixture (the driver corpus is single-line; the wrapper line is
+    // boilerplate by construction, duplicate texts' body lines cross
+    // the doc-frequency threshold honestly). The oracle replays the
+    // fixture construction (d42's slice/array_to_string parity), the
+    // doc-frequency count, the drop, and the ORDER BY p string_agg
+    // rebuild == the engine's array_sort(collect_list(struct)).
+    Q("d95_boilerplate_scrub",
+      (s, d) => boilerplateScrub(plantedBoilerplate(documents(s, d))),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |d2 AS (
+             |  SELECT doc_id,
+             |    '=== BOILER HEADER ===' || chr(10) ||
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+             |        i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')),
+             |      chr(10)) ||
+             |    chr(10) || '=== BOILER FOOTER ===' AS text
+             |  FROM t),
+             |l AS (
+             |  SELECT doc_id, ls, unnest(range(len(ls))) AS p
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2)),
+             |lr AS (SELECT doc_id, p, ls[p + 1] AS line FROM l),
+             |b AS (
+             |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lr WHERE trim(line) <> '')
+             |  GROUP BY line HAVING count(*) > 2),
+             |kept AS (
+             |  SELECT lr.doc_id, lr.p, lr.line
+             |  FROM lr LEFT JOIN b ON lr.line = b.line
+             |  WHERE b.line IS NULL),
+             |agg AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+             |         CAST(count(*) AS BIGINT) AS n_kept_lines
+             |  FROM kept GROUP BY doc_id),
+             |nl AS (
+             |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+             |  FROM d2)
+             |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |       coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_kept_lines,
+             |       n.n_lines - coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_dropped_lines
+             |FROM nl n LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     Q("d23_pack_shards",
       (s, d) => packShards(documents(s, d)),

@@ -209,23 +209,6 @@ object TextOps {
              |  / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS stopword_ratio
              |FROM documents""".stripMargin)),
 
-    Q("d68_source_overlap",
-      (s, d) => sourceOverlap(documents(s, d)),
-      Some("""WITH v AS (
-             |  SELECT DISTINCT g, word FROM (
-             |    SELECT source AS g,
-             |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
-             |    FROM documents)),
-             |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
-             |i AS (
-             |  SELECT a.g AS g, b.g AS g2, CAST(count(*) AS BIGINT) AS n_common
-             |  FROM v a JOIN v b USING (word)
-             |  WHERE a.g < b.g GROUP BY 1, 2)
-             |SELECT i.g AS source_a, i.g2 AS source_b,
-             |  sa.n AS vocab_a, sb.n AS vocab_b, n_common,
-             |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-             |FROM i JOIN s sa ON sa.g = i.g JOIN s sb ON sb.g = i.g2""".stripMargin)),
-
     Q("d05_lang_source",
       (s, d) => composition(documents(s, d)),
       Some("""SELECT lang, source, count(*) AS n_docs,

@@ -21,9 +21,10 @@ import graft.ops.{Q, Tables}
   * the quoting/escaping path. Scale: both formats read/write
   * per-partition with no coordination (one file per task, the parquet
   * sink's layout); CSV `multiLine` is OFF here — embedded-newline CSV
-  * forces whole-file parsing at scale, so the writer relies on Spark's
-  * quote escaping of newlines being re-split correctly only when
-  * multiLine is explicitly requested via [[readCsv]]'s flag. */
+  * forces whole-file parsing at scale — and the d81 binding ENFORCES
+  * that precondition at write time ([[requireCsvSplitSafe]]) instead of
+  * assuming it; data with embedded newlines must opt into
+  * [[readCsv]]'s `multiLine = true`. */
 object TextSources {
 
   /** One JSON object per line (JSONL). Directory layout is the standard
@@ -82,6 +83,28 @@ object TextSources {
 
   def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(dir)
+
+  /** Fail fast when any string column contains an embedded newline —
+    * the precondition for reading CSV with `multiLine` OFF (the
+    * splittable, scale-correct mode): a quoted embedded newline written
+    * by [[writeCsv]] would be split mid-record by the line-oriented
+    * reader (silently wrong rows or a FAILFAST parse error, depending
+    * on where the split lands). Callers choose explicitly: scrub the
+    * newlines, or read with `multiLine = true` and accept whole-file
+    * parsing. One short-circuiting scan (`limit(1)` — stops at the
+    * first offending partition). */
+  def requireCsvSplitSafe(df: DataFrame): Unit = {
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }
+    if (strCols.nonEmpty) {
+      val bad = strCols.map(c => col(c).rlike("[\\n\\r]")).reduce(_ || _)
+      require(df.where(bad).limit(1).count() == 0,
+        s"embedded newline/CR in a string column of (${strCols.mkString(", ")}): " +
+          "multiLine=false CSV would split the record — scrub the text or " +
+          "read with readCsv(..., multiLine = true)")
+    }
+  }
 
   /** Read [[writeCsv]] output under an explicit schema, FAILFAST.
     * `multiLine` re-assembles records whose quoted fields contain
@@ -151,10 +174,16 @@ object TextSources {
           docCols(readJsonl(s, roundTripDir(s, d, "jsonl", writeJsonl), schema))
         },
         Some(oracle)),
+      // the write enforces the multiLine=false precondition (r08 ADVICE:
+      // the gate's soundness silently ASSUMED the corpus had no embedded
+      // newlines — now a corpus that violates it fails loudly at write
+      // time instead of hash-mismatching on silently split rows)
       Q("d81_csv_roundtrip",
         (s, d) => {
           val schema = Tables.documents(s, d).schema
-          docCols(readCsv(s, roundTripDir(s, d, "csv", writeCsv), schema))
+          docCols(readCsv(s, roundTripDir(s, d, "csv", { (df, dir) =>
+            requireCsvSplitSafe(df); writeCsv(df, dir)
+          }), schema))
         },
         Some(oracle)),
       Q("d86_orc_roundtrip",

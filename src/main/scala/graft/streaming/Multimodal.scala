@@ -316,32 +316,175 @@ object Multimodal {
                   }
                 }
             }
-            val seg = math.max(1, payload.length / EmbeddingDim)
-            val emb = Array.tabulate(EmbeddingDim) { c =>
-              val s = c * seg
-              val e = math.min(payload.length, s + seg)
-              if (s >= e) 0.0f
-              else {
-                var acc = 0L
-                var i = s
-                while (i < e) { acc += payload(i) & 0xff; i += 1 }
-                (acc.toDouble / (e - s) / 255.0).toFloat
+            Some(Decoded(w, h, durationMs, byteProfile(payload)))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** `EmbeddingDim`-segment mean-byte profile of a payload — real byte
+    * statistics standing in for a codec-derived embedding (shared by the
+    * BMFF and WebM container decodes). */
+  private def byteProfile(payload: Array[Byte]): Array[Float] = {
+    val seg = math.max(1, payload.length / EmbeddingDim)
+    Array.tabulate(EmbeddingDim) { c =>
+      val s = c * seg
+      val e = math.min(payload.length, s + seg)
+      if (s >= e) 0.0f
+      else {
+        var acc = 0L
+        var i = s
+        while (i < e) { acc += payload(i) & 0xff; i += 1 }
+        (acc.toDouble / (e - s) / 255.0).toFloat
+      }
+    }
+  }
+
+  // ---- Matroska/WebM (EBML) container metadata ------------------------
+
+  /** EBML variable-length integer at `b(i)`: (value, byteWidth,
+    * allValueBitsOnes). Width is encoded unary in the first byte's
+    * leading zeros; element IDs keep the marker bit (the form Matroska
+    * specs list IDs in), sizes strip it. All-ones value bits on a size
+    * mean "unknown length" (live-captured streams). */
+  private def ebmlVint(b: Array[Byte], i: Int, keepMarker: Boolean,
+      maxLen: Int): Option[(Long, Int, Boolean)] = {
+    if (i >= b.length) return None
+    val first = b(i) & 0xff
+    if (first == 0) return None
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len > maxLen || i + len > b.length) return None
+    var v = if (keepMarker) first.toLong
+      else (first & ((1 << (8 - len)) - 1)).toLong
+    var ones = !keepMarker && (first & ((1 << (8 - len)) - 1)) == (1 << (8 - len)) - 1
+    var j = 1
+    while (j < len) {
+      val byte = b(i + j) & 0xff
+      v = (v << 8) | byte
+      ones &&= byte == 0xff
+      j += 1
+    }
+    Some((v, len, ones))
+  }
+
+  /** Walk sibling EBML elements in `b[from, until)`: `f(id, payloadFrom,
+    * payloadUntil)`. Unknown-size elements (legal only as the LAST
+    * sibling) extend to the range end; malformed data stops the walk
+    * (tolerant parsing — the caller falls back to the stub). */
+  private def walkEbml(b: Array[Byte], from: Int, until: Int)(
+      f: (Long, Int, Int) => Unit): Unit = {
+    var o = from
+    var go = true
+    while (go && o < until) {
+      val parsed = for {
+        (id, idLen, _) <- ebmlVint(b, o, keepMarker = true, maxLen = 4)
+        (sz, szLen, unknown) <- ebmlVint(b, o + idLen, keepMarker = false, maxLen = 8)
+      } yield (id, o + idLen + szLen, sz, unknown)
+      parsed match {
+        case Some((id, ps, sz, unknown)) =>
+          val pe = if (unknown) until.toLong else ps.toLong + sz
+          if (pe < ps || pe > until) go = false
+          else {
+            f(id, ps, pe.toInt)
+            o = pe.toInt
+            if (unknown) go = false
+          }
+        case None => go = false
+      }
+    }
+  }
+
+  /** First sibling element with `id` in `b[from, until)` as a payload
+    * range (the [[findBox]] shape for EBML). */
+  private def findEbml(b: Array[Byte], from: Int, until: Int,
+      id: Long): Option[(Int, Int)] = {
+    var hit: Option[(Int, Int)] = None
+    walkEbml(b, from, until)((t, s, e) => if (hit.isEmpty && t == id) hit = Some((s, e)))
+    hit
+  }
+
+  /** Big-endian unsigned integer spanning `b[from, until)` (EBML uint
+    * elements are 1-8 bytes, exactly as wide as their content). */
+  private def uintBE(b: Array[Byte], from: Int, until: Int): Long = {
+    if (until - from < 1 || until - from > 8) return -1L
+    var v = 0L
+    var i = from
+    while (i < until) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  private val EbmlHeaderId = 0x1A45DFA3L
+  private val SegmentId = 0x18538067L
+  private val InfoId = 0x1549A966L
+  private val TimestampScaleId = 0x2AD7B1L
+  private val DurationId = 0x4489L
+  private val TracksId = 0x1654AE6BL
+  private val TrackEntryId = 0xAEL
+  private val VideoSettingsId = 0xE0L
+  private val PixelWidthId = 0xB0L
+  private val PixelHeightId = 0xBAL
+
+  /** Real Matroska/WebM container decode — the EBML counterpart of
+    * [[decodeVideoMeta]]'s ISO BMFF walk (RFC 8794 EBML + the public
+    * Matroska element registry): duration from Segment/Info (the
+    * Duration float element, scaled by TimestampScale ns — Matroska's
+    * default scale is 1 ms), pixel dimensions from the first
+    * Tracks/TrackEntry/Video carrying nonzero PixelWidth×PixelHeight
+    * (audio tracks have no Video element and are skipped naturally).
+    * The embedding is the same byte-profile as BMFF; frame pixels still
+    * need a codec. None when the bytes don't open with the EBML header
+    * element or carry no parseable Segment/Info duration. */
+  private[graft] def decodeWebmMeta(payload: Array[Byte]): Option[Decoded] =
+    try {
+      val isEbml = ebmlVint(payload, 0, keepMarker = true, maxLen = 4)
+        .exists(_._1 == EbmlHeaderId)
+      if (!isEbml) None
+      else findEbml(payload, 0, payload.length, SegmentId).flatMap { case (ss, se) =>
+        findEbml(payload, ss, se, InfoId).flatMap { case (is, ie) =>
+          var scaleNs = 1000000L // Matroska default TimestampScale: 1 ms
+          var durationScaled = -1.0
+          walkEbml(payload, is, ie) { (id, ps, pe) =>
+            if (id == TimestampScaleId) scaleNs = uintBE(payload, ps, pe)
+            else if (id == DurationId && pe - ps == 4)
+              durationScaled = java.lang.Float.intBitsToFloat(u32(payload, ps).toInt).toDouble
+            else if (id == DurationId && pe - ps == 8)
+              durationScaled = java.lang.Double.longBitsToDouble(u64(payload, ps))
+          }
+          if (durationScaled < 0 || scaleNs <= 0) None
+          else {
+            val durationMs = (durationScaled * scaleNs / 1e6).toLong
+            var w = 0
+            var h = 0
+            findEbml(payload, ss, se, TracksId).foreach { case (ts, te) =>
+              walkEbml(payload, ts, te) { (id, es, ee) =>
+                if (id == TrackEntryId && w == 0)
+                  findEbml(payload, es, ee, VideoSettingsId).foreach { case (vs, ve) =>
+                    var tw = 0
+                    var th = 0
+                    walkEbml(payload, vs, ve) { (fid, fs, fe) =>
+                      if (fid == PixelWidthId) tw = uintBE(payload, fs, fe).toInt
+                      else if (fid == PixelHeightId) th = uintBE(payload, fs, fe).toInt
+                    }
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  }
               }
             }
-            Some(Decoded(w, h, durationMs, emb))
+            Some(Decoded(w, h, durationMs, byteProfile(payload)))
           }
         }
       }
     } catch { case _: Exception => None }
 
   /** Decode dispatch: real ImageIO for images, real AudioSystem for
-    * audio, real ISO BMFF container metadata for video (each with stub
-    * fallback for bytes no parser accepts). */
+    * audio, real container metadata for video — ISO BMFF (MP4/MOV) box
+    * walk first, then Matroska/WebM EBML — each with stub fallback for
+    * bytes no parser accepts. */
   def decode(modality: String, payload: Array[Byte]): Decoded =
     modality match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(modality, payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(modality, payload))
-      case "video" => decodeVideoMeta(payload).getOrElse(decodeStub(modality, payload))
+      case "video" => decodeVideoMeta(payload).orElse(decodeWebmMeta(payload))
+        .getOrElse(decodeStub(modality, payload))
       case _ => decodeStub(modality, payload)
     }
 

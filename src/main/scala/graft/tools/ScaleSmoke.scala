@@ -363,6 +363,57 @@ object ScaleSmoke {
     println(f"[scale] lm_index save $tLmSave%.2f s, append(5%%) $tLmApp%.2f s, " +
       f"frozen score $tLmScore%.2f s ($lmScored rows)")
 
+    // --- index-serve crossover probe (d38 vs d39, d44 vs d46): at sf0.1
+    // the SERVED paths look slower than their direct siblings (r08 bench:
+    // d39 4.5 s vs d38 2.2 s) because commit-marker checks + index
+    // parquet reads are fixed costs that dwarf a toy corpus scan. This
+    // probe times direct vs served at two corpus sizes so the artifact
+    // shows the TREND: the direct path re-pays the full corpus
+    // scan/agg per query (grows with the corpus); the served path reads
+    // bucket-pruned postings / the frozen head (≈ flat in corpus size
+    // once past the fixed overhead). The crossover is where corpus scan
+    // cost exceeds the serve overhead — far below 100 TB.
+    // Measured (2026-08, round 9, 25k -> 50k docs):
+    //   bm25  direct 2.97 -> 3.32 s | serve 1.57 -> 1.49 s
+    //         (save 3.40 -> 4.55 s)
+    //   ppl   direct 4.47 -> 4.14 s | serve 3.69 -> 3.32 s (the serve
+    //         win here is only the TRAIN pass it skips — scoring
+    //         re-tokenizes its input either way)
+    // -> the bm25 crossover sits BELOW 25k docs on this host: serve is
+    // already ~2x faster and FLAT across the doubling while direct
+    // grows with the corpus; the sf0.1 bench (2k docs) where d39 reads
+    // 2x slower than d38 is simply below the crossover. One indexed
+    // write (~4.5 s at 50k) buys corpus-size-independent queries.
+    val bmQuery = Seq(vocab(0), vocab(1), vocab(5)) // Zipf-head terms
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val n = sub.count()
+      val tD = System.nanoTime()
+      graft.ops.Corpus.bm25Rank(sub, bmQuery)
+        .write.format("noop").mode("overwrite").save()
+      val tDirect = (System.nanoTime() - tD) / 1e9
+      val idxDir = s"$dir/lex_index_$invFrac"
+      val tS = System.nanoTime()
+      graft.ops.LexIndex.save(sub, idxDir)
+      val tSave = (System.nanoTime() - tS) / 1e9
+      val tV = System.nanoTime()
+      graft.ops.LexIndex.searchBm25(spark, idxDir, bmQuery)
+        .write.format("noop").mode("overwrite").save()
+      val tServe = (System.nanoTime() - tV) / 1e9
+      val tPd = System.nanoTime()
+      graft.ops.Curation.unigramPpl(sub)
+        .write.format("noop").mode("overwrite").save()
+      val tPplDirect = (System.nanoTime() - tPd) / 1e9
+      val tPs = System.nanoTime()
+      graft.ops.Curation.unigramPplAgainst(sub,
+        graft.api.Graft.lmVocab(spark, s"$dir/lm_index"))
+        .write.format("noop").mode("overwrite").save()
+      val tPplServe = (System.nanoTime() - tPs) / 1e9
+      println(f"[scale] serve-crossover n=$n%8d bm25 direct $tDirect%.2f s / " +
+        f"serve $tServe%.2f s (save $tSave%.2f s); ppl direct $tPplDirect%.2f s / " +
+        f"serve $tPplServe%.2f s")
+    }
+
     // --- PQ / IVFPQ growth probe (d72-d74): lossy train+encode must be
     // linear narrow passes; brute-force ADC over all codes is linear per
     // query BY SEMANTICS (its pruned form is IVFPQ); IVFPQ at

@@ -1076,4 +1076,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (((b, i), rows) <- byBatch; next <- byBatch.get((b, i + 1)))
       assert(rows.map(_._3).max <= next.map(_._3).min)
   }
+
+  test("boilerplateScrub drops high-doc-frequency lines, keeps order, blanks, empties") {
+    import spark.implicits._
+    // header appears in all 4 docs (df 4 > 2 -> dropped); "unique N"
+    // body lines have df 1 (kept, in original order); the blank line in
+    // doc 1 is structural and never dropped; doc 3 is ALL boilerplate
+    // and must survive as an empty string; "shared pair" has df 2 ==
+    // threshold (kept — the drop is strictly greater-than)
+    val d = docs(
+      1L -> "SITE HEADER\nunique one\n\nshared pair\nunique two",
+      2L -> "SITE HEADER\nunique three\nshared pair",
+      3L -> "SITE HEADER",
+      4L -> "SITE HEADER\nunique four")
+    val got = graft.api.Graft.boilerplateScrub(d, maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "unique one\n\nshared pair\nunique two", 4L, 1L),
+      (2L, "unique three\nshared pair", 2L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "unique four", 1L, 1L)))
+    // a line repeated WITHIN one doc counts that doc once: df of
+    // "intra" is 2 docs, not 3 occurrences -> kept at threshold 2
+    val d2 = docs(
+      1L -> "intra\nintra\nbody a",
+      2L -> "intra\nbody b",
+      3L -> "body c")
+    val got2 = graft.api.Graft.boilerplateScrub(d2, maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(
+      (1L, "intra\nintra\nbody a", 3L, 0L),
+      (2L, "intra\nbody b", 2L, 0L),
+      (3L, "body c", 1L, 0L)))
+  }
 }

@@ -261,4 +261,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       stub.durationMs == expect.durationMs &&
       stub.embedding.sameElements(expect.embedding))
   }
+
+  // ---- Matroska/WebM fixture builders: hand-assembled EBML elements
+  // (id bytes as the registry lists them, 1-byte sizes) ----------------
+  private def el(id: Int*)(payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 127)
+    id.map(_.toByte).toArray ++ Array((0x80 | payload.length).toByte) ++ payload
+  }
+  private def beUint(v: Long, width: Int): Array[Byte] =
+    Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
+
+  test("decodeWebmMeta reads EBML duration/scale and the first video track dims") {
+    val info = el(0x15, 0x49, 0xA9, 0x66)(
+      el(0x2A, 0xD7, 0xB1)(beUint(1000000L, 3)) ++ // TimestampScale 1 ms
+        el(0x44, 0x89)(beUint(
+          java.lang.Float.floatToIntBits(12345.0f).toLong & 0xFFFFFFFFL, 4)))
+    val audioTrack = el(0xAE)(Array.emptyByteArray) // no Video element
+    val videoTrack = el(0xAE)(
+      el(0xE0)(el(0xB0)(beUint(640, 2)) ++ el(0xBA)(beUint(360, 2))))
+    val tracks = el(0x16, 0x54, 0xAE, 0x6B)(audioTrack ++ videoTrack)
+    val segment = el(0x18, 0x53, 0x80, 0x67)(info ++ tracks)
+    val webm = el(0x1A, 0x45, 0xDF, 0xA3)(Array.emptyByteArray) ++ segment
+    val d = Multimodal.decodeWebmMeta(webm).get
+    assert(d.durationMs == 12345L) // 12345 scale units x 1 ms
+    assert(d.width == 640 && d.height == 360)
+    assert(d.embedding.length == Multimodal.EmbeddingDim)
+    // dispatch: BMFF parse rejects, EBML parse accepts — no stub
+    val viaDispatch = Multimodal.decode("video", webm)
+    assert(viaDispatch.width == 640 && viaDispatch.durationMs == 12345L)
+    // 8-byte double Duration and the default TimestampScale (no element)
+    val info2 = el(0x15, 0x49, 0xA9, 0x66)(
+      el(0x44, 0x89)(beUint(java.lang.Double.doubleToLongBits(500.0), 8)))
+    val webm2 = el(0x1A, 0x45, 0xDF, 0xA3)(Array.emptyByteArray) ++
+      el(0x18, 0x53, 0x80, 0x67)(info2)
+    val d2 = Multimodal.decodeWebmMeta(webm2).get
+    assert(d2.durationMs == 500L && d2.width == 0 && d2.height == 0)
+  }
+
+  test("decodeWebmMeta rejects non-EBML, truncated, and duration-less bytes") {
+    assert(Multimodal.decodeWebmMeta("not matroska".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWebmMeta(Array.emptyByteArray).isEmpty)
+    // EBML magic but a declared size overrunning the buffer: must not throw
+    val truncated = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+      Array(0x41.toByte, 0x00.toByte) // 2-byte size vint declaring 256 bytes
+    assert(Multimodal.decodeWebmMeta(truncated).isEmpty)
+    // a Segment whose Info has no Duration element: unparseable, stub falls back
+    val noDur = el(0x1A, 0x45, 0xDF, 0xA3)(Array.emptyByteArray) ++
+      el(0x18, 0x53, 0x80, 0x67)(el(0x15, 0x49, 0xA9, 0x66)(Array.emptyByteArray))
+    assert(Multimodal.decodeWebmMeta(noDur).isEmpty)
+  }
 }

@@ -215,6 +215,71 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("published default operating point clears the 0.8 refined recall@3 floor") {
+    // regression pin for Pq.DefaultM/DefaultK/DefaultRerank (r08 shipped
+    // a default measuring 0.113 recall@3 — this test makes that class of
+    // default impossible to reintroduce silently). Runs on the sf0.01
+    // embeddings (500 vectors): big enough that the lossy path is
+    // genuinely lossy, small enough for a spec. The headline measurement
+    // at sf0.1 lives in the bench quality block (0.997 at r9's knobs).
+    val v01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Graft.pqTrain(spark, v01, m = Pq.DefaultM, k = Pq.DefaultK, iters = 3)
+    val got = Graft.pqTopKRefined(v01, Graft.pqEncode(spark, v01, cb), v01, cb, k = 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val ex3 = Similarity.cosineTopK(v01, 3)
+      .select(col("vec_id"), col("neighbor_id")).cache()
+    val denom = ex3.count().toDouble
+    val rec = got.join(ex3, Seq("vec_id", "neighbor_id")).count() / denom
+    ex3.unpersist()
+    assert(rec >= 0.8,
+      f"refined recall@3 $rec%.3f < 0.8 at the published default " +
+        s"(m=${Pq.DefaultM}, k=${Pq.DefaultK}, rerank=${Pq.DefaultRerank})")
+  }
+
+  test("refined top-k in exact mode equals the plain exact ADC top-k") {
+    // lossless codes => ADC containment is exact, and the re-rank
+    // recomputes the same subspace-decomposed sims — the d96 gate's
+    // claim, asserted here against the un-refined exact path
+    val cb = Graft.pqTrainExact(spark, vecs, m = 8)
+    val enc = Graft.pqEncode(spark, vecs, cb)
+    val refined = Graft.pqTopKRefined(vecs, enc, vecs, cb, k = 3, rerank = 10)
+    val adc = Graft.pqTopK(vecs, enc, cb, k = 3)
+    assert(refined.exceptAll(adc).isEmpty && adc.exceptAll(refined).isEmpty)
+  }
+
+  test("zero-norm vectors follow ONE convention across ADC, blocked, IVFPQ, refined") {
+    // r08 ADVICE: ivfPqTopK filtered zero-norm rows while topKAdc and
+    // the d73/d74 oracle rank their NaN sims first — the documented
+    // "equals topKAdc at full probes" equivalence held only because the
+    // test corpus had no zero vector. The filters are gone; this corpus
+    // PLANTS a zero vector and asserts all four paths agree on it.
+    import spark.implicits._
+    val rows = (0L until 12L).map { i =>
+      (i, Array.tabulate(8) { j =>
+        if (i == 5L) 0f else (((i * 7 + j * 3) % 5).toFloat - 2f)
+      })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.trainExact(spark, df, m = 4)
+    val enc = Pq.encode(spark, df, cb)
+    val adc = Pq.topKAdc(df, enc, cb, 3)
+    // NaN-first is the family's total order: every query's rank-1
+    // neighbor is the zero vector (sim = 0/0 = NaN, Double.compare-greatest)
+    val r1 = adc.where(col("rank") === 1 && col("vec_id") =!= 5)
+      .select(col("neighbor_id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(r1 == Seq(5L), s"NaN sims must rank first, got rank-1 set $r1")
+    val blocked = Pq.topKAdc(df, enc, cb, 3, maxBroadcastBytes = 1024)
+    assert(adc.exceptAll(blocked).isEmpty && blocked.exceptAll(adc).isEmpty)
+    val dv = df.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val model = Graft.ivfBuild(spark, dv, k = 3, iters = 1)
+    val ivfpq = Pq.ivfPqTopK(spark, model, cb, df, k = 3, probes = 3)
+    assert(adc.exceptAll(ivfpq).isEmpty && ivfpq.exceptAll(adc).isEmpty)
+    val refined = Pq.topKAdcRefined(df, enc, df, cb, 3, rerank = 6)
+    assert(adc.exceptAll(refined).isEmpty && refined.exceptAll(adc).isEmpty)
+  }
+
   test("codebook budget and shape guards fail fast") {
     intercept[IllegalArgumentException] {
       Graft.pqTrainExact(spark, vecs, m = 7) // 64 % 7 != 0

@@ -118,6 +118,22 @@ class TextSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Corpus.deleteRecursively(dir)
   }
 
+  test("requireCsvSplitSafe rejects embedded newlines and CRs, passes clean frames") {
+    import spark.implicits._
+    val clean = Seq((1L, "one line"), (2L, "another")).toDF("id", "text")
+    TextSources.requireCsvSplitSafe(clean) // must not throw
+    val lf = Seq((1L, "line one\nline two")).toDF("id", "text")
+    val crErr = intercept[IllegalArgumentException] {
+      TextSources.requireCsvSplitSafe(lf)
+    }
+    assert(crErr.getMessage.contains("multiLine"))
+    val cr = Seq((1L, "line one\rline two")).toDF("id", "text")
+    intercept[IllegalArgumentException] { TextSources.requireCsvSplitSafe(cr) }
+    // non-string columns are never scanned (a frame with ONLY numerics
+    // passes vacuously)
+    TextSources.requireCsvSplitSafe(Seq((1L, 2.0)).toDF("a", "b"))
+  }
+
   test("registered d80/d81/d86 bindings reproduce the documents table") {
     val sf = "/root/testdata/sf0.001"
     val want = graft.ops.Tables.documents(spark, sf)
