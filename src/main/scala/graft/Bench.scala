@@ -88,6 +88,7 @@ object Bench {
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.ops.HashIndex.queries ++
+      graft.ops.LineIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries
 
@@ -260,7 +261,8 @@ object Bench {
       graft.ops.Similarity.MemoizedQueries ++ graft.ops.Curation.MemoizedQueries ++
         graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries ++
         graft.sources.TextSources.MemoizedQueries ++
-        graft.ops.HashIndex.MemoizedQueries
+        graft.ops.HashIndex.MemoizedQueries ++
+        graft.ops.LineIndex.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

@@ -18,6 +18,7 @@ object SparkEntry {
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.ops.HashIndex.queries ++
+      graft.ops.LineIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

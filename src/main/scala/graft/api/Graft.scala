@@ -182,6 +182,36 @@ object Graft {
   def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame =
     graft.ops.HashIndex.dedupAgainst(spark, newDocs, dir)
 
+  /** Persist a line document-frequency index (the incremental serving
+    * form of [[boilerplateScrub]] — additive per-batch counts under the
+    * shared crash-safe commit protocol). Reads: doc_id, text. */
+  def lineIndexSave(docs: DataFrame, dir: String): Unit =
+    graft.ops.LineIndex.save(docs, dir)
+
+  /** Incrementally count additional documents into a saved line index
+    * (batches must be document-disjoint — their lines would otherwise
+    * double-count; `checkDisjoint` enforces it). */
+  def lineIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.LineIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously count a streaming (doc_id, text) frame into the line
+    * index (exactly-once per micro-batch). */
+  def lineIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.LineIndex.ingest(docs, dir, checkpoint)
+
+  /** Compact a fragmented line index into a fresh single-generation
+    * snapshot directory (source untouched; see IndexCommit.compactTo). */
+  def lineIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    graft.ops.LineIndex.compactTo(spark, src, dst)
+
+  /** Boilerplate-scrub an arriving batch against the FROZEN persisted
+    * line counts — d95's drop rule without recounting the corpus. */
+  def boilerplateScrubIndexed(spark: SparkSession, docs: DataFrame, dir: String,
+      maxDocFreq: Long = 2): DataFrame =
+    graft.ops.LineIndex.scrubAgainst(spark, docs, dir, maxDocFreq)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).
@@ -759,6 +789,14 @@ object Graft {
     * text). Out: (doc_id, clean_text, n_kept_lines, n_dropped_lines). */
   def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame =
     Curation.boilerplateScrub(docs, maxDocFreq)
+
+  /** Corpus-wide paragraph-level exact dedup (CCNet's first stage):
+    * every repeated paragraph keeps only its first (doc_id, position)
+    * occurrence; documents rebuild from surviving paragraphs in order.
+    * In: (doc_id, text). Out: (doc_id, clean_text, n_kept_paras,
+    * n_dropped_paras). */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n"): DataFrame =
+    Curation.paragraphDedup(docs, sep)
 
   def dupSpanStats(docs: DataFrame, n: Int = 5,
       hashGrams: Boolean = false): DataFrame =

@@ -1110,17 +1110,33 @@ object Curation {
     * few distinct strings — so it broadcasts); the rebuild is d63's
     * per-doc sorted re-aggregation, keyed by doc_id, never a global
     * sort. */
-  def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame = {
+  def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame =
+    boilerplateScrubFrom(docs, lineDocFreq(docs), maxDocFreq)
+
+  /** d95's counting half on its own: distinct-DOCUMENT frequency of
+    * every non-blank line, keyed by the line's md5 (the scrub joins on
+    * the hash, so wide line text never shuffles twice — the d06
+    * `hashGrams` trade applied to lines). Out: (line_hash, df). This is
+    * also the per-batch fact [[LineIndex]] persists: df is additive
+    * across document-disjoint batches. */
+  def lineDocFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), md5(col("line")).as("line_hash")).distinct()
+      .groupBy(col("line_hash")).agg(count(lit(1)).as("df"))
+
+  /** The d95 scrub over a CALLER-SUPPLIED (line_hash, df) frame — the
+    * open seam [[LineIndex.scrubAgainst]] serves from a persisted index
+    * (the d82/d39 pattern: don't recount a 100 TB corpus's lines per
+    * arriving batch; read the frozen additive counts). */
+  def boilerplateScrubFrom(docs: DataFrame, lineDf: DataFrame,
+      maxDocFreq: Long = 2): DataFrame = {
     require(maxDocFreq >= 1, "need maxDocFreq >= 1")
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
-    val boiler = lines
-      .where(trim(col("line")) =!= "")
-      .select(col("doc_id"), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq)
-      .select(col("line"))
-    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val boiler = lineDf.where(col("df") > maxDocFreq).select(col("line_hash"))
+    val kept = lines
+      .join(broadcast(boiler), md5(col("line")) === col("line_hash"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -1137,6 +1153,50 @@ object Curation {
           .as("n_dropped_lines"))
   }
 
+  /** Corpus-wide paragraph-level exact dedup (d98) — CCNet's actual
+    * first stage (Wenzek et al. 2020 drop repeated paragraphs by hash,
+    * keeping one copy): every repeated paragraph keeps ONLY its first
+    * occurrence in (doc_id, position) order; later occurrences are cut
+    * and each document is rebuilt from its surviving paragraphs in
+    * order. Unlike d95 (drop ALL occurrences above a doc-frequency
+    * threshold), this is dedup — exactly one copy survives. Blank
+    * paragraphs are structural and always kept; a document that was all
+    * repeats survives as an empty string. `sep` is a LITERAL separator
+    * ("\n\n" for real paragraphs; the gate uses "\n" over the planted
+    * multi-line fixture). In: (doc_id, text). Out: (doc_id, clean_text,
+    * n_kept_paras, n_dropped_paras).
+    *
+    * Scale: one narrow explode; the first-occurrence rule is a
+    * struct-min aggregation keyed by paragraph (distinct-paragraph-
+    * width shuffle — hash the key via the d06 trade when paragraphs
+    * are wide), an equi-join back, and d63's doc-keyed ordered rebuild
+    * — never a corpus-wide sort or unpartitioned window. */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n"): DataFrame = {
+    val splitter = java.util.regex.Pattern.quote(sep)
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), splitter)).as(Seq("p", "para")))
+    val firsts = paras.where(trim(col("para")) =!= "")
+      .groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+    val kept = paras.join(firsts, Seq("para"), "left")
+      .where(col("first").isNull ||
+        struct(col("doc_id"), col("p")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("para")))),
+            x => x.getField("para")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept_paras"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), splitter)).cast(LongType).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_paras"), lit(0L)).as("n_kept_paras"),
+        (col("n_paras") - coalesce(col("n_kept_paras"), lit(0L)))
+          .as("n_dropped_paras"))
+  }
+
   /** The d95 gate fixture: the driver's `documents` are single-line, so
     * the gate corpus is derived IN the query — each text reflowed into
     * 10-token lines and wrapped in a shared header/footer line. The
@@ -1144,6 +1204,51 @@ object Curation {
     * everywhere); body lines inherit their text's true document
     * frequency (exact-duplicate docs' lines cross the threshold
     * honestly). The oracle replays the identical construction. */
+  /** The shared oracle CTEs for the planted-boilerplate fixture family
+    * (d95/d97/d98): replay [[plantedBoilerplate]]'s construction and
+    * expose the (doc_id, p, line) stream as `lr` plus the wrapped docs
+    * as `d2`. */
+  private[ops] val BoilerplateFixtureCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id,
+      |    '=== BOILER HEADER ===' || chr(10) ||
+      |    array_to_string(
+      |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+      |        i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')),
+      |      chr(10)) ||
+      |    chr(10) || '=== BOILER FOOTER ===' AS text
+      |  FROM t),
+      |l AS (
+      |  SELECT doc_id, ls, unnest(range(len(ls))) AS p
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2)),
+      |lr AS (SELECT doc_id, p, ls[p + 1] AS line FROM l)""".stripMargin
+
+  /** The d95 oracle (reused verbatim by d97's index-served gate — the
+    * served scrub must reproduce the direct computation exactly). */
+  private[ops] val BoilerplateOracle: String =
+    s"""WITH $BoilerplateFixtureCtes,
+      |b AS (
+      |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lr WHERE trim(line) <> '')
+      |  GROUP BY line HAVING count(*) > 2),
+      |kept AS (
+      |  SELECT lr.doc_id, lr.p, lr.line
+      |  FROM lr LEFT JOIN b ON lr.line = b.line
+      |  WHERE b.line IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+      |         CAST(count(*) AS BIGINT) AS n_kept_lines
+      |  FROM kept GROUP BY doc_id),
+      |nl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+      |  FROM d2)
+      |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_kept_lines,
+      |       n.n_lines - coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_dropped_lines
+      |FROM nl n LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   private[ops] def plantedBoilerplate(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nLines = ceil(size(toks) / lit(10.0)).cast(IntegerType)
@@ -1958,39 +2063,33 @@ object Curation {
     // rebuild == the engine's array_sort(collect_list(struct)).
     Q("d95_boilerplate_scrub",
       (s, d) => boilerplateScrub(plantedBoilerplate(documents(s, d))),
-      Some("""WITH t AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-             |  FROM documents),
-             |d2 AS (
-             |  SELECT doc_id,
-             |    '=== BOILER HEADER ===' || chr(10) ||
-             |    array_to_string(
-             |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
-             |        i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')),
-             |      chr(10)) ||
-             |    chr(10) || '=== BOILER FOOTER ===' AS text
-             |  FROM t),
-             |l AS (
-             |  SELECT doc_id, ls, unnest(range(len(ls))) AS p
-             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2)),
-             |lr AS (SELECT doc_id, p, ls[p + 1] AS line FROM l),
-             |b AS (
-             |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lr WHERE trim(line) <> '')
-             |  GROUP BY line HAVING count(*) > 2),
+      Some(BoilerplateOracle)),
+
+    // d98: corpus-wide paragraph-level exact dedup over the same
+    // fixture, at line granularity — first occurrence in (doc_id, pos)
+    // order survives (the engine's struct-min aggregation == the
+    // oracle's rn = 1 window), blanks always kept, ordered rebuild.
+    Q("d98_paragraph_dedup",
+      (s, d) => paragraphDedup(plantedBoilerplate(documents(s, d)), sep = "\n"),
+      Some(s"""WITH $BoilerplateFixtureCtes,
+             |f AS (
+             |  SELECT doc_id, p, line,
+             |         row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn
+             |  FROM lr WHERE trim(line) <> ''),
              |kept AS (
-             |  SELECT lr.doc_id, lr.p, lr.line
-             |  FROM lr LEFT JOIN b ON lr.line = b.line
-             |  WHERE b.line IS NULL),
+             |  SELECT doc_id, p, line FROM f WHERE rn = 1
+             |  UNION ALL
+             |  SELECT doc_id, p, line FROM lr WHERE trim(line) = ''),
              |agg AS (
              |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
-             |         CAST(count(*) AS BIGINT) AS n_kept_lines
+             |         CAST(count(*) AS BIGINT) AS n_kept_paras
              |  FROM kept GROUP BY doc_id),
              |nl AS (
-             |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+             |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras
              |  FROM d2)
              |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
-             |       coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_kept_lines,
-             |       n.n_lines - coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_dropped_lines
+             |       coalesce(a.n_kept_paras, CAST(0 AS BIGINT)) AS n_kept_paras,
+             |       n.n_paras - coalesce(a.n_kept_paras, CAST(0 AS BIGINT)) AS n_dropped_paras
              |FROM nl n LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     Q("d23_pack_shards",

@@ -1109,4 +1109,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "intra\nbody b", 2L, 0L),
       (3L, "body c", 1L, 0L)))
   }
+
+  test("paragraphDedup keeps exactly the first occurrence, in (doc_id, pos) order") {
+    import spark.implicits._
+    // "repeat" appears in docs 1 (pos 0 and 2), 2, and 3: only doc 1
+    // pos 0 survives — WITHIN-doc repeats dedup too, unlike d95's
+    // distinct-doc-frequency rule. Blank paragraphs always kept. Doc 3
+    // was all repeats -> empty string, still one row.
+    val d = docs(
+      1L -> "repeat\nmine one\nrepeat",
+      2L -> "repeat\n\nmine two",
+      3L -> "repeat",
+      4L -> "mine three")
+    val got = graft.api.Graft.paragraphDedup(d, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "repeat\nmine one", 2L, 1L),
+      (2L, "\nmine two", 2L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "mine three", 1L, 0L)))
+    // real paragraph separator: the default "\n\n" treats single
+    // newlines as intra-paragraph text
+    val p = docs(
+      1L -> "para one\nstill para one\n\npara two",
+      2L -> "para one\nstill para one\n\nmine")
+    val got2 = graft.api.Graft.paragraphDedup(p)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(
+      (1L, "para one\nstill para one\n\npara two", 2L, 0L),
+      (2L, "mine", 1L, 1L)))
+  }
 }
