@@ -790,6 +790,22 @@ object Graft {
   def boilerplateScrub(docs: DataFrame, maxDocFreq: Long = 2): DataFrame =
     Curation.boilerplateScrub(docs, maxDocFreq)
 
+  /** Composed cleanup pipeline: [[unicodeNormalize]] →
+    * [[boilerplateScrub]] → [[paragraphDedup]] — canonicalize bytes
+    * first so the hash-based stages see one encoding, drop template
+    * lines, collapse repeated paragraphs. Out: [[paragraphDedup]]'s
+    * schema. */
+  def cleanPipeline(docs: DataFrame, maxDocFreq: Long = 2,
+      sep: String = "\n"): DataFrame =
+    Curation.cleanPipeline(docs, maxDocFreq, sep)
+
+  /** Unicode NFC normalization (codegen'd native expression): run
+    * before any exact-hash operator — combining sequences vs
+    * precomposed characters defeat content hashing. Out: (doc_id,
+    * norm_text, changed, n_chars_before, n_chars_after). */
+  def unicodeNormalize(docs: DataFrame): DataFrame =
+    Curation.unicodeNormalize(docs)
+
   /** Corpus-wide paragraph-level exact dedup (CCNet's first stage):
     * every repeated paragraph keeps only its first (doc_id, position)
     * occurrence; documents rebuild from surviving paragraphs in order.

@@ -1204,6 +1204,49 @@ object Curation {
     * everywhere); body lines inherit their text's true document
     * frequency (exact-duplicate docs' lines cross the threshold
     * honestly). The oracle replays the identical construction. */
+  /** Unicode NFC normalization pass (d99) — the ftfy-class cleanup a
+    * pipeline runs BEFORE any exact-hash operator: byte-different
+    * encodings of the same characters (combining sequences vs
+    * precomposed) defeat d01/d95/d98 and every persisted hash index, so
+    * text canonicalizes first. Normalization is the codegen'd native
+    * `nfc_normalize` expression (java.text.Normalizer; DuckDB's
+    * utf8proc-backed nfc_normalize computes the identical composition —
+    * the d99 gate). `changed` marks documents the pass actually
+    * rewrote; char counts quantify the shrink (combining sequences
+    * compose to single code points — both engines count code points).
+    * In: (doc_id, text). Out: (doc_id, norm_text, changed,
+    * n_chars_before, n_chars_after).
+    *
+    * Scale: a pure narrow codegen'd projection — no shuffle, no UDF
+    * boundary, streaming-safe; the already-NFC fast path returns the
+    * input without allocating. */
+  def unicodeNormalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        call_function("nfc_normalize", col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"),
+        length(col("text")).cast(LongType).as("n_chars_before"),
+        length(col("norm_text")).cast(LongType).as("n_chars_after"))
+
+  /** Composed text-cleanup pipeline (d100): [[unicodeNormalize]] →
+    * [[boilerplateScrub]] → [[paragraphDedup]] chained as one frame —
+    * the canonical pre-dedup cleanup order (canonicalize bytes FIRST so
+    * the hash-based stages see one encoding per text; drop template
+    * lines; then collapse repeated paragraphs to their first
+    * occurrence). Each stage is the individually-gated operator; the
+    * composition is gated as ONE query (the d54 pattern), which
+    * adjudicates the stage WIRING — column renames, empty-doc rows
+    * surviving two rebuilds, order preservation — not just each stage.
+    * In: (doc_id, text). Out: [[paragraphDedup]]'s schema. */
+  def cleanPipeline(docs: DataFrame, maxDocFreq: Long = 2,
+      sep: String = "\n"): DataFrame = {
+    val normed = unicodeNormalize(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val scrubbed = boilerplateScrub(normed, maxDocFreq)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    paragraphDedup(scrubbed, sep)
+  }
+
   /** The shared oracle CTEs for the planted-boilerplate fixture family
     * (d95/d97/d98): replay [[plantedBoilerplate]]'s construction and
     * expose the (doc_id, p, line) stream as `lr` plus the wrapped docs
@@ -1249,7 +1292,7 @@ object Curation {
       |       n.n_lines - coalesce(a.n_kept_lines, CAST(0 AS BIGINT)) AS n_dropped_lines
       |FROM nl n LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  private[ops] def plantedBoilerplate(docs: DataFrame): DataFrame = {
+  private[graft] def plantedBoilerplate(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nLines = ceil(size(toks) / lit(10.0)).cast(IntegerType)
     docs.select(col("doc_id"),
@@ -2053,6 +2096,94 @@ object Curation {
              |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
              |       coalesce(a.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens
              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // d99: NFC normalization — the driver corpus is ASCII (already
+    // NFC), so the gate plants a decomposed combining sequence on every
+    // document (built from raw UTF-8 bytes so both engines construct
+    // the identical pre-normalization string) and both engines must
+    // compose it identically, flag the change, and agree on code-point
+    // counts before/after.
+    Q("d99_nfc_normalize",
+      (s, d) => unicodeNormalize(
+        documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" cafe"),
+            expr("decode(unhex('CC81'), 'UTF-8')")).as("text"))),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text || ' cafe' || decode(from_hex('CC81')) AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  nfc_normalize(text) AS norm_text,
+             |  nfc_normalize(text) <> text AS changed,
+             |  CAST(length(text) AS BIGINT) AS n_chars_before,
+             |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_after
+             |FROM t""".stripMargin)),
+
+    // d100: the composed cleanup pipeline over the planted fixture WITH
+    // a decomposed combining sequence appended pre-reflow — so the
+    // normalize stage genuinely changes bytes the downstream hash
+    // stages then count. The oracle chains the three stages' replayed
+    // SQL in the same order (normalize before any line counting).
+    Q("d100_clean_pipeline",
+      (s, d) => cleanPipeline(plantedBoilerplate(
+        documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" cafe"),
+            expr("decode(unhex('CC81'), 'UTF-8')")).as("text")))),
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text || ' cafe' || decode(from_hex('CC81')) AS text
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM raw),
+             |d2 AS (
+             |  SELECT doc_id,
+             |    '=== BOILER HEADER ===' || chr(10) ||
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+             |        i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')),
+             |      chr(10)) ||
+             |    chr(10) || '=== BOILER FOOTER ===' AS text
+             |  FROM t),
+             |nrm AS (SELECT doc_id, nfc_normalize(text) AS text FROM d2),
+             |l AS (
+             |  SELECT doc_id, ls, unnest(range(len(ls))) AS p
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM nrm)),
+             |lr AS (SELECT doc_id, p, ls[p + 1] AS line FROM l),
+             |b AS (
+             |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lr WHERE trim(line) <> '')
+             |  GROUP BY line HAVING count(*) > 2),
+             |kept AS (
+             |  SELECT lr.doc_id, lr.p, lr.line
+             |  FROM lr LEFT JOIN b ON lr.line = b.line
+             |  WHERE b.line IS NULL),
+             |agg AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text
+             |  FROM kept GROUP BY doc_id),
+             |scrubbed AS (
+             |  SELECT n.doc_id, coalesce(a.clean_text, '') AS text
+             |  FROM nrm n LEFT JOIN agg a USING (doc_id)),
+             |l2 AS (
+             |  SELECT doc_id, ls, unnest(range(len(ls))) AS p
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM scrubbed)),
+             |pr AS (SELECT doc_id, p, ls[p + 1] AS line FROM l2),
+             |f AS (
+             |  SELECT doc_id, p, line,
+             |         row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn
+             |  FROM pr WHERE trim(line) <> ''),
+             |kept2 AS (
+             |  SELECT doc_id, p, line FROM f WHERE rn = 1
+             |  UNION ALL
+             |  SELECT doc_id, p, line FROM pr WHERE trim(line) = ''),
+             |agg2 AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+             |         CAST(count(*) AS BIGINT) AS n_kept_paras
+             |  FROM kept2 GROUP BY doc_id),
+             |nl2 AS (
+             |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras
+             |  FROM scrubbed)
+             |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |       coalesce(a.n_kept_paras, CAST(0 AS BIGINT)) AS n_kept_paras,
+             |       n.n_paras - coalesce(a.n_kept_paras, CAST(0 AS BIGINT)) AS n_dropped_paras
+             |FROM nl2 n LEFT JOIN agg2 a USING (doc_id)""".stripMargin)),
 
     // d95: line-level boilerplate removal over the planted multi-line
     // fixture (the driver corpus is single-line; the wrapper line is

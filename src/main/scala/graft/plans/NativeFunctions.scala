@@ -28,6 +28,22 @@ object NativeFns {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  /** Unicode NFC canonical composition (java.text.Normalizer) — the
+    * ftfy-class cleanup pass a corpus pipeline runs before hashing or
+    * deduping text: byte-different encodings of the SAME characters
+    * (e + combining acute vs precomposed é) would otherwise defeat
+    * every exact-hash operator (d01/d95/d98, the indexes). DuckDB's
+    * nfc_normalize (utf8proc) implements the same canonical
+    * composition, which is what lets d99 hash-gate this path. The
+    * already-normalized fast path (the overwhelmingly common case)
+    * returns the input UTF8String without allocating. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Sequential (index-order) double dot product over two array<double>
     * columns — bit-identical to DuckDB's list_dot_product fold and to a
     * hand-written while-loop, but callable from codegen'd expressions. */
@@ -233,6 +249,20 @@ case class StandardizeText(child: Expression) extends RuTextExpression {
   override def prettyName: String = "standardize_text"
 }
 
+/** `nfc_normalize` as a native codegen'd expression (see
+  * [[NativeFns.nfcNormalize]]). */
+case class NfcNormalize(child: Expression) extends RuTextExpression {
+  override def dataType: DataType = StringType
+  override protected def staticCall = "graft.plans.NativeFns.nfcNormalize"
+  override protected def resultJavaType = "UTF8String"
+  override protected def unbox(v: String): String = v
+  override protected def call(input: Any): Any =
+    NativeFns.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** F2 `clean_number` as a native expression. */
 case class CleanNumber(child: Expression) extends RuTextExpression {
   override def dataType: DataType = IntegerType
@@ -290,5 +320,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("pq_adc_num"),
       info("pq_adc_num", "per-pair ADC numerator against a flattened PQ codebook"),
       (es: Seq[Expression]) => PqAdcNumExpr(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "Unicode NFC canonical composition (pre-hash text cleanup)"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
   }
 }

@@ -257,6 +257,30 @@ object PlanAudit {
     println("=== d88/d90 groupRank Window nodes (want 0): " + countNode(p88, "Window"))
     println("=== d88/d90 groupRank BroadcastHashJoin (offsets, want >=1): " +
       countNode(p88, "BroadcastHashJoin"))
+
+    // d95/d98 (round 13): the boilerplate drop must ride a BROADCAST
+    // anti-join on the line hash (boilerplate is few distinct strings by
+    // nature — the equi-condition makes it a BroadcastHashJoin LeftAnti),
+    // the ordered rebuild a doc_id-keyed aggregation: ZERO Window nodes
+    // despite per-doc ordering semantics, zero nested loops. d98's
+    // first-occurrence rule is a struct-min aggregation + equi-join —
+    // same assertions despite the oracle's row_number formulation.
+    // Measured (sf0.01, round 13): d95 BHJ 2 (the anti drop + AQE
+    // electing broadcast for the doc-count left join at this scale) /
+    // CP+BNLJ 0 / Window 0; d98 CP+BNLJ 0 / Window 0.
+    val fixture = graft.ops.Curation.plantedBoilerplate(docs)
+    val p95 = graft.ops.Curation.boilerplateScrub(fixture)
+      .queryExecution.executedPlan.toString
+    println("=== d95 BroadcastHashJoin (anti drop, want >=1): " +
+      countNode(p95, "BroadcastHashJoin"))
+    println("=== d95 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p95, "CartesianProduct") + countNode(p95, "BroadcastNestedLoop")))
+    println("=== d95 Window nodes (want 0): " + countNode(p95, "Window"))
+    val p98 = graft.ops.Curation.paragraphDedup(fixture, sep = "\n")
+      .queryExecution.executedPlan.toString
+    println("=== d98 CartesianProduct/BNLJ (want 0): " +
+      (countNode(p98, "CartesianProduct") + countNode(p98, "BroadcastNestedLoop")))
+    println("=== d98 Window nodes (want 0): " + countNode(p98, "Window"))
     spark.stop()
   }
 }

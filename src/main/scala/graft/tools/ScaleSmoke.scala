@@ -414,6 +414,42 @@ object ScaleSmoke {
         f"serve $tPplServe%.2f s")
     }
 
+    // --- line family growth probe (d95/d97/d98): each stage is one
+    // narrow line explode + a distinct-line-width aggregation (d95/d97)
+    // or a struct-min aggregation (d98) + the doc-keyed rebuild —
+    // elapsed should ~track corpus line count, never superlinearly.
+    // The synthetic docs are single-line, so the probe reflows them
+    // through the planted-boilerplate fixture (10-token lines + a
+    // corpus-wide wrapper that really exercises the drop path).
+    // Measured (2026-08, round 13, 25k -> 50k docs): d95 2.58 -> 2.64 s,
+    // d98 2.46 -> 2.92 s, line_index save 1.51 -> 1.61 s / serve 1.56 ->
+    // 2.00 s — sublinear across the doubling (the 32-core scan absorbs
+    // the line work; nothing superlinear), and the served scrub tracks
+    // the PROBE batch, not the indexed corpus.
+    Seq(2, 1).foreach { invFrac =>
+      val sub = graft.ops.Curation.plantedBoilerplate(
+        docsAll.where(col("doc_id") % invFrac === 0))
+      val n = sub.count()
+      val t95 = System.nanoTime()
+      graft.ops.Curation.boilerplateScrub(sub)
+        .write.format("noop").mode("overwrite").save()
+      val t95s = (System.nanoTime() - t95) / 1e9
+      val t98 = System.nanoTime()
+      graft.ops.Curation.paragraphDedup(sub, sep = "\n")
+        .write.format("noop").mode("overwrite").save()
+      val t98s = (System.nanoTime() - t98) / 1e9
+      val liDir = s"$dir/line_index_$invFrac"
+      val tLs = System.nanoTime()
+      graft.ops.LineIndex.save(sub, liDir)
+      val tLsS = (System.nanoTime() - tLs) / 1e9
+      val tLp = System.nanoTime()
+      graft.ops.LineIndex.scrubAgainst(spark, sub, liDir)
+        .write.format("noop").mode("overwrite").save()
+      val tLpS = (System.nanoTime() - tLp) / 1e9
+      println(f"[scale] lines n=$n%8d d95 $t95s%.2f s, d98 $t98s%.2f s, " +
+        f"line_index save $tLsS%.2f s / serve $tLpS%.2f s")
+    }
+
     // --- PQ / IVFPQ growth probe (d72-d74): lossy train+encode must be
     // linear narrow passes; brute-force ADC over all codes is linear per
     // query BY SEMANTICS (its pruned form is IVFPQ); IVFPQ at

@@ -1110,6 +1110,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "body c", 1L, 0L)))
   }
 
+  test("cleanPipeline: normalization runs BEFORE the hash stages; equals the manual chain") {
+    import spark.implicits._
+    // the same visible paragraph in two encodings (precomposed vs
+    // combining sequence): without the normalize stage the paragraph
+    // dedup would see two different strings — the pipeline must dedup
+    // them, and the surviving text is the NFC form
+    val d = docs(
+      1L -> "caf\u00e9 paragraph\nmine one",  // precomposed e-acute
+      2L -> "cafe\u0301 paragraph\nmine two") // e + combining acute
+    val got = graft.api.Graft.cleanPipeline(d, maxDocFreq = 2, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "caf\u00e9 paragraph\nmine one", 2L, 0L),
+      (2L, "mine two", 1L, 1L)))
+    val manual = graft.ops.Curation.paragraphDedup(
+      graft.ops.Curation.boilerplateScrub(
+        graft.ops.Curation.unicodeNormalize(d)
+          .select(col("doc_id"), col("norm_text").as("text")), 2)
+        .select(col("doc_id"), col("clean_text").as("text")), "\n")
+    val piped = graft.api.Graft.cleanPipeline(d)
+    assert(piped.exceptAll(manual).isEmpty && manual.exceptAll(piped).isEmpty)
+  }
+
   test("paragraphDedup keeps exactly the first occurrence, in (doc_id, pos) order") {
     import spark.implicits._
     // "repeat" appears in docs 1 (pos 0 and 2), 2, and 3: only doc 1

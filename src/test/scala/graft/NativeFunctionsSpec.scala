@@ -53,4 +53,23 @@ class NativeFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.sql("SELECT s, standardize_text(s) AS r FROM t3").collect()
     rows.foreach(r => assert(r.get(1) == RuText.standardizeText(r.getString(0)), s"input='${r.getString(0)}'"))
   }
+
+  test("nfc_normalize composes combining sequences; NFC input passes through; null-safe") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301" // e + U+0301 COMBINING ACUTE ACCENT
+    val composed = "caf\u00e9"     // precomposed e-acute
+    Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s").createOrReplaceTempView("tnfc")
+    val got = spark.sql(
+      "SELECT id, nfc_normalize(s) AS r, length(nfc_normalize(s)) AS n FROM tnfc")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(got(1L) == ((composed, 4L)), "decomposed sequence must compose")
+    assert(got(2L) == ((composed, 4L)), "NFC input must pass through unchanged")
+    assert(got(3L) == (("plain ascii", 11L)))
+    assert(got(4L) == ((null, null)), "null in, null out")
+    // NFC (not NFKC): compatibility characters like the fi ligature
+    // must survive — only canonical composition is applied
+    val lig = spark.sql("SELECT nfc_normalize('ﬁsh')").head().getString(0)
+    assert(lig == "ﬁsh")
+  }
 }
