@@ -182,6 +182,24 @@ object Graft {
   def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame =
     graft.ops.HashIndex.dedupAgainst(spark, newDocs, dir)
 
+  /** [[dedupAgainstIndex]] served through the index's Bloom sidecar:
+    * identical answers (Bloom filters have no false negatives), but
+    * rows the merged membership sketch proves novel never reach the
+    * index join — the fast path for a small delta arriving against a
+    * huge indexed base. Reads: doc_id, text. */
+  def dedupAgainstIndexBloom(spark: SparkSession, newDocs: DataFrame,
+      dir: String): DataFrame =
+    graft.ops.HashIndex.dedupAgainstBloom(spark, newDocs, dir)
+
+  /** Corpus-novelty scoring: per probe document, how many of its
+    * distinct word-bigrams the base corpus has never seen —
+    * (doc_id, n_grams, n_novel, novelty), one row per probe doc with at
+    * least one bigram. The information-gain curation signal: a document
+    * that only recites the corpus scores 0. Reads: doc_id, text on both
+    * frames. */
+  def noveltyScore(base: DataFrame, probe: DataFrame): DataFrame =
+    graft.ops.Corpus.noveltyScore(base, probe)
+
   /** Persist a line document-frequency index (the incremental serving
     * form of [[boilerplateScrub]] — additive per-batch counts under the
     * shared crash-safe commit protocol). Reads: doc_id, text. */
@@ -221,6 +239,15 @@ object Graft {
   def cosineTopK(vecs: DataFrame, k: Int = 3,
       maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Similarity.cosineTopK(vecs, k, maxBroadcastBytes)
+
+  /** MMR diversified top-3 per vector: greedy re-rank of the top-`pool`
+    * exact-cosine candidates under λ·relevance − (1−λ)·max-redundancy —
+    * the selection rule that keeps a retrieval (or a curated subset)
+    * from being k near-copies. Out: (vec_id, pos 1..3, neighbor_id).
+    * Reads: vec_id, embedding. */
+  def mmrRerank(vecs: DataFrame, pool: Int = 8, lambda: Double = 0.5,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    Similarity.mmrRerank(vecs, pool, lambda, maxBroadcastBytes)
 
   /** Affine per-vector int8 quantization of an embedding column — 4x
     * storage at a worst-case per-element error of (hi - lo)/510.
@@ -440,6 +467,14 @@ object Graft {
     * width, never corpus width. Reads: source, text. */
   def sourceOverlap(docs: DataFrame, dim: String = "source"): DataFrame =
     TextOps.sourceOverlap(docs, dim)
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — [[sourceOverlap]]'s usage-level sibling and the
+    * drift monitor for re-crawled corpora (0 = identically distributed,
+    * ln 2 = disjoint; symmetric, always finite). Out: (source_a,
+    * source_b, js_div). Reads: source, text. */
+  def sourceDivergence(docs: DataFrame, dim: String = "source"): DataFrame =
+    TextOps.sourceDivergence(docs, dim)
 
   /** Deterministic train/validation/test assignment from the md5 coin
     * of the doc id — stable under corpus growth and re-runs (a doc
@@ -922,6 +957,15 @@ object Graft {
   def packChunkShards(docs: DataFrame, window: Int = 64, stride: Int = 32,
       budget: Long = 2048, partitions: Int = 0): DataFrame =
     Curation.packChunkShards(docs, window, stride, budget, partitions)
+
+  /** Greedy token-budget corpus selection: rank by quality (stopword
+    * ratio; swap in a learned score via the same ordering seam) and
+    * keep the best-first prefix whose cumulative tokens fit `budget`.
+    * Out: (doc_id, n_tokens, score, cum_tokens), selected docs only.
+    * Reads: doc_id, text. */
+  def budgetSelect(docs: DataFrame, budget: Long = 10000L,
+      partitions: Int = 0): DataFrame =
+    Curation.budgetSelect(docs, budget, partitions)
 
   /** The whole curation pipeline in one call: optional PII scrub
     * (in-place redaction BEFORE anything hashes or counts tokens, so

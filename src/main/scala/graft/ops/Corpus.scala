@@ -728,6 +728,43 @@ object Corpus {
         expr(s"$decide = lang").as("correct"))
   }
 
+  /** Corpus-novelty scoring (d102): per probe document, the fraction of
+    * its DISTINCT word-bigrams never seen in the base corpus — the
+    * "information gain" curation signal (C4/RefinedWeb keep documents
+    * that add n-grams the corpus lacks; a high-quality doc that is pure
+    * vocabulary rehash scores 0). One row per probe doc that has at
+    * least one bigram: (doc_id, n_grams, n_novel, novelty).
+    *
+    * Shape: probe grams LEFT-join the base's distinct-gram vocabulary
+    * on the gram key (the one unavoidable wide exchange — both sides
+    * partial-aggregate/distinct before shuffling), then a per-doc count
+    * rollup. At warehouse scale the base vocabulary is computed once and
+    * persisted bucketed BY gram (the LexIndex postings layout), so
+    * successive deltas shuffle only themselves — the same serve shape as
+    * [[HashIndex.dedupAgainstBloom]]'s, one level up from hashes to
+    * n-grams. Counts are exact integers; the ratio is the round-4
+    * convention. */
+  def noveltyScore(base: DataFrame, probe: DataFrame): DataFrame = {
+    def grams(docs: DataFrame): DataFrame =
+      docs
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+        // slice keeps the index list empty for one-word docs (sequence
+        // alone would COUNT DOWN from 1 to 0 and fabricate a pair)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(sequence(1, size(w)), 1, size(w) - 1), " +
+          "i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+        .distinct()
+    val vocab = grams(base).select(col("g")).distinct()
+      .withColumn("seen", lit(1))
+    grams(probe)
+      .join(vocab, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("seen").isNull, 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) / col("n_grams"), 4).as("novelty"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d09: SimHash near-duplicate pairs at hamming distance <= 3.
@@ -1021,6 +1058,56 @@ object Corpus {
              |  sa.n AS vocab_a, sb.n AS vocab_b, n_common,
              |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
              |FROM i JOIN s sa ON sa.g = i.g JOIN s sb ON sb.g = i.g2""".stripMargin)),
+
+    // d102: corpus-novelty scoring over the same base/delta split d101
+    // probes — what fraction of each arriving doc's distinct bigrams
+    // the indexed base has never seen. Integer counts + round-4 ratio.
+    Q("d102_novelty_score",
+      (s, d) => noveltyScore(
+        documents(s, d).where(col("doc_id") % 3 === 0),
+        documents(s, d).where(col("doc_id") % 3 =!= 0)),
+      Some("""WITH bw AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |            FROM documents WHERE doc_id % 3 = 0),
+             |base AS (SELECT DISTINCT w[i] || ' ' || w[i+1] AS g
+             |         FROM bw, LATERAL (SELECT unnest(range(1, len(w))) AS i) u),
+             |pw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |       FROM documents WHERE doc_id % 3 <> 0),
+             |pg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS g
+             |       FROM pw, LATERAL (SELECT unnest(range(1, len(w))) AS i) u)
+             |SELECT pg.doc_id, count(*) AS n_grams,
+             |       count(*) FILTER (WHERE base.g IS NULL) AS n_novel,
+             |       round(count(*) FILTER (WHERE base.g IS NULL)
+             |             / CAST(count(*) AS DOUBLE), 4) AS novelty
+             |FROM pg LEFT JOIN base ON pg.g = base.g
+             |GROUP BY 1""".stripMargin)),
+
+    // d104: pairwise source unigram-DISTRIBUTION divergence (JS) — the
+    // usage-level sibling of d68's vocabulary Jaccard. Registered here
+    // with d68 (TextOps.queries is the frozen bench baseline set).
+    Q("d104_source_divergence",
+      (s, d) => TextOps.sourceDivergence(documents(s, d)),
+      Some("""WITH tk AS (
+             |  SELECT source AS g,
+             |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+             |t AS (SELECT g, sum(c) AS n FROM c GROUP BY 1),
+             |p AS (SELECT c.g, tok, CAST(c AS DOUBLE) / n AS p
+             |      FROM c JOIN t USING (g)),
+             |srcs AS (SELECT DISTINCT g AS g2 FROM c),
+             |ex AS (SELECT least(p.g, s.g2) AS source_a,
+             |              greatest(p.g, s.g2) AS source_b, tok,
+             |              CASE WHEN p.g < s.g2 THEN p.p ELSE 0 END AS pa,
+             |              CASE WHEN p.g > s.g2 THEN p.p ELSE 0 END AS pb
+             |       FROM p JOIN srcs s ON p.g <> s.g2),
+             |m AS (SELECT source_a, source_b, tok, sum(pa) AS pa, sum(pb) AS pb
+             |      FROM ex GROUP BY 1, 2, 3)
+             |SELECT source_a, source_b,
+             |  round(sum(
+             |    CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END +
+             |    CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END), 4)
+             |    AS js_div
+             |FROM m GROUP BY 1, 2""".stripMargin)),
 
     // d55: token-budget accounting under the LEARNED tokenizer — the
     // counts packing/mixing use in production, vs d02's whitespace and

@@ -1384,6 +1384,55 @@ object Curation {
         col("n_tokens"), col("shard_id"))
   }
 
+  /** Token-budget-constrained corpus selection (d105) — the greedy
+    * knapsack every "train on the best N tokens" decision reduces to:
+    * rank documents by a quality score (here d02/d04's stopword ratio —
+    * swap in d64's learned classifier or d44's perplexity terciles via
+    * the same ordering seam) and keep the prefix whose cumulative token
+    * count stays within `budget`. Greedy-by-density is the optimal
+    * fractional-knapsack rule and the standard corpus practice. In:
+    * (doc_id, text). Out: (doc_id, n_tokens, score, cum_tokens) for
+    * SELECTED docs only — cum_tokens is the inclusive running total
+    * under (score DESC, doc_id), so max(cum_tokens) <= budget is the
+    * audit invariant.
+    *
+    * Scale: [[packShards]]' distributed-prefix-sum shape pointed at a
+    * quality order instead of doc_id — range-shuffle by (score DESC,
+    * doc_id) into explicitly-sized pinned slices, one token total per
+    * slice to the driver (`partitions` longs), per-slice window sums on
+    * top of the slice start offsets. No corpus-wide single-task sort
+    * anywhere; the budget cut is a codegen'd filter. */
+  def budgetSelect(docs: DataFrame, budget: Long = 10000L,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    val s = docs.sparkSession
+    val n = if (partitions > 0) partitions else s.sparkContext.defaultParallelism
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        col("stopword_ratio").as("score"))
+    val parted = scored
+      .repartitionByRange(n, col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        spark_partition_id().as("pid"))
+      .localCheckpoint()
+    val totals = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val e = (r.getInt(0), acc); acc += r.getLong(1); e
+    }
+    val offsetOf = map(offsets.toSeq.flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("cum_tokens",
+        element_at(offsetOf, col("pid")) + sum(col("n_tokens")).over(local))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
+  }
+
   /** Domain-mix sampling weights — the static data-mixing step behind
     * Pile-style corpus weighting (Gao et al. 2020) and DoReMi-style
     * reweighting applied at its simplest: given the corpus' realized
@@ -2233,6 +2282,30 @@ object Curation {
              |  SELECT doc_id,
              |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
              |  FROM documents)""".stripMargin)),
+
+    // d105: greedy token-budget selection — d23's prefix-sum machinery
+    // pointed at the d04 quality order. n_tokens/cum_tokens are exact
+    // longs; score is one double division of exact integers (the
+    // already-gated d04 value), so the order and the cut agree across
+    // engines bit-for-bit.
+    Q("d105_budget_select",
+      (s, d) => budgetSelect(documents(s, d)),
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS score
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens, score,
+             |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, n_tokens, score, cum_tokens
+             |FROM c WHERE cum_tokens <= 10000""".stripMargin)),
 
     // d43: chunk-granularity packing — d42's sliding windows fed through
     // d23's prefix-sum packer in (doc_id, chunk_id) order. The oracle is

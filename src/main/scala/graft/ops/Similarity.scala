@@ -976,6 +976,77 @@ object Similarity {
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("rank"), col("neighbor_id"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-3 (d103): per query,
+    * greedily select from its top-`pool` exact-cosine candidates by
+    * `λ·sim(query, c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * redundancy-penalized ranking retrieval and dataset-selection
+    * pipelines use where plain top-k returns k near-copies. Out:
+    * (vec_id, pos 1..3, neighbor_id) — ids and positions only, so the
+    * gate is hash-exact: both engines compute bit-identical score
+    * doubles (the d07-proven cosine convention, then one fused
+    * `λ·s − (1−λ)·pen` per candidate) and break ties (sc DESC, id ASC).
+    *
+    * The greedy loop is UNROLLED to its three selection rounds — each
+    * is one bounded aggregation over the ≤`pool`-row-per-query
+    * candidate table (argmax via max(struct)), with selected-vector
+    * re-attachment as id-keyed joins. Work after the candidate stage is
+    * O(queries · pool · rounds); the candidate stage itself is the
+    * declared-exact [[cosineTopK]] baseline (swap in [[annTopK]]'s
+    * stream for the sub-quadratic path — the rerank stages are
+    * source-agnostic). Queries whose pool holds fewer than 3 distinct
+    * candidates emit only the positions they can fill. */
+  def mmrRerank(vecs: DataFrame, pool: Int = 8, lambda: Double = 0.5,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+    val pairs = selfCosineJoin(vecs, withNorm,
+        col("q.vec_id") =!= col("c.vec_id"), maxBroadcastBytes)
+      .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("nid"),
+        (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("s"))
+    val topk = udaf(new TopKAgg(pool))
+    val pooled = pairs.groupBy(col("vec_id"))
+      .agg(topk(col("s"), col("nid")).as("t"))
+      .select(col("vec_id"),
+        explode(arrays_zip(col("t.sims").as("s"), col("t.ids").as("nid"))).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.nid").as("nid"))
+    val cvec = withNorm
+      .select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
+
+    def argmaxPick(cand: DataFrame, score: org.apache.spark.sql.Column): DataFrame =
+      cand.groupBy(col("vec_id"))
+        .agg(max(struct(score.as("sc"), (-col("nid")).as("nn"))).as("b"))
+        .select(col("vec_id"), (-col("b.nn")).as("nid"))
+    def selVec(sel: DataFrame, tag: String): DataFrame = sel
+      .join(cvec, "nid")
+      .select(col("vec_id"), col("cv").as(s"v$tag"), col("cn").as(s"n$tag"))
+    def penalty(tag: String): org.apache.spark.sql.Column =
+      vecDot(col("cv"), col(s"v$tag")) / (col("cn") * col(s"n$tag"))
+    val lam = lit(lambda)
+    val om = lit(1 - lambda)
+
+    // round 1: empty selected set, the penalty term vanishes — argmax s
+    val sel1 = argmaxPick(pooled, col("s"))
+    val cand2 = pooled
+      .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
+      .where(col("nid") =!= col("nid1"))
+      .join(cvec, "nid").join(selVec(sel1, "1"), "vec_id")
+    val sel2 = argmaxPick(cand2, lam * col("s") - om * penalty("1"))
+    val cand3 = pooled
+      .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
+      .join(sel2.withColumnRenamed("nid", "nid2"), "vec_id")
+      .where(col("nid") =!= col("nid1") && col("nid") =!= col("nid2"))
+      .join(cvec, "nid")
+      .join(selVec(sel1, "1"), "vec_id").join(selVec(sel2, "2"), "vec_id")
+    val sel3 = argmaxPick(cand3,
+      lam * col("s") - om * greatest(penalty("1"), penalty("2")))
+
+    def out(sel: DataFrame, pos: Int): DataFrame = sel
+      .select(col("vec_id"), lit(pos.toLong).as("pos"), col("nid").as("neighbor_id"))
+    out(sel1, 1).unionByName(out(sel2, 2)).unionByName(out(sel3, 3))
+  }
+
   /** The shared vote stage of the kNN-classification family
     * ([[knnClassify]] / [[knnClassifyAnn]]): majority label over a
     * (vec_id, neighbor_id) candidate stream, abstaining on unlabeled
@@ -1369,6 +1440,55 @@ object Similarity {
     // unlabeled near neighbor costs a vote, it does not promote the
     // next-nearest labeled one), and every input vector emits a row —
     // uncovered vectors as predicted_label NULL / votes 0.
+    // d103: MMR diversified top-3 over the top-8 exact-cosine pool at
+    // λ=0.5. Integer output (query, position, neighbor); the oracle
+    // transcribes the unrolled greedy rounds — pool by row_number, then
+    // each round's argmax as a rank-1 window over the same fused score
+    // expression the Spark side aggregates with.
+    Q("d103_mmr_rerank",
+      (s, d) => mmrRerank(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nz AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e
+             |       WHERE list_dot_product(v, v) > 0),
+             |sim AS (SELECT q.vec_id AS vec_id, c.vec_id AS nid,
+             |               list_dot_product(q.v, c.v) / (q.n * c.n) AS s
+             |        FROM nz q JOIN nz c ON q.vec_id <> c.vec_id),
+             |pool AS (SELECT vec_id, nid, s FROM (
+             |  SELECT vec_id, nid, s,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nid) AS rn
+             |  FROM sim) WHERE rn <= 8),
+             |s1 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nid) AS rn
+             |  FROM pool) WHERE rn = 1),
+             |c2 AS (SELECT p.vec_id, p.nid,
+             |  0.5 * p.s - 0.5 * (list_dot_product(cv.v, v1.v) / (cv.n * v1.n)) AS sc
+             |  FROM pool p
+             |  JOIN s1 ON s1.vec_id = p.vec_id AND p.nid <> s1.nid
+             |  JOIN nz cv ON cv.vec_id = p.nid
+             |  JOIN nz v1 ON v1.vec_id = s1.nid),
+             |s2 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, nid) AS rn
+             |  FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT p.vec_id, p.nid,
+             |  0.5 * p.s - 0.5 * greatest(
+             |    list_dot_product(cv.v, v1.v) / (cv.n * v1.n),
+             |    list_dot_product(cv.v, v2.v) / (cv.n * v2.n)) AS sc
+             |  FROM pool p
+             |  JOIN s1 ON s1.vec_id = p.vec_id AND p.nid <> s1.nid
+             |  JOIN s2 ON s2.vec_id = p.vec_id AND p.nid <> s2.nid
+             |  JOIN nz cv ON cv.vec_id = p.nid
+             |  JOIN nz v1 ON v1.vec_id = s1.nid
+             |  JOIN nz v2 ON v2.vec_id = s2.nid),
+             |s3 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, nid) AS rn
+             |  FROM c3) WHERE rn = 1)
+             |SELECT vec_id, CAST(1 AS BIGINT) AS pos, nid AS neighbor_id FROM s1
+             |UNION ALL SELECT vec_id, CAST(2 AS BIGINT), nid FROM s2
+             |UNION ALL SELECT vec_id, CAST(3 AS BIGINT), nid FROM s3""".stripMargin)),
+
     Q("d28_knn_classify",
       (s, d) => knnClassify(embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -175,6 +175,53 @@ object TextOps {
           (col("vocab_a") + col("vocab_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Pairwise source DISTRIBUTION divergence (d104) — [[sourceOverlap]]
+    * asks "do these sources share words"; this asks "do they USE them
+    * alike": the Jensen–Shannon divergence between each pair's unigram
+    * frequency distributions. 0 = identically distributed, ln 2 ≈ 0.693
+    * = disjoint; symmetric and always finite (no smoothing needed —
+    * one-sided terms weigh against the mixture). The drift monitor for
+    * a periodically re-crawled corpus: JS(old, new) jumping is the
+    * signal to re-fit mixture weights (d26) or the quality LM (d44).
+    * In: (source, text). Out: (source_a, source_b, js_div), round-4
+    * (the d15/d38 convention — the per-pair term sum is the only
+    * order-sensitive op).
+    *
+    * Scale: per-source token counts partial-combine map-side (Zipf head
+    * collapses before the shuffle), so the only wide data is the
+    * (source, token) count table at vocabulary width. Each count row
+    * then fans out to its #sources−1 pairs (a broadcast join against
+    * the tiny source list — at most #sources² rows per token), and the
+    * per-(pair, token) merge plus the final per-pair sum are two more
+    * vocabulary-width partial aggregations. Nothing ever shuffles at
+    * corpus width; #sources is dozens, never millions. */
+  def sourceDivergence(docs: DataFrame, dim: String = "source"): DataFrame = {
+    val counts = docs
+      .select(col(dim).as("g"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val probs = counts.join(broadcast(totals), "g")
+      .select(col("g"), col("tok"), (col("c").cast(DoubleType) / col("n")).as("p"))
+    val srcs = probs.select(col("g").as("g2")).distinct()
+    // route each source's mass to all its pairs, tagged by which side
+    // of the (lexicographically ordered) pair it came from, then merge
+    // the two sides per (pair, token) — absent mass arrives as 0
+    val merged = probs.join(broadcast(srcs), col("g") =!= col("g2"))
+      .select(least(col("g"), col("g2")).as("source_a"),
+        greatest(col("g"), col("g2")).as("source_b"), col("tok"),
+        when(col("g") < col("g2"), col("p")).otherwise(lit(0.0)).as("pa"),
+        when(col("g") > col("g2"), col("p")).otherwise(lit(0.0)).as("pb"))
+      .groupBy(col("source_a"), col("source_b"), col("tok"))
+      .agg(sum(col("pa")).as("pa"), sum(col("pb")).as("pb"))
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    val term =
+      when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / m)).otherwise(lit(0.0)) +
+      when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / m)).otherwise(lit(0.0))
+    merged.groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(term), 4).as("js_div"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",

@@ -107,10 +107,57 @@ class HashIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dst = java.nio.file.Files.createTempDirectory("graft-hash-compact").toString
     HashIndex.compactTo(spark, dir, dst)
     assert(ans(dst) == Map(100L -> Some(1L), 101L -> None))
-    // compacted index is one generation
+    // compacted index is one generation, bloom rows folded to one
     val batches = spark.read.parquet(s"$dst/hashes")
       .select(col("ingest_batch")).distinct().as[Long].collect().toSet
     assert(batches == Set(-1L))
+    assert(spark.read.parquet(s"$dst/bloom").count() == 1L)
+    assert(HashIndex.dedupAgainstBloom(spark, probe, dst)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      == Map(100L -> Some(1L), 101L -> None))
+  }
+
+  test("bloom probe equals the exact probe and prunes proven-novel rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hash-bloom").toString
+    HashIndex.save(docsOf(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))), dir)
+    HashIndex.append(docsOf(Seq((10L, "gamma"))), dir)
+    // probe mixes true dups (across BOTH batches — the merged sidecar
+    // must see appends) with novel texts
+    val novel = (0 until 200).map(i => (1000L + i, s"novel text $i"))
+    val probe = docsOf(Seq((100L, "alpha"), (101L, "gamma")) ++ novel)
+    val viaBloom = HashIndex.dedupAgainstBloom(spark, probe, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3))).toSet
+    val exact = HashIndex.dedupAgainst(spark, probe, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3))).toSet
+    assert(viaBloom == exact)
+    assert(viaBloom.contains((100L, Some(1L), false)))
+    assert(viaBloom.contains((101L, Some(10L), false)))
+
+    // no false negatives: every indexed hash is bloom-positive; and the
+    // sketch prunes — at fpp=3%, 200 novel texts must not mostly pass
+    val bloom = HashIndex.mergedBloom(spark, dir)
+    val idxHashes = spark.read.parquet(s"$dir/hashes")
+      .select(xxhash64(col("content_hash")).as("h")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(idxHashes.forall(bloom.mightContainLong))
+    val novelHashes = docsOf(novel)
+      .select(xxhash64(md5(col("text"))).as("h")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect()
+    val fps = novelHashes.count(bloom.mightContainLong)
+    assert(fps < 50, s"bloom passed $fps of 200 novel texts — not pruning")
+  }
+
+  test("registered d101 binding: bloom answers over the mod-3 split") {
+    val rows = SparkEntry.queries("d101_dedup_bloom")(spark, sf).collect()
+    val nProbe = graft.ops.Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 =!= 0).count()
+    assert(rows.length.toLong == nProbe)
+    rows.foreach { r =>
+      val dup = Option(r.get(2))
+      assert(dup.forall(d => d.asInstanceOf[Long] % 3 == 0),
+        "keeper must come from the indexed (mod-3-zero) third")
+      assert(r.getBoolean(3) == dup.isEmpty)
+    }
   }
 
   test("registered d82 binding: one row per probed doc, keepers from the even half") {
