@@ -262,7 +262,8 @@ object Bench {
         graft.ops.Corpus.MemoizedQueries ++ graft.ops.Pq.MemoizedQueries ++
         graft.sources.TextSources.MemoizedQueries ++
         graft.ops.HashIndex.MemoizedQueries ++
-        graft.ops.LineIndex.MemoizedQueries
+        graft.ops.LineIndex.MemoizedQueries ++
+        graft.ops.GramIndex.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

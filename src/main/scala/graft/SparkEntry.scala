@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
+      graft.ops.GramIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

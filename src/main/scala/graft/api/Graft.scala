@@ -200,6 +200,38 @@ object Graft {
   def noveltyScore(base: DataFrame, probe: DataFrame): DataFrame =
     graft.ops.Corpus.noveltyScore(base, probe)
 
+  /** Persist a bigram-vocabulary index for incremental novelty scoring
+    * ([[noveltyScore]]'s serving form — derive the reference corpus's
+    * gram set once, score every arriving snapshot against the frozen
+    * vocabulary). Reads: doc_id, text. */
+  def gramIndexSave(docs: DataFrame, dir: String): Unit =
+    graft.ops.GramIndex.save(docs, dir)
+
+  /** Incrementally add documents' bigrams to a saved vocabulary index
+    * (set union — idempotent, no disjointness precondition). */
+  def gramIndexAppend(docs: DataFrame, dir: String): Unit =
+    graft.ops.GramIndex.append(docs, dir)
+
+  /** Continuously index a streaming (doc_id, text) frame's bigrams
+    * (exactly-once per micro-batch). */
+  def gramIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.GramIndex.ingest(docs, dir, checkpoint)
+
+  /** Novelty answers for an arriving batch against the persisted
+    * vocabulary index — [[noveltyScore]]'s schema under frozen corpus
+    * statistics. Reads: doc_id, text. */
+  def noveltyAgainstIndex(spark: SparkSession, docs: DataFrame,
+      dir: String): DataFrame =
+    graft.ops.GramIndex.noveltyAgainst(spark, docs, dir)
+
+  /** Per-group median via the mergeable quantile sketch beside the
+    * exact value and a bound check — (lang, n_docs, p50, within_bound).
+    * The sketch is the scale path (no per-group sort); the exact
+    * percentile adjudicates it. Reads: lang, n_chars. */
+  def quantileSketchBound(docs: DataFrame, accuracy: Int = 100): DataFrame =
+    graft.ops.Corpus.quantileSketchBound(docs, accuracy)
+
   /** Persist a line document-frequency index (the incremental serving
     * form of [[boilerplateScrub]] — additive per-batch counts under the
     * shared crash-safe commit protocol). Reads: doc_id, text. */
@@ -966,6 +998,14 @@ object Graft {
   def budgetSelect(docs: DataFrame, budget: Long = 10000L,
       partitions: Int = 0): DataFrame =
     Curation.budgetSelect(docs, budget, partitions)
+
+  /** [[budgetSelect]]'s greedy rule per source — the per-domain token
+    * cap ("at most B tokens of this feed, best first"). Out: (doc_id,
+    * source, n_tokens, score, cum_tokens), selected docs only; the
+    * running total restarts per source. Reads: doc_id, text, source. */
+  def sourceBudgetSelect(docs: DataFrame, budget: Long = 5000L,
+      partitions: Int = 0): DataFrame =
+    Curation.sourceBudgetSelect(docs, budget, partitions)
 
   /** The whole curation pipeline in one call: optional PII scrub
     * (in-place redaction BEFORE anything hashes or counts tokens, so

@@ -691,6 +691,32 @@ object Corpus {
         expr("percentile(n_chars, 0.9D)").as("p90"),
         expr("percentile(n_chars, 0.99D)").as("p99"))
 
+  /** Quantile-SKETCH bound gate (d107) — the d36 pattern applied to the
+    * percentile family: d18's exact interpolated quantiles are the
+    * oracle-checkable half; the mergeable approx_percentile sketch
+    * (Greenwald–Khanna; rank error ≤ 1/`accuracy`) is the 100 TB half,
+    * where an exact quantile would need a full sort per group but the
+    * sketch partial-aggregates map-side in O(accuracy·log n) space.
+    * The query emits the exact p50 (cross-engine) plus a within-bound
+    * boolean the oracle pins TRUE: the sketch value must land between
+    * the exact 45th and 55th percentiles — a 5× margin over the
+    * configured 1% rank guarantee, so the gate fails only on a real
+    * sketch defect, never on legitimate approximation. */
+  def quantileSketchBound(docs: DataFrame, accuracy: Int = 100): DataFrame = {
+    require(accuracy >= 20, "need accuracy >= 20 (rank error <= 5%)")
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5D)").as("p50_exact"),
+        expr(s"approx_percentile(n_chars, 0.5D, $accuracy)").as("p50_approx"),
+        expr("percentile(n_chars, 0.45D)").as("lo"),
+        expr("percentile(n_chars, 0.55D)").as("hi"))
+      .select(col("lang"), col("n_docs"),
+        round(col("p50_exact"), 4).as("p50"),
+        (col("p50_approx") >= col("lo") && col("p50_approx") <= col("hi"))
+          .as("within_bound"))
+  }
+
   /** Multimodal metadata extraction (d12): payloads stay opaque binary,
     * only typed metadata (byte size, md5) ships — the decode stage is
     * graft.streaming.Multimodal's stub. In: (doc_id, payload BINARY). */
@@ -744,26 +770,46 @@ object Corpus {
     * [[HashIndex.dedupAgainstBloom]]'s, one level up from hashes to
     * n-grams. Counts are exact integers; the ratio is the round-4
     * convention. */
-  def noveltyScore(base: DataFrame, probe: DataFrame): DataFrame = {
-    def grams(docs: DataFrame): DataFrame =
-      docs
-        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-        // slice keeps the index list empty for one-word docs (sequence
-        // alone would COUNT DOWN from 1 to 0 and fabricate a pair)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(sequence(1, size(w)), 1, size(w) - 1), " +
-          "i -> concat(w[i-1], ' ', w[i]))")).as("g"))
-        .distinct()
-    val vocab = grams(base).select(col("g")).distinct()
-      .withColumn("seen", lit(1))
-    grams(probe)
-      .join(vocab, Seq("g"), "left")
+  def noveltyScore(base: DataFrame, probe: DataFrame): DataFrame =
+    noveltyScoreFrom(probe, bigramVocab(base))
+
+  /** Per-doc distinct word-bigrams — d102's gram domain. */
+  private[ops] def wordBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      // slice keeps the index list empty for one-word docs (sequence
+      // alone would COUNT DOWN from 1 to 0 and fabricate a pair)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(sequence(1, size(w)), 1, size(w) - 1), " +
+        "i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+      .distinct()
+
+  /** The base corpus's distinct-bigram vocabulary as md5 keys — the
+    * additive SET fact [[GramIndex]] persists (set-union across any
+    * batches; hashes so wide gram text never shuffles twice — the d06
+    * `hashGrams`/d97 trade). Out: (gram_hash). */
+  def bigramVocab(base: DataFrame): DataFrame =
+    wordBigrams(base).select(md5(col("g")).as("gram_hash")).distinct()
+
+  /** d102's scoring half over a CALLER-SUPPLIED (gram_hash) vocabulary
+    * — the open seam [[GramIndex.noveltyAgainst]] serves from a
+    * persisted index (the d97/d82 pattern: don't re-derive a 100 TB
+    * corpus's vocabulary per arriving batch). Joining by md5 instead of
+    * gram text changes no answer (the hash is injective on any real
+    * vocabulary) and halves the wide shuffle. */
+  def noveltyScoreFrom(probe: DataFrame, vocab: DataFrame): DataFrame =
+    wordBigrams(probe)
+      .select(col("doc_id"), md5(col("g")).as("gram_hash"))
+      // re-distinct defensively: a vocab read from per-batch index
+      // partitions may repeat a hash, and a duplicated join key would
+      // double-count probe grams
+      .join(vocab.select(col("gram_hash")).distinct()
+        .withColumn("seen", lit(1)), Seq("gram_hash"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("seen").isNull, 1)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         round(col("n_novel").cast(DoubleType) / col("n_grams"), 4).as("novelty"))
-  }
 
   def queries: Seq[Q] = Seq(
 
@@ -854,6 +900,18 @@ object Corpus {
              |FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |      FROM documents)
              |GROUP BY lang""".stripMargin)),
+
+    // d107: the quantile-sketch family's hash-green gate — exact p50
+    // (both engines' (n-1)·p interpolation, the d18 convention) beside
+    // a within-bound boolean for the mergeable approx_percentile sketch
+    // that replaces per-group sorts at scale; oracle pins TRUE.
+    Q("d107_quantile_sketch",
+      (s, d) => quantileSketchBound(documents(s, d)),
+      Some("""SELECT lang,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |round(quantile_cont(n_chars, 0.5), 4) AS p50,
+             |TRUE AS within_bound
+             |FROM documents GROUP BY lang""".stripMargin)),
 
     // d37: per-document TF-IDF top terms — keyword extraction. tf/df/N
     // are exact longs; tfidf = tf·ln(N/df) is the identical IEEE

@@ -1433,6 +1433,58 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
   }
 
+  /** Per-source token-budget selection (d108) — the per-domain cap real
+    * pipelines apply ("at most B tokens of CommonCrawl, best first"):
+    * [[budgetSelect]]'s greedy rule run independently inside every
+    * source. Completes the selection matrix with d84 (per-stratum
+    * best-K by COUNT) and d105 (global token budget). In: (doc_id,
+    * text, source). Out: (doc_id, source, n_tokens, score, cum_tokens)
+    * for selected docs; cum_tokens is the inclusive running total
+    * WITHIN the source under (score DESC, doc_id).
+    *
+    * Scale: the naive per-source window sort makes one task carry the
+    * largest source — and real corpora have a source holding half the
+    * tokens. Instead the range exchange orders by (source, score DESC,
+    * doc_id), so a big source SPANS slices; the driver sees one token
+    * total per (slice, source) — #slices × #sources bounded rows — and
+    * accumulates per-source start offsets across slices, broadcast back
+    * as a tiny join. Window sums then run per (slice, source): bounded
+    * by slice width, never by source width. */
+  def sourceBudgetSelect(docs: DataFrame, budget: Long = 5000L,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    val s = docs.sparkSession
+    val n = if (partitions > 0) partitions else s.sparkContext.defaultParallelism
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(TextOps.qualityScore(docs)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio").as("score")),
+        Seq("doc_id"))
+    val parted = base
+      .repartitionByRange(n, col("source"), col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        spark_partition_id().as("pid"))
+      .localCheckpoint()
+    val totals = parted.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("tot")).collect()
+    val offsetRows: Seq[(Int, String, Long)] = totals
+      .groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getInt(0)).map { r =>
+          val e = (r.getInt(0), r.getString(1), acc); acc += r.getLong(2); e
+        }
+      }
+    import s.implicits._
+    val offsets = offsetRows.toDF("pid", "source", "off")
+    val local = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(local))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        col("cum_tokens"))
+  }
+
   /** Domain-mix sampling weights — the static data-mixing step behind
     * Pile-style corpus weighting (Gao et al. 2020) and DoReMi-style
     * reweighting applied at its simplest: given the corpus' realized
@@ -2306,6 +2358,28 @@ object Curation {
              |  FROM q)
              |SELECT doc_id, n_tokens, score, cum_tokens
              |FROM c WHERE cum_tokens <= 10000""".stripMargin)),
+
+    // d108: d105's greedy rule per source — the per-domain token cap.
+    // Same exactness argument; the oracle's window partitions by source.
+    Q("d108_source_budget",
+      (s, d) => sourceBudgetSelect(documents(s, d)),
+      Some("""WITH q AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS score
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens, score,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, source, n_tokens, score, cum_tokens
+             |FROM c WHERE cum_tokens <= 5000""".stripMargin)),
 
     // d43: chunk-granularity packing — d42's sliding windows fed through
     // d23's prefix-sum packer in (doc_id, chunk_id) order. The oracle is

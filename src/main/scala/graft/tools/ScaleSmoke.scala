@@ -543,6 +543,44 @@ object ScaleSmoke {
         f"d88 $tIl%.2f s ($nIl rows), d90 $tLb%.2f s ($nLb rows), " +
         f"d91 $tEp%.2f s ($nEp rows), d92 $tCu%.2f s ($nCu rows)")
     }
+    // --- bloom-gated incremental dedup probe (d82 vs d101): the direct
+    // probe equi-joins EVERY delta row against the index; the bloom path
+    // joins only sketch-positives (true dups + the fpp sliver), so its
+    // exact-join input is delta-dup-sized regardless of how the BASE
+    // grows — the quantity that matters at 100 TB, where the delta is
+    // tiny and the base is not. Answers are identical by construction
+    // (spec- and oracle-gated); the probe reports the join-input
+    // reduction and the timings across a base doubling.
+    Seq(2, 1).foreach { invFrac =>
+      val base = docsAll.where(col("doc_id") % invFrac === 0)
+        .select(col("doc_id"), col("text"))
+      val nBase = base.count()
+      val hDir = s"$dir/hash_index_$invFrac"
+      val tS = System.nanoTime()
+      graft.ops.HashIndex.save(base, hDir)
+      val tSave = (System.nanoTime() - tS) / 1e9
+      // delta: 1024 novel docs + 64 re-crawls (indexed text, new ids)
+      val novel = spark.range(1024).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit("novel delta doc "), col("id")).as("text"))
+      val recrawl = base.orderBy(col("doc_id")).limit(64)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val delta = novel.unionByName(recrawl).localCheckpoint()
+      val tD = System.nanoTime()
+      graft.ops.HashIndex.dedupAgainst(spark, delta, hDir)
+        .write.format("noop").mode("overwrite").save()
+      val tDirect = (System.nanoTime() - tD) / 1e9
+      val tB = System.nanoTime()
+      graft.ops.HashIndex.dedupAgainstBloom(spark, delta, hDir)
+        .write.format("noop").mode("overwrite").save()
+      val tBloom = (System.nanoTime() - tB) / 1e9
+      val bloom = graft.ops.HashIndex.mergedBloom(spark, hDir)
+      val positives = delta.select(xxhash64(md5(col("text"))).as("h"))
+        .collect().count(r => bloom.mightContainLong(r.getLong(0)))
+      println(f"[scale] bloom-dedup base=$nBase%8d save $tSave%.2f s; " +
+        f"delta=1088 direct $tDirect%.2f s / bloom $tBloom%.2f s; " +
+        f"exact-join input $positives of 1088 delta rows pass the sketch")
+    }
     spark.stop()
   }
 }

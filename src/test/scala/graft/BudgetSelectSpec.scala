@@ -44,6 +44,33 @@ class BudgetSelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty)
   }
 
+  test("per-source budgets restart the running total and cap each source") {
+    import spark.implicits._
+    // two sources: s1's best two docs fit an 8-token budget, s2's best
+    // one does; totals must not leak across sources
+    val docs = Seq(
+      (1L, "the a of x", "s1"), (2L, "the x y z", "s1"), (3L, "x y z w", "s1"),
+      (4L, "the a b c", "s2"), (5L, "the a of in", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceBudgetSelect(docs, budget = 8L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(4)))).toMap
+    // s1 order: 1 (0.75, cum 4), 2 (0.25, cum 8), 3 dropped
+    // s2 order: 5 (1.0, cum 4), 4 (0.5, cum 8)
+    assert(got == Map(
+      1L -> (("s1", 4L)), 2L -> (("s1", 8L)),
+      5L -> (("s2", 4L)), 4L -> (("s2", 8L))))
+  }
+
+  test("per-source selection is partitioning-independent") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Curation.sourceBudgetSelect(docs, partitions = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq
+    val b = Curation.sourceBudgetSelect(docs, partitions = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("registered d105 binding: inclusive totals within budget, true prefix") {
     val rows = SparkEntry.queries("d105_budget_select")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))

@@ -23,6 +23,22 @@ class CorpusSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d107 quantile sketch stays within its rank bound; exact p50 matches d18") {
+    val rows = SparkEntry.queries("d107_quantile_sketch")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"lang=${r.get(0)} out of bound")
+    }
+    val d18 = SparkEntry.queries("d18_length_quantiles")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.get(0) -> r.getAs[Double]("p50")).toMap
+    rows.foreach { r =>
+      val want = BigDecimal(d18(r.get(0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("p50") == want, s"lang=${r.get(0)}")
+    }
+  }
+
   test("d36 projects the sketch onto its hash-gateable contract (all within_bound)") {
     val df = SparkEntry.queries("d36_sketch_bound")(spark, "/root/testdata/sf0.01")
     val rows = df.collect()
