@@ -71,6 +71,20 @@ class BudgetSelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty)
   }
 
+  test("neither budget operator funnels through a single-task stage") {
+    // the naive formulation is sum() OVER (ORDER BY ...) with no
+    // partitioning — an Exchange SinglePartition. The prefix-sum shape
+    // must keep every exchange partitioned.
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq(Curation.budgetSelect(docs), Curation.sourceBudgetSelect(docs))
+      .foreach { df =>
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(graft.tools.PlanAudit.countNode(plan, "Exchange SinglePartition") == 0,
+          plan)
+      }
+  }
+
   test("registered d105 binding: inclusive totals within budget, true prefix") {
     val rows = SparkEntry.queries("d105_budget_select")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
