@@ -159,6 +159,45 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pii.getAs[Long]("n_emails") == 0L)
   }
 
+  test("round-13 additions work on in-memory frames") {
+    // novelty: direct, and served from a persisted vocabulary index
+    val base = docsDf.where(col("doc_id") === 1)
+    val probe = docsDf.where(col("doc_id") === 3)
+    val nov = Graft.noveltyScore(base, probe).head()
+    assert(nov.getAs[Long]("n_novel") == nov.getAs[Long]("n_grams")) // disjoint langs
+    val gdir = java.nio.file.Files.createTempDirectory("graft-api-gram").toString
+    Graft.gramIndexSave(base, gdir)
+    val served = Graft.noveltyAgainstIndex(spark, probe, gdir).head()
+    assert(served.getAs[Long]("n_novel") == nov.getAs[Long]("n_novel"))
+
+    // bloom-served exact dedup equals the plain index probe
+    val hdir = java.nio.file.Files.createTempDirectory("graft-api-hash").toString
+    Graft.hashIndexSave(base.select(col("doc_id"), col("text")), hdir)
+    val viaBloom = Graft.dedupAgainstIndexBloom(spark,
+        docsDf.select(col("doc_id"), col("text")), hdir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(viaBloom(4L) == false && viaBloom(3L) == true) // 4 duplicates 1
+
+    // JS divergence: identical-content sources diverge by 0
+    val div = Graft.sourceDivergence(docsDf.where(col("doc_id").isin(1L, 4L)))
+      .head()
+    assert(div.getAs[Double]("js_div") == 0.0) // web vs crawl, same text
+
+    // budget selections and the quantile sketch gate
+    assert(Graft.budgetSelect(docsDf, budget = 1000L).count() == 5)
+    val perSrc = Graft.sourceBudgetSelect(docsDf, budget = 1000L).collect()
+    assert(perSrc.length == 5 && perSrc.map(_.getString(1)).distinct.length == 3)
+    assert(Graft.quantileSketchBound(docsDf).collect()
+      .forall(_.getAs[Boolean]("within_bound")))
+
+    // MMR: pos-1 picks are the plain nearest neighbors
+    val mmr = Graft.mmrRerank(vecsDf).where(col("pos") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val top1 = Graft.cosineTopK(vecsDf, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mmr == top1)
+  }
+
   test("trainingShards: every curation stage applies, survivors are packed") {
     import spark.implicits._
     val corpus = Seq(
