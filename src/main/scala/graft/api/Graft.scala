@@ -1007,6 +1007,23 @@ object Graft {
       partitions: Int = 0): DataFrame =
     Curation.sourceBudgetSelect(docs, budget, partitions)
 
+  /** Checksummed per-shard manifest of a [[packShards]] layout —
+    * (shard_id, n_docs, n_tokens, min/max_doc_id, content_md5) with an
+    * order-independent content checksum (md5 of sorted per-doc md5s):
+    * the reproducibility audit a training job runs before reading a
+    * packed corpus. Reads: doc_id, text. */
+  def shardManifest(docs: DataFrame, budget: Long = 2048,
+      partitions: Int = 0): DataFrame =
+    Curation.shardManifest(docs, budget, partitions)
+
+  /** Split-leakage audit: near-duplicate pairs (exact-verified
+    * J >= 0.8) whose members landed in different [[hashSplit]] splits —
+    * the val/test contamination every held-out metric silently assumes
+    * away. `exact` flags byte-identical leaks. Reads: doc_id, text. */
+  def splitLeakage(docs: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame =
+    Curation.splitLeakage(docs, valPct, testPct)
+
   /** The whole curation pipeline in one call: optional PII scrub
     * (in-place redaction BEFORE anything hashes or counts tokens, so
     * placeholders are what dedup and packing see) → exact + near dedup

@@ -1433,6 +1433,57 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
   }
 
+  /** Training-shard integrity manifest (d109) — the checksummed summary
+    * a training job (or a reproducibility audit) verifies before
+    * reading a packed corpus: per shard, the doc/token mass, the id
+    * range, and an ORDER-INDEPENDENT content checksum
+    * (md5 of the sorted per-doc md5s — any writer that shuffles rows
+    * within a shard still produces the same manifest, while a single
+    * flipped byte anywhere changes it). In: (doc_id, text). Out:
+    * (shard_id, n_docs, n_tokens, min_doc_id, max_doc_id, content_md5).
+    *
+    * Scale: [[packShards]]' distributed prefix sum assigns shards; the
+    * manifest is one shard-keyed aggregation whose only wide state is
+    * the sorted hash list per shard — bounded by shard size, which the
+    * token budget bounds by construction. */
+  def shardManifest(docs: DataFrame, budget: Long = 2048,
+      partitions: Int = 0): DataFrame =
+    packShards(docs, budget, partitions)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        md5(concat_ws("", array_sort(collect_list(col("h"))))).as("content_md5"))
+
+  /** Split-leakage audit (d110) — the check every held-out evaluation
+    * silently depends on: near-duplicate pairs (d06's exact-verified
+    * J >= 0.8) whose members landed in DIFFERENT deterministic splits
+    * (d69's md5-coin assignment). A val/test doc with a train-side
+    * near-copy inflates every metric computed on it; this surfaces
+    * exactly those pairs, flagging byte-identical leaks (`exact`).
+    * In: (doc_id, text). Out: (doc_a, doc_b, split_a, split_b,
+    * inter_size, union_size, exact).
+    *
+    * Scale: inherits d06's banded-LSH candidate shape (never
+    * all-pairs); the split attach is two id-keyed joins against the
+    * 2-column assignment frame. */
+  def splitLeakage(docs: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    val splits = hashSplit(docs, valPct, testPct)
+      .select(col("doc_id"), col("split"))
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    Similarity.nearDupPairs(docs)
+      .join(splits.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(splits.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .join(hashes.toDF("doc_a", "ha"), Seq("doc_a"))
+      .join(hashes.toDF("doc_b", "hb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("inter_size"), col("union_size"), (col("ha") === col("hb")).as("exact"))
+  }
+
   /** Per-source token-budget selection (d108) — the per-domain cap real
     * pipelines apply ("at most B tokens of CommonCrawl, best first"):
     * [[budgetSelect]]'s greedy rule run independently inside every
@@ -2380,6 +2431,68 @@ object Curation {
              |  FROM q)
              |SELECT doc_id, source, n_tokens, score, cum_tokens
              |FROM c WHERE cum_tokens <= 5000""".stripMargin)),
+
+    // d109: shard integrity manifest — d23's packing composed with an
+    // order-independent checksum rollup. Integer aggregates + md5 of
+    // sorted md5s, so the whole manifest is hash-exact.
+    Q("d109_shard_manifest",
+      (s, d) => shardManifest(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |         md5(text) AS h
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens, h,
+             |    cast(coalesce(sum(n_tokens) OVER (
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) // 2048 AS shard_id
+             |  FROM t)
+             |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             |       md5(string_agg(h, '' ORDER BY h)) AS content_md5
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    // d110: split-leakage audit — d06's exact-verified near-dup pairs
+    // crossing d69's deterministic split assignment. The oracle is the
+    // composition of those two queries' SQL plus the exact-hash flag.
+    Q("d110_split_leakage",
+      (s, d) => splitLeakage(documents(s, d)),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+             |  FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+             |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT doc_a, doc_b, inter_size,
+             |         za.n + zb.n - inter_size AS union_size
+             |  FROM inter
+             |  JOIN sizes za ON za.doc_id = doc_a
+             |  JOIN sizes zb ON zb.doc_id = doc_b
+             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4),
+             |sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN b < 10 THEN 'test'
+             |         WHEN b < 20 THEN 'validation'
+             |         ELSE 'train' END AS split
+             |  FROM (SELECT doc_id,
+             |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |            % 100 AS b
+             |        FROM documents)),
+             |h AS (SELECT doc_id, md5(text) AS h FROM documents)
+             |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+             |       p.inter_size, p.union_size, ha.h = hb.h AS exact
+             |FROM pairs p
+             |JOIN sp sa ON sa.doc_id = p.doc_a
+             |JOIN sp sb ON sb.doc_id = p.doc_b
+             |JOIN h ha ON ha.doc_id = p.doc_a
+             |JOIN h hb ON hb.doc_id = p.doc_b
+             |WHERE sa.split <> sb.split""".stripMargin)),
 
     // d43: chunk-granularity packing — d42's sliding windows fed through
     // d23's prefix-sum packer in (doc_id, chunk_id) order. The oracle is

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** d109 shard manifest (order-independent checksums, byte sensitivity)
+  * and d110 split-leakage audit (planted cross-split near-dup found,
+  * within-split pairs excluded).
+  */
+class ManifestLeakageSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("manifest-leakage-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("manifest checksum is row-order independent but byte sensitive") {
+    val docs = docsOf((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+    def manifestOf(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardManifest(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(5))))
+        .toMap
+    val m1 = manifestOf(docs)
+    // everything fits one 2048-token shard
+    assert(m1.keySet == Set(0L) && m1(0L)._1 == 3L && m1(0L)._2 == 9L)
+    // a different row arrival order produces the identical checksum
+    val m2 = manifestOf(docs.repartition(7).sortWithinPartitions(col("doc_id").desc))
+    assert(m1 == m2)
+    // one flipped byte changes it
+    val m3 = manifestOf(docsOf((1L, "a b c"), (2L, "d e F"), (3L, "g h i")))
+    assert(m3(0L)._3 != m1(0L)._3)
+  }
+
+  test("manifest totals reconcile with the corpus at the driver tables") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = SparkEntry.queries("d109_shard_manifest")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getString(5)).distinct.length == rows.length,
+      "distinct shards must have distinct checksums on this corpus")
+  }
+
+  test("planted cross-split near-dup is reported; same-split pairs are not") {
+    // find two doc ids the md5 coin sends to different splits, give
+    // them near-identical long texts, and plant a same-split near-pair
+    val splits = Curation.hashSplit(
+        docsOf((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"),
+          (6L, "x"), (7L, "x"), (8L, "x"), (9L, "x"), (10L, "x")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val cross = splits.toSeq.combinations(2)
+      .find { case Seq((_, s1), (_, s2)) => s1 != s2 }.get
+    val same = splits.toSeq.combinations(2)
+      .find { case Seq((_, s1), (_, s2)) => s1 == s2 }.get
+    val bodyA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val bodyB = (1 to 40).map(i => s"zulu$i").mkString(" ")
+    val docs = docsOf(
+      cross(0)._1 -> s"$bodyA leak one",
+      cross(1)._1 -> s"$bodyA leak two",
+      same(0)._1  -> s"$bodyB haystack one",
+      same(1)._1  -> s"$bodyB haystack two")
+    val got = Curation.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((math.min(cross(0)._1, cross(1)._1),
+      math.max(cross(0)._1, cross(1)._1)))
+    assert(got == want, s"splits=$splits got=$got")
+  }
+}
