@@ -225,6 +225,14 @@ object Graft {
       dir: String): DataFrame =
     graft.ops.GramIndex.noveltyAgainst(spark, docs, dir)
 
+  /** Exact token-sequence search: per document, the number of
+    * positions starting a literal occurrence of `phrase` under the
+    * corpus tokenization — only matching docs emit (doc_id,
+    * n_matches). Narrow and streaming-safe; the precision counterpart
+    * of [[bm25Rank]]'s bag-of-words ranking. Reads: doc_id, text. */
+  def phraseMatch(docs: DataFrame, phrase: String): DataFrame =
+    graft.ops.Corpus.phraseMatch(docs, phrase)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

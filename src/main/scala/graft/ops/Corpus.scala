@@ -717,6 +717,40 @@ object Corpus {
           .as("within_bound"))
   }
 
+  /** Exact token-sequence (phrase) search (d111) — grep for tokens: per
+    * document, how many positions start an exact occurrence of the
+    * query phrase under the corpus tokenization. The lexical-retrieval
+    * family's precision end: d37/d38 rank by bag-of-words relevance,
+    * this answers "contains the literal phrase" (dataset audits,
+    * memorization probes, targeted decontamination all need it). Only
+    * matching docs emit: (doc_id, n_matches).
+    *
+    * Scale: a pure narrow codegen'd projection — tokenize, test each
+    * of the ≤n_tokens start positions with a fused higher-order filter,
+    * no shuffle, no UDF boundary, streaming-safe. At warehouse scale
+    * the same predicate serves as the verify stage behind a positional-
+    * postings candidate fetch; as a one-shot scan it is already the
+    * minimal plan (every formulation must read every doc once). */
+  def phraseMatch(docs: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty, "need a non-empty phrase")
+    val k = terms.length
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    docs
+      .withColumn("toks", toks)
+      // start positions 1..n-k+1; slice (not bare sequence) so short
+      // docs yield an EMPTY list instead of a descending one
+      .withColumn("starts", slice(sequence(lit(1), size(col("toks"))),
+        lit(1), greatest(size(col("toks")) - lit(k - 1), lit(0))))
+      .withColumn("n_matches",
+        size(filter(col("starts"), i =>
+          terms.zipWithIndex.map { case (t, j) =>
+            element_at(col("toks"), i + lit(j)) === lit(t)
+          }.reduce(_ && _))).cast(LongType))
+      .where(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"))
+  }
+
   /** Multimodal metadata extraction (d12): payloads stay opaque binary,
     * only typed metadata (byte size, md5) ships — the decode stage is
     * graft.streaming.Multimodal's stub. In: (doc_id, payload BINARY). */
@@ -912,6 +946,23 @@ object Corpus {
              |round(quantile_cont(n_chars, 0.5), 4) AS p50,
              |TRUE AS within_bound
              |FROM documents GROUP BY lang""".stripMargin)),
+
+    // d111: exact phrase search — integer match counts per doc under
+    // the shared tokenization; the oracle replays the position test
+    // with a LATERAL position unnest.
+    Q("d111_phrase_match",
+      (s, d) => phraseMatch(documents(s, d), "table scan"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, w,
+             |         unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+             |  FROM t)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |FROM pos
+             |WHERE w[i] = 'table' AND w[i + 1] = 'scan'
+             |GROUP BY 1""".stripMargin)),
 
     // d37: per-document TF-IDF top terms — keyword extraction. tf/df/N
     // are exact longs; tfidf = tf·ln(N/df) is the identical IEEE
