@@ -263,7 +263,8 @@ object Bench {
         graft.sources.TextSources.MemoizedQueries ++
         graft.ops.HashIndex.MemoizedQueries ++
         graft.ops.LineIndex.MemoizedQueries ++
-        graft.ops.GramIndex.MemoizedQueries
+        graft.ops.GramIndex.MemoizedQueries ++
+        graft.ops.PhraseIndex.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

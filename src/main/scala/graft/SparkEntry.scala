@@ -20,6 +20,7 @@ object SparkEntry {
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
       graft.ops.GramIndex.queries ++
+      graft.ops.PhraseIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

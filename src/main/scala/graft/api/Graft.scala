@@ -233,6 +233,33 @@ object Graft {
   def phraseMatch(docs: DataFrame, phrase: String): DataFrame =
     graft.ops.Corpus.phraseMatch(docs, phrase)
 
+  /** Persist a positional postings index for served phrase search
+    * ([[phraseMatch]]'s serving form — tokenize the corpus once, answer
+    * any phrase query from bucket-pruned position lists). Reads:
+    * doc_id, text. */
+  def phraseIndexSave(docs: DataFrame, dir: String): Unit =
+    graft.ops.PhraseIndex.save(docs, dir)
+
+  /** Incrementally index additional documents' positions (doc_ids must
+    * be new under `checkDisjoint` — per-(term, doc) facts would
+    * duplicate). */
+  def phraseIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.PhraseIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously index a streaming (doc_id, text) frame's positions
+    * (exactly-once per micro-batch). */
+  def phraseIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.PhraseIndex.ingest(docs, dir, checkpoint)
+
+  /** [[phraseMatch]]'s answers served from the persisted positional
+    * index — candidates from a ≤ k-bucket read, verified by position
+    * intersection. */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+      phrase: String): DataFrame =
+    graft.ops.PhraseIndex.searchPhrase(spark, dir, phrase)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact
