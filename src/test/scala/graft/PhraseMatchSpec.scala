@@ -37,6 +37,14 @@ class PhraseMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L))
   }
 
+  test("the phrase scan plans as a pure narrow pipeline (zero exchanges)") {
+    val docs = docsOf((1L, "a b a b"), (2L, "c d"))
+    val df = Corpus.phraseMatch(docs, "a b")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.tools.PlanAudit.countNode(plan, "Exchange") == 0, plan)
+  }
+
   test("registered d111 binding: matches exist and reconcile with a contains scan") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = SparkEntry.queries("d111_phrase_match")(spark, "/root/testdata/sf0.001")
