@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.LineIndex.queries ++
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
+      graft.ops.SimHashIndex.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

@@ -260,6 +260,32 @@ object Graft {
       phrase: String): DataFrame =
     graft.ops.PhraseIndex.searchPhrase(spark, dir, phrase)
 
+  /** Persist a SimHash signature index (16 bytes/doc) for incremental
+    * hamming near-dup detection — [[simhashPairs]]'s serving form.
+    * Reads: doc_id, text. */
+  def simhashIndexSave(docs: DataFrame, dir: String): Unit =
+    graft.ops.SimHashIndex.save(docs, dir)
+
+  /** Incrementally sketch additional documents into a saved SimHash
+    * index (doc_ids must be new under `checkDisjoint`). */
+  def simhashIndexAppend(docs: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.SimHashIndex.append(docs, dir, checkDisjoint)
+
+  /** Continuously sketch a streaming (doc_id, text) frame into the
+    * SimHash index (exactly-once per micro-batch). */
+  def simhashIndexIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.SimHashIndex.ingest(docs, dir, checkpoint)
+
+  /** CROSS hamming near-dup pairs between an arriving batch and the
+    * persisted SimHash index — (doc_a indexed, doc_b new, hamming),
+    * exact recall at hamming <= 3 by chunk pigeonhole. Reads: doc_id,
+    * text. */
+  def simhashNearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      dir: String, maxHamming: Int = 3): DataFrame =
+    graft.ops.SimHashIndex.nearDupAgainst(spark, newDocs, dir, maxHamming)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

@@ -188,16 +188,24 @@ object Corpus {
     * threshold or use the MinHash/prefix-filter paths, whose Jaccard
     * floor bounds the answer size). null-text docs are absent (matching
     * SQL unnest-of-null semantics). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "chunk-equality candidates are exact only for hamming <= 3")
-    val sh = docs
+  /** (doc_id, simhash) signatures — d09's sketch, shared with the
+    * persisted [[SimHashIndex]]. */
+  private[ops] def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
       .where(col("text").isNotNull)
       .select(col("doc_id"),
         simhashUdf(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
-      .cache()
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+
+  /** 15-bit chunk fanout of a signature frame — the pigeonhole join key
+    * surface (4 rows/doc), shared by the one-shot and served paths. */
+  private[ops] def simhashChunks(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk-equality candidates are exact only for hamming <= 3")
+    val chunks = simhashChunks(simhashSignatures(docs).cache())
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
