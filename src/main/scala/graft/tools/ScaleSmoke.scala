@@ -543,6 +543,36 @@ object ScaleSmoke {
         f"d88 $tIl%.2f s ($nIl rows), d90 $tLb%.2f s ($nLb rows), " +
         f"d91 $tEp%.2f s ($nEp rows), d92 $tCu%.2f s ($nCu rows)")
     }
+    // --- phrase serve crossover (d111 vs d112): the direct scan
+    // re-tokenizes the corpus per query (one regex pass per row); the
+    // positional index reads <= k of 64 postings buckets and verifies
+    // by position intersection — corpus-size-independent past the
+    // fixed serve overhead, the same trade as the bm25 probe above.
+    // Measured (2026-08, round 13, 25k -> 50k docs): direct 0.31 ->
+    // 0.71 s (tracks the corpus) vs serve 0.72 -> 0.52 s (flat; save
+    // 2.5 -> 2.2 s) — the crossover sits at ~50k docs on this host,
+    // and the direct/serve gap widens with every further doubling.
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+        .select(col("doc_id"), col("text"))
+      val n = sub.count()
+      val ph = s"${vocab(0)} ${vocab(1)}"
+      val tD = System.nanoTime()
+      graft.ops.Corpus.phraseMatch(sub, ph)
+        .write.format("noop").mode("overwrite").save()
+      val tDirect = (System.nanoTime() - tD) / 1e9
+      val pDir = s"$dir/phrase_index_$invFrac"
+      val tS = System.nanoTime()
+      graft.ops.PhraseIndex.save(sub, pDir)
+      val tSave = (System.nanoTime() - tS) / 1e9
+      val tV = System.nanoTime()
+      graft.ops.PhraseIndex.searchPhrase(spark, pDir, ph)
+        .write.format("noop").mode("overwrite").save()
+      val tServe = (System.nanoTime() - tV) / 1e9
+      println(f"[scale] phrase-crossover n=$n%8d direct $tDirect%.2f s / " +
+        f"serve $tServe%.2f s (save $tSave%.2f s)")
+    }
+
     // --- bloom-gated incremental dedup probe (d82 vs d101): the direct
     // probe equi-joins EVERY delta row against the index; the bloom path
     // joins only sketch-positives (true dups + the fpp sliver), so its
