@@ -1085,6 +1085,15 @@ object Graft {
       testPct: Int = 10): DataFrame =
     Curation.splitLeakage(docs, valPct, testPct)
 
+  /** Leakage-FREE split assignment — [[splitLeakage]]'s fix: every
+    * document's split derives from its near-dup cluster representative,
+    * so a whole cluster lands in one split by construction (and a new
+    * near-copy of an indexed doc follows the existing doc's split).
+    * Out: (doc_id, rep_id, bucket, split). Reads: doc_id, text. */
+  def clusterSafeSplit(docs: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame =
+    Curation.clusterSafeSplit(docs, valPct, testPct)
+
   /** The whole curation pipeline in one call: optional PII scrub
     * (in-place redaction BEFORE anything hashes or counts tokens, so
     * placeholders are what dedup and packing see) → exact + near dedup

@@ -1484,6 +1484,45 @@ object Curation {
         col("inter_size"), col("union_size"), (col("ha") === col("hb")).as("exact"))
   }
 
+  /** Cluster-safe split assignment (d114) — the FIX for what
+    * [[splitLeakage]] detects: derive every document's split from its
+    * near-dup CLUSTER representative (the component's min doc_id; the
+    * doc itself when unclustered) instead of its own id, so an entire
+    * near-dup cluster lands in one split by construction and the d110
+    * audit returns zero rows on the result. Same md5-coin determinism
+    * as [[hashSplit]] — stable under corpus growth, and adding a new
+    * near-copy of an existing doc lands it in the EXISTING doc's split.
+    * In: (doc_id, text). Out: (doc_id, rep_id, bucket, split).
+    *
+    * Scale: d14's cluster machinery (banded-LSH pairs, union-find
+    * contraction) plus one id-keyed left join and a narrow coin
+    * projection. */
+  def clusterSafeSplit(docs: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame =
+    clusterSafeSplitFrom(docs,
+      Similarity.nearDupClusters(docs).select(col("doc_id"), col("cluster_id")),
+      valPct, testPct)
+
+  /** [[clusterSafeSplit]] over a CALLER-SUPPLIED (doc_id, cluster_id)
+    * frame — the open seam the driver binding feeds with the memoized
+    * d14 components (and a production pipeline feeds with its already-
+    * computed clustering). */
+  private[graft] def clusterSafeSplitFrom(docs: DataFrame, clusters: DataFrame,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "need 0 <= valPct + testPct <= 100")
+    val rep = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    val bucket = (conv(substring(md5(col("rep_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100).as("bucket")
+    rep.select(col("doc_id"), col("rep_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "validation")
+          .otherwise("train"))
+  }
+
   /** Per-source token-budget selection (d108) — the per-domain cap real
     * pipelines apply ("at most B tokens of CommonCrawl, best first"):
     * [[budgetSelect]]'s greedy rule run independently inside every
@@ -1843,7 +1882,9 @@ object Curation {
     * min-of-2 times are interpreted as the cache-state they measured. */
   val MemoizedQueries: Set[String] =
     Set("d26_mix_weights", "d29_apply_mix", "d31_materialize_mix",
-      "d32_mix_targets", "d46_ppl_indexed", "d49_dsir_indexed")
+      "d32_mix_targets", "d46_ppl_indexed", "d49_dsir_indexed",
+      // run 1 pays the memoized d14 pair computation (Similarity's memo)
+      "d114_cluster_safe_split")
 
   /** The d22 eval-set predicate: a deterministic ~1% slice of `documents`
     * stands in for a benchmark. */
@@ -2493,6 +2534,52 @@ object Curation {
              |JOIN h ha ON ha.doc_id = p.doc_a
              |JOIN h hb ON hb.doc_id = p.doc_b
              |WHERE sa.split <> sb.split""".stripMargin)),
+
+    // d114: leakage-free split assignment — d110's fix. The binding
+    // feeds the memoized d14 components; the oracle composes d14's
+    // recursive-CTE clustering with d69's md5 coin applied to the
+    // cluster representative.
+    Q("d114_cluster_safe_split",
+      (s, d) => clusterSafeSplitFrom(documents(s, d),
+        Similarity.connectedComponents(s,
+            Similarity.nearDupPairs(s, d)
+              .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))),
+      Some("""WITH RECURSIVE np AS MATERIALIZED (
+             |  WITH sh AS (
+             |    SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+             |    FROM (SELECT doc_id, lower(text) AS t FROM documents) dd,
+             |         LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+             |  ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |  inter AS (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+             |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2)
+             |  SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes za ON za.doc_id = doc_a
+             |  JOIN sizes zb ON zb.doc_id = doc_b
+             |  WHERE inter_size * 5 >= (za.n + zb.n - inter_size) * 4
+             |),
+             |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM np UNION ALL SELECT doc_b, doc_a FROM np),
+             |nodes AS (SELECT DISTINCT a AS v FROM edges),
+             |reach AS (
+             |  SELECT v, v AS l FROM nodes
+             |  UNION
+             |  SELECT r.v, e.b AS l FROM reach r JOIN edges e ON e.a = r.l
+             |),
+             |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
+             |rep AS (
+             |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep_id
+             |  FROM documents d LEFT JOIN lab l ON l.v = d.doc_id)
+             |SELECT doc_id, rep_id,
+             |  CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |    % 100 AS bucket,
+             |  CASE WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |            % 100 < 10 THEN 'test'
+             |       WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |            % 100 < 20 THEN 'validation'
+             |       ELSE 'train' END AS split
+             |FROM rep""".stripMargin)),
 
     // d43: chunk-granularity packing — d42's sliding windows fed through
     // d23's prefix-sum packer in (doc_id, chunk_id) order. The oracle is

@@ -46,6 +46,34 @@ class ManifestLeakageSpec extends AnyFunSuite with BeforeAndAfterAll {
       "distinct shards must have distinct checksums on this corpus")
   }
 
+  test("cluster-safe splits put every near-dup cluster in one split; audit reads zero") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val assigned = Curation.clusterSafeSplit(docs)
+    // every member of a cluster carries the representative's split
+    val clusters = graft.ops.Similarity.nearDupClusters(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val splits = assigned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(splits.nonEmpty && clusters.nonEmpty)
+    clusters.foreach { case (doc, cl) =>
+      assert(splits(doc)._1 == cl, s"doc $doc rep")
+      assert(splits(doc)._2 == splits(cl)._2, s"doc $doc split != rep's")
+    }
+    // the d110 audit over the SAME pair machinery must find nothing:
+    // re-run the leakage join against the cluster-safe assignment
+    val pairs = graft.ops.Similarity.nearDupPairs(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leaks = pairs.filter { case (a, b) => splits(a)._2 != splits(b)._2 }
+    assert(leaks.isEmpty, s"cluster-safe splits leaked: ${leaks.toSeq}")
+    // while the PLAIN hash split does leak on this corpus (7 pairs at
+    // sf0.01) — the operator pair is detector + fix
+    assert(Curation.splitLeakage(docs).count() > 0)
+  }
+
   test("planted cross-split near-dup is reported; same-split pairs are not") {
     // find two doc ids the md5 coin sends to different splits, give
     // them near-identical long texts, and plant a same-split near-pair
