@@ -1077,6 +1077,14 @@ object Graft {
       partitions: Int = 0): DataFrame =
     Curation.shardManifest(docs, budget, partitions)
 
+  /** Verify a corpus against a stored [[shardManifest]]: per shard,
+    * `ok` / `mismatch` (content drifted) / `missing` / `extra` — the
+    * pre-flight a training job runs against its data release's
+    * manifest. Out: (shard_id, status, expected_md5, actual_md5). */
+  def verifyManifest(docs: DataFrame, manifest: DataFrame,
+      budget: Long = 2048, partitions: Int = 0): DataFrame =
+    Curation.verifyManifest(docs, manifest, budget, partitions)
+
   /** Split-leakage audit: near-duplicate pairs (exact-verified
     * J >= 0.8) whose members landed in different [[hashSplit]] splits —
     * the val/test contamination every held-out metric silently assumes

@@ -1457,6 +1457,39 @@ object Curation {
         max(col("doc_id")).as("max_doc_id"),
         md5(concat_ws("", array_sort(collect_list(col("h"))))).as("content_md5"))
 
+  /** Manifest verification (d115) — [[shardManifest]]'s audit
+    * companion: recompute the manifest from the corpus as it exists NOW
+    * and diff it against a STORED manifest, classifying every shard —
+    * `ok` (checksums and counts agree), `mismatch` (content drifted:
+    * corruption, a silent rewrite, nondeterministic upstream),
+    * `missing` (manifested but no longer derivable), `extra` (derived
+    * but never manifested — the corpus grew). The pre-flight check a
+    * training job runs against the manifest its data release shipped.
+    * In: (doc_id, text) + a [[shardManifest]]-shaped frame. Out:
+    * (shard_id, status, expected_md5, actual_md5).
+    *
+    * Scale: one fresh manifest pass plus a full-outer join on the
+    * unique shard_id key (shard-count-sized — thousands of rows where
+    * the corpus is billions). */
+  def verifyManifest(docs: DataFrame, manifest: DataFrame, budget: Long = 2048,
+      partitions: Int = 0): DataFrame = {
+    val fresh = shardManifest(docs, budget, partitions)
+      .select(col("shard_id"), col("n_docs").as("a_docs"),
+        col("n_tokens").as("a_tokens"), col("content_md5").as("actual_md5"))
+    val stored = manifest
+      .select(col("shard_id"), col("n_docs").as("e_docs"),
+        col("n_tokens").as("e_tokens"), col("content_md5").as("expected_md5"))
+    stored.join(fresh, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        when(col("actual_md5").isNull, lit("missing"))
+          .when(col("expected_md5").isNull, lit("extra"))
+          .when(col("expected_md5") === col("actual_md5") &&
+            col("e_docs") === col("a_docs") && col("e_tokens") === col("a_tokens"),
+            lit("ok"))
+          .otherwise(lit("mismatch")).as("status"),
+        col("expected_md5"), col("actual_md5"))
+  }
+
   /** Split-leakage audit (d110) — the check every held-out evaluation
     * silently depends on: near-duplicate pairs (d06's exact-verified
     * J >= 0.8) whose members landed in DIFFERENT deterministic splits
@@ -2534,6 +2567,33 @@ object Curation {
              |JOIN h ha ON ha.doc_id = p.doc_a
              |JOIN h hb ON hb.doc_id = p.doc_b
              |WHERE sa.split <> sb.split""".stripMargin)),
+
+    // d115: manifest verification — d109's audit companion, gated as a
+    // wiring composition (the d54 pattern): verifying a corpus against
+    // its own freshly-derived manifest must classify every shard `ok`
+    // through the full-outer diff machinery; the perturbation statuses
+    // (mismatch/missing/extra) are spec-pinned where the oracle cannot
+    // reach them.
+    Q("d115_manifest_verify",
+      (s, d) => verifyManifest(documents(s, d),
+        shardManifest(documents(s, d))),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |         md5(text) AS h
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens, h,
+             |    cast(coalesce(sum(n_tokens) OVER (
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) // 2048 AS shard_id
+             |  FROM t),
+             |m AS (
+             |  SELECT shard_id, md5(string_agg(h, '' ORDER BY h)) AS content_md5
+             |  FROM p GROUP BY 1)
+             |SELECT shard_id, 'ok' AS status,
+             |       content_md5 AS expected_md5, content_md5 AS actual_md5
+             |FROM m""".stripMargin)),
 
     // d114: leakage-free split assignment — d110's fix. The binding
     // feeds the memoized d14 components; the oracle composes d14's

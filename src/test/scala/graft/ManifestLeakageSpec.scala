@@ -46,6 +46,30 @@ class ManifestLeakageSpec extends AnyFunSuite with BeforeAndAfterAll {
       "distinct shards must have distinct checksums on this corpus")
   }
 
+  test("manifest verification classifies ok / mismatch / missing / extra") {
+    val docs = docsOf((1L, "a b c"), (2L, "d e f"))
+    val manifest = Curation.shardManifest(docs)
+    // unchanged corpus: every shard ok
+    val ok = Curation.verifyManifest(docs, manifest).collect()
+    assert(ok.nonEmpty && ok.forall(_.getString(1) == "ok"))
+    // one flipped byte: mismatch
+    val drifted = Curation.verifyManifest(
+      docsOf((1L, "a b c"), (2L, "d e F")), manifest).collect()
+    assert(drifted.map(_.getString(1)).toSeq == Seq("mismatch"))
+    // corpus grew past the shard budget: the manifested shard drifts,
+    // the new shards surface as extra
+    val big = (3L to 1200L).map(i => i -> s"tok$i filler words here")
+    val grown = Curation.verifyManifest(docsOf((1L -> "a b c") +: big: _*), manifest)
+      .collect().map(r => r.getString(1))
+    assert(grown.contains("extra") )
+    // manifest shard no longer derivable: missing
+    val gone = Curation.verifyManifest(
+      docsOf((1L, "a b c"), (2L, "d e f")),
+      manifest.withColumn("shard_id",
+        org.apache.spark.sql.functions.col("shard_id") + 7)).collect()
+    assert(gone.map(_.getString(1)).toSet == Set("missing", "extra"))
+  }
+
   test("cluster-safe splits put every near-dup cluster in one split; audit reads zero") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
     val assigned = Curation.clusterSafeSplit(docs)
