@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++
+      graft.ops.Events.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

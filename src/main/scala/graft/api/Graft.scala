@@ -286,6 +286,21 @@ object Graft {
       dir: String, maxHamming: Int = 3): DataFrame =
     graft.ops.SimHashIndex.nearDupAgainst(spark, newDocs, dir, maxHamming)
 
+  /** Cohort retention triangle over an event stream: users cohorted by
+    * first active day, distinct-user counts per (cohort_day,
+    * day_offset) cell. Out: exact longs. Reads: user_id, ts_us. */
+  def cohortRetention(events: DataFrame): DataFrame =
+    graft.ops.Events.cohortRetention(events)
+
+  /** Ordered conversion funnel: per user, the furthest step reached
+    * through `steps` in temporal order (each step strictly after the
+    * user's completion of the previous — immune to out-of-order step
+    * events). Out: (user_id, stepN_us..., reached_step). Reads:
+    * user_id, event_type, ts_us. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    graft.ops.Events.funnel(events, steps)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

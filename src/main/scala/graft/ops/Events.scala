@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Behavioral event analytics over the `events` stream — the cohort and
+  * funnel queries every product-analytics warehouse runs, expressed
+  * set-oriented (joins + aggregations, no per-user iteration) so they
+  * scale as plain shuffles on the user key. Timestamps follow the
+  * engine's epoch-µs Long convention ([[Tables.events]]).
+  */
+object Events {
+
+  private val DayUs = 86400000000L
+
+  /** Cohort retention (d116): users are cohorted by their FIRST active
+    * day; for every (cohort_day, day_offset) cell, how many of that
+    * cohort's users were active offset days later — the classic
+    * retention triangle. In: (user_id, ts_us). Out: (cohort_day,
+    * day_offset, n_users), all exact longs.
+    *
+    * Scale: distinct (user, day) first — the only corpus-width shuffle,
+    * partial-aggregated map-side — then a user-keyed min and a
+    * cells-sized rollup. The cohort attach is an equi-join on user_id
+    * against a #users-row frame (AQE broadcasts it when small). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered funnel analysis (d117): per user, the furthest step
+    * reached through `steps` IN TEMPORAL ORDER — step k counts only if
+    * it happened STRICTLY AFTER the user's completion of step k−1
+    * (earliest-completion semantics: the first step-1 event, then the
+    * first step-2 event after it, and so on — the standard conversion
+    * funnel, immune to out-of-order step events). One row per user:
+    * (user_id, step timestamps as epoch-µs longs with NULL past the
+    * drop-off, reached_step 0..k).
+    *
+    * Scale: one user-keyed min-aggregate per step over that step's
+    * filtered events (k narrow passes + k user-keyed joins on
+    * #users-row frames) — no windows, no per-user sort; the event scan
+    * is shared by AQE where plans coincide. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val users = events.select(col("user_id")).distinct()
+    // per step j: (user_id, stepJ_us) for users who completed steps
+    // 1..j in order — each frame bounds the next (events strictly after
+    // the user's previous completion, then the user-keyed min)
+    var prev: Option[DataFrame] = None
+    val stepFrames = steps.zipWithIndex.map { case (step, j) =>
+      val evs = events.where(col("event_type") === step)
+        .select(col("user_id"), col("ts_us"))
+      val bounded = prev match {
+        case None => evs
+        case Some(p) =>
+          evs.join(p, Seq("user_id")).where(col("ts_us") > col("prev_ts"))
+      }
+      val f = bounded.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as(s"step${j + 1}_us"))
+      prev = Some(f.select(col("user_id"), col(s"step${j + 1}_us").as("prev_ts")))
+      f
+    }
+    val joined = stepFrames.foldLeft(users)(
+      (acc, f) => acc.join(f, Seq("user_id"), "left"))
+    // ascending fold wraps the HIGHEST completed step outermost
+    val reachedStep = steps.indices.foldLeft(lit(0L)) { (acc, j) =>
+      when(col(s"step${j + 1}_us").isNotNull, lit((j + 1).toLong)).otherwise(acc)
+    }
+    joined.select((col("user_id") +:
+      steps.indices.map(j => col(s"step${j + 1}_us"))) :+
+      reachedStep.as("reached_step"): _*)
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // d116: cohort retention — exact longs end to end; the oracle
+    // replays the distinct-day / min-day / offset rollup.
+    Q("d116_cohort_retention",
+      (s, d) => cohortRetention(events(s, d)),
+      Some("""WITH dd AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM dd GROUP BY 1)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM dd JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // d117: view -> click -> purchase funnel — earliest-completion
+    // chain as correlated mins; epoch-µs longs and a 0..3 step count.
+    Q("d117_funnel",
+      (s, d) => funnel(events(s, d)),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |v AS (SELECT user_id, min(epoch_us(ts)) AS v1 FROM events
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(epoch_us(ts)) AS c1 FROM events e
+             |      JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND epoch_us(ts) > v1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(epoch_us(ts)) AS p1 FROM events e
+             |      JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND epoch_us(ts) > c1 GROUP BY 1)
+             |SELECT u.user_id, v.v1 AS step1_us, c.c1 AS step2_us, p.p1 AS step3_us,
+             |  CAST(CASE WHEN p.p1 IS NOT NULL THEN 3
+             |            WHEN c.c1 IS NOT NULL THEN 2
+             |            WHEN v.v1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS BIGINT) AS reached_step
+             |FROM u LEFT JOIN v USING (user_id)
+             |LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)""".stripMargin)))
+}

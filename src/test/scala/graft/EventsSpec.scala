@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.Events
+
+/** d116 cohort retention and d117 ordered funnel on planted event
+  * streams: the retention triangle's exact cells, funnel ordering
+  * semantics (a click BEFORE the first view must not count), and the
+  * registered bindings' invariants on the driver tables.
+  */
+class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("events-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private val Day = 86400000000L
+
+  private def eventsOf(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, ts, t), i) => (i.toLong, u, ts, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+  }
+
+  test("retention triangle counts distinct users per cohort/offset cell") {
+    // user 1: days 0, 1, 3 (cohort 0); user 2: days 1, 1 (cohort 1);
+    // user 3: day 0 only (cohort 0)
+    val ev = eventsOf(
+      (1L, 0L * Day + 5L, "view"), (1L, 1L * Day + 9L, "view"),
+      (1L, 3L * Day + 2L, "view"),
+      (2L, 1L * Day + 1L, "view"), (2L, 1L * Day + 2L, "click"),
+      (3L, 0L * Day + 7L, "view"))
+    val got = Events.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L,   // users 1 and 3 on their cohort day
+      (0L, 1L) -> 1L,   // user 1 back on day 1
+      (0L, 3L) -> 1L,   // user 1 back on day 3
+      (1L, 0L) -> 1L))  // user 2 (two same-day events count once)
+  }
+
+  test("funnel steps must occur in order; drop-offs keep their prefix") {
+    val ev = eventsOf(
+      // user 1 completes in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE the first view — must not count; a later
+      // click does, but no purchase after it
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 15L, "click"),
+      (2L, 12L, "purchase"),
+      // user 3: only an (ignored) error event
+      (3L, 1L, "error"))
+    val got = Events.funnel(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    // user 2's purchase at 12 precedes the qualifying click at 15
+    assert(got(2L) == ((Some(10L), Some(15L), None, 2L)))
+    assert(got(3L) == ((None, None, None, 0L)))
+  }
+
+  test("registered bindings: triangle and funnel invariants at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val tri = SparkEntry.queries("d116_cohort_retention")(spark, sf).collect()
+    assert(tri.nonEmpty)
+    tri.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 1))
+    // offset-0 cells must count every cohort member exactly once: the
+    // summed diagonal equals the distinct user count
+    val users = graft.ops.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(tri.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum == users)
+
+    val fun = SparkEntry.queries("d117_funnel")(spark, sf).collect()
+    assert(fun.length.toLong == users)
+    fun.foreach { r =>
+      val ts = Seq(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+        .map(_.map(_.asInstanceOf[Long]))
+      val reached = r.getLong(4)
+      assert(ts.count(_.isDefined).toLong == reached)
+      // defined prefix, strictly increasing
+      assert(ts.takeWhile(_.isDefined).length.toLong == reached)
+      val defined = ts.flatten
+      assert(defined == defined.sorted && defined.distinct == defined)
+    }
+  }
+}
