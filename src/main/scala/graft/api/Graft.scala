@@ -301,6 +301,12 @@ object Graft {
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     graft.ops.Events.funnel(events, steps)
 
+  /** First-order event-type transition counts within each user's
+    * ordered stream — (from_type, to_type, n), the Markov view of
+    * behavior. Reads: user_id, event_id, ts_us, event_type. */
+  def eventTransitions(events: DataFrame): DataFrame =
+    graft.ops.Events.eventTransitions(events)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

@@ -81,7 +81,42 @@ object Events {
       reachedStep.as("reached_step"): _*)
   }
 
+  /** Event-transition matrix (d118): counts of consecutive event-type
+    * pairs within each user's (ts, event_id)-ordered stream — the
+    * first-order Markov view behavioral models start from (and the
+    * diagnostic that surfaces e.g. error→error loops). In: (user_id,
+    * event_id, ts_us, event_type). Out: (from_type, to_type, n).
+    *
+    * Scale: the lead() window is PARTITIONED BY USER (q23's shape — a
+    * user's history sorts within one task; per-user volumes are
+    * app-bounded, and a pathological power-user key would be salted by
+    * day the same way q23's sessions would). The rollup is
+    * #types²-sized. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d118: first-order transition counts — integer-exact; the oracle
+    // replays the identical per-user lead() ordering.
+    Q("d118_event_transitions",
+      (s, d) => eventTransitions(events(s, d)),
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM s WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
 
     // d116: cohort retention — exact longs end to end; the oracle
     // replays the distinct-day / min-day / offset rollup.

@@ -61,6 +61,25 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((None, None, None, 0L)))
   }
 
+  test("transition counts follow each user's (ts, event_id) order") {
+    val ev = eventsOf(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "view"),
+      (2L, 5L, "view"), (2L, 6L, "click"))
+    val got = Events.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 2L,    // both users
+      ("click", "view") -> 1L))   // user 1 only; no cross-user pairs
+  }
+
+  test("d118 binding: transitions sum to events minus users at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("d118_event_transitions")(spark, sf)
+      .collect().map(_.getLong(2)).sum
+    val ev = graft.ops.Tables.events(spark, sf)
+    assert(total == ev.count() - ev.select("user_id").distinct().count())
+  }
+
   test("registered bindings: triangle and funnel invariants at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val tri = SparkEntry.queries("d116_cohort_retention")(spark, sf).collect()
