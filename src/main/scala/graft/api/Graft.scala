@@ -307,6 +307,13 @@ object Graft {
   def eventTransitions(events: DataFrame): DataFrame =
     graft.ops.Events.eventTransitions(events)
 
+  /** RFM customer-value aggregation: per user, days since last
+    * purchase (NULL if never), purchase count, and decimal-exact
+    * purchase value sum. Out: (user_id, recency_days, frequency,
+    * monetary). Reads: user_id, ts_us, event_type, value. */
+  def rfm(events: DataFrame): DataFrame =
+    graft.ops.Events.rfm(events)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

@@ -102,7 +102,55 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** RFM user-value aggregation (d119): per user, recency (days since
+    * their last PURCHASE, measured against the stream's last day),
+    * frequency (purchase count) and monetary (exact decimal sum of
+    * purchase values) — the classic customer-value segmentation input.
+    * Users who never purchased surface with NULL recency / 0 / 0
+    * rather than vanishing. In: (user_id, ts_us, event_type, value).
+    * Out: (user_id, recency_days, frequency, monetary).
+    *
+    * Scale: one filtered user-keyed aggregate plus a 1-row broadcast
+    * corpus-max (the d26 totals shape) and a left join onto the
+    * distinct-user frame. Monetary runs through the decimal-exact
+    * [[Tables.decSum]] convention. */
+  def rfm(events: DataFrame): DataFrame = {
+    val lastDay = events.agg(max(expr(s"ts_us div $DayUs")).as("corpus_last_day"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(expr(s"ts_us div $DayUs")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        decSum(col("value")).as("monetary"))
+    events.select(col("user_id")).distinct()
+      .join(purchases, Seq("user_id"), "left")
+      .crossJoin(broadcast(lastDay))
+      .select(col("user_id"),
+        (col("corpus_last_day") - col("last_day")).as("recency_days"),
+        coalesce(col("frequency"), lit(0L)).as("frequency"),
+        coalesce(col("monetary"), lit(0.0)).as("monetary"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d119: RFM segmentation input — day arithmetic on exact longs,
+    // decimal-exact monetary; never-purchased users kept with NULL
+    // recency.
+    Q("d119_rfm",
+      (s, d) => rfm(events(s, d)),
+      Some("""WITH ld AS (
+             |  SELECT max(epoch_us(ts) // 86400000000) AS corpus_last_day FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |         max(epoch_us(ts) // 86400000000) AS last_day,
+             |         CAST(count(*) AS BIGINT) AS frequency,
+             |         CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS monetary
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id,
+             |       ld.corpus_last_day - p.last_day AS recency_days,
+             |       coalesce(p.frequency, 0) AS frequency,
+             |       coalesce(p.monetary, 0.0) AS monetary
+             |FROM u LEFT JOIN p USING (user_id) CROSS JOIN ld""".stripMargin)),
 
     // d118: first-order transition counts — integer-exact; the oracle
     // replays the identical per-user lead() ordering.

@@ -80,6 +80,23 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("rfm keeps never-purchasers and measures recency from the stream's last day") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L * Day + 5L, "purchase", 10.50),
+      (2L, 1L, 2L * Day + 1L, "purchase", 4.25),
+      (3L, 2L, 3L * Day + 9L, "view", 0.0),
+      (4L, 3L, 1L * Day + 1L, "purchase", 1.00))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val got = Events.rfm(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getLong(2), r.getDouble(3)))).toMap
+    // stream's last day is 3 (user 2's view)
+    assert(got(1L) == ((Some(1L), 2L, 14.75)))  // last purchase day 2
+    assert(got(2L) == ((None, 0L, 0.0)))        // never purchased
+    assert(got(3L) == ((Some(2L), 1L, 1.0)))
+  }
+
   test("registered bindings: triangle and funnel invariants at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val tri = SparkEntry.queries("d116_cohort_retention")(spark, sf).collect()
