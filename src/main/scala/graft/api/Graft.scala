@@ -314,6 +314,12 @@ object Graft {
   def rfm(events: DataFrame): DataFrame =
     graft.ops.Events.rfm(events)
 
+  /** Rolling active users: per day, distinct users active in the
+    * trailing `window` days (WAU at the default 7). Out: (day,
+    * n_users), exact longs. Reads: user_id, ts_us. */
+  def rollingActiveUsers(events: DataFrame, window: Int = 7): DataFrame =
+    graft.ops.Events.rollingActiveUsers(events, window)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

@@ -130,7 +130,52 @@ object Events {
         coalesce(col("monetary"), lit(0.0)).as("monetary"))
   }
 
+  /** Rolling active users (d120): for every day in the stream's span,
+    * how many distinct users were active in the trailing `window` days
+    * — the WAU/MAU family. A sliding DISTINCT count cannot partial-
+    * aggregate directly; the set-oriented shape is: distinct
+    * (user, day) once, fan each row out to the `window` report days it
+    * supports (an explode of a sequence — window-bounded, not
+    * data-dependent), re-distinct on (report_day, user), and count.
+    * Report days with no activity in range are absent (matching the
+    * fan-out domain); days fanned past the stream's last day are
+    * clipped. In: (user_id, ts_us). Out: (day, n_users), exact longs.
+    *
+    * Scale: the corpus-width work is the one distinct (user, day)
+    * aggregation; the fan-out multiplies that DISTINCT set by the
+    * window constant, never raw events. */
+  def rollingActiveUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    require(window >= 1, "need window >= 1")
+    val days = events
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val lastDay = days.agg(max(col("day")).as("last_day"))
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(window - 1))).as("day"))
+      .distinct()
+      .crossJoin(broadcast(lastDay))
+      .where(col("day") <= col("last_day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d120: trailing-7-day active users — exact longs; the oracle
+    // replays the distinct fan-out with a LATERAL day range.
+    Q("d120_rolling_active",
+      (s, d) => rollingActiveUsers(events(s, d)),
+      Some("""WITH dd AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |ld AS (SELECT max(day) AS last_day FROM dd),
+             |f AS (
+             |  SELECT DISTINCT user_id, day + o AS day
+             |  FROM dd, LATERAL (SELECT unnest(range(0, 7)) AS o) u)
+             |SELECT f.day, CAST(count(*) AS BIGINT) AS n_users
+             |FROM f CROSS JOIN ld WHERE f.day <= ld.last_day
+             |GROUP BY 1""".stripMargin)),
 
     // d119: RFM segmentation input — day arithmetic on exact longs,
     // decimal-exact monetary; never-purchased users kept with NULL

@@ -97,6 +97,18 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((Some(2L), 1L, 1.0)))
   }
 
+  test("rolling active users slides the trailing window over distinct user-days") {
+    // user 1 on days 0 and 2; user 2 on day 2 (twice — counts once)
+    val ev = eventsOf(
+      (1L, 0L * Day + 1L, "view"), (1L, 2L * Day + 1L, "view"),
+      (2L, 2L * Day + 2L, "view"), (2L, 2L * Day + 9L, "click"))
+    val got = Events.rollingActiveUsers(ev, window = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 0: {1}; day 1: {1} (trailing from day 0); day 2: {1, 2};
+    // day 3 clipped (past the stream's last day)
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("registered bindings: triangle and funnel invariants at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val tri = SparkEntry.queries("d116_cohort_retention")(spark, sf).collect()
