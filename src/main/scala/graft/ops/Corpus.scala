@@ -203,6 +203,16 @@ object Corpus {
       explode(expr("transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c * 15) & 32767 AS v))")).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
 
+  /** RETENTION NOTE (the Pq.topKAdc convention): the 16 B/doc signature
+    * frame is cache()d for the duration of the returned frame's lineage
+    * — it feeds BOTH sides of the self-join, and uncached would compute
+    * the signature UDF pass twice. It cannot be released here without
+    * eagerly materializing the output, which this operator must not do
+    * (the scaladoc above documents adversarial corpora where the pair
+    * set is quadratic; the operator streams it). Long-lived sessions
+    * issuing many simhashPairs calls reclaim the blocks via RDD GC once
+    * the returned frame is dropped, or can materialize-then-unpersist
+    * explicitly. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk-equality candidates are exact only for hamming <= 3")
     val chunks = simhashChunks(simhashSignatures(docs).cache())

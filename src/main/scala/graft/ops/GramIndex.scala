@@ -79,8 +79,16 @@ object GramIndex {
     * pure layout change). */
   def compactTo(spark: SparkSession, src: String, dst: String): Unit = {
     IndexCommit.requireCommitted(spark, src, "compactTo")
-    require(new org.apache.hadoop.fs.Path(src) != new org.apache.hadoop.fs.Path(dst),
-      "compactTo: dst must be a DIFFERENT directory")
+    // qualified comparison, same as IndexCommit.compactTo — a raw Path
+    // compare lets a relative-vs-absolute alias of the SAME directory
+    // through, and the lazy read-while-overwrite below would then
+    // destroy the only copy of the index
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dst)),
+      "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
+      "would overwrite the files it is reading")
     IndexCommit.withGuard(spark, dst) {
       IndexCommit.stamped(
           spark.read.parquet(s"$src/grams").select(col("gram_hash")).distinct(),

@@ -235,6 +235,16 @@ object HashIndex {
     * and the join it prunes dwarfs the boundary cost. */
   def dedupAgainstBloom(spark: SparkSession, newDocs: DataFrame, dir: String): DataFrame = {
     IndexCommit.requireCommitted(spark, dir, "dedupAgainstBloom")
+    // a committed index written before the bloom sidecar existed passes
+    // requireCommitted but has no <dir>/bloom table; surface that as a
+    // protocol-level message instead of a raw path-not-found
+    // AnalysisException from the parquet reader
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$dir/bloom")
+    val fs = bloomPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bloomPath),
+      s"dedupAgainstBloom: $dir has no bloom sidecar — the index predates " +
+      "the bloom protocol. Use dedupAgainst (same output, no pre-filter), " +
+      "or re-save / compactTo the index to materialize the sidecar.")
     val bc = spark.sparkContext.broadcast(mergedBloom(spark, dir))
     val maybeSeen = udf((h: Long) => bc.value.mightContainLong(h))
     val probe = hashed(newDocs)
