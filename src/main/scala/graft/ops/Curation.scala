@@ -1021,11 +1021,36 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_grams"))
   }
 
+  /** The char-granularity sibling of [[gramPositions]]: one row per
+    * CHARACTER start position over the whitespace-collapsed lowercase
+    * text (`lower(trim())` + `\s+` → single space — so a
+    * whitespace-variant copy of a passage produces the identical char
+    * stream, matching what word tokenization gives the word path).
+    * Positions are 0-based char offsets into that normalized string.
+    * Pure Catalyst (transform + substring inside codegen) — no UDF. */
+  private def charGramPositions(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), charNormText(col("text")).as("t"))
+      .where(length(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, length(t) - $n), i -> substring(t, i + 1, $n))"))
+        .as(Seq("pos", "gram")))
+
+  /** The char path's normalization convention, shared with the scrub
+    * rebuild (positions must index the SAME string the grams hashed). */
+  private def charNormText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** (doc_id, pos, island) for every duplicated-gram position — the
-    * shared core of d62 (interval aggregation) and d63 (scrub). */
+    * shared core of d62 (interval aggregation) and d63 (scrub), and of
+    * their char-granularity siblings d121/d122 (which feed the char
+    * position stream through the same df/semi-join/islands machinery —
+    * `n` then chains in char units). */
   private def dupSpanIslands(docs: DataFrame, n: Int,
+      hashGrams: Boolean): DataFrame =
+    dupSpanIslandsFrom(gramPositions(docs, n), n, hashGrams)
+
+  private def dupSpanIslandsFrom(pos0: DataFrame, n: Int,
       hashGrams: Boolean): DataFrame = {
-    val pos0 = gramPositions(docs, n)
     val pos = if (hashGrams) pos0.withColumn("gram", xxhash64(col("gram"))) else pos0
     // the cross-doc dup-gram SET (gram only): distinct (doc, gram) once,
     // containing-doc count via partial-aggregated groupBy. Position rows
@@ -1085,6 +1110,77 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
+  /** Char-granularity duplicate-span intervals (d121) — Lee et al.
+    * 2022's PUBLISHED granularity: the paper's ExactSubstr removes
+    * duplicated ~50-BYTE character sequences, which catches duplication
+    * word grams structurally miss — shared passages shorter than the
+    * word-gram span (4 long words can exceed 30 chars), and copies
+    * whose word boundaries differ (a dropped space fuses two tokens, so
+    * no 5 consecutive WORDS match while a long char run still does).
+    * Same machinery as d62 — cross-doc gram document-frequency, semi
+    * join, per-doc gaps-and-islands merge — over the char position
+    * stream; `n` is in CHARS (default 30: the sweet spot below the
+    * paper's 50 for shorter synthetic docs, far above accidental-match
+    * length). Out: (doc_id, span_start, span_end, n_dup_grams) — CHAR
+    * offsets (0-based inclusive) into the whitespace-collapsed
+    * lowercase text.
+    *
+    * Scale: identical shape to d62 (the position stream is ~1 row per
+    * text char — bigger than the word stream by the chars-per-word
+    * factor, but still a narrow explode that never carries text bytes
+    * after hashing). `hashGrams = true` is the production mode: an
+    * 8-byte xxhash64 replaces every n-char gram BEFORE the distinct and
+    * the semi join, so no shuffle carries n-char strings. Registered
+    * un-hashed so the DuckDB oracle replays gram equality verbatim. */
+  def dupSpanIntervalsChars(docs: DataFrame, n: Int = 30,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, "need n >= 2 chars")
+    dupSpanIslandsFrom(charGramPositions(docs, n), n, hashGrams)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + (n - 1)).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_grams"))
+  }
+
+  /** Char-granularity scrub (d122) — cut every d121 interval out of the
+    * normalized text. Where d63 rebuilds from surviving TOKENS via an
+    * anti-join, the char rebuild avoids a per-CHARACTER explode of the
+    * corpus: the merged intervals are disjoint and sorted (islands
+    * break at gaps > n, so consecutive spans cannot touch), so each doc
+    * is rebuilt in ONE pass by folding its own bounded interval list
+    * with a higher-order `aggregate` — keep [cursor, start), jump the
+    * cursor to end+1, append the tail. Out: (doc_id, clean_text,
+    * n_kept_chars), one row per input doc; a fully-duplicated doc
+    * survives as an empty string (d63's convention); clean_text is in
+    * the char path's normalized space (lowercase, single-spaced).
+    *
+    * Scale: d121's stream plus one doc_id-keyed aggregation of the
+    * interval list (rows = spans per doc, bounded) and one id-keyed
+    * join back to the text — the rebuild itself is narrow per-row
+    * expression work, never a corpus sort, never a char-level shuffle. */
+  def dedupScrubChars(docs: DataFrame, n: Int = 30,
+      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, "need n >= 2 chars")
+    val t = docs.select(col("doc_id"), charNormText(col("text")).as("t"))
+    val spans = dupSpanIntervalsChars(docs, n, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("iv"))
+    t.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(
+          when(col("iv").isNull, col("t")).otherwise(expr(
+            """aggregate(iv, struct(CAST(0 AS BIGINT) AS cur, '' AS acc),
+              |  (a, x) -> struct(x.e + CAST(1 AS BIGINT) AS cur,
+              |    concat(a.acc, substring(t, CAST(a.cur + 1 AS INT), CAST(x.s - a.cur AS INT))) AS acc),
+              |  a -> concat(a.acc, substring(t, CAST(a.cur + 1 AS INT), CAST(length(t) - a.cur AS INT))))"""
+              .stripMargin)),
+          lit("")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).cast(LongType).as("n_kept_chars"))
   }
 
   /** Line-level boilerplate removal (d95) — the CCNet/C4 pre-dedup
@@ -2960,5 +3056,65 @@ object Curation {
              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
              |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
              |  CAST(len(regexp_extract_all(text, '\+?\b\d{3}[- ]?\d{3}[- ]?\d{4}\b')) AS BIGINT) AS n_phones
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // d121: char-granularity duplicate-span intervals — Lee et al.'s
+    // published ExactSubstr granularity (see dupSpanIntervalsChars).
+    // The oracle replays the identical char-gram document-frequency +
+    // gaps-and-islands pipeline on the whitespace-collapsed lowercase
+    // text; integer outputs only, so the gate is hash-exact.
+    Q("d121_char_dup_intervals",
+      (s, d) => dupSpanIntervalsChars(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos, substr(t, i, 30) AS gram
+             |  FROM t, UNNEST(range(1, len(t) - 28)) AS r(i)),
+             |nd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+             |       GROUP BY gram HAVING count(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM g JOIN nd USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM hits),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM isl)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |       CAST(max(pos) + 29 AS BIGINT) AS span_end,
+             |       CAST(count(*) AS BIGINT) AS n_dup_grams
+             |FROM isl2 GROUP BY doc_id, island""".stripMargin)),
+
+    // d122: the char-granularity scrub. The oracle rebuilds kept text
+    // from the per-char survivors of the covered-position set — the
+    // engine's interval-fold rebuild concatenates exactly those chars
+    // in order, so the two formulations agree string-for-string.
+    Q("d122_char_dedup_scrub",
+      (s, d) => dedupScrubChars(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i - 1 AS pos, substr(t, i, 30) AS gram
+             |  FROM t, UNNEST(range(1, len(t) - 28)) AS r(i)),
+             |nd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+             |       GROUP BY gram HAVING count(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM g JOIN nd USING (gram)),
+             |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+             |        FROM hits, UNNEST(range(0, 30)) AS r(o)),
+             |chars AS (SELECT doc_id, i - 1 AS p, substr(t, i, 1) AS ch
+             |          FROM t, UNNEST(range(1, len(t) + 1)) AS r(i)),
+             |kept AS (
+             |  SELECT c.doc_id, c.p, c.ch
+             |  FROM chars c LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.p = v.p
+             |  WHERE v.p IS NULL),
+             |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text,
+             |               CAST(count(*) AS BIGINT) AS n_kept_chars
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |       coalesce(a.n_kept_chars, CAST(0 AS BIGINT)) AS n_kept_chars
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)))
 }
