@@ -997,28 +997,60 @@ object Similarity {
     * candidates emit only the positions they can fill. */
   def mmrRerank(vecs: DataFrame, pool: Int = 8, lambda: Double = 0.5,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val e = vecs
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-      .where(col("nrm") > 0)
+    val withNorm = normalizedVecs(vecs)
     val pairs = selfCosineJoin(vecs, withNorm,
         col("q.vec_id") =!= col("c.vec_id"), maxBroadcastBytes)
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("nid"),
         (vecDot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("s"))
+    mmrRoundsFrom(withNorm, pairs, pool, lambda)
+  }
+
+  /** [[mmrRerank]] with [[annTopK]]'s candidate stream as the pool
+    * source — the 100 TB composition (the exact all-pairs pool is
+    * unrunnable there; the rerank rounds are source-agnostic by
+    * design). Candidates come from the same multiprobe hyperplane
+    * tables as every ANN path, scored with the exact cosine; the pool
+    * per query is then the top-`pool` of the CANDIDATES (⊆ the exact
+    * pool — a query whose buckets yield fewer candidates reranks what
+    * it has). At the degenerate exact geometry (tables=1,
+    * bitsPerTable=1, probeFlips=1 — every pair is a candidate, the d61
+    * convention) the pool equals the exact path's and the output is
+    * gated verbatim under d103's oracle (d123); at production knobs,
+    * MmrSpec bounds pick agreement against the exact rerank. */
+  def mmrRerankAnn(vecs: DataFrame, pool: Int = 8, lambda: Double = 0.5,
+      tables: Int = 8, bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    val withNorm = normalizedVecs(vecs)
+    val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
+    val cands = scoreCandidates(withNorm,
+        annCandidatePairs(withNorm, tables, bits, probeFlips))
+      .select(col("vec_id"), col("neighbor_id").as("nid"), col("sim").as("s"))
+    mmrRoundsFrom(withNorm, cands, pool, lambda)
+  }
+
+  /** The shared MMR machinery: bounded top-`pool` aggregation of a
+    * (vec_id, nid, s) candidate stream (TopKAgg dedups repeated
+    * surfacings at insert — multi-table ANN collisions cost no distinct
+    * shuffle), then the three unrolled greedy selection rounds. */
+  private def mmrRoundsFrom(withNorm: DataFrame, cands: DataFrame,
+      pool: Int, lambda: Double): DataFrame = {
     val topk = udaf(new TopKAgg(pool))
     // The pool (queries x pool rows) feeds every selection round, and
     // the rounds reference EACH OTHER (sel3 joins sel1 twice, sel2 once,
     // the pool once) — left as lineage, the N^2 candidate scan would
     // re-execute once per structural occurrence (7x at 3 rounds;
-    // measured 3.2 s vs 0.9 s for the d07 baseline at sf0.1). Pinning
-    // the bounded frames makes each compute exactly once; the pinned
-    // data is never more than queries x pool (sim, id) rows.
-    val pooled = pairs.groupBy(col("vec_id"))
+    // measured 3.2 s vs 0.9 s for the d07 baseline at sf0.1). The
+    // bounded frames are persist()ed so each computes exactly once,
+    // then RELEASED before returning: the final union is eagerly pinned
+    // (queries x 3 rows — tiny) and the intermediates unpersisted, so
+    // repeated calls in a long-lived session don't accumulate
+    // pool-sized executor storage (only the tiny result block remains,
+    // reclaimed by RDD GC when the caller drops it).
+    val pooled = cands.groupBy(col("vec_id"))
       .agg(topk(col("s"), col("nid")).as("t"))
       .select(col("vec_id"),
         explode(arrays_zip(col("t.sims").as("s"), col("t.ids").as("nid"))).as("z"))
       .select(col("vec_id"), col("z.s").as("s"), col("z.nid").as("nid"))
-      .localCheckpoint()
+      .persist()
     val cvec = withNorm
       .select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
 
@@ -1035,13 +1067,13 @@ object Similarity {
     val om = lit(1 - lambda)
 
     // round 1: empty selected set, the penalty term vanishes — argmax s
-    val sel1 = argmaxPick(pooled, col("s")).localCheckpoint()
+    val sel1 = argmaxPick(pooled, col("s")).persist()
     val cand2 = pooled
       .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
       .where(col("nid") =!= col("nid1"))
       .join(cvec, "nid").join(selVec(sel1, "1"), "vec_id")
     val sel2 = argmaxPick(cand2, lam * col("s") - om * penalty("1"))
-      .localCheckpoint()
+      .persist()
     val cand3 = pooled
       .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
       .join(sel2.withColumnRenamed("nid", "nid2"), "vec_id")
@@ -1053,7 +1085,11 @@ object Similarity {
 
     def out(sel: DataFrame, pos: Int): DataFrame = sel
       .select(col("vec_id"), lit(pos.toLong).as("pos"), col("nid").as("neighbor_id"))
-    out(sel1, 1).unionByName(out(sel2, 2)).unionByName(out(sel3, 3))
+    // eager pin of the tiny result, then release the pool-sized frames
+    val result = out(sel1, 1).unionByName(out(sel2, 2)).unionByName(out(sel3, 3))
+      .localCheckpoint()
+    pooled.unpersist(); sel1.unpersist(); sel2.unpersist()
+    result
   }
 
   /** The shared vote stage of the kNN-classification family
@@ -1456,6 +1492,56 @@ object Similarity {
     // expression the Spark side aggregates with.
     Q("d103_mmr_rerank",
       (s, d) => mmrRerank(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nz AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e
+             |       WHERE list_dot_product(v, v) > 0),
+             |sim AS (SELECT q.vec_id AS vec_id, c.vec_id AS nid,
+             |               list_dot_product(q.v, c.v) / (q.n * c.n) AS s
+             |        FROM nz q JOIN nz c ON q.vec_id <> c.vec_id),
+             |pool AS (SELECT vec_id, nid, s FROM (
+             |  SELECT vec_id, nid, s,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nid) AS rn
+             |  FROM sim) WHERE rn <= 8),
+             |s1 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nid) AS rn
+             |  FROM pool) WHERE rn = 1),
+             |c2 AS (SELECT p.vec_id, p.nid,
+             |  0.5 * p.s - 0.5 * (list_dot_product(cv.v, v1.v) / (cv.n * v1.n)) AS sc
+             |  FROM pool p
+             |  JOIN s1 ON s1.vec_id = p.vec_id AND p.nid <> s1.nid
+             |  JOIN nz cv ON cv.vec_id = p.nid
+             |  JOIN nz v1 ON v1.vec_id = s1.nid),
+             |s2 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, nid) AS rn
+             |  FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT p.vec_id, p.nid,
+             |  0.5 * p.s - 0.5 * greatest(
+             |    list_dot_product(cv.v, v1.v) / (cv.n * v1.n),
+             |    list_dot_product(cv.v, v2.v) / (cv.n * v2.n)) AS sc
+             |  FROM pool p
+             |  JOIN s1 ON s1.vec_id = p.vec_id AND p.nid <> s1.nid
+             |  JOIN s2 ON s2.vec_id = p.vec_id AND p.nid <> s2.nid
+             |  JOIN nz cv ON cv.vec_id = p.nid
+             |  JOIN nz v1 ON v1.vec_id = s1.nid
+             |  JOIN nz v2 ON v2.vec_id = s2.nid),
+             |s3 AS (SELECT vec_id, nid FROM (
+             |  SELECT vec_id, nid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, nid) AS rn
+             |  FROM c3) WHERE rn = 1)
+             |SELECT vec_id, CAST(1 AS BIGINT) AS pos, nid AS neighbor_id FROM s1
+             |UNION ALL SELECT vec_id, CAST(2 AS BIGINT), nid FROM s2
+             |UNION ALL SELECT vec_id, CAST(3 AS BIGINT), nid FROM s3""".stripMargin)),
+
+    // d123: the ANN-source MMR composition in the d61 exact geometry
+    // (1 table x 1 bit, probeFlips 1 — every pair is a candidate), so
+    // the ANN pool equals the exact pool and d103's oracle gates the
+    // whole candidates->pool->rounds path verbatim. The production-knob
+    // form of the same code path is bounded by MmrSpec.
+    Q("d123_mmr_ann_exact",
+      (s, d) => mmrRerankAnn(embeddings(s, d),
+        tables = 1, bitsPerTable = 1, probeFlips = 1),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |nz AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e
              |       WHERE list_dot_product(v, v) > 0),

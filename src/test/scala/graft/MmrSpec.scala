@@ -62,4 +62,34 @@ class MmrSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!picks.contains(q), s"query $q picked itself")
     }
   }
+
+  test("d123: ANN source in exact geometry equals the exact rerank") {
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val exact = Similarity.mmrRerank(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ann = Similarity.mmrRerankAnn(vecs,
+        tables = 1, bitsPerTable = 1, probeFlips = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ann == exact)
+  }
+
+  test("production-knob ANN rerank: bounded pick agreement vs exact") {
+    val vecs = graft.ops.Tables.embeddings(spark, sf)
+    val exact = Similarity.mmrRerank(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ann = Similarity.mmrRerankAnn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // same query universe (every nonzero vector reranks something)
+    assert(ann.keySet.map(_._1) == exact.keySet.map(_._1))
+    // pick agreement: the ANN pool's candidate recall bounds fidelity —
+    // at d08's measured recall (1.0 at sf0.001/sf0.1 per bench quality)
+    // the pools nearly coincide; require >= 90% positional agreement so
+    // a future knob/codepath regression that guts the candidate stream
+    // fails loudly without flaking on genuine boundary ties.
+    val common = exact.keySet.intersect(ann.keySet)
+    val agree = common.count(k => exact(k) == ann(k))
+    assert(common.nonEmpty)
+    assert(agree.toDouble / common.size >= 0.9,
+      s"positional agreement ${agree.toDouble / common.size}")
+  }
 }
