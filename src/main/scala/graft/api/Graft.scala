@@ -376,6 +376,14 @@ object Graft {
       maxBroadcastBytes: Long = 256L << 20): DataFrame =
     Similarity.mmrRerank(vecs, pool, lambda, maxBroadcastBytes)
 
+  /** [[mmrRerank]] fed by the ANN candidate stream — the sub-quadratic
+    * composition (candidate recall bounds pick fidelity; at the
+    * degenerate 1-table/1-bit/full-probe geometry it equals the exact
+    * rerank, which is how d123 gates it). Reads: vec_id, embedding. */
+  def mmrRerankAnn(vecs: DataFrame, pool: Int = 8, lambda: Double = 0.5,
+      tables: Int = 8, bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    Similarity.mmrRerankAnn(vecs, pool, lambda, tables, bitsPerTable, probeFlips)
+
   /** Affine per-vector int8 quantization of an embedding column — 4x
     * storage at a worst-case per-element error of (hi - lo)/510.
     * Reads: vec_id, embedding. Out: vec_id, lo, hi, codes ARRAY<INT>. */
@@ -944,6 +952,25 @@ object Graft {
       hashGrams: Boolean = false): DataFrame =
     Curation.dedupScrub(docs, n, hashGrams)
 
+  /** [[dupSpanIntervals]] at CHAR granularity — Lee et al. 2022's
+    * published ~50-byte ExactSubstr unit (default n = 30 chars):
+    * catches shared passages word grams miss (shorter than 5 words, or
+    * whitespace-variant copies whose token boundaries differ). Spans
+    * are 0-based inclusive CHAR offsets into the whitespace-collapsed
+    * lowercase text. `hashGrams = true` is the production mode (8-byte
+    * hashes through every shuffle). Reads: doc_id, text. */
+  def dupSpanIntervalsChars(docs: DataFrame, n: Int = 30,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.dupSpanIntervalsChars(docs, n, hashGrams)
+
+  /** The char-granularity scrub: every character under a
+    * [[dupSpanIntervalsChars]] interval cut, per-doc interval-fold
+    * rebuild (no per-char corpus explode), one row per input doc →
+    * (doc_id, clean_text, n_kept_chars). Reads: doc_id, text. */
+  def dedupScrubChars(docs: DataFrame, n: Int = 30,
+      hashGrams: Boolean = false): DataFrame =
+    Curation.dedupScrubChars(docs, n, hashGrams)
+
   /** Line-level boilerplate removal (CCNet/C4 style): drop every line
     * whose distinct-document frequency exceeds `maxDocFreq` (headers,
     * nav, cookie banners), rebuild documents from surviving lines in
@@ -1155,18 +1182,45 @@ object Graft {
     * (doc_id, n_tokens, shard_id) over the surviving docs — the
     * corpus-to-training-shards recipe, each stage the already-tested
     * operator. Reads: doc_id, text, n_chars on `docs` (plus lang when
-    * `dropPplTail`); doc_id, text on `evalDocs`. */
+    * `dropPplTail`); doc_id, text on `evalDocs`.
+    *
+    * `checkpointDir` is the per-stage RESUME SEAM (r09 verdict ask #7):
+    * every stage is a pure row FILTER of the (optionally scrubbed)
+    * input, so its full output reconstructs exactly as `base ⋉
+    * survivor-ids`. With a directory set, each enabled stage's survivor
+    * id-set is materialized under `<dir>/<stage>/ids` behind the
+    * [[graft.ops.IndexCommit]] marker (crash mid-write leaves the stage
+    * unmarked → recomputed; at 100 TB a failed stage-5 shard pack then
+    * resumes from the last COMMITTED stage instead of re-deriving five
+    * stages of lineage). A committed stage's computation is never even
+    * constructed (by-name seam). The id-sets encode the run's knobs
+    * implicitly — resume with the SAME parameters, or point a changed
+    * configuration at a fresh directory (the d54-gated default path,
+    * `checkpointDir = None`, is byte-identical to the seamless plan).
+    * TrainingShardsResumeSpec proves resumed == one-shot. */
   def trainingShards(docs: DataFrame, evalDocs: DataFrame,
       minWords: Long = 5, maxDupWordFrac: Double = 0.9,
       maxTopBigramFrac: Double = 0.5, maxSharedGrams: Long = 10,
       contaminationN: Int = 3, budget: Long = 2048,
       scrubPii: Boolean = false, maxDupSpanFrac: Double = 1.0,
       dupSpanN: Int = 5, hashGrams: Boolean = false,
-      dropPplTail: Boolean = false): DataFrame = {
+      dropPplTail: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     val base =
       if (scrubPii) docs.withColumn("text", Curation.scrubTextCol(col("text")))
       else docs
-    val deduped = dedupedCorpus(base)
+    def stage(name: String)(out: => DataFrame): DataFrame = checkpointDir match {
+      case None => out
+      case Some(root) =>
+        val spark = docs.sparkSession
+        val d = s"$root/$name"
+        if (!graft.ops.IndexCommit.isCommitted(spark, d))
+          graft.ops.IndexCommit.withGuard(spark, d) {
+            out.select(col("doc_id")).write.mode("overwrite").parquet(s"$d/ids")
+          }
+        base.join(spark.read.parquet(s"$d/ids"), Seq("doc_id"), "left_semi")
+    }
+    val deduped = stage("s1_dedup")(dedupedCorpus(base))
     val keepQuality = Curation.repetitionSignals(deduped)
       .where(col("n_words") >= minWords &&
         col("dup_word_count").cast("double") / col("n_words") <= maxDupWordFrac &&
@@ -1174,30 +1228,30 @@ object Graft {
             col("top_bigram_count").cast("double") / col("n_bigrams"))
           .otherwise(0.0) <= maxTopBigramFrac)
       .select(col("doc_id"))
-    val afterQuality = deduped.join(keepQuality, "doc_id")
+    val afterQuality = stage("s2_quality")(deduped.join(keepQuality, "doc_id"))
     val afterSpans =
       if (maxDupSpanFrac >= 1.0) afterQuality
-      else afterQuality.join(
+      else stage("s3_spans")(afterQuality.join(
         Curation.dupSpanStats(afterQuality, dupSpanN, hashGrams)
           .where(org.apache.spark.sql.functions.when(col("n_spans") > 0,
               col("dup_spans").cast("double") / col("n_spans"))
             .otherwise(0.0) <= maxDupSpanFrac)
           .select(col("doc_id")),
-        "doc_id")
+        "doc_id"))
     val afterPpl =
       if (!dropPplTail) afterSpans
-      else afterSpans.join(
+      else stage("s4_ppl")(afterSpans.join(
         Curation.pplBuckets(afterSpans).where(col("bucket") =!= "tail")
           .select(col("doc_id")),
-        "doc_id")
-    val contaminated = Curation.contaminationPairs(
+        "doc_id"))
+    def contaminated = Curation.contaminationPairs(
         afterPpl, evalDocs, contaminationN, hashGrams)
       .groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.functions.max(col("n_shared")).as("worst"))
       .where(col("worst") > maxSharedGrams)
       .select(col("doc_id"))
     Curation.packShards(
-      afterPpl.join(contaminated, Seq("doc_id"), "left_anti"),
+      stage("s5_decontam")(afterPpl.join(contaminated, Seq("doc_id"), "left_anti")),
       budget)
   }
 

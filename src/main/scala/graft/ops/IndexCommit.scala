@@ -49,6 +49,14 @@ private[graft] object IndexCommit {
     r
   }
 
+  /** Non-throwing committed check — resume seams (the trainingShards
+    * stage checkpoints) BRANCH on marker presence (recompute vs serve)
+    * rather than failing closed the way index readers must. */
+  def isCommitted(spark: SparkSession, dir: String): Boolean = {
+    val (fs, m) = markerAt(spark, dir)
+    fs.exists(m)
+  }
+
   /** Fail closed when `dir` holds no complete committed write. */
   def requireCommitted(spark: SparkSession, dir: String, reading: String): Unit = {
     val (fs, m) = markerAt(spark, dir)
