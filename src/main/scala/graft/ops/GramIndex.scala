@@ -32,64 +32,24 @@ import Tables._
   *    per-delta probe join shuffles only the delta;
   *  - the index is never materialized driver-side.
   */
-object GramIndex {
+object GramIndex extends PersistedIndex {
 
-  /** Derive `docs` (doc_id, text)'s bigram vocabulary and persist the
-    * index under `dir`. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+  /** Lifecycle is [[PersistedIndex]]'s. Vocabulary union is
+    * idempotent (set semantics), so unlike the count-fact families
+    * there is no disjointness precondition: `disjointIdCol = None`
+    * makes `append(checkDisjoint = true)` a documented no-op. */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("grams"),
+      (docs, _, _) => Corpus.bigramVocab(docs)))
 
-  /** Incrementally add documents' bigrams to a saved index. Vocabulary
-    * union is idempotent, so unlike the count-fact indexes there is no
-    * disjointness precondition to enforce. */
-  def append(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/grams"),
-      overwriteAll = false)
-
-  /** Continuously index a streaming (doc_id, text) frame; a replayed
-    * micro-batch overwrites its own partitions (exactly-once per
-    * batch). Don't mix concurrent [[append]] and [[ingest]] on one
-    * index: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(Corpus.bigramVocab(docs), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", IndexCommit.overwriteMode(overwriteAll))
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/grams")
-    }
-  }
+  override protected def disjointIdCol: Option[String] = None
 
   /** Rewrite a fragmented index as a single-generation snapshot under
     * `dst` — see [[IndexCommit.compactTo]]. Cross-batch duplicate
     * hashes are additionally collapsed (set semantics make the dedup a
     * pure layout change). */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit = {
-    IndexCommit.requireCommitted(spark, src, "compactTo")
-    // qualified comparison, same as IndexCommit.compactTo — a raw Path
-    // compare lets a relative-vs-absolute alias of the SAME directory
-    // through, and the lazy read-while-overwrite below would then
-    // destroy the only copy of the index
-    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
-      fs.makeQualified(new org.apache.hadoop.fs.Path(dst)),
-      "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
-      "would overwrite the files it is reading")
-    IndexCommit.withGuard(spark, dst) {
+  override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    compactGuarded(spark, src, dst) {
       IndexCommit.stamped(
           spark.read.parquet(s"$src/grams").select(col("gram_hash")).distinct(),
           -1L)
@@ -97,7 +57,6 @@ object GramIndex {
         .option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/grams")
     }
-  }
 
   /** The indexed vocabulary as a (gram_hash) frame — distinct on read
     * across however many batches accumulated. */

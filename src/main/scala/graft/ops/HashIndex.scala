@@ -54,7 +54,7 @@ import Tables._
   *    corpus size, and whose reconstitution is guarded by an explicit
   *    batch-count bound ([[MaxBloomBatches]]; compaction resets it).
   */
-object HashIndex {
+object HashIndex extends PersistedIndex {
 
   /** Default per-batch Bloom capacity (distinct hashes the filter is
     * sized for). A batch larger than this still indexes correctly —
@@ -72,61 +72,22 @@ object HashIndex {
   private def hashed(docs: DataFrame): DataFrame =
     docs.select(md5(col("text")).as("content_hash"), col("doc_id"))
 
-  /** Hash `docs` (doc_id, text) and persist the index under `dir`. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
-
-  /** Incrementally hash additional documents into a saved index
-    * (doc_ids must be new — `checkDisjoint` verifies and refuses the
-    * batch on overlap; duplicate TEXT is of course allowed, that is
-    * the point of the index). */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/hashes", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/hashes"),
-      overwriteAll = false)
-  }
-
-  /** Continuously index a streaming (doc_id, text) frame; a replayed
-    * micro-batch overwrites its own partitions (exactly-once per
-    * batch). Don't mix concurrent [[append]] and [[ingest]] on one
-    * index: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    IndexCommit.withGuard(spark, dir) {
-      val mode = IndexCommit.overwriteMode(overwriteAll)
-      IndexCommit.stamped(hashed(docs), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/hashes")
-      // Sketch the batch from the parquet JUST WRITTEN — a narrow long
-      // re-read of the compact hash column, cheaper than re-hashing the
-      // batch text (and by construction exactly the rows that landed).
-      val bloom = buildBloom(spark.read.parquet(s"$dir/hashes")
-        .where(col(IndexCommit.BatchCol) === batchId))
-      import spark.implicits._
-      IndexCommit.stamped(
-        Seq((bloom, BloomCapacity, BloomFpp)).toDF("bloom", "capacity", "fpp"),
-        batchId)
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/bloom")
-    }
-  }
+  /** Lifecycle is [[PersistedIndex]]'s: content hashes, then the bloom
+    * sidecar sketched from the parquet JUST WRITTEN — a narrow long
+    * re-read of the compact hash column, cheaper than re-hashing the
+    * batch text (and by construction exactly the rows that landed). */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("hashes"),
+      (docs, _, _) => hashed(docs)),
+    BatchTable(IndexCommit.TableSpec("bloom"),
+      (docs, dir, batchId) => {
+        val spark = docs.sparkSession
+        val bloom = buildBloom(spark.read.parquet(s"$dir/hashes")
+          .where(col(IndexCommit.BatchCol) === batchId))
+        import spark.implicits._
+        Seq((bloom, BloomCapacity, BloomFpp)).toDF("bloom", "capacity", "fpp")
+      },
+      singleFile = true))
 
   /** One serialized Bloom filter over `xxhash64(content_hash)` of the
     * given index rows. Built with a per-partition filter + driver OR
@@ -174,9 +135,7 @@ object HashIndex {
     * file fan-out. Crash-safe: the fold is a second guarded write over
     * `dst` — an interruption leaves `dst` either unmarked (fail-closed)
     * or marked with the still-correct per-batch rows. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit = {
-    IndexCommit.compactTo(spark, src, dst,
-      Seq(IndexCommit.TableSpec("hashes"), IndexCommit.TableSpec("bloom")))
+  override protected def compactExtra(spark: SparkSession, dst: String): Unit = {
     val folded = mergedBloom(spark, dst)
     // preserve the SOURCE config — the merged bitset has its width
     val cfg = spark.read.parquet(s"$dst/bloom")

@@ -59,7 +59,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * by construction (LexIndexSpec asserts it; d39 hash-gates it against
   * d38's DuckDB oracle).
   */
-object LexIndex {
+object LexIndex extends PersistedIndex {
 
   /** Directory fan-out of the postings table. 64 keeps listing cheap at
     * test scale; at corpus scale raise it so each bucket's posting files
@@ -72,70 +72,20 @@ object LexIndex {
     Corpus.termStream(docs)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  /** One write batch: postings then batch-derived docstats, bracketed by
-    * the consistency marker. `overwriteAll` = full rebuild (static
-    * overwrite replaces the whole table); otherwise dynamic partition
-    * overwrite touches only this batch's `ingest_batch=B` partitions —
-    * re-running a batch id is idempotent. */
-  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val mode = IndexCommit.overwriteMode(overwriteAll)
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(postings(docs), batchId)
-        .withColumn("bucket", bucketCol)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol, "bucket").parquet(s"$dir/postings")
-      IndexCommit.stamped(
-        spark.read.parquet(s"$dir/postings")
-          .where(col(IndexCommit.BatchCol) === batchId) // partition-pruned read-back
-          .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
-        batchId)
-        .write.mode("overwrite").option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/docstats")
-    }
-  }
+  /** Lifecycle is [[PersistedIndex]]'s: postings then batch-derived
+    * docstats (partition-pruned read-back of the just-written postings
+    * — the term pass runs once). Disjointness probes docstats, the
+    * narrow per-doc side table. */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("postings", Seq("bucket")),
+      (docs, _, _) => postings(docs).withColumn("bucket", bucketCol),
+      clusterWrite = true),
+    BatchTable(IndexCommit.TableSpec("docstats"),
+      (docs, dir, batchId) => docs.sparkSession.read.parquet(s"$dir/postings")
+        .where(col(IndexCommit.BatchCol) === batchId)
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))))
 
-  /** Build the index from scratch. In: (doc_id, text). */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
-
-  /** Incrementally index additional documents (doc_ids must be new —
-    * `checkDisjoint` verifies that against the saved docstats with a
-    * semi-join and refuses the batch on overlap, at the cost of one
-    * narrow docstats scan). */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/docstats", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/postings"),
-      overwriteAll = false)
-  }
-
-  /** Continuous ingestion: index every micro-batch of the streaming
-    * (doc_id, text) frame under its checkpointed batch id. Failure
-    * recovery replays the last uncommitted batch with the SAME id, whose
-    * dynamic-overwrite write replaces any partial output — each batch's
-    * documents land exactly once. */
-  def ingest(docs: DataFrame, dir: String, checkpoint: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  /** Rewrite a fragmented index (one `ingest_batch=B` partition per past
-    * [[append]]/[[ingest]] batch) as a single-generation snapshot under
-    * `dst` — see [[IndexCommit.compactTo]] for the crash-safety and
-    * serving model. Postings stay bucket-partitioned, so searches prune
-    * identically; they just list one batch directory instead of B. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
-    IndexCommit.compactTo(spark, src, dst, Seq(
-      IndexCommit.TableSpec("postings", Seq("bucket")),
-      IndexCommit.TableSpec("docstats")))
+  override protected def disjointTable: String = "docstats"
 
   /** Top-`k` documents for `terms` under Okapi BM25, served from the
     * saved index. The driver-side collect is the ≤ |terms| bucket ids —

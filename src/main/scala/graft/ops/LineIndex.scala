@@ -34,63 +34,20 @@ import Tables._
   *    and feeds only the ABOVE-THRESHOLD survivors — few distinct
   *    strings by boilerplate's nature — into the broadcast anti-join;
   *  - the index is never materialized driver-side. */
-object LineIndex {
+object LineIndex extends PersistedIndex {
 
-  /** Count `docs` (doc_id, text) and persist the index under `dir`. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+  /** Lifecycle is [[PersistedIndex]]'s: per-batch line doc-frequency
+    * facts (additive across DOCUMENT-disjoint batches — re-counting a
+    * doc would double its lines, hence the docids disjointness table).
+    * Compaction keeps per-original-batch linedf rows (they stay
+    * additive); only the partition layout collapses. */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("linedf"),
+      (docs, _, _) => Curation.lineDocFreq(docs)),
+    BatchTable(IndexCommit.TableSpec("docids"),
+      (docs, _, _) => docs.select(col("doc_id")).distinct()))
 
-  /** Incrementally count additional documents into a saved index.
-    * Batches must be DOCUMENT-disjoint with everything already indexed
-    * (else their lines double-count); `checkDisjoint` verifies against
-    * the saved `docids` table and refuses the batch on overlap. */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/docids", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/linedf"),
-      overwriteAll = false)
-  }
-
-  /** Continuously index a streaming (doc_id, text) frame; a replayed
-    * micro-batch overwrites its own partitions (exactly-once per
-    * batch). Don't mix concurrent [[append]] and [[ingest]] on one
-    * index: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val mode = IndexCommit.overwriteMode(overwriteAll)
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(Curation.lineDocFreq(docs), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/linedf")
-      IndexCommit.stamped(docs.select(col("doc_id")).distinct(), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/docids")
-    }
-  }
-
-  /** Rewrite a fragmented index as a single-generation snapshot under
-    * `dst` — see [[IndexCommit.compactTo]]. The compacted `linedf`
-    * still carries per-original-batch rows (they stay additive); only
-    * the partition layout collapses. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
-    IndexCommit.compactTo(spark, src, dst, Seq(
-      IndexCommit.TableSpec("linedf"),
-      IndexCommit.TableSpec("docids")))
+  override protected def disjointTable: String = "docids"
 
   /** Total distinct-document frequency per line hash across all indexed
     * batches — (line_hash, df), the frozen counts [[scrubAgainst]]

@@ -31,52 +31,18 @@ import org.apache.spark.sql.functions._
   * out, never corpus-sized. [[compactTo]] merges the accumulated
   * batches into a single generation when the batch fan-out grows.
   */
-object LmIndex {
+object LmIndex extends PersistedIndex {
 
-  /** Count `docs` (doc_id, text) and persist the model under `dir`,
-    * replacing anything there. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+  /** Lifecycle is [[PersistedIndex]]'s: per-batch token counts plus the
+    * doc-id side table (which exists solely so `append(checkDisjoint =
+    * true)` can refuse already-counted docs). */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("counts"),
+      (docs, _, _) => Curation.tokenCounts(docs)),
+    BatchTable(IndexCommit.TableSpec("docs"),
+      (docs, _, _) => docs.select(col("doc_id"))))
 
-  /** Add a new batch's counts to a saved model. `checkDisjoint`
-    * verifies none of the batch's doc_ids were already counted and
-    * refuses the batch otherwise. */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/docs", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/counts"),
-      overwriteAll = false)
-  }
-
-  /** Continuously grow the model from a streaming (doc_id, text) frame;
-    * a replayed micro-batch overwrites its own partitions (exactly-once
-    * per batch). Don't mix concurrent [[append]] and [[ingest]] on one
-    * model: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val mode = IndexCommit.overwriteMode(overwriteAll)
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(Curation.tokenCounts(docs), batchId)
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/counts")
-      IndexCommit.stamped(docs.select(col("doc_id")), batchId)
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/docs")
-    }
-  }
+  override protected def disjointTable: String = "docs"
 
   /** The merged (token, cnt) view of all ingested batches. */
   def counts(spark: SparkSession, dir: String): DataFrame = {
@@ -99,15 +65,8 @@ object LmIndex {
     * and strictly smaller than restamping. Crash-safe by the marker
     * protocol: an interrupted compaction leaves `dst` unmarked (readers
     * fail closed) and `src` untouched. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit = {
-    IndexCommit.requireCommitted(spark, src, "compactTo")
-    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
-      fs.makeQualified(new org.apache.hadoop.fs.Path(dst)),
-      "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
-      "would overwrite the files it is reading")
-    IndexCommit.withGuard(spark, dst) {
+  override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    compactGuarded(spark, src, dst) {
       IndexCommit.stamped(
           spark.read.parquet(s"$src/counts")
             .groupBy(col("token")).agg(sum(col("cnt")).as("cnt")), -1L)
@@ -118,5 +77,4 @@ object LmIndex {
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/docs")
     }
-  }
 }

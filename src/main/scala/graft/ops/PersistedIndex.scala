@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared lifecycle of the persisted document-keyed index families
+  * (Sketch/Lex/Lm/Hash/Line/Gram/Phrase/SimHash — r09 verdict ask #8).
+  * Before this trait each family re-declared save/append/ingest/
+  * writeBatch/compactTo around [[IndexCommit]] (~40 near-identical
+  * methods repo-wide), so a lifecycle fix (the r10 qualified-path
+  * compaction guard) had to be found and applied once per family. Now
+  * the behavior is written once and each family declares only its DATA:
+  * an ordered [[BatchTable]] layout — table spec, per-batch fact
+  * builder, write shaping — plus optional hooks.
+  *
+  * The protocol (unchanged — PersistedIndexSpec gates it once for all
+  * families, the per-family specs keep gating their serving paths):
+  *  - [[save]]: full rebuild, batch −1, static overwrite of all tables.
+  *  - [[append]]: next free batch id from the LEAD table's directory
+  *    listing; optional disjointness check of the arriving ids against
+  *    the lead table; dynamic overwrite = replaying a failed batch id
+  *    replaces its own partitions idempotently.
+  *  - [[ingest]]: foreachBatch streaming of the same write path (don't
+  *    mix with concurrent append — both allocate batch ids).
+  *  - every multi-table write is bracketed by the [[IndexCommit]]
+  *    marker: readers fail closed on an interrupted write.
+  *  - [[compactTo]]: generation rewrite into a DIFFERENT directory
+  *    (qualified-path-checked) via [[IndexCommit.compactTo]], plus a
+  *    per-family [[compactExtra]] (HashIndex folds its bloom sidecar);
+  *    families whose compaction is a semantic MERGE rather than a
+  *    restamp (LmIndex sums counts, GramIndex dedups grams) override
+  *    [[compactTo]] inside the shared [[compactGuarded]] bracket.
+  */
+trait PersistedIndex {
+
+  /** One persisted table: its [[IndexCommit.TableSpec]] (name +
+    * partition columns, reused verbatim by compaction), how to build a
+    * batch's rows — `build(docs, dir, batchId)` may read BACK a table
+    * written earlier in the same guard (Sketch derives buckets, Lex
+    * docstats, Hash its bloom from the just-written parquet, so the
+    * expensive doc pass runs once) — and write shaping:
+    * `clusterWrite` repartitions by the partition columns so each
+    * write task hits one directory (64-bucket posting layouts);
+    * `singleFile` coalesces to one file (driver-built sketch rows). */
+  protected final case class BatchTable(
+      spec: IndexCommit.TableSpec,
+      build: (DataFrame, String, Long) => DataFrame,
+      clusterWrite: Boolean = false,
+      singleFile: Boolean = false)
+
+  /** Ordered table layout; the FIRST table allocates batch ids and is
+    * the disjointness target. */
+  protected def batchTables: Seq[BatchTable]
+
+  /** Id column checked by `append(checkDisjoint = true)`; None =
+    * set-semantics family (Gram — duplicate facts are harmless by
+    * construction), the check is then a no-op. */
+  protected def disjointIdCol: Option[String] = Some("doc_id")
+
+  /** Table the disjointness semi-join probes — the lead table by
+    * default; families with a narrow per-doc side table (Lex docstats,
+    * Line/Phrase docids, Lm docs) point here so the check scans ids,
+    * not the fact table. */
+  protected def disjointTable: String = leadTable
+
+  private def leadTable: String = batchTables.head.spec.name
+
+  /** Build the index from scratch (full rebuild semantics). */
+  def save(docs: DataFrame, dir: String): Unit =
+    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
+
+  /** Incrementally index an additional batch under its own
+    * `ingest_batch` partitions. */
+  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
+    if (checkDisjoint)
+      disjointIdCol.foreach(c =>
+        IndexCommit.requireDisjoint(docs, s"$dir/$disjointTable", c))
+    writeBatch(docs, dir,
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/$leadTable"),
+      overwriteAll = false)
+  }
+
+  /** Continuously index a streaming frame; a replayed micro-batch
+    * overwrites its own partitions (exactly-once per batch). */
+  def ingest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+      }
+      .start()
+
+  /** One write batch under the [[IndexCommit]] protocol. */
+  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val mode = IndexCommit.overwriteMode(overwriteAll)
+    IndexCommit.withGuard(spark, dir) {
+      batchTables.foreach { bt =>
+        val out = IndexCommit.stamped(bt.build(docs, dir, batchId), batchId)
+        val shaped =
+          if (bt.singleFile) out.coalesce(1)
+          else if (bt.clusterWrite && bt.spec.partitionCols.nonEmpty)
+            out.repartition(bt.spec.partitionCols.map(col): _*)
+          else out
+        shaped.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", mode)
+          .partitionBy((IndexCommit.BatchCol +: bt.spec.partitionCols): _*)
+          .parquet(s"$dir/${bt.spec.name}")
+      }
+    }
+  }
+
+  /** Rewrite a fragmented index (one `ingest_batch=B` partition per
+    * past batch) as a single-generation snapshot under `dst` — see
+    * [[IndexCommit.compactTo]] for the crash-safety/serving model. */
+  def compactTo(spark: SparkSession, src: String, dst: String): Unit = {
+    IndexCommit.compactTo(spark, src, dst, batchTables.map(_.spec))
+    compactExtra(spark, dst)
+  }
+
+  /** Post-copy compaction hook (second guarded write over `dst`). */
+  protected def compactExtra(spark: SparkSession, dst: String): Unit = ()
+
+  /** Shared bracket for compactTo overrides that MERGE instead of
+    * restamp: committed-source check, qualified-path src != dst guard,
+    * marker guard around `body`'s writes into `dst`. */
+  protected final def compactGuarded(spark: SparkSession, src: String,
+      dst: String)(body: => Unit): Unit = {
+    IndexCommit.requireCommitted(spark, src, "compactTo")
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dst)),
+      "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
+      "would overwrite the files it is reading")
+    IndexCommit.withGuard(spark, dst)(body)
+  }
+}

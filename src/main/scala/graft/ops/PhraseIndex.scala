@@ -37,7 +37,7 @@ import Tables._
   *    join fans out only docs containing EVERY query term;
   *  - the index is never materialized driver-side.
   */
-object PhraseIndex {
+object PhraseIndex extends PersistedIndex {
 
   private val Buckets = 64
 
@@ -49,63 +49,18 @@ object PhraseIndex {
       .agg(sort_array(collect_list(col("p") + 1)).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(Buckets)))
 
-  /** Tokenize `docs` (doc_id, text) and persist the index under `dir`. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
-
-  /** Incrementally index additional documents. Batches must be
-    * DOCUMENT-disjoint with everything already indexed (per-(term, doc)
-    * facts would duplicate); `checkDisjoint` verifies and refuses the
-    * batch on overlap. */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/docids", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/postings"),
-      overwriteAll = false)
-  }
-
-  /** Continuously index a streaming (doc_id, text) frame; a replayed
-    * micro-batch overwrites its own partitions (exactly-once per
-    * batch). Don't mix concurrent [[append]] and [[ingest]] on one
-    * index: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val mode = IndexCommit.overwriteMode(overwriteAll)
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(postings(docs), batchId)
-        // cluster by target partition so each write task hits one
-        // bucket directory instead of all 64
-        .repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol, "bucket").parquet(s"$dir/postings")
-      IndexCommit.stamped(docs.select(col("doc_id")).distinct(), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/docids")
-    }
-  }
-
-  /** Rewrite a fragmented index as a single-generation snapshot under
-    * `dst` — see [[IndexCommit.compactTo]]. Postings stay
+  /** Lifecycle is [[PersistedIndex]]'s: positional postings
+    * (cluster-written so each task hits one bucket directory instead of
+    * all 64) plus the docids disjointness table — per-(term, doc) facts
+    * would duplicate on overlapping batches. Compacted postings stay
     * bucket-partitioned, so searches prune identically. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
-    IndexCommit.compactTo(spark, src, dst, Seq(
-      IndexCommit.TableSpec("postings", Seq("bucket")),
-      IndexCommit.TableSpec("docids")))
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("postings", Seq("bucket")),
+      (docs, _, _) => postings(docs), clusterWrite = true),
+    BatchTable(IndexCommit.TableSpec("docids"),
+      (docs, _, _) => docs.select(col("doc_id")).distinct()))
+
+  override protected def disjointTable: String = "docids"
 
   /** Documents containing the literal `phrase`, with occurrence counts
     * — [[Corpus.phraseMatch]]'s exact schema/answers served from the

@@ -28,53 +28,14 @@ import Tables._
   *  - signature recompute from the stored 16-byte rows is a narrow
   *    projection — no corpus text is ever stored or shuffled;
   *  - the index is never materialized driver-side. */
-object SimHashIndex {
+object SimHashIndex extends PersistedIndex {
 
-  /** Sketch `docs` (doc_id, text) and persist the index under `dir`. */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
-
-  /** Incrementally sketch additional documents (doc_ids must be new
-    * under `checkDisjoint` — duplicate signature rows would duplicate
-    * served pairs). */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/signatures", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/signatures"),
-      overwriteAll = false)
-  }
-
-  /** Continuously sketch a streaming (doc_id, text) frame (exactly-once
-    * per micro-batch). Don't mix concurrent [[append]] and [[ingest]]
-    * on one index: both allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  private def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(Corpus.simhashSignatures(docs), batchId)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", IndexCommit.overwriteMode(overwriteAll))
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/signatures")
-    }
-  }
-
-  /** Rewrite a fragmented index as a single-generation snapshot under
-    * `dst` — see [[IndexCommit.compactTo]]. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
-    IndexCommit.compactTo(spark, src, dst,
-      Seq(IndexCommit.TableSpec("signatures")))
+  /** Lifecycle is [[PersistedIndex]]'s: one 16-byte row per doc (the
+    * 64-bit signature) — batches must be doc-disjoint (a re-sketched
+    * doc would pair with itself at hamming 0). */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("signatures"),
+      (docs, _, _) => Corpus.simhashSignatures(docs)))
 
   /** CROSS near-dup pairs between the indexed corpus and an arriving
     * batch at hamming ≤ `maxHamming`: (doc_a indexed, doc_b new,

@@ -36,73 +36,20 @@ import org.apache.spark.sql.types._
   *    same code path as d06, so emitted pairs carry the same exact
   *    (inter_size, union_size) contract at Jaccard >= 0.8.
   */
-object SketchIndex {
+object SketchIndex extends PersistedIndex {
 
-  /** Sketch `docs` (doc_id, text) and persist the index under `dir`.
-    * The bucket table is derived from the just-written sketches parquet,
-    * not from the in-memory lineage — the gram+minhash UDF pass over the
-    * corpus runs exactly once (re-running it for buckets would double the
-    * dominant cost of index construction). */
-  def save(docs: DataFrame, dir: String): Unit =
-    writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
-
-  /** Incrementally sketch additional documents into a saved index
-    * (doc_ids must be new — `checkDisjoint` verifies against the saved
-    * sketches and refuses the batch on overlap). */
-  def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
-    if (checkDisjoint)
-      IndexCommit.requireDisjoint(docs, s"$dir/sketches", "doc_id")
-    writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/sketches"),
-      overwriteAll = false)
-  }
-
-  /** Continuously index a streaming (doc_id, text) frame; a replayed
-    * micro-batch overwrites its own partitions (exactly-once per batch).
-    * Don't mix concurrent [[append]] and [[ingest]] on one index: both
-    * allocate batch ids and could collide. */
-  def ingest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
-      }
-      .start()
-
-  /** One write batch under the [[IndexCommit]] protocol: sketches then
-    * read-back-derived buckets inside the marker guard; incremental
-    * batches land under their own `ingest_batch=B` partitions (dynamic
-    * overwrite — re-running a batch id is idempotent), a full rebuild
-    * replaces both tables. */
-  private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
-      overwriteAll: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val mode = IndexCommit.overwriteMode(overwriteAll)
-    IndexCommit.withGuard(spark, dir) {
-      IndexCommit.stamped(Similarity.sketchTable(docs), batchId)
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol).parquet(s"$dir/sketches")
-      IndexCommit.stamped(
-        Similarity.bandBuckets(
-          spark.read.parquet(s"$dir/sketches")
-            .where(col(IndexCommit.BatchCol) === batchId)),
-        batchId)
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", mode)
-        .partitionBy(IndexCommit.BatchCol, "band").parquet(s"$dir/buckets")
-    }
-  }
-
-  /** Rewrite a fragmented index (one `ingest_batch=B` partition per past
-    * [[append]]/[[ingest]] batch) as a single-generation snapshot under
-    * `dst` — see [[IndexCommit.compactTo]] for the crash-safety and
-    * serving model. */
-  def compactTo(spark: SparkSession, src: String, dst: String): Unit =
-    IndexCommit.compactTo(spark, src, dst, Seq(
-      IndexCommit.TableSpec("sketches"),
-      IndexCommit.TableSpec("buckets", Seq("band"))))
+  /** Lifecycle is [[PersistedIndex]]'s. The bucket table is derived
+    * from the just-written sketches parquet, not from the in-memory
+    * lineage — the gram+minhash UDF pass over the corpus runs exactly
+    * once (re-running it for buckets would double the dominant cost of
+    * index construction). */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("sketches"),
+      (docs, _, _) => Similarity.sketchTable(docs)),
+    BatchTable(IndexCommit.TableSpec("buckets", Seq("band")),
+      (docs, dir, batchId) => Similarity.bandBuckets(
+        docs.sparkSession.read.parquet(s"$dir/sketches")
+          .where(col(IndexCommit.BatchCol) === batchId))))
 
   /** Near-duplicate pairs (exact Jaccard >= 0.8 over char-3-gram sets)
     * between `newDocs` (doc_id, text) and the indexed corpus. Emitted as

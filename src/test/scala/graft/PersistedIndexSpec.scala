@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** The SHARED lifecycle contract of the eight persisted document-keyed
+  * index families, tested once over the [[PersistedIndex]] trait (r09
+  * ask #8). The per-family specs keep gating their serving paths; this
+  * spec pins the protocol itself — so a lifecycle bug (like the
+  * GramIndex compaction-guard alias the r9 review caught in ONE family)
+  * can no longer exist in some families and not others.
+  */
+class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("persisted-index-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsA: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+  }
+  private def docsB: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (10L, "entirely new content arrives in batch two"),
+      (11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+  }
+
+  /** name, family, lead table, whether append enforces id-disjointness,
+    * and how to normalize the lead table's logical content for the
+    * compaction-preservation check (default: row set minus the batch
+    * stamp; LmIndex merges counts on compaction, so it compares the
+    * per-token sums). */
+  private case class Fam(name: String, idx: PersistedIndex, lead: String,
+      disjoint: Boolean = true,
+      normalize: DataFrame => Set[String] = df =>
+        df.drop(IndexCommit.BatchCol).collect().map(_.mkString("|")).toSet)
+
+  private lazy val families = Seq(
+    Fam("sketch", SketchIndex, "sketches"),
+    Fam("lex", LexIndex, "postings"),
+    Fam("lm", LmIndex, "counts",
+      normalize = df => df.groupBy(col("token")).agg(sum(col("cnt")).as("c"))
+        .collect().map(_.mkString("|")).toSet),
+    Fam("hash", HashIndex, "hashes"),
+    Fam("line", LineIndex, "linedf"),
+    Fam("gram", GramIndex, "grams", disjoint = false),
+    Fam("phrase", PhraseIndex, "postings"),
+    Fam("simhash", SimHashIndex, "signatures"))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pidx_$tag").toString
+
+  families.foreach { f =>
+    test(s"${f.name}: save+append commit, batches land additively") {
+      val dir = tmp(f.name)
+      f.idx.save(docsA, dir)
+      assert(IndexCommit.isCommitted(spark, dir))
+      f.idx.append(docsB, dir)
+      assert(IndexCommit.isCommitted(spark, dir))
+      val batches = spark.read.parquet(s"$dir/${f.lead}")
+        .select(col(IndexCommit.BatchCol)).distinct().count()
+      assert(batches == 2L, s"expected save+append batches, got $batches")
+    }
+
+    test(s"${f.name}: replaying an append batch id is idempotent") {
+      val dir = tmp(f.name)
+      f.idx.save(docsA, dir)
+      f.idx.writeBatch(docsB, dir, batchId = 0L, overwriteAll = false)
+      val once = spark.read.parquet(s"$dir/${f.lead}").count()
+      f.idx.writeBatch(docsB, dir, batchId = 0L, overwriteAll = false)
+      assert(spark.read.parquet(s"$dir/${f.lead}").count() == once)
+    }
+
+    test(s"${f.name}: checkDisjoint ${if (f.disjoint) "refuses overlapping ids"
+        else "is a set-semantics no-op"}") {
+      val dir = tmp(f.name)
+      f.idx.save(docsA, dir)
+      if (f.disjoint)
+        assertThrows[IllegalArgumentException] {
+          f.idx.append(docsA, dir, checkDisjoint = true)
+        }
+      else f.idx.append(docsA, dir, checkDisjoint = true) // must not throw
+    }
+
+    test(s"${f.name}: an interrupted write leaves the index uncommitted") {
+      val dir = tmp(f.name)
+      f.idx.save(docsA, dir)
+      val m = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+      assert(!IndexCommit.isCommitted(spark, dir))
+    }
+
+    test(s"${f.name}: compaction preserves content and commits dst") {
+      val dir = tmp(f.name)
+      f.idx.save(docsA, dir)
+      f.idx.append(docsB, dir)
+      val dst = tmp(s"${f.name}_dst")
+      f.idx.compactTo(spark, dir, dst)
+      assert(IndexCommit.isCommitted(spark, dst))
+      assert(f.normalize(spark.read.parquet(s"$dst/${f.lead}")) ==
+        f.normalize(spark.read.parquet(s"$dir/${f.lead}")))
+    }
+
+    test(s"${f.name}: compactTo refuses a relative alias of the source") {
+      // the bug class the r9 review caught in GramIndex alone: a
+      // relative path and its absolute form name the SAME directory; an
+      // unqualified compare lets the lazy read-while-overwrite destroy
+      // the only copy. Qualified comparison must refuse — in EVERY
+      // family, which is the point of the shared trait.
+      val rel = s"pidx_alias_${f.name}"
+      val abs = new java.io.File(rel).getAbsolutePath
+      try {
+        f.idx.save(docsA, rel)
+        assertThrows[IllegalArgumentException] {
+          f.idx.compactTo(spark, rel, abs)
+        }
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(abs)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+}
