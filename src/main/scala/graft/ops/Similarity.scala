@@ -1039,7 +1039,12 @@ object Similarity {
     // the pool once) — left as lineage, the N^2 candidate scan would
     // re-execute once per structural occurrence (7x at 3 rounds;
     // measured 3.2 s vs 0.9 s for the d07 baseline at sf0.1). The
-    // bounded frames are persist()ed so each computes exactly once,
+    // bounded frames are persist()ed and materialized IN ORDER (the
+    // count() calls — a lazy cache would let the final union's three
+    // branches race and recompute the N^2 scan concurrently before the
+    // cache fills; A/B-measured equal to the old eager-localCheckpoint
+    // sequencing at sf0.1: ~2.5 s warm both ways) so each computes
+    // exactly once,
     // then RELEASED before returning: the final union is eagerly pinned
     // (queries x 3 rows — tiny) and the intermediates unpersisted, so
     // repeated calls in a long-lived session don't accumulate
@@ -1051,6 +1056,7 @@ object Similarity {
         explode(arrays_zip(col("t.sims").as("s"), col("t.ids").as("nid"))).as("z"))
       .select(col("vec_id"), col("z.s").as("s"), col("z.nid").as("nid"))
       .persist()
+    pooled.count()
     val cvec = withNorm
       .select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
 
@@ -1068,12 +1074,14 @@ object Similarity {
 
     // round 1: empty selected set, the penalty term vanishes — argmax s
     val sel1 = argmaxPick(pooled, col("s")).persist()
+    sel1.count()
     val cand2 = pooled
       .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
       .where(col("nid") =!= col("nid1"))
       .join(cvec, "nid").join(selVec(sel1, "1"), "vec_id")
     val sel2 = argmaxPick(cand2, lam * col("s") - om * penalty("1"))
       .persist()
+    sel2.count()
     val cand3 = pooled
       .join(sel1.withColumnRenamed("nid", "nid1"), "vec_id")
       .join(sel2.withColumnRenamed("nid", "nid2"), "vec_id")
