@@ -320,6 +320,14 @@ object Graft {
   def rollingActiveUsers(events: DataFrame, window: Int = 7): DataFrame =
     graft.ops.Events.rollingActiveUsers(events, window)
 
+  /** Daily-volume anomaly detection: each day's event count z-scored
+    * against the trailing `window`-day baseline (current day excluded);
+    * |z| > 2 flags is_anomaly — the scraper-outage / bot-flood monitor.
+    * Out: (day, n_events, base_n, base_mean, base_std, z, is_anomaly).
+    * Reads: ts_us. */
+  def dailyAnomalies(events: DataFrame, window: Int = 7): DataFrame =
+    graft.ops.Events.dailyAnomalies(events, window)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact
@@ -872,6 +880,15 @@ object Graft {
 
   def stratifiedSample(docs: DataFrame, strata: String = "lang", k: Int = 20): DataFrame =
     Curation.stratifiedSample(docs, strata, k)
+
+  /** Deterministic WEIGHTED stratified sample (Efraimidis-Spirakis via
+    * md5 ticket races — P(first pick) = w/Σw exactly, reproducible and
+    * oracle-replayable): k winners per stratum, weight = word count
+    * capped at `maxWeight`. Out: (doc_id, <strata>, sample_rank).
+    * Reads: doc_id, text, <strata>. */
+  def weightedSample(docs: DataFrame, strata: String = "source", k: Int = 20,
+      maxWeight: Int = 64): DataFrame =
+    Curation.weightedSample(docs, strata, k, maxWeight)
 
   /** Deterministic global shuffle order: 1-based position of each doc in
     * the md5(seed:doc_id) permutation of the corpus — the reproducible

@@ -618,6 +618,45 @@ object Curation {
         (col("pos") + 1).cast(LongType).as("sample_rank"))
   }
 
+  /** Deterministic WEIGHTED stratified sample (d125) — Efraimidis &
+    * Spirakis 2006's weighted reservoir, derandomized the d21 way:
+    * each doc races `weight` md5 tickets (`md5(doc_id + ":" + i)`) and
+    * its sort key is the MINIMUM ticket; the k lexicographically
+    * smallest keys per stratum win. P(doc drawn first) = w/Σw exactly
+    * (the min of w iid uniforms race), and successive picks follow the
+    * without-replacement weighted distribution — the E-S scheme with
+    * hash-derived uniforms, so the "sample" is reproducible, auditable,
+    * and DuckDB-replayable. Weight = word count capped at `maxWeight`
+    * (longer docs proportionally likelier — the pretraining-mix
+    * convention; the cap bounds the per-row ticket loop and any
+    * positive integer weight expression slots into the same seam). Out:
+    * (doc_id, <strata>, sample_rank 1..k).
+    *
+    * Scale: the ticket race is ONE narrow codegen'd expression per row
+    * (array_min over a transform — no explode, no per-ticket rows);
+    * selection is d21's bounded MinKAgg per stratum (map-side partial
+    * top-k), so the shuffle carries at most k rows per partition per
+    * stratum, never the corpus. */
+  def weightedSample(docs: DataFrame, strata: String = "source", k: Int = 20,
+      maxWeight: Int = 64): DataFrame = {
+    require(k > 0, "need k > 0")
+    require(maxWeight >= 1, "need maxWeight >= 1")
+    val mink = udaf(new MinKAgg(k))
+    val weight = least(greatest(
+      size(split(lower(trim(col("text"))), "\\s+")), lit(1)), lit(maxWeight))
+    docs
+      .where(col("doc_id").isNotNull)
+      .select(col(strata).as("stratum"), col("doc_id"), weight.as("weight"))
+      .withColumn("key", expr(
+        "array_min(transform(sequence(1, weight), " +
+          "i -> md5(concat(cast(doc_id AS STRING), ':', cast(i AS STRING)))))"))
+      .groupBy(col("stratum"))
+      .agg(mink(col("key"), col("doc_id")).as("t"))
+      .select(col("stratum").as(strata), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), col(strata),
+        (col("pos") + 1).cast(LongType).as("sample_rank"))
+  }
+
   /** IEEE-754 order-preserving encoding: ascending doubles map to
     * ascending unsigned longs (the standard sign-flip trick), so a
     * fixed-width hex rendering sorts lexicographically in NUMERIC order
@@ -2320,6 +2359,27 @@ object Curation {
              |    PARTITION BY lang
              |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
+             |WHERE rn <= 20""".stripMargin)),
+
+    // d125: weighted stratified sample — the E-S min-ticket race in
+    // pure md5-string arithmetic, replayed verbatim by the oracle
+    // (list_min/list_transform mirror array_min/transform; identical
+    // ticket strings hash identically in both engines).
+    Q("d125_weighted_sample",
+      (s, d) => weightedSample(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    least(greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 64) AS weight
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |ks AS (
+             |  SELECT doc_id, source,
+             |    list_min(list_transform(range(1, weight + 1),
+             |      i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)))) AS key
+             |  FROM t)
+             |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+             |  FROM ks)
              |WHERE rn <= 20""".stripMargin)),
 
     Q("d22_decontaminate",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -160,7 +161,86 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily-volume anomaly detection (d124): per day, the event count's
+    * z-score against the TRAILING `window`-day baseline (current day
+    * excluded — an anomalous day must not dilute its own baseline).
+    * The ops-dashboard staple for ingest monitoring: a scraper outage
+    * or a bot flood shows as |z| > 2 against the trailing week. Out:
+    * (day, n_events, base_n, base_mean, base_std, z, is_anomaly) —
+    * base_* NULL until 2 baseline days exist, z NULL when the baseline
+    * variance is 0, is_anomaly false on NULL z.
+    *
+    * Determinism: the baseline window carries exact INTEGER sum and
+    * sum-of-squares; mean/variance derive from those longs through one
+    * fixed double expression (guarded against the tiny negative
+    * variance float cancellation can produce when all baseline counts
+    * are equal), so both engines compute bit-identical doubles and the
+    * rounded outputs hash-match. The window is a RANGE frame over the
+    * day number, so calendar gaps (days with zero events are absent
+    * rows) still baseline against the true trailing week.
+    *
+    * Scale: the window runs over the DAILY AGGREGATE — one row per
+    * calendar day, bounded by time range, never by event volume; the
+    * only corpus-width work is the per-day count's shuffle. A
+    * single-partition window over a calendar-bounded frame is fine at
+    * any corpus size (this is the same adjudication as d26's totals). */
+  def dailyAnomalies(events: DataFrame, window: Int = 7): DataFrame = {
+    require(window >= 2, "need window >= 2")
+    val daily = events
+      .select(expr(s"ts_us div $DayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val base = Window.orderBy(col("day")).rangeBetween(-window, -1)
+    val stats = daily
+      .withColumn("base_n", count(col("n_events")).over(base))
+      .withColumn("s1", sum(col("n_events")).over(base))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(base))
+    val mean = col("s1").cast(DoubleType) / col("base_n")
+    val variance = greatest(
+      (col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1") / col("base_n")) /
+        (col("base_n") - 1), lit(0.0))
+    val std = sqrt(variance)
+    val z = when(col("base_n") >= 2 && std > 0.0,
+      (col("n_events").cast(DoubleType) - mean) / std)
+    stats.select(col("day"), col("n_events"), col("base_n"),
+      round(when(col("base_n") >= 2, mean), 4).as("base_mean"),
+      round(when(col("base_n") >= 2, std), 4).as("base_std"),
+      round(z, 4).as("z"),
+      coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d124: trailing-window daily-volume z-scores — the baseline sums
+    // stay exact integers, so the derived doubles are expression-
+    // identical in both engines (rounded to 4 for the hash).
+    Q("d124_event_anomaly",
+      (s, d) => dailyAnomalies(events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day,
+             |         CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT day, n_events,
+             |         CAST(count(n_events) OVER b AS BIGINT) AS base_n,
+             |         CAST(sum(n_events) OVER b AS BIGINT) AS s1,
+             |         CAST(sum(n_events * n_events) OVER b AS BIGINT) AS s2
+             |  FROM daily
+             |  WINDOW b AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT day, n_events, base_n,
+             |  round(CASE WHEN base_n >= 2 THEN CAST(s1 AS DOUBLE) / base_n END, 4) AS base_mean,
+             |  round(CASE WHEN base_n >= 2 THEN sqrt(greatest(
+             |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0)) END, 4) AS base_std,
+             |  round(CASE WHEN base_n >= 2 AND sqrt(greatest(
+             |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0)) > 0
+             |    THEN (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / base_n)
+             |         / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0))
+             |    END, 4) AS z,
+             |  coalesce(abs(CASE WHEN base_n >= 2 AND sqrt(greatest(
+             |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0)) > 0
+             |    THEN (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / base_n)
+             |         / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0))
+             |    END) > 2, false) AS is_anomaly
+             |FROM w""".stripMargin)),
 
     // d120: trailing-7-day active users — exact longs; the oracle
     // replays the distinct fan-out with a LATERAL day range.

@@ -133,4 +133,56 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(defined == defined.sorted && defined.distinct == defined)
     }
   }
+
+  test("d124: a volume spike z-scores anomalous against the trailing week") {
+    // baseline days 0-6 alternate 1/3 events (mean 13/7 over 7 days at
+    // day 7's frame... use explicit counts); day 7 spikes to 40
+    val counts = Seq(1, 3, 1, 3, 1, 3, 1, 40)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (d.toLong, d.toLong * Day + i))
+    }
+    import spark.implicits._
+    val ev = rows.zipWithIndex
+      .map { case ((_, ts), i) => (i.toLong, 1L, ts, "view") }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.dailyAnomalies(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // day 0: no baseline — nulls, not anomalous
+    assert(got(0L).getLong(2) == 0L && !got(0L).getBoolean(6))
+    assert(got(0L).isNullAt(3) && got(0L).isNullAt(5))
+    // day 7: baseline = days 0..6 -> counts (1,3,1,3,1,3,1): mean 13/7,
+    // sample std over those 7 values; 40 is far outside
+    assert(got(7L).getBoolean(6), got(7L).toString)
+    assert(got(7L).getDouble(5) > 2.0)
+    // an in-pattern day is not anomalous
+    assert(!got(5L).getBoolean(6))
+    // baseline stats replicate a direct computation (day 7's frame)
+    val base = counts.take(7).map(_.toDouble)
+    val mean = base.sum / base.length
+    val std = math.sqrt(base.map(c => (c - mean) * (c - mean)).sum / (base.length - 1))
+    assert(math.abs(got(7L).getDouble(3) - mean) < 5e-5)
+    assert(math.abs(got(7L).getDouble(4) - std) < 5e-5)
+  }
+
+  test("d124: a constant baseline (zero variance) yields NULL z, no flag") {
+    import spark.implicits._
+    val rows = (0 to 5).flatMap(d => Seq((d.toLong, d.toLong * Day + 1)))
+      .zipWithIndex.map { case ((_, ts), i) => (i.toLong, 1L, ts, "view") }
+    val ev = rows.toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.dailyAnomalies(ev).collect().map(r => r.getLong(0) -> r).toMap
+    // every day has exactly 1 event; later days have a constant baseline
+    assert(got(5L).getDouble(4) == 0.0)
+    assert(got(5L).isNullAt(5) && !got(5L).getBoolean(6))
+  }
+
+  test("d124: calendar gaps baseline by RANGE (true trailing days)") {
+    import spark.implicits._
+    // events on days 0..6 and day 20: day 20's trailing 7-day window is
+    // empty (days 13..19 have no rows) -> base_n 0, no flag
+    val rows = ((0 to 6).map(_.toLong) :+ 20L).zipWithIndex
+      .map { case (d, i) => (i.toLong, 1L, d * Day + 1, "view") }
+    val ev = rows.toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.dailyAnomalies(ev).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(20L).getLong(2) == 0L && !got(20L).getBoolean(6))
+  }
 }
