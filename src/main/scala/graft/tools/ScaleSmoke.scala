@@ -619,6 +619,31 @@ object ScaleSmoke {
         f"delta=1088 direct $tDirect%.2f s / bloom $tBloom%.2f s; " +
         f"exact-join input $positives of 1088 delta rows pass the sketch")
     }
+
+    // --- char-granularity exact-substring dedup (d121/d122): the char
+    // position stream is ~chars-per-word x the word stream's rows, so
+    // the probe tracks (a) that the df pass stays the dominant, still
+    // sublinear cost in PRODUCTION mode (hashGrams — 8-byte keys
+    // through every shuffle, never 30-char strings), and (b) that the
+    // scrub's interval-fold rebuild adds only id-keyed join time over
+    // the interval derivation, never a per-char explode.
+    // Measured (2026-08, round 10): intervals 6.90 s at 25k docs ->
+    // 8.03 s at 50k (1.16x per doubling — sublinear); scrub 5.27 ->
+    // 8.38 s while found spans grew 2.56x (34.1k -> 87.4k), i.e. the
+    // rebuild tracks the duplicate mass it removes, not the corpus.
+    Seq(2, 1).foreach { invFrac =>
+      val sub = docsAll.where(col("doc_id") % invFrac === 0)
+      val n = sub.count()
+      val tI = System.nanoTime()
+      val spans = graft.ops.Curation
+        .dupSpanIntervalsChars(sub, hashGrams = true).count()
+      val tIntervals = (System.nanoTime() - tI) / 1e9
+      val tScrub = System.nanoTime()
+      graft.ops.Curation.dedupScrubChars(sub, hashGrams = true)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scale] char-dedup n=$n%8d spans=$spans%6d " +
+        f"intervals $tIntervals%.2f s / scrub ${(System.nanoTime() - tScrub) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

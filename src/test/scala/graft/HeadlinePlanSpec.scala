@@ -74,6 +74,23 @@ class HeadlinePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HeadlinePlans.headlineSet.map(_.name).toSet == Expected.keySet)
   }
 
+  test("q02: filter and projection reach the parquet scan") {
+    // the signature counts can't see a lost pushdown that doesn't add
+    // an exchange — pin the scan contract directly: predicates appear
+    // in PushedFilters and the read schema is pruned to the 5 consumed
+    // columns (a scan reading l_comment for this query is wrong).
+    val q = HeadlinePlans.headlineSet.find(_.name == "q02_filter_projection").get
+    val plan = q.fn(spark, SfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_discount"),
+      s"discount predicate missing from the scan:\n$plan")
+    assert(!plan.contains("PushedFilters: []"),
+      s"no predicates pushed to the scan:\n$plan")
+    val readSchema = plan.split("\n").find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan not column-pruned: $readSchema")
+  }
+
   HeadlinePlans.headlineSet.foreach { q =>
     test(s"${q.name}: final plan signature unchanged") {
       val got = HeadlinePlans.signature(q.fn(spark, SfDir))
