@@ -890,6 +890,13 @@ object Graft {
       maxWeight: Int = 64): DataFrame =
     Curation.weightedSample(docs, strata, k, maxWeight)
 
+  /** Generic HTML → visible text: strip script/style/head subtrees,
+    * linearize with block-boundary and <br> line breaks, normalize
+    * lines — the extraction stage upstream of boilerplate removal and
+    * dedup. Out: (doc_id, clean_text, n_lines). Reads: doc_id, html. */
+  def htmlVisibleText(docs: DataFrame): DataFrame =
+    Curation.htmlVisibleText(docs)
+
   /** Deterministic global shuffle order: 1-based position of each doc in
     * the md5(seed:doc_id) permutation of the corpus — the reproducible
     * "epoch order" materialization. Window-free total sort. Out:

@@ -618,6 +618,71 @@ object Curation {
         (col("pos") + 1).cast(LongType).as("sample_rank"))
   }
 
+  /** Tags whose subtrees carry no visible text (script/style/meta
+    * content) — skipped whole by [[htmlVisibleText]]. */
+  private val HtmlSkipTags =
+    Set("script", "style", "noscript", "template", "head", "title")
+
+  /** Block-level tags: entering or leaving one is a line boundary in
+    * the extracted text (the browsers'/jusText convention — inline
+    * tags like <b>/<a> contribute no break). */
+  private val HtmlBlockTags = Set("html", "body", "main", "article",
+    "section", "header", "footer", "nav", "aside", "div", "p",
+    "blockquote", "pre", "figure", "table", "tr", "th", "td", "ul",
+    "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Visible text of one HTML document: MiniDom parse, skip
+    * [[HtmlSkipTags]] subtrees, emit text in document order with a
+    * line break at every [[HtmlBlockTags]] boundary and every `<br>`,
+    * then normalize (collapse whitespace runs per line, trim, drop
+    * blank lines, join with '\n'). Entities decode as part of the
+    * parse (MiniDom's unescape). */
+  private[graft] def visibleTextOf(html: String): String = {
+    if (html == null) return ""
+    val sb = new java.lang.StringBuilder
+    def walk(e: graft.parse.MiniDom.Elem): Unit =
+      e.children.foreach {
+        case graft.parse.MiniDom.Text(s) => sb.append(s)
+        case c: graft.parse.MiniDom.Elem if !HtmlSkipTags(c.name) =>
+          val block = HtmlBlockTags(c.name)
+          if (block || c.name == "br") sb.append('\n')
+          walk(c)
+          if (block) sb.append('\n')
+        case _ => // skipped subtree
+      }
+    walk(graft.parse.MiniDom.parse(html))
+    sb.toString.split("\n", -1).iterator
+      .map(_.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  private lazy val visibleTextUdf = udf((s: String) => visibleTextOf(s))
+
+  /** Generic HTML → visible text (d126) — the extraction stage every
+    * web-corpus pipeline runs first (the skeleton of trafilatura /
+    * jusText, minus their density heuristics): strip non-content
+    * subtrees, linearize text with block-boundary line breaks,
+    * normalize lines. In: (doc_id, html). Out: (doc_id, clean_text,
+    * n_lines) — one row per input doc, text-free docs as empty string.
+    * Composes upstream of d95 boilerplate removal and the dedup family
+    * (this op removes MARKUP; d95 removes repeated CONTENT lines).
+    *
+    * Scale: one narrow per-row pass (parse cost ~ document bytes),
+    * ZERO shuffles — a UDF by necessity (a DOM walk with a skip-set
+    * and per-tag break rules is beyond Catalyst's regex surface; the
+    * per-row cost is the same order as the reference ETL's HtmlGrid
+    * parse, which this reuses MiniDom from). MiniDom tokenizes
+    * raw-text elements as markup, so a literal '<' inside inline
+    * script can end that subtree's skip early — real-crawl extraction
+    * is best-effort there; the d126 gate pins the documented subset. */
+  def htmlVisibleText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        coalesce(visibleTextUdf(col("html")), lit("")).as("clean_text"))
+      .withColumn("n_lines",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), "\n")).cast(LongType)))
+
   /** Deterministic WEIGHTED stratified sample (d125) — Efraimidis &
     * Spirakis 2006's weighted reservoir, derandomized the d21 way:
     * each doc races `weight` md5 tickets (`md5(doc_id + ":" + i)`) and
@@ -2381,6 +2446,42 @@ object Curation {
              |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
              |  FROM ks)
              |WHERE rn <= 20""".stripMargin)),
+
+    // d126: HTML visible-text extraction over a planted page skeleton
+    // (the corpus is markup-free — probed: no '<', '&', '>', newlines,
+    // or tabs — so wrapping each doc in a FIXED skeleton makes the
+    // expected extraction a pure string construction the oracle can
+    // replay without parsing HTML: nav line + the doc's normalized
+    // text + the two trailing block/br lines, with head/title/style/
+    // script content dropped).
+    Q("d126_html_extract",
+      (s, d) => htmlVisibleText(
+        documents(s, d).select(col("doc_id"),
+          concat(
+            lit("<html><head><title>Skip Me</title>" +
+              "<style>p { color: red }</style></head><body>" +
+              "<div class=\"nav\">HOME | ABOUT</div><p>"),
+            col("text"),
+            lit("</p><p>visit us<br>today</p>" +
+              "<script>var x = 1;</script></body></html>")).as("html"))),
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    'HOME | ABOUT' || chr(10) || text || chr(10) ||
+             |    'visit us' || chr(10) || 'today' AS r
+             |  FROM documents),
+             |ls AS (
+             |  SELECT doc_id, i,
+             |    trim(regexp_replace(regexp_split_to_array(r, chr(10))[i],
+             |      '\s+', ' ', 'g')) AS line
+             |  FROM raw,
+             |    UNNEST(range(1, len(regexp_split_to_array(r, chr(10))) + 1)) AS u(i)),
+             |agg AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+             |         CAST(count(*) AS BIGINT) AS n_lines
+             |  FROM ls WHERE line <> '' GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |       coalesce(a.n_lines, CAST(0 AS BIGINT)) AS n_lines
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     Q("d22_decontaminate",
       (s, d) => {
