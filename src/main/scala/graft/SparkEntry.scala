@@ -23,6 +23,9 @@ object SparkEntry {
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++
       graft.ops.Events.queries ++
+      graft.ops.Graphs.queries ++
+      graft.ops.Linkage.queries ++
+      graft.ops.Diagnostics.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries
