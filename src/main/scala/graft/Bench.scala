@@ -100,6 +100,7 @@ object Bench {
       graft.ops.Graphs.queries ++
       graft.ops.Linkage.queries ++
       graft.ops.Diagnostics.queries ++
+      graft.ops.Retrieval.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries
 
@@ -341,12 +342,16 @@ object Bench {
       q.name -> extTimedMap.getOrElse(q.name, carry(q.name)._2)
     }
     // carry forward: fresh successful runs stamp this round; carried
-    // entries keep their stamp; failures are NOT carried (they re-time
-    // as "new" next round instead of fossilizing as stale errors)
+    // entries keep their stamp. A query whose fresh runs ALL failed
+    // keeps its previous good carry entry (old stamp) when one exists —
+    // the failure is still reported via `ext`/`errors`, but the last
+    // known-good measurement survives instead of being re-timed as
+    // "new" next round; a never-measured failure stays uncarried.
     writeCarry(sfDir, round,
-      ext.collect {
-        case (k, v) if v.exists(_ >= 0) =>
-          k -> (if (extTimedMap.contains(k)) (round, v) else (carry(k)._1, v))
+      ext.flatMap { case (k, v) =>
+        if (v.exists(_ >= 0))
+          Some(k -> (if (extTimedMap.contains(k)) (round, v) else (carry(k)._1, v)))
+        else carry.get(k).filter(_._2.exists(_ >= 0)).map(k -> _)
       }.toMap)
     val staleRounds: Seq[(String, Int)] = carriedQs
       .flatMap(q => carry.get(q.name).map { case (r, _) => q.name -> (round - r) })

@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ops.Graphs.queries ++
       graft.ops.Linkage.queries ++
       graft.ops.Diagnostics.queries ++
+      graft.ops.Retrieval.queries ++
       graft.api.PipelineQueries.queries ++
       graft.sources.TextSources.queries ++
       graft.etl.EtlQueries.queries

@@ -1218,9 +1218,16 @@ object Graft {
     * resumes from the last COMMITTED stage instead of re-deriving five
     * stages of lineage). A committed stage's computation is never even
     * constructed (by-name seam). The id-sets encode the run's knobs
-    * implicitly — resume with the SAME parameters, or point a changed
-    * configuration at a fresh directory (the d54-gated default path,
-    * `checkpointDir = None`, is byte-identical to the seamless plan).
+    * implicitly, so the first run writes a `_graft_knobs` fingerprint
+    * of every survivor-affecting parameter into the checkpoint root and
+    * every resume REQUIRES it to match — a changed knob against an
+    * existing directory fails fast instead of silently serving id-sets
+    * computed under the old configuration. (`budget` is deliberately
+    * outside the fingerprint: shard packing runs fresh on every call
+    * and never persists, so re-packing surviving docs at a new budget
+    * is a legitimate resume.) Point a changed configuration at a fresh
+    * directory (the d54-gated default path, `checkpointDir = None`, is
+    * byte-identical to the seamless plan).
     * TrainingShardsResumeSpec proves resumed == one-shot. */
   def trainingShards(docs: DataFrame, evalDocs: DataFrame,
       minWords: Long = 5, maxDupWordFrac: Double = 0.9,
@@ -1233,6 +1240,31 @@ object Graft {
     val base =
       if (scrubPii) docs.withColumn("text", Curation.scrubTextCol(col("text")))
       else docs
+    checkpointDir.foreach { root =>
+      val spark = docs.sparkSession
+      val knobs = Seq(
+        s"minWords=$minWords", s"maxDupWordFrac=$maxDupWordFrac",
+        s"maxTopBigramFrac=$maxTopBigramFrac", s"maxSharedGrams=$maxSharedGrams",
+        s"contaminationN=$contaminationN", s"scrubPii=$scrubPii",
+        s"maxDupSpanFrac=$maxDupSpanFrac", s"dupSpanN=$dupSpanN",
+        s"hashGrams=$hashGrams", s"dropPplTail=$dropPplTail").mkString("\n")
+      val p = new org.apache.hadoop.fs.Path(root, "_graft_knobs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val recorded =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        require(recorded == knobs,
+          s"trainingShards checkpointDir $root was written under different " +
+          s"parameters — its stage id-sets would silently reflect the old " +
+          s"configuration.\nrecorded:\n$recorded\nrequested:\n$knobs\n" +
+          "Resume with the recorded parameters, or point the changed " +
+          "configuration at a fresh checkpointDir.")
+      } else {
+        val out = fs.create(p, true)
+        try out.write(knobs.getBytes("UTF-8")) finally out.close()
+      }
+    }
     def stage(name: String)(out: => DataFrame): DataFrame = checkpointDir match {
       case None => out
       case Some(root) =>

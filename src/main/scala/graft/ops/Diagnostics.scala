@@ -60,6 +60,46 @@ object Diagnostics {
         expr("top10_rows * 1000000 div n_rows").as("top10_share_ppm"))
   }
 
+  /** Generic table profile (d138): one row per requested column —
+    * row count, null count, exact distinct count, and (for numeric
+    * columns) min/max as doubles — the first thing a pipeline author
+    * asks of an unfamiliar 100 TB table, and the input to partition
+    * -count / broadcast-threshold / skew decisions (d131's sibling:
+    * d131 profiles one KEY in depth, this profiles every COLUMN in
+    * breadth).
+    *
+    * Scale: one aggregation pass. Multiple exact distinct counts in a
+    * single agg plan through Spark's Expand — each input row is
+    * replicated once per distinct-aggregate (here |cols|), which is the
+    * documented price of EXACT profiling; a 100 TB caller trades
+    * exactness for one pass by swapping `countDistinct` for
+    * `approx_count_distinct` (HLL, one replica) — the oracle contract
+    * is why the registered query keeps the exact form. Min/max/null
+    * counts partial-aggregate map-side; the stack() unpivot runs on the
+    * single 1-row result. */
+  def tableProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "profile at least one column")
+    val numeric = df.schema.fields.map(f =>
+      f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    val aggs = colNames.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast(DoubleType).as(s"${c}__mn"),
+            max(col(c)).cast(DoubleType).as(s"${c}__mx"))
+        else
+          Seq(lit(null).cast(DoubleType).as(s"${c}__mn"),
+            lit(null).cast(DoubleType).as(s"${c}__mx")))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = colNames.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${colNames.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_num, max_num)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d131: skew report on lineitem's supplier key — all exact longs;
@@ -84,5 +124,25 @@ object Diagnostics {
              |       p.p50_cnt, p.p90_cnt, p.p99_cnt,
              |       n.max_cnt * 1000000 // n.n_rows AS top1_share_ppm,
              |       t.top10_rows * 1000000 // n.n_rows AS top10_share_ppm
-             |FROM n CROSS JOIN p CROSS JOIN t""".stripMargin)))
+             |FROM n CROSS JOIN p CROSS JOIN t""".stripMargin)),
+
+    // d138: breadth-first profile of six lineitem columns (two keys, a
+    // measure, two low-cardinality flags, a timestamp) — the oracle is
+    // the same four aggregates spelled per column.
+    Q("d138_table_profile",
+      (s, d) => tableProfile(lineitem(s, d),
+        Seq("l_orderkey", "l_suppkey", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_shipdate")),
+      Some(Seq(("l_orderkey", true), ("l_suppkey", true), ("l_quantity", true),
+          ("l_returnflag", false), ("l_linestatus", false), ("l_shipdate", false))
+        .map { case (c, num) =>
+          val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS min_num, $mx AS max_num
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")))
+  )
 }

@@ -75,10 +75,21 @@ object Graphs {
     * beyond ~10 iterations a production caller should localCheckpoint
     * the rank frame per iteration to cut lineage — at the default 3 the
     * unrolled plan is the cheaper choice (no materialization barrier).
+    * `checkpointEvery = k` localCheckpoints the rank frame every k
+    * iterations (the d14/BPE lineage-cut precedent) so deep iteration
+    * counts don't build an unbounded plan; 0 (default) never
+    * checkpoints. The cost is not hypothetical: the unrolled plan's
+    * OPTIMIZER time grows super-linearly with depth (measured: 12
+    * unrolled iterations take minutes of Catalyst time on a 15-node
+    * graph, where checkpointEvery=3 runs in seconds — GraphsSpec).
+    * Checkpointing changes only the physical plan — the integer
+    * arithmetic, and therefore the answer, is identical.
     * Long-overflow headroom: Σ inbound ≤ N·Scale·85 ≈ 8.5e16 at N=1e9,
     * well inside Long. */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.toDF("src", "dst").distinct()
     // node universe + out-degree (0 for dst-only nodes = dangling)
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
@@ -89,7 +100,7 @@ object Graphs {
     val nNodes = nodes.select(count(lit(1)).as("n_nodes"))
 
     var ranks = nodes.select(col("node"), col("outdeg"), lit(Scale).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = ranks.where(col("outdeg") > 0)
         .select(col("node").as("src"), expr("rank div outdeg").as("contrib"))
       val inbound = e.join(contrib, Seq("src"))
@@ -105,6 +116,8 @@ object Graphs {
         .select(col("node"), col("outdeg"),
           (lit(15L * Scale / 100L) +
             expr("85 * (inbound + dangling div n_nodes) div 100")).as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -137,13 +150,14 @@ object Graphs {
     val ed = e
       .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
       .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
+    // both order keys share one field shape (d, n) so the when() branches
+    // and the xk < yk comparison are type-identical
+    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
+    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
     val oriented = ed.select(
-      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")), col("src"))
-        .otherwise(col("dst")).as("a"),
-      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")), col("dst"))
-        .otherwise(col("src")).as("b"),
-      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
-        struct(col("dd"), col("dst"))).otherwise(struct(col("ds"), col("src"))).as("bk"))
+      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
+      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
+      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
     // wedges at the low vertex: unordered far-endpoint pairs via the
     // (degree, id) order, closed against the undirected edge set keyed
     // by (min, max) id — the closing edge's stored orientation
@@ -182,12 +196,224 @@ object Graphs {
       |FROM op a JOIN op b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Item communities (d132): connected components of the co-purchase
+    * graph — the "related-item clusters" the d127 scaladoc names as the
+    * edge set's purpose. Reuses the d14 CC machinery (partition-local
+    * union-find contraction + large-star/small-star, Kiveris et al.),
+    * so the scale story is already proven: O(log n) rounds, no driver
+    * adjacency. Out: (item_id, community_id = min item in component,
+    * community_size) for every item incident to a support>=minSupport
+    * edge. */
+  def copurchaseCommunities(s: SparkSession, baskets: DataFrame): DataFrame =
+    Similarity.connectedComponents(s,
+      copurchaseEdges(baskets).select(col("src").as("a"), col("dst").as("b")))
+      .select(col("v").as("item_id"), col("lbl").as("community_id"),
+        col("cluster_size").as("community_size"))
+
+  /** Related-items recommendation (d133): per-item top-k neighbors by
+    * basket Jaccard — "customers who bought X also bought", ranked by
+    * |baskets(a) ∩ baskets(b)| / |baskets(a) ∪ baskets(b)| in exact
+    * integer ppm (inter·1e6 div (na + nb − inter)), ties to the lower
+    * item id so the ranking is a pure function of the input. Out:
+    * (item_id, rel_id, n_shared, jaccard_ppm, rank 1..k), one block per
+    * item incident to a support-pruned pair.
+    *
+    * Scale: candidates are the d127 edge set (basket-witnessed,
+    * support-pruned — never all pairs); two broadcast-size joins attach
+    * basket counts; the top-k window partitions BY ITEM, so its sort is
+    * per-item-neighborhood, never global. Overflow: inter·1e6 ≤
+    * #baskets·1e6 — inside Long to 9e12 baskets. */
+  def relatedItems(baskets: DataFrame, k: Int = 10,
+                   minSupport: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = baskets.toDF("basket_id", "item_id").distinct()
+    val sizes = bi.groupBy(col("item_id")).agg(count(lit(1)).as("n"))
+    val pairs = copurchaseEdges(bi, minSupport)
+    val sym = pairs.select(col("src").as("item_id"), col("dst").as("rel_id"), col("weight"))
+      .union(pairs.select(col("dst").as("item_id"), col("src").as("rel_id"), col("weight")))
+    sym
+      .join(sizes.select(col("item_id"), col("n").as("na")), Seq("item_id"))
+      .join(sizes.select(col("item_id").as("rel_id"), col("n").as("nb")), Seq("rel_id"))
+      .withColumn("jaccard_ppm", expr("weight * 1000000 div (na + nb - weight)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item_id"))
+          .orderBy(col("jaccard_ppm").desc, col("rel_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("item_id"), col("rel_id"), col("weight").as("n_shared"),
+        col("jaccard_ppm"), col("rank"))
+  }
+
+  /** Multi-source BFS hop distance (d135): minimum number of edges from
+    * any source node, bounded to `maxHops` — reachability tiers
+    * ("how close is every item to the catalog's anchor set"),
+    * contamination blast-radius over a similarity graph, or the seed
+    * expansion step of a crawl. In: undirected edges (src, dst) (the
+    * d127 shape — one row per unordered pair) and a 1-column sources
+    * frame. Out: (node, hops) for every node within maxHops of a
+    * source; hops = exact BFS level, 0 for the sources themselves.
+    *
+    * Scale: textbook distributed frontier iteration — each hop is ONE
+    * edge-keyed equi-join of the CURRENT frontier (never the settled
+    * set, so per-hop work is proportional to the frontier's edge
+    * boundary, not the visited volume), a distinct, and an anti-join
+    * against the settled set; every step shuffles on node keys, no
+    * driver-side adjacency. The frontier is localCheckpointed per hop
+    * (the d128 `checkpointEvery` precedent, mandatory here: each
+    * frontier is consumed twice — by the settled union and the next
+    * hop's join — and the empty-frontier short-circuit is an action per
+    * hop anyway, so the materialization is already paid for). The
+    * settled set is a union of ≤ maxHops+1 checkpointed frames —
+    * shallow lineage by construction. maxHops is a bound, not a
+    * target: an exhausted frontier stops early. */
+  def hopDistance(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0, "need maxHops >= 0")
+    val e0 = edges.toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+    var settled = sources.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      settled = settled.union(next)
+      frontier = next
+      h += 1
+    }
+    settled
+  }
+
+  /** Association rules (d134): directed a→b rules over the co-purchase
+    * pairs — support, confidence, and lift in exact integer ppm, the
+    * market-basket classic (Agrawal & Srikant's output measures, with
+    * the candidate generation replaced by the basket-witnessed pair
+    * frame — at the pair level, frequent-itemset mining IS d127).
+    * conf(a→b) = inter·1e6 div na; lift = conf·N div nb (that exact
+    * association order, so the truncation is engine-independent);
+    * support = inter·1e6 div N. Out: (antecedent, consequent, n_shared,
+    * support_ppm, conf_ppm, lift_ppm), both directions of every
+    * support-pruned pair. lift_ppm > 1e6 ⇔ positively associated.
+    *
+    * Scale: same frame as d133 minus the window — two count-attach
+    * joins and a 1-row broadcast total. Overflow: conf_ppm·N ≤ 1e6·N —
+    * inside Long to 9e12 baskets. */
+  def basketRules(baskets: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val bi = baskets.toDF("basket_id", "item_id").distinct()
+    val sizes = bi.groupBy(col("item_id")).agg(count(lit(1)).as("n"))
+    val nB = bi.select(countDistinct(col("basket_id")).as("n_baskets"))
+    val pairs = copurchaseEdges(bi, minSupport)
+    val sym = pairs.select(col("src").as("antecedent"), col("dst").as("consequent"), col("weight"))
+      .union(pairs.select(col("dst").as("antecedent"), col("src").as("consequent"), col("weight")))
+    sym
+      .join(sizes.select(col("item_id").as("antecedent"), col("n").as("na")), Seq("antecedent"))
+      .join(sizes.select(col("item_id").as("consequent"), col("n").as("nb")), Seq("consequent"))
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("weight").as("n_shared"),
+        expr("weight * 1000000 div n_baskets").as("support_ppm"),
+        expr("weight * 1000000 div na").as("conf_ppm"),
+        expr("(weight * 1000000 div na) * n_baskets div nb").as("lift_ppm"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // d127: the basket co-occurrence graph — integer weights, exact.
     Q("d127_copurchase_edges",
       (s, d) => copurchaseEdges(orderBaskets(s, d)),
       Some(copurchaseSql)),
+
+    // d132: item communities — CC over the d127 edge set (d14's
+    // large-star/small-star engine; oracle = the d14 recursive-CTE
+    // closure over the same edges).
+    Q("d132_copurchase_communities",
+      (s, d) => copurchaseCommunities(s, orderBaskets(s, d)),
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |edges AS MATERIALIZED (
+              |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+              |nodes AS (SELECT DISTINCT a AS v FROM edges),
+              |reach AS (
+              |  SELECT v, v AS l FROM nodes
+              |  UNION
+              |  SELECT r.v, ed.b AS l FROM reach r JOIN edges ed ON ed.a = r.l
+              |),
+              |lab AS (SELECT v, min(l) AS community_id FROM reach GROUP BY v),
+              |csz AS (SELECT community_id, count(*) AS community_size FROM lab GROUP BY 1)
+              |SELECT v AS item_id, community_id,
+              |       CAST(community_size AS BIGINT) AS community_size
+              |FROM lab JOIN csz USING (community_id)""".stripMargin)),
+
+    // d133: per-item top-10 related items by exact integer Jaccard —
+    // deterministic ranking (ppm desc, id asc), oracle replays the
+    // identical window.
+    Q("d133_related_items",
+      (s, d) => relatedItems(orderBaskets(s, d)),
+      Some(s"""WITH e AS ($copurchaseSql),
+              |op AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+              |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+              |sym AS (
+              |  SELECT src AS item_id, dst AS rel_id, weight FROM e
+              |  UNION ALL SELECT dst, src, weight FROM e),
+              |scored AS (
+              |  SELECT s.item_id, s.rel_id, s.weight,
+              |         s.weight * 1000000 // (a.n + b.n - s.weight) AS jaccard_ppm
+              |  FROM sym s JOIN sz a ON a.item_id = s.item_id
+              |             JOIN sz b ON b.item_id = s.rel_id),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY item_id ORDER BY jaccard_ppm DESC, rel_id) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT item_id, rel_id, weight AS n_shared, jaccard_ppm, rank
+              |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // d134: association rules with exact-ppm support/confidence/lift —
+    // both directions of every support-pruned pair.
+    Q("d134_basket_rules",
+      (s, d) => basketRules(orderBaskets(s, d)),
+      Some(s"""WITH e AS ($copurchaseSql),
+              |op AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+              |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+              |nb AS (SELECT CAST(count(DISTINCT basket_id) AS BIGINT) AS n_baskets FROM op),
+              |sym AS (
+              |  SELECT src AS antecedent, dst AS consequent, weight FROM e
+              |  UNION ALL SELECT dst, src, weight FROM e)
+              |SELECT s.antecedent, s.consequent, s.weight AS n_shared,
+              |       s.weight * 1000000 // nb.n_baskets AS support_ppm,
+              |       s.weight * 1000000 // a.n AS conf_ppm,
+              |       (s.weight * 1000000 // a.n) * nb.n_baskets // b.n AS lift_ppm
+              |FROM sym s JOIN sz a ON a.item_id = s.antecedent
+              |           JOIN sz b ON b.item_id = s.consequent
+              |           CROSS JOIN nb""".stripMargin)),
+
+    // d135: BFS hop tiers from the co-purchase graph's highest-degree
+    // item (ties to the lower id) — oracle = bounded recursive-CTE
+    // closure with per-(node,hops) dedup, min(hops) at the end.
+    Q("d135_hop_distance",
+      (s, d) => {
+        val e = copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst"))
+        val sym = e.select(col("src").as("u")).union(e.select(col("dst").as("u")))
+        val seed = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("u")).limit(1).select(col("u"))
+        hopDistance(e, seed, maxHops = 4)
+      },
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+              |seed AS (
+              |  SELECT u AS node FROM (
+              |    SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+              |  ORDER BY deg DESC, u LIMIT 1),
+              |reach AS (
+              |  SELECT node, 0 AS hops FROM seed
+              |  UNION
+              |  SELECT sym.v, reach.hops + 1
+              |  FROM reach JOIN sym ON sym.u = reach.node
+              |  WHERE reach.hops < 4)
+              |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+              |FROM reach GROUP BY 1""".stripMargin)),
 
     // d128: 3-iteration fixed-point PageRank over the symmetrized
     // customer–supplier graph — pure long arithmetic, the oracle

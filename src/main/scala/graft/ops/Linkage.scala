@@ -37,24 +37,55 @@ object Linkage {
     * swap in a phonetic or q-gram blocker for other domains; the shape
     * (equi-join on the block key) is what matters at scale.
     *
-    * Scale: one equi-join keyed on the block (pairs exist only within a
-    * block — block sizes are the quadratic term, so a production caller
-    * salts or caps runaway blocks the same way the LSH family caps
-    * buckets), the length-band prune before Levenshtein, then one
-    * rec-keyed min and a broadcast-friendly join back to the records
-    * frame. No sort, no window, no driver state. */
-  def bestMatches(records: DataFrame, maxDist: Int = 3): DataFrame = {
+    * Scale: candidate pairs are bounded two ways so the quadratic term
+    * can never run away with corpus size:
+    *  1. Length BANDS — each record lands in band len div (maxDist+1).
+    *     A pair within maxDist edits differs by <= maxDist characters of
+    *     length, so its bands differ by at most 1; the probe side
+    *     explodes to {band-1, band, band+1} and the join key is
+    *     (blk, band). Lossless (every in-range pair is still seen, each
+    *     exactly once — the candidate side keeps its own band) and it
+    *     splits a popular block by length for free.
+    *  2. A deterministic occupancy CAP — the candidate side of each
+    *     (blk, band) cell keeps only the blockCap lowest rec_ids
+    *     (row_number, the LSH family's bounded-occupancy discipline).
+    *     Candidates per record <= 3·blockCap, so total pair volume is
+    *     LINEAR in corpus size no matter how skewed the blocks. Below
+    *     the cap the result is exact; above it, matching degrades
+    *     gracefully to "against the cell's blockCap canonical
+    *     representatives" (every record still probes; only high-id
+    *     candidates in overfull cells stop being matchable).
+    * Then the length-band prune, the Levenshtein computed ONCE as a
+    * projected column, and the maxDist threshold folded INTO the argmin
+    * (min over when(dist <= maxDist, enc)) rather than a separate filter
+    * — a filter on the projected column would be predicate-pushed below
+    * the projection and re-inline the O(len²) comparator a second time;
+    * the conditional aggregate keeps it single-evaluation per candidate
+    * row. One rec-keyed min, one join back to the records frame. No
+    * sort, no driver state; the one window (the cap's row_number) is
+    * keyed by cell, never global. */
+  def bestMatches(records: DataFrame, maxDist: Int = 3,
+                  blockCap: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = maxDist + 1
     val r = records.toDF("rec_id", "name")
       .withColumn("blk", lower(regexp_extract(col("name"), "([^ ]+)$", 1)))
-    val a = r.select(col("rec_id"), col("name"), col("blk"))
-    val b = r.select(col("rec_id").as("b_id"), col("name").as("b_name"), col("blk"))
-    val best = a.join(b, Seq("blk"))
+      .withColumn("band", expr(s"length(name) div $w"))
+    val b = r
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("blk"), col("band")).orderBy(col("rec_id"))))
+      .where(col("rk") <= blockCap)
+      .select(col("rec_id").as("b_id"), col("name").as("b_name"),
+        col("blk"), col("band"))
+    val a = r.select(col("rec_id"), col("name"), col("blk"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val best = a.join(b, Seq("blk", "band"))
       .where(col("rec_id") =!= col("b_id") &&
-        abs(length(col("name")) - length(col("b_name"))) <= maxDist &&
-        levenshtein(col("name"), col("b_name")) <= maxDist)
+        abs(length(col("name")) - length(col("b_name"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name"), col("b_name")))
       .groupBy(col("rec_id"))
-      .agg(min(levenshtein(col("name"), col("b_name")).cast(LongType) * IdBase
-        + col("b_id")).as("enc"))
+      .agg(min(when(col("dist") <= maxDist,
+        col("dist").cast(LongType) * IdBase + col("b_id"))).as("enc"))
     r.select(col("rec_id"), col("name"))
       .join(best, Seq("rec_id"), "left")
       .select(col("rec_id"), col("name"),
@@ -71,15 +102,24 @@ object Linkage {
       (s, d) => bestMatches(part(s, d).select(col("p_partkey"), col("p_name"))),
       Some("""WITH r AS (
              |  SELECT p_partkey AS rec_id, p_name AS name,
-             |         lower(regexp_extract(p_name, '([^ ]+)$', 1)) AS blk
+             |         lower(regexp_extract(p_name, '([^ ]+)$', 1)) AS blk,
+             |         length(p_name) // 4 AS band
              |  FROM part),
+             |b AS (
+             |  SELECT rec_id AS b_id, name AS b_name, blk, band
+             |  FROM (SELECT r.*, row_number() OVER (PARTITION BY blk, band ORDER BY rec_id) AS rk FROM r)
+             |  WHERE rk <= 1024),
+             |a AS (
+             |  SELECT r.rec_id, r.name, r.blk, r.band + d.d AS band
+             |  FROM r CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+             |cand AS (
+             |  SELECT a.rec_id, levenshtein(a.name, b.b_name) AS dist, b.b_id
+             |  FROM a JOIN b ON a.blk = b.blk AND a.band = b.band AND a.rec_id <> b.b_id
+             |  WHERE abs(length(a.name) - length(b.b_name)) <= 3),
              |best AS (
-             |  SELECT a.rec_id,
-             |         CAST(min(levenshtein(a.name, b.name) * 1000000000000 + b.rec_id) AS BIGINT) AS enc
-             |  FROM r a JOIN r b ON a.blk = b.blk AND a.rec_id <> b.rec_id
-             |  WHERE abs(length(a.name) - length(b.name)) <= 3
-             |    AND levenshtein(a.name, b.name) <= 3
-             |  GROUP BY 1)
+             |  SELECT rec_id,
+             |         CAST(min(CASE WHEN dist <= 3 THEN dist * 1000000000000 + b_id END) AS BIGINT) AS enc
+             |  FROM cand GROUP BY 1)
              |SELECT r.rec_id, r.name,
              |       best.enc % 1000000000000 AS match_id,
              |       best.enc // 1000000000000 AS match_dist

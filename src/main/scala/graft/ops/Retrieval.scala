@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Lexical retrieval over the document corpus — the inverted-index
+  * scoring classics (BM25 ranked retrieval, TF-IDF keyword extraction)
+  * as pure DataFrame plans. These are the batch analogs of a search
+  * engine's scoring pass and the standard "salient terms per document"
+  * feature used for corpus exploration and near-topic filtering in
+  * training-data curation.
+  *
+  * Tokenization matches the d02/d03 convention exactly
+  * (`split(lower(trim(text)), "\s+")` ↔ DuckDB
+  * `regexp_split_to_array`), so every frame here is replayable by the
+  * oracle. Scores are doubles; both engines evaluate the IDENTICAL
+  * formula text (the numeric literals are shared string constants
+  * interpolated into both the Spark `expr` and the oracle SQL) with
+  * every operand explicitly cast to double, so the IEEE evaluation
+  * order is the same on both sides; the result is rounded to 4 decimals
+  * (the d76-family `round(ln(...), 4)` precedent) and ties in every
+  * ranking break on the id/term, making top-k engine-independent.
+  *
+  * Scale: everything is postings-list shaped. The term-frequency frame
+  * (doc, term, tf) is the only corpus-width explode; document length
+  * and document frequency are partial-aggregated rollups of it. BM25
+  * scoring touches only the postings of the query terms (a broadcast
+  * semi-ish join — query sets are small by construction), and each
+  * ranking window partitions by term (BM25) or document (TF-IDF), so
+  * no sort is ever global. No driver-side vocabulary, no collect.
+  */
+object Retrieval {
+
+  /** Okapi parameters as SHARED LITERAL STRINGS — interpolated into
+    * both the Spark expression and the DuckDB oracle so the two
+    * engines parse the very same numeric text (k1=1.2, b=0.75;
+    * k1+1 = 2.2 and 1−b = 0.25 are pre-folded as text to keep the
+    * runtime arithmetic identical on both sides). */
+  private val K1 = "1.2"
+  private val K1p1 = "2.2"
+  private val B = "0.75"
+  private val OneMinusB = "0.25"
+
+  /** The shared score formula; `ndocs`/`df`/`tf`/`dl`/`avgdl` are
+    * column names present on both sides. Robertson–Sparck Jones idf in
+    * the +1 form (always positive), Okapi tf saturation with document
+    * -length normalization. */
+  private def bm25Formula: String =
+    s"round(ln(1.0 + (cast(ndocs - df as double) + 0.5) / (cast(df as double) + 0.5))" +
+      s" * (cast(tf as double) * $K1p1)" +
+      s" / (cast(tf as double) + $K1 * ($OneMinusB + $B * cast(dl as double) / avgdl)), 4)"
+
+  /** BM25 ranked retrieval (d136): for each of the `nQueryTerms` most
+    * document-frequent terms (ties to the lexicographically smaller
+    * term — a deterministic stand-in for a user query workload), the
+    * top-`k` documents by BM25. Out: (term, doc_id, tf, score, rank).
+    *
+    * Scale: the postings frame is built once (explode + pair-keyed
+    * count, the d03 shape); `dl`/`df`/corpus stats are partial
+    * -aggregated rollups. The query-term frame is `nQueryTerms` rows —
+    * broadcast — so scoring is one postings-side semi-join that prunes
+    * the corpus to the query terms' postings lists before any scoring
+    * arithmetic runs. The top-k window partitions BY TERM: its sort is
+    * one postings list, never the corpus. */
+  def bm25TopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("ndocs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("cast(sum_dl as double) / cast(ndocs as double)"))
+      .withColumn("score", expr(bm25Formula))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** TF-IDF keyword extraction (d137): the `k` most salient terms per
+    * document by tf·ln(N/df), ties to the lexicographically smaller
+    * term. Out: (doc_id, term, tf, tfidf, rank) — the per-document
+    * keyword profile used for corpus exploration, topic filters, and
+    * cheap doc-level features.
+    *
+    * Scale: reuses the postings frame; the df attach is a term-keyed
+    * shuffle join (vocabulary-sized — broadcastable for bounded
+    * vocabularies, left to the planner/AQE here because a 100 TB
+    * corpus's vocabulary need not be driver-small); the window
+    * partitions BY DOCUMENT, so the sort is each document's own term
+    * list. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("ndocs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", expr(
+        "round(cast(tf as double) * ln(cast(ndocs as double) / cast(df as double)), 4) + 0.0"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
+  private val tfSql =
+    """SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // d136: BM25 top-10 docs for each of the 20 most document-frequent
+    // terms — the oracle replays the identical formula text.
+    Q("d136_bm25_topk",
+      (s, d) => bm25TopK(documents(s, d)),
+      Some(s"""WITH tf AS MATERIALIZED ($tfSql),
+              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+              |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 20),
+              |scored AS (
+              |  SELECT tf.term, tf.doc_id, tf.tf,
+              |         ${bm25Formula.replace("avgdl", "(cast(sum_dl as double) / cast(ndocs as double))")} AS score
+              |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT term, doc_id, tf, score, rank FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // d137: top-5 TF-IDF keywords per document.
+    Q("d137_tfidf_keywords",
+      (s, d) => tfidfKeywords(documents(s, d)),
+      Some(s"""WITH tf AS MATERIALIZED ($tfSql),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs FROM tf),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf,
+              |         round(cast(tf as double) * ln(cast(ndocs as double) / cast(df as double)), 4) + 0.0 AS tfidf
+              |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin))
+  )
+}

@@ -88,7 +88,19 @@ object EventsStream {
     * stream is pure +1s (no retractions needed). Unlike the batch
     * form, fan-out past the data's last day is NOT clipped: a live
     * stream has no "last day" (the trailing horizon days simply keep
-    * accumulating as later activity arrives). */
+    * accumulating as later activity arrives).
+    *
+    * Per-batch cost is bounded by the window, not the user's history: a
+    * seen day s can intersect a fresh day d's coverage only when
+    * s > d − window, so the coverage set is built from the seen days
+    * inside the window horizon of the batch's OLDEST fresh day —
+    * O(window²) interval expansion instead of O(|seen|·window) for a
+    * long-lived hot user. The seen-day STATE itself stays complete
+    * (arbitrarily late events must still dedup against ancient covered
+    * days — the shuffled-replay parity spec exercises exactly that);
+    * it grows one Long per active day per user, ~3 KB/user-decade,
+    * which is the deliberate price of exactness under unbounded
+    * lateness. */
   def wauFacts(spark: SparkSession, events: Dataset[Ev],
       window: Int = 7): Dataset[WauFact] = {
     require(window >= 1, "need window >= 1")
@@ -101,7 +113,9 @@ object EventsStream {
           if (fresh.isEmpty) Iterator.empty
           else {
             state.update((seen ++ fresh).toArray)
-            val covered = seen.flatMap(d => d until d + window)
+            val horizon = fresh.min - window // older seen days can't overlap
+            val covered = seen.iterator.filter(_ > horizon)
+              .flatMap(d => d until d + window).toSet
             (fresh.flatMap(d => d until d + window) -- covered)
               .iterator.map(d => WauFact(d, 1L))
           }

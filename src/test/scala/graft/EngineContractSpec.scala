@@ -19,6 +19,25 @@ class EngineContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The registration gate: EVERY registered query must execute end-to-end
+  // at sf0.001 without throwing — analysis errors included. This is the
+  // structural guard against the round-10 failure mode (d129 was
+  // registered with a Catalyst DATATYPE_MISMATCH and crashed the driver
+  // bench on first contact): a query cannot reach `registered` and stay
+  // unrunnable past `sbt test`. Names are also checked unique, since a
+  // duplicate silently shadows its sibling in SparkEntry.queries' map.
+  test("registration gate: every registered query executes at sf0.001") {
+    val names = SparkEntry.registered.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val failures = SparkEntry.registered.flatMap { q =>
+      try { assert(q.fn(spark, sf).count() >= 0); None }
+      catch { case e: Throwable =>
+        Some(s"${q.name}: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("filters and column selection are pushed down to the parquet scan") {
     val df = graft.ops.Tables.lineitem(spark, sf)
       .where(col("l_quantity") > 30.0)

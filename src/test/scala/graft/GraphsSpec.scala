@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import graft.ops.Graphs
+
+/** Planted-fixture coverage for the graph family (d127/d128/d129/d132):
+  * co-purchase edge weights and support pruning, degree-oriented
+  * triangle counting (each triangle once, hubs produce no wedges),
+  * fixed-point integer PageRank against an independent sequential
+  * replay of the documented semantics (dangling mass, truncating
+  * division), the checkpointEvery lineage cut's answer-invariance, and
+  * co-purchase communities.
+  */
+class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("graphs-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def edgesDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  test("copurchaseEdges: weights count distinct baskets, multiplicity collapsed, support pruned") {
+    import spark.implicits._
+    // b4 lists item 1 twice — multiplicity must not inflate the weight
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (4L, 1L)).toDF("basket_id", "item_id")
+    val got = Graphs.copurchaseEdges(baskets, minSupport = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2): baskets 1,2,4 -> 3; (2,3): baskets 1,3 -> 2; all others support 1
+    assert(got == Set((1L, 2L, 3L), (2L, 3L, 2L)))
+  }
+
+  test("triangleStats: hand-counted fixture with a hub — each triangle exactly once") {
+    // K4 on 1..4 (4 triangles, 6 edges) + hub 100 with 10 leaf spokes
+    // (no triangles) + hub closing a triangle with the K4 edge 1-2
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val spokes = (200L to 209L).map(l => (100L, l))
+    val hubTri = Seq((1L, 100L), (2L, 100L))
+    val row = Graphs.triangleStats(edgesDf(k4 ++ spokes ++ hubTri)).collect()(0)
+    assert(row.getLong(row.fieldIndex("n_nodes")) == 15L)   // 4 + 1 + 10
+    assert(row.getLong(row.fieldIndex("n_edges")) == 18L)   // 6 + 10 + 2
+    assert(row.getLong(row.fieldIndex("n_triangles")) == 5L) // 4 in K4 + (1,2,100)
+  }
+
+  test("triangleStats: matches a brute-force count on a random graph") {
+    val rnd = new scala.util.Random(1107)
+    val es = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val verts = adj.keys.toSeq.sorted
+    val brute = (for {
+      i <- verts; j <- verts if j > i && adj(i)(j)
+      k <- verts if k > j && adj(i)(k) && adj(j)(k)
+    } yield 1).size.toLong
+    val row = Graphs.triangleStats(edgesDf(es)).collect()(0)
+    assert(row.getLong(row.fieldIndex("n_triangles")) == brute)
+    assert(row.getLong(row.fieldIndex("n_nodes")) == verts.size.toLong)
+    assert(row.getLong(row.fieldIndex("n_edges")) == es.size.toLong)
+  }
+
+  /** The documented d128 semantics, sequentially: pure Long arithmetic,
+    * truncating division, dangling mass redistributed uniformly. */
+  private def brutePageRank(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> Graphs.Scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = rank.collect {
+        case (m, r) if out.getOrElse(m, 0L) > 0L => m -> r / out(m) }
+      val inbound = nodes.map(v => v ->
+        edges.toSeq.filter(_._2 == v).map(e => contrib.getOrElse(e._1, 0L)).sum).toMap
+      val dangling = rank.collect { case (m, r) if out.getOrElse(m, 0L) == 0L => r }.sum
+      rank = nodes.map(v =>
+        v -> (15L * Graphs.Scale / 100L + 85L * (inbound(v) + dangling / n) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank: equals the sequential integer replay (cycle + dangling node)") {
+    import spark.implicits._
+    // 1->2->3->1 cycle, 1->3 chord, 4->1 source, 3->5 with 5 dangling
+    val es = Set((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (3L, 5L))
+    val got = Graphs.pageRank(edgesDf(es.toSeq), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brutePageRank(es, 3))
+    // sanity: the cycle members outrank the no-inbound source node
+    assert(got(3L) > got(4L) && got(1L) > got(4L))
+  }
+
+  test("pageRank: checkpointEvery only cuts lineage — answers identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 80).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }
+    // unrolled vs checkpointed at a depth the unrolled plan still
+    // compiles quickly (the unrolled 12-deep plan takes MINUTES of
+    // optimizer time — the cost checkpointEvery exists to cut)
+    val plain6 = Graphs.pageRank(edgesDf(es), iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val ck6 = Graphs.pageRank(edgesDf(es), iterations = 6, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ck6 == plain6)
+    // deep iteration runs ONLY with the lineage cut, gated against the
+    // independent sequential replay
+    val ck12 = Graphs.pageRank(edgesDf(es), iterations = 12, checkpointEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ck12 == brutePageRank(es.toSet, 12))
+  }
+
+  // shared fixture for d133/d134: item->baskets 1:{b1,b2,b3} 2:{b1..b4}
+  // 3:{b1,b3,b4} 4:{b5}; support>=2 pairs (1,2):3 (1,3):2 (2,3):3; N=5
+  private def recBaskets = {
+    import spark.implicits._
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("basket_id", "item_id")
+  }
+
+  test("relatedItems: hand-computed Jaccard ppm, deterministic tie-break, k bound") {
+    import spark.implicits._
+    val got = Graphs.relatedItems(recBaskets)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // jac(1,2)=3e6/4=750000  jac(1,3)=2e6/4=500000  jac(2,3)=3e6/4=750000
+    assert(got == Set(
+      (1L, 2L, 3L, 750000L, 1L), (1L, 3L, 2L, 500000L, 2L),
+      (2L, 1L, 3L, 750000L, 1L), (2L, 3L, 3L, 750000L, 2L), // tie -> lower id first
+      (3L, 2L, 3L, 750000L, 1L), (3L, 1L, 2L, 500000L, 2L)))
+    val top1 = Graphs.relatedItems(recBaskets, k = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(top1 == got.filter(_._5 == 1L))
+  }
+
+  test("basketRules: hand-computed support/confidence/lift in exact ppm") {
+    import spark.implicits._
+    val got = Graphs.basketRules(recBaskets)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 3L, 600000L, 1000000L, 1250000L),
+      (2L, 1L, 3L, 600000L, 750000L, 1250000L),
+      (1L, 3L, 2L, 400000L, 666666L, 1111110L),
+      (3L, 1L, 2L, 400000L, 666666L, 1111110L),
+      (2L, 3L, 3L, 600000L, 750000L, 1250000L),
+      (3L, 2L, 3L, 600000L, 1000000L, 1250000L)))
+  }
+
+  test("hopDistance: BFS levels, branch, bound, unreachable island excluded") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6, branch 3-7, island 100-101
+    val es = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (100L, 101L)))
+    val got = Graphs.hopDistance(es, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 7L -> 3L))
+  }
+
+  test("hopDistance: multi-source min, reverse-edge traversal, early frontier exhaustion") {
+    import spark.implicits._
+    val es = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (100L, 101L)))
+    // maxHops far beyond the diameter: the loop must stop on an empty
+    // frontier; node 4 is 3 hops from source 1 but 1 hop from source 5
+    // (via the reversed stored edge 4->5)
+    val got = Graphs.hopDistance(es, Seq(1L, 5L).toDF("node"), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L,
+      6L -> 1L, 7L -> 3L))
+  }
+
+  test("copurchaseCommunities: two disjoint cliques -> two components, min-id labels") {
+    import spark.implicits._
+    // community A: items 1,2,3 pairwise co-bought twice; community B: 10,11
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 10L), (3L, 11L),
+      (4L, 10L), (4L, 11L),
+      // below support: a bridge bought together only once must NOT merge them
+      (5L, 3L), (5L, 10L)).toDF("basket_id", "item_id")
+    val got = Graphs.copurchaseCommunities(spark, baskets)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+}

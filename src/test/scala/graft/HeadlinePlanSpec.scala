@@ -28,6 +28,26 @@ class HeadlinePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val SfDir = "/root/testdata/sf0.001"
 
+  /** The recorded signatures assume the environment they were taken in:
+    * AQE elects join strategies and coalesces exchanges from RUNTIME
+    * sizes, so a different data directory, core count, shuffle-partition
+    * setting, or Spark version can legitimately produce different final
+    * plans. On any other environment the signature tests SKIP with the
+    * mismatch named (assume), instead of failing spuriously. */
+  private lazy val envMismatch: Option[String] = {
+    val recordedSpark = "4.1"
+    if (!new java.io.File(s"$SfDir/lineitem.parquet").exists())
+      Some(s"recorded against $SfDir, which is absent here")
+    else if (sys.env.get("SPARK_GRAFT_CPUS").exists(_ != "32"))
+      Some(s"recorded at local[32], SPARK_GRAFT_CPUS=${sys.env("SPARK_GRAFT_CPUS")}")
+    else if (spark.conf.get("spark.sql.shuffle.partitions") != "32")
+      Some("recorded at spark.sql.shuffle.partitions=32, session has " +
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    else if (!spark.version.startsWith(recordedSpark))
+      Some(s"recorded on Spark $recordedSpark.x, running ${spark.version}")
+    else None
+  }
+
   /** Recorded 2026-08 (round 10), sf0.001, local[32],
     * spark.sql.shuffle.partitions=32. Fields: (BroadcastHashJoin,
     * SortMergeJoin, ShuffledHashJoin, BroadcastNestedLoopJoin,
@@ -79,6 +99,8 @@ class HeadlinePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an exchange — pin the scan contract directly: predicates appear
     // in PushedFilters and the read schema is pruned to the 5 consumed
     // columns (a scan reading l_comment for this query is wrong).
+    assume(new java.io.File(s"$SfDir/lineitem.parquet").exists(),
+      s"$SfDir absent on this machine")
     val q = HeadlinePlans.headlineSet.find(_.name == "q02_filter_projection").get
     val plan = q.fn(spark, SfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters:"), plan)
@@ -93,6 +115,8 @@ class HeadlinePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   HeadlinePlans.headlineSet.foreach { q =>
     test(s"${q.name}: final plan signature unchanged") {
+      assume(envMismatch.isEmpty,
+        s"plan signatures are environment-pinned: ${envMismatch.getOrElse("")}")
       val got = HeadlinePlans.signature(q.fn(spark, SfDir))
       assert(got == Expected(q.name),
         s"\nplan signature changed for ${q.name}:\n  recorded ${Expected(q.name)}\n  current  $got\n" +

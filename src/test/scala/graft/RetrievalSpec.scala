@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.Retrieval
+
+/** Sequential replays of the documented retrieval formulas (d136/d137):
+  * BM25 (k1=1.2, b=0.75, RSJ +1 idf) and TF-IDF keyword extraction,
+  * computed independently in plain Scala over a small corpus with the
+  * same tokenization, rounding, and tie-break rules, then compared
+  * exactly against the DataFrame plans — including query-term
+  * selection, rank cutoffs, and deterministic ties.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("retrieval-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  /** Spark/DuckDB `round(x, 4)`: half away from zero. */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "cats and dogs and cats and ferrets"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "mat mat mat the mat"))
+
+  private def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+
+  private lazy val tf: Map[(Long, String), Long] =
+    docs.flatMap { case (id, t) => toks(t).map(id -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  private lazy val dl: Map[Long, Long] =
+    tf.toSeq.groupBy(_._1._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+  private lazy val dfm: Map[String, Long] =
+    tf.keys.toSeq.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+
+  test("bm25TopK matches a sequential replay of the documented formula") {
+    import spark.implicits._
+    val n = docs.size
+    val avgdl = dl.values.sum.toDouble / n
+    // query terms: top-3 by (df desc, term asc)
+    val qterms = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.take(3)
+    val expected = qterms.flatMap { case (term, df) =>
+      val scored = docs.map(_._1).filter(d => tf.contains((d, term))).map { d =>
+        val f = tf((d, term)).toDouble
+        val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        val score = r4(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(d).toDouble / avgdl)))
+        (d, tf((d, term)), score)
+      }.sortBy { case (d, _, s) => (-s, d) }.take(2)
+      scored.zipWithIndex.map { case ((d, f, s), i) =>
+        (term, d, f, s, (i + 1).toLong)
+      }
+    }.toSet
+    val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), nQueryTerms = 3, k = 2)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("bm25TopK: rank is dense per term, capped at k, scores non-increasing") {
+    import spark.implicits._
+    val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), nQueryTerms = 4, k = 3)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val byTerm = got.groupBy(_._1)
+    assert(byTerm.size == 4)
+    byTerm.values.foreach { rows =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.size).toSeq)
+      assert(sorted.size <= 3)
+      // non-increasing scores in rank order; doc-id ascending within ties
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2))
+        case _ =>
+      }
+    }
+  }
+
+  test("tfidfKeywords matches a sequential replay, ties to the smaller term") {
+    import spark.implicits._
+    val n = docs.size
+    val expected = docs.map(_._1).flatMap { d =>
+      val scored = toks(docs.find(_._1 == d).get._2).distinct.map { t =>
+        val score = r4(tf((d, t)).toDouble * math.log(n.toDouble / dfm(t).toDouble))
+        (t, tf((d, t)), score)
+      }.sortBy { case (t, _, s) => (-s, t) }.take(3)
+      scored.zipWithIndex.map { case ((t, f, s), i) => (d, t, f, s, (i + 1).toLong) }
+    }.toSet
+    val got = Retrieval.tfidfKeywords(docs.toDF("doc_id", "text"), k = 3)
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("tfidfKeywords: a term present in every document scores exactly zero") {
+    import spark.implicits._
+    // "the" appears in docs 1,2,4,5 but not 3 — plant a corpus where a
+    // term IS universal and assert ln(N/df) = 0 exactly
+    val uni = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"))
+    val got = Retrieval.tfidfKeywords(uni.toDF("doc_id", "text"), k = 2)
+      .as[(Long, String, Long, Double, Long)].collect()
+    val alphas = got.filter(_._2 == "alpha")
+    assert(alphas.length == 3 && alphas.forall(_._4 == 0.0))
+    // and the non-universal term outranks it in every doc
+    assert(got.filter(_._5 == 1L).forall(_._2 != "alpha"))
+  }
+}

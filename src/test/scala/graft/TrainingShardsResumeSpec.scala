@@ -81,4 +81,22 @@ class TrainingShardsResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(_._1 == victim), s"victim $victim resurfaced")
     assert(out.nonEmpty)
   }
+
+  test("knob fingerprint: resume with changed parameters fails fast") {
+    val cp = tmp()
+    run(Some(cp))
+    // a survivor-affecting knob changed against the same directory
+    val e = intercept[IllegalArgumentException] {
+      Graft.trainingShards(tr, ev, dropPplTail = true, minWords = 7,
+        checkpointDir = Some(cp)).collect()
+    }
+    assert(e.getMessage.contains("different"), e.getMessage)
+    // budget is outside the fingerprint: re-packing at a new budget is a
+    // legitimate resume of the same survivor sets
+    val repacked = Graft.trainingShards(tr, ev, dropPplTail = true,
+      budget = 512, checkpointDir = Some(cp))
+    assert(repacked.count() > 0)
+    // and the original parameters still resume cleanly
+    assert(run(Some(cp)) == run(None))
+  }
 }
