@@ -122,6 +122,111 @@ object Graphs {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Personalized PageRank (d139): random walk with restart — the
+    * teleport mass lands ONLY on the source set, so ranks measure
+    * proximity to the anchors ("related to these seed items", topic
+    * -sensitive influence) instead of global importance. In: directed
+    * edges (src, dst) and a 1-column sources frame (ids outside the
+    * node universe are ignored — a walk can't restart where no edge
+    * reaches). Out: (node, rank) for every edge-incident node; rank is
+    * a long in 1e-6 units of walk mass anchored at the sources.
+    *
+    * Semantics (bit-exact in any engine, the d128 convention):
+    * r0(n) = Scale·[n ∈ S];
+    * r_{t+1}(n) = [n∈S]·(15·Scale div 100)
+    *            + 85·(Σ_{m→n} (r_t(m) div outdeg(m))
+    *                  + [n∈S]·(dangling div |S|)) div 100
+    * — dangling mass restarts at the sources (uniformly, floor-div
+    * remainders dropped), matching the walk's own restart behavior.
+    * Pure long arithmetic in that exact association order; the oracle
+    * unrolls the identical iterations.
+    *
+    * Scale: identical plan shape to [[pageRank]] — one edge-keyed join,
+    * one dst-keyed partial-aggregated sum, a 1-row dangling broadcast
+    * per iteration; the source flag is one broadcast-joinable column on
+    * the rank frame. `checkpointEvery` as in d128. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e = edges.toDF("src", "dst").distinct()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val src = sources.toDF("node").distinct().select(col("node"), lit(1L).as("is_src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, Seq("node"), "left")
+      .join(src, Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg", "is_src"))
+    val nSrc = nodes.select(sum(col("is_src")).as("n_src"))
+
+    var ranks = nodes.select(col("node"), col("outdeg"), col("is_src"),
+      (col("is_src") * Scale).as("rank"))
+    for (it <- 1 to iterations) {
+      val contrib = ranks.where(col("outdeg") > 0)
+        .select(col("node").as("src"), expr("rank div outdeg").as("contrib"))
+      val inbound = e.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("inbound"))
+      val dangling = ranks.select(
+        sum(when(col("outdeg") === 0, col("rank")).otherwise(lit(0L))).as("dangling"))
+      ranks = ranks.select(col("node"), col("outdeg"), col("is_src"))
+        .join(inbound, Seq("node"), "left")
+        .na.fill(0L, Seq("inbound"))
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nSrc))
+        .select(col("node"), col("outdeg"), col("is_src"),
+          expr(s"is_src * ${15L * Scale / 100L} + " +
+            "85 * (inbound + is_src * (dangling div n_src)) div 100").as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** Label propagation communities (d140): synchronous LPA
+    * (Raghavan et al.) with deterministic tie-breaks — every node takes
+    * the most frequent label among its NEIGHBORS each round (ties to
+    * the smallest label), labels initialized to the node id, a fixed
+    * number of rounds. Complements d132: CC finds connectivity
+    * islands; LPA finds DENSITY communities inside a connected graph.
+    * In: undirected edges (src, dst), one row per unordered pair. Out:
+    * (node, label, label_size) after `iterations` rounds.
+    *
+    * Deterministic by construction: synchronous updates (no vertex
+    * -order dependence, unlike the asynchronous original) and the
+    * (count desc, label asc) argmax make every round a pure function of
+    * the previous labeling, so any engine replays it exactly.
+    *
+    * Scale: each round is one edge-keyed join (neighbor label attach),
+    * one (node, label)-keyed partial-aggregated count, and a top-1
+    * window partitioned BY NODE — the sort is each node's distinct
+    * neighbor-label set, never global. `checkpointEvery` as in d128. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3,
+      checkpointEvery: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e = edges.toDF("src", "dst").distinct()
+    val sym = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
+    var lbls = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (it <- 1 to iterations) {
+      lbls = sym
+        .join(lbls.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("label"))))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
+        lbls = lbls.localCheckpoint()
+    }
+    val sizes = lbls.groupBy(col("label")).agg(count(lit(1)).as("label_size"))
+    lbls.join(sizes, Seq("label")).select(col("node"), col("label"), col("label_size"))
+  }
+
   /** Triangle census (d129): the number of triangles in an undirected
     * graph, plus node/edge counts — the standard clustering-density
     * diagnostic. In: undirected distinct edges (src, dst), src < dst.
@@ -450,6 +555,87 @@ object Graphs {
              |         150000 + 85 * (coalesce(i.inbound, 0) + g.dangling // nn.n_nodes) // 100 AS rank
              |       FROM nodes n LEFT JOIN i3 i USING (node) CROSS JOIN g3 g CROSS JOIN nn)
              |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin)),
+
+    // d139: personalized PageRank over the DIRECTED customer→supplier
+    // graph from the 5 highest-degree customers (ties to the lower id)
+    // — "which suppliers are close to these anchor customers". The
+    // bipartite direction makes every supplier dangling, so the
+    // restart-at-sources path is exercised on every iteration; the
+    // oracle unrolls the identical truncating arithmetic.
+    Q("d139_personalized_pagerank",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+        val directed = o.join(l, Seq("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = directed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("node")).limit(5).select(col("node"))
+        personalizedPageRank(directed, seeds, iterations = 3)
+      },
+      Some("""WITH el AS MATERIALIZED (
+             |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM el GROUP BY 1),
+             |seeds AS (SELECT node FROM od ORDER BY outdeg DESC, node LIMIT 5),
+             |nodes AS (
+             |  SELECT node, coalesce(outdeg, 0) AS outdeg,
+             |         CASE WHEN node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END AS is_src
+             |  FROM (SELECT src AS node FROM el UNION SELECT dst FROM el)
+             |  LEFT JOIN od USING (node)),
+             |ns AS (SELECT CAST(sum(is_src) AS BIGINT) AS n_src FROM nodes),
+             |r0 AS (SELECT node, outdeg, is_src, CAST(is_src * 1000000 AS BIGINT) AS rank FROM nodes),
+             |i1 AS (SELECT el.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS inbound
+             |       FROM el JOIN r0 r ON r.node = el.src AND r.outdeg > 0 GROUP BY 1),
+             |g1 AS (SELECT CAST(coalesce(sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END), 0) AS BIGINT) AS dangling FROM r0),
+             |r1 AS (SELECT n.node, n.outdeg, n.is_src,
+             |         n.is_src * 150000 + 85 * (coalesce(i.inbound, 0) + n.is_src * (g.dangling // ns.n_src)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN i1 i USING (node) CROSS JOIN g1 g CROSS JOIN ns),
+             |i2 AS (SELECT el.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS inbound
+             |       FROM el JOIN r1 r ON r.node = el.src AND r.outdeg > 0 GROUP BY 1),
+             |g2 AS (SELECT CAST(coalesce(sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END), 0) AS BIGINT) AS dangling FROM r1),
+             |r2 AS (SELECT n.node, n.outdeg, n.is_src,
+             |         n.is_src * 150000 + 85 * (coalesce(i.inbound, 0) + n.is_src * (g.dangling // ns.n_src)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN i2 i USING (node) CROSS JOIN g2 g CROSS JOIN ns),
+             |i3 AS (SELECT el.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS inbound
+             |       FROM el JOIN r2 r ON r.node = el.src AND r.outdeg > 0 GROUP BY 1),
+             |g3 AS (SELECT CAST(coalesce(sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END), 0) AS BIGINT) AS dangling FROM r2),
+             |r3 AS (SELECT n.node, n.outdeg, n.is_src,
+             |         n.is_src * 150000 + 85 * (coalesce(i.inbound, 0) + n.is_src * (g.dangling // ns.n_src)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN i3 i USING (node) CROSS JOIN g3 g CROSS JOIN ns)
+             |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin)),
+
+    // d140: 3-round synchronous label propagation over the co-purchase
+    // graph — deterministic (count desc, label asc) argmax each round;
+    // the oracle replays the identical rounds.
+    Q("d140_label_propagation",
+      (s, d) => labelPropagation(
+        copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst")),
+        iterations = 3),
+      Some(s"""WITH e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+              |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+              |c1 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+              |l1 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+              |       WHERE rn = 1),
+              |c2 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+              |l2 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+              |       WHERE rn = 1),
+              |c3 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+              |l3 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
+              |       WHERE rn = 1),
+              |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS label_size FROM l3 GROUP BY 1)
+              |SELECT node, label, label_size FROM l3 JOIN sz USING (label)""".stripMargin)),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.

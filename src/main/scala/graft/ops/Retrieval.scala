@@ -114,6 +114,54 @@ object Retrieval {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /** Dirichlet smoothing parameter as a shared literal (Zhai & Lafferty's
+    * recommended μ≈2000). */
+  private val MU = "2000.0"
+
+  /** The shared query-likelihood score: ln p(t|d) under Dirichlet prior
+    * smoothing — p(t|d) = (tf + μ·cf/C) / (dl + μ), where cf is the
+    * term's collection frequency and C the total token count. Like
+    * [[bm25Formula]], ONE literal string both engines parse, every
+    * operand cast to double, rounded to 4 decimals. */
+  private def qlFormula: String =
+    s"round(ln((cast(tf as double) + $MU * (cast(cf as double) / cast(ctot as double)))" +
+      s" / (cast(dl as double) + $MU)), 4)"
+
+  /** Query-likelihood ranked retrieval (d141): the language-modeling
+    * alternative to BM25 — documents ranked by ln p(term|doc) under
+    * Dirichlet prior smoothing, for the same deterministic 20-term
+    * query workload as d136, top-`k` per term (ties to the lower
+    * doc_id). Out: (term, doc_id, tf, score, rank). BM25 and QL
+    * disagree exactly where the models differ (QL's length prior is
+    * smoothing-based, not saturation-based), which is why engines ship
+    * both.
+    *
+    * Scale: identical shape to [[bm25TopK]] — the postings frame is
+    * pruned to the query terms' postings lists by a 20-row broadcast
+    * (which also carries each term's collection frequency, so the
+    * vocabulary-sized cf rollup never shuffles against the corpus), and
+    * the top-k window partitions BY TERM. */
+  def qlTopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("ctot"))
+    val dfreq = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+      .select(col("term"), col("cf"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(qlFormula))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("score"), col("rank"))
+  }
+
   private val tfSql =
     """SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
@@ -156,6 +204,25 @@ object Retrieval {
               |  SELECT *, CAST(row_number() OVER (
               |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
               |  FROM scored)
-              |SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin))
+              |SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // d141: Dirichlet query-likelihood top-10 for the same 20-term
+    // workload as d136 — the oracle replays the identical formula text.
+    Q("d141_ql_topk",
+      (s, d) => qlTopK(documents(s, d)),
+      Some(s"""WITH tf AS MATERIALIZED ($tfSql),
+              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+              |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+              |                 CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+              |qterms AS (SELECT term, cf FROM dfreq ORDER BY df DESC, term LIMIT 20),
+              |scored AS (
+              |  SELECT tf.term, tf.doc_id, tf.tf, $qlFormula AS score
+              |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT term, doc_id, tf, score, rank FROM ranked WHERE rank <= 10""".stripMargin))
   )
 }

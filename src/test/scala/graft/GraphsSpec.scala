@@ -177,6 +177,108 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       6L -> 1L, 7L -> 3L))
   }
 
+  /** The documented d139 semantics, sequentially: teleport and dangling
+    * mass restart only at the sources, truncating Long division. */
+  private def brutePpr(edges: Set[(Long, Long)], sources: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val srcs = sources.intersect(nodes)
+    val nS = srcs.size.toLong
+    var rank = nodes.map(v => v -> (if (srcs(v)) Graphs.Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = rank.collect {
+        case (m, r) if out.getOrElse(m, 0L) > 0L => m -> r / out(m) }
+      val inbound = nodes.map(v => v ->
+        edges.toSeq.filter(_._2 == v).map(e => contrib.getOrElse(e._1, 0L)).sum).toMap
+      val dangling = rank.collect { case (m, r) if out.getOrElse(m, 0L) == 0L => r }.sum
+      rank = nodes.map { v =>
+        val s = if (srcs(v)) 1L else 0L
+        v -> (s * (15L * Graphs.Scale / 100L) +
+          85L * (inbound(v) + s * (dangling / nS)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank: equals the sequential replay; mass anchors at the sources") {
+    import spark.implicits._
+    // bipartite-ish: 1,2 -> {10,11,12}, 3 -> {12,13}; 10..13 dangling
+    val es = Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L), (3L, 13L))
+    val got = Graphs.personalizedPageRank(edgesDf(es.toSeq), Seq(1L, 2L).toDF("node"),
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(got == brutePpr(es, Set(1L, 2L), 3))
+    // proximity: 11 (reached from both sources) outranks 13 (source 3's
+    // exclusive neighbor — 3 is not anchored, so 13 gets no walk mass)
+    assert(got(11L) > got(13L))
+    assert(got(13L) == 0L)
+    // a source id outside the node universe is ignored, not a crash
+    val got2 = Graphs.personalizedPageRank(edgesDf(es.toSeq),
+      Seq(1L, 2L, 999L).toDF("node"), iterations = 3).as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
+  test("personalizedPageRank: checkpointEvery only cuts lineage — answers identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val es = (1 to 80).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }
+    val srcs = Seq(0L, 1L, 2L).toDF("node")
+    val plain = Graphs.personalizedPageRank(edgesDf(es), srcs, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val ck = Graphs.personalizedPageRank(edgesDf(es), srcs, iterations = 6,
+      checkpointEvery = 2).as[(Long, Long)].collect().toMap
+    assert(ck == plain)
+    assert(plain == brutePpr(es.toSet, Set(0L, 1L, 2L), 6))
+  }
+
+  /** The documented d140 semantics, sequentially: synchronous rounds,
+    * neighbor-label argmax with (count desc, label asc) ties. */
+  private def bruteLpa(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap(e => Seq(e, e.swap))
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.toSeq.map(_._2) }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two cliques with one bridge — labels converge per clique") {
+    import spark.implicits._
+    // K4 on 1..4, K4 on 10..13, single bridge 4-10
+    val a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val b = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val es = (a ++ b :+ (4L, 10L)).toSet
+    val got = Graphs.labelPropagation(edgesDf(es.toSeq), iterations = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = bruteLpa(es, 3)
+    assert(got.map(r => r._1 -> r._2).toMap == brute)
+    // every node in clique A converges to label 1; clique B to label 10
+    assert((1L to 4L).forall(v => brute(v) == 1L))
+    assert((10L to 13L).forall(v => brute(v) == 10L))
+    // label_size column is the label's population
+    assert(got.filter(_._2 == 1L).forall(_._3 == got.count(_._2 == 1L).toLong))
+  }
+
+  test("labelPropagation: equals the sequential replay on a random graph; checkpoint invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1301)
+    val es = (1 to 100).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val got = Graphs.labelPropagation(edgesDf(es.toSeq), iterations = 4)
+      .as[(Long, Long, Long)].collect().map { case (n, l, _) => n -> l }.toMap
+    assert(got == bruteLpa(es, 4))
+    val ck = Graphs.labelPropagation(edgesDf(es.toSeq), iterations = 4,
+      checkpointEvery = 2).as[(Long, Long, Long)].collect()
+      .map { case (n, l, _) => n -> l }.toMap
+    assert(ck == got)
+  }
+
   test("copurchaseCommunities: two disjoint cliques -> two components, min-id labels") {
     import spark.implicits._
     // community A: items 1,2,3 pairwise co-bought twice; community B: 10,11

@@ -93,6 +93,41 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("qlTopK matches a sequential replay of the Dirichlet formula") {
+    import spark.implicits._
+    val ctot = dl.values.sum.toDouble
+    val cf: Map[String, Long] =
+      tf.toSeq.groupBy(_._1._2).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val qterms = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.take(3).map(_._1)
+    val expected = qterms.flatMap { term =>
+      val scored = docs.map(_._1).filter(d => tf.contains((d, term))).map { d =>
+        val f = tf((d, term)).toDouble
+        val score = r4(math.log(
+          (f + 2000.0 * (cf(term).toDouble / ctot)) / (dl(d).toDouble + 2000.0)))
+        (d, tf((d, term)), score)
+      }.sortBy { case (d, _, s) => (-s, d) }.take(2)
+      scored.zipWithIndex.map { case ((d, f, s), i) =>
+        (term, d, f, s, (i + 1).toLong)
+      }
+    }.toSet
+    val got = Retrieval.qlTopK(docs.toDF("doc_id", "text"), nQueryTerms = 3, k = 2)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("qlTopK: higher tf wins at equal length; shorter doc wins at equal tf") {
+    import spark.implicits._
+    // doc 1 has the term twice in 4 tokens, doc 2 once in 4, doc 3 once in 8;
+    // "a" is in all 3 docs and wins the df tie lexicographically
+    val corpus = Seq(
+      (1L, "a a x b"), (2L, "a c x b"), (3L, "a c x b e f g h"))
+    val got = Retrieval.qlTopK(corpus.toDF("doc_id", "text"), nQueryTerms = 1, k = 3)
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(got.forall(_._1 == "a"))
+    val byRank = got.sortBy(_._5).map(_._2).toSeq
+    assert(byRank == Seq(1L, 2L, 3L))
+  }
+
   test("tfidfKeywords: a term present in every document scores exactly zero") {
     import spark.implicits._
     // "the" appears in docs 1,2,4,5 but not 3 — plant a corpus where a
