@@ -328,6 +328,121 @@ object Graft {
   def dailyAnomalies(events: DataFrame, window: Int = 7): DataFrame =
     graft.ops.Events.dailyAnomalies(events, window)
 
+  /** Gap-based sessionization: split each user's stream into sessions
+    * wherever the gap to the previous event exceeds `gapMinutes`
+    * (strict), then aggregate per-session shape. Out: (user_id,
+    * session_idx, session_start_us, session_end_us, duration_us,
+    * n_events, n_event_types), exact longs. Reads: user_id, event_id,
+    * event_type, ts_us. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    graft.ops.Events.sessionize(events, gapMinutes)
+
+  /** Item co-occurrence graph: undirected weighted edges between items
+    * sharing a basket, support-pruned. Out: (src, dst, weight) with
+    * src < dst. Reads: basket_id, item_id (first two columns). */
+  def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L): DataFrame =
+    graft.ops.Graphs.copurchaseEdges(baskets, minSupport)
+
+  /** Item communities: connected components of the co-purchase graph
+    * (large-star/small-star). Out: (item_id, community_id,
+    * community_size). Reads: basket_id, item_id. */
+  def copurchaseCommunities(spark: SparkSession, baskets: DataFrame): DataFrame =
+    graft.ops.Graphs.copurchaseCommunities(spark, baskets)
+
+  /** "Customers who bought X also bought": per-item top-k neighbors by
+    * basket Jaccard in exact integer ppm. Out: (item_id, rel_id,
+    * n_shared, jaccard_ppm, rank). Reads: basket_id, item_id. */
+  def relatedItems(baskets: DataFrame, k: Int = 10,
+                   minSupport: Long = 2L): DataFrame =
+    graft.ops.Graphs.relatedItems(baskets, k, minSupport)
+
+  /** Association rules over basket pairs: support / confidence / lift
+    * in exact integer ppm per directed (antecedent, consequent). Reads:
+    * basket_id, item_id. */
+  def basketRules(baskets: DataFrame, minSupport: Long = 2L): DataFrame =
+    graft.ops.Graphs.basketRules(baskets, minSupport)
+
+  /** Triangle census of an undirected edge set (degree-oriented, each
+    * triangle counted once). Out: one row (n_nodes, n_edges,
+    * n_triangles, global_clustering_ppm). Reads: src, dst. */
+  def triangleStats(edges: DataFrame): DataFrame =
+    graft.ops.Graphs.triangleStats(edges)
+
+  /** Fixed-point integer PageRank over a directed edge list — exact
+    * longs in 1e-6 units, engine-independent. Out: (node, rank).
+    * Reads: src, dst. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.pageRank(edges, iterations, checkpointEvery)
+
+  /** Personalized PageRank: teleport and dangling mass restart only at
+    * `sources` — proximity-to-anchors ranking, fixed-point longs.
+    * Out: (node, rank). Reads: src, dst; sources: node. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.personalizedPageRank(edges, sources, iterations, checkpointEvery)
+
+  /** Synchronous label propagation (deterministic count-desc/label-asc
+    * argmax): density communities inside connected components. Out:
+    * (node, label, label_size). Reads: src, dst. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3,
+      checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.labelPropagation(edges, iterations, checkpointEvery)
+
+  /** Multi-source BFS hop distance over an undirected edge set, bounded
+    * to `maxHops`. Out: (node, hops). Reads: src, dst; sources: node. */
+  def hopDistance(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int = 4): DataFrame =
+    graft.ops.Graphs.hopDistance(edges, sources, maxHops)
+
+  /** Rounds-bounded k-core peel: survivors of iteratively deleting
+    * degree-<k nodes, with their in-subgraph degree. Out: (node,
+    * core_deg). Reads: src, dst. */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
+            checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.kCore(edges, k, rounds, checkpointEvery)
+
+  /** Fuzzy record linkage: per record, the best Levenshtein match
+    * under `maxDist` among banded/capped block candidates. Out:
+    * (rec_id, name, best_id, best_name, best_dist). Reads: first two
+    * columns as (rec_id, name). */
+  def bestMatches(records: DataFrame, maxDist: Int = 3,
+                  blockCap: Int = 1024): DataFrame =
+    graft.ops.Linkage.bestMatches(records, maxDist, blockCap)
+
+  /** Key-skew report for shuffle planning: count-of-counts percentiles,
+    * top-key ppm shares. One summary row. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    graft.ops.Diagnostics.keySkewReport(df, keyCol)
+
+  /** Per-column profile: nulls, distinct, min/max as strings — the
+    * scan-planning staple. Out: one row per profiled column. */
+  def tableProfile(df: DataFrame, colNames: Seq[String]): DataFrame =
+    graft.ops.Diagnostics.tableProfile(df, colNames)
+
+  /** BM25 ranked retrieval for a deterministic top-df query workload.
+    * Out: (term, doc_id, tf, score, rank). Reads: doc_id, text. */
+  def bm25TopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame =
+    graft.ops.Retrieval.bm25TopK(docs, nQueryTerms, k)
+
+  /** Top-k TF-IDF keywords per document. Out: (doc_id, term, tf,
+    * tfidf, rank). Reads: doc_id, text. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame =
+    graft.ops.Retrieval.tfidfKeywords(docs, k)
+
+  /** Dirichlet query-likelihood retrieval (μ=2000), same workload shape
+    * as [[bm25TopK]]. Out: (term, doc_id, tf, score, rank). Reads:
+    * doc_id, text. */
+  def qlTopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame =
+    graft.ops.Retrieval.qlTopK(docs, nQueryTerms, k)
+
+  /** Reciprocal-rank fusion of per-query rankings from several
+    * retrievers — fixed-point integer contributions, exact longs. In:
+    * frames of (term, doc_id, rank). Out: (term, doc_id, rrf, n_lists,
+    * rank). */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, k: Int = 10): DataFrame =
+    graft.ops.Retrieval.rrfFuse(rankings, kRrf, k)
+
   /** Per-group median via the mergeable quantile sketch beside the
     * exact value and a bound check — (lang, n_docs, p50, within_bound).
     * The sketch is the scale path (no per-group sort); the exact

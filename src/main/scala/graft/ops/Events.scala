@@ -208,7 +208,80 @@ object Events {
       coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
   }
 
+  /** Gap-based sessionization (d142): split each user's event stream
+    * into sessions wherever the gap to the previous event exceeds
+    * `gapMinutes`, then aggregate per-session shape — the standard
+    * first step of behavioral analysis (session length/depth feed
+    * engagement metrics, bot filters, and the d117 funnel's upstream).
+    * In: (user_id, event_id, event_type, ts_us). Out: (user_id,
+    * session_idx, session_start_us, session_end_us, duration_us,
+    * n_events, n_event_types) — session_idx is 1-based in first-event
+    * order; every value an exact long, so the oracle replays the
+    * identical lag/running-sum/rollup.
+    *
+    * Semantics: a session BOUNDARY is a strict gap (ts − prev >
+    * gap µs); ties within a user order by (ts_us, event_id) — the
+    * d118 convention — so the running boundary count is deterministic.
+    *
+    * Scale: ONE shuffle on user_id serves the whole plan — the lag
+    * window, the running-sum window, and the (user_id, session_idx)
+    * rollup all live inside that partitioning (the group keys extend
+    * the partition key, so no re-exchange; Spark sorts each user's
+    * slice once and both windows share it). Per-user state is a sort
+    * of that user's events, never corpus-global — the shape that
+    * survives a 100 TB event log as long as no single user is a
+    * meaningful fraction of the corpus (a hot bot user would be capped
+    * upstream, the d127 basket adjudication). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, "need gapMinutes >= 1")
+    val gapUs = gapMinutes.toLong * 60000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d142: 30-minute-gap sessionization — exact longs end to end; the
+    // oracle replays the identical lag / boundary-flag / running-sum /
+    // per-session rollup with the same (ts, event_id) tie order.
+    Q("d142_sessionize",
+      (s, d) => sessionize(events(s, d)),
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS prev_us
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM s),
+             |g AS (
+             |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM f)
+             |SELECT user_id, session_idx,
+             |       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+             |       CAST(max(ts_us) AS BIGINT) AS session_end_us,
+             |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+             |FROM g GROUP BY 1, 2""".stripMargin)),
 
     // d124: trailing-window daily-volume z-scores — the baseline sums
     // stay exact integers, so the derived doubles are expression-

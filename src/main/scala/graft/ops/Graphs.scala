@@ -90,6 +90,12 @@ object Graphs {
                checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    // The edge frame and rank frame are each referenced several times
+    // per iteration; at a fixed shallow depth Spark's exchange reuse
+    // already dedupes those identical subplans inside the one job, so
+    // no eager materialization is forced here (A/B at sf0.1: adding
+    // localCheckpoints on e/nodes measured ~1 s SLOWER warm) — deep
+    // counts opt into `checkpointEvery` instead.
     val e = edges.toDF("src", "dst").distinct()
     // node universe + out-degree (0 for dst-only nodes = dangling)
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
@@ -374,7 +380,11 @@ object Graphs {
                   maxHops: Int = 4): DataFrame = {
     require(maxHops >= 0, "need maxHops >= 0")
     val e0 = edges.toDF("src", "dst")
+    // the edge frame is probed once per hop — materialize it once so an
+    // expensive upstream derivation (e.g. the d127 basket self-join) is
+    // not replayed maxHops times
     val e = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .localCheckpoint()
     var settled = sources.toDF("node").distinct()
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
     var frontier = settled
@@ -424,7 +434,70 @@ object Graphs {
         expr("(weight * 1000000 div na) * n_baskets div nb").as("lift_ppm"))
   }
 
+  /** Rounds-bounded k-core peel (d144): iteratively delete nodes of
+    * (undirected) degree < `k`; the survivors after convergence are the
+    * k-core — the standard dense-subgraph primitive (spam/community
+    * cores, graph sparsification before expensive analytics). Out:
+    * (node, core_deg) for every node still alive after `rounds` peels,
+    * with its degree INSIDE the surviving subgraph.
+    *
+    * Semantics: a bounded unroll, the d128 convention — each round
+    * recomputes degrees over the surviving adjacency and drops nodes
+    * under `k`, and a round that deletes nothing makes every later
+    * round a no-op, so the output EQUALS the true k-core whenever
+    * peeling converges within `rounds` (peel depth is bounded by the
+    * graph's degeneracy ordering depth, small for the bursty
+    * power-law graphs this runs on; a non-converged prefix is still
+    * deterministic and oracle-replayable). All arithmetic is integer
+    * counting — nothing to round, nothing engine-dependent.
+    *
+    * Scale: each round is ONE node-keyed degree aggregation and two
+    * semi-join prunes of the adjacency — all partitioned on node keys,
+    * no driver state; the adjacency only shrinks. `checkpointEvery`
+    * cuts lineage for deep peels (the d128 knob; at the default
+    * shallow rounds the unrolled plan wins). */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
+            checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(rounds >= 1, "need rounds >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e0 = edges.toDF("src", "dst")
+    var adj = e0.union(e0.select(col("dst"), col("src")))
+      .toDF("src", "dst").distinct()
+    for (it <- 1 to rounds) {
+      val keep = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("node"))
+      adj = adj
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < rounds)
+        adj = adj.localCheckpoint()
+    }
+    adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The d144 oracle: the identical peel unrolled as chained CTEs. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"k$i AS (SELECT u FROM a${i - 1} GROUP BY u HAVING count(*) >= $k),\n" +
+        s"a$i AS (SELECT a.u, a.v FROM a${i - 1} a " +
+        s"JOIN k$i x ON x.u = a.u JOIN k$i y ON y.u = a.v)"
+    }.mkString(",\n")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "a0 AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),\n" +
+      chain + "\n" +
+      s"SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg FROM a$rounds GROUP BY 1"
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // d144: 6-round 3-core peel of the co-purchase graph — exact
+    // integer counting; the oracle unrolls the identical rounds.
+    Q("d144_kcore",
+      (s, d) => kCore(
+        copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst"))),
+      Some(kcoreSql(k = 3, rounds = 6))),
 
     // d127: the basket co-occurrence graph — integer weights, exact.
     Q("d127_copurchase_edges",

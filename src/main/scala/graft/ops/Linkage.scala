@@ -64,13 +64,23 @@ object Linkage {
     * row. One rec-keyed min, one join back to the records frame. No
     * sort, no driver state; the one window (the cap's row_number) is
     * keyed by cell, never global. */
-  def bestMatches(records: DataFrame, maxDist: Int = 3,
-                  blockCap: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = maxDist + 1
-    val r = records.toDF("rec_id", "name")
+  /** The banded records frame shared by probe and candidate sides. */
+  private def banded(records: DataFrame, maxDist: Int): DataFrame =
+    records.toDF("rec_id", "name")
       .withColumn("blk", lower(regexp_extract(col("name"), "([^ ]+)$", 1)))
-      .withColumn("band", expr(s"length(name) div $w"))
+      .withColumn("band", expr(s"length(name) div ${maxDist + 1}"))
+
+  /** The candidate frame the blocking discipline materializes BEFORE the
+    * Levenshtein comparator runs — (rec_id, name, b_id, b_name), one row
+    * per surviving (probe, candidate) pair. Public so the scale harness
+    * can COUNT it directly: the cap bounds candidates per record at
+    * 3·blockCap, so this frame's size is provably linear in the corpus
+    * (`ScaleSmoke`'s linkage probe measures exactly that on a 10×
+    * skewed-block name corpus). */
+  def candidateFrame(records: DataFrame, maxDist: Int = 3,
+                     blockCap: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = banded(records, maxDist)
     val b = r
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("blk"), col("band")).orderBy(col("rec_id"))))
@@ -79,9 +89,16 @@ object Linkage {
         col("blk"), col("band"))
     val a = r.select(col("rec_id"), col("name"), col("blk"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val best = a.join(b, Seq("blk", "band"))
+    a.join(b, Seq("blk", "band"))
       .where(col("rec_id") =!= col("b_id") &&
         abs(length(col("name")) - length(col("b_name"))) <= maxDist)
+      .select(col("rec_id"), col("name"), col("b_id"), col("b_name"))
+  }
+
+  def bestMatches(records: DataFrame, maxDist: Int = 3,
+                  blockCap: Int = 1024): DataFrame = {
+    val r = banded(records, maxDist)
+    val best = candidateFrame(records, maxDist, blockCap)
       .withColumn("dist", levenshtein(col("name"), col("b_name")))
       .groupBy(col("rec_id"))
       .agg(min(when(col("dist") <= maxDist,

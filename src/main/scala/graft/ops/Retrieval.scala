@@ -162,6 +162,46 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("score"), col("rank"))
   }
 
+  /** Fixed-point scale for RRF contributions: each list's contribution
+    * for a rank-r hit is `RrfScale div (kRrf + r)` — a long, so the
+    * fused score is pure integer arithmetic (the d128 convention) and
+    * engine-independent. 1e9 keeps adjacent ranks distinguishable
+    * (r=1 vs r=2 differ by ~2.6e5 at kRrf=60) with overflow headroom
+    * for thousands of fused lists. */
+  val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion (d143, Cormack/Clarke/Büttcher): combine
+    * per-query rankings from several retrievers into one consensus
+    * ranking — score(d) = Σ_lists 1/(kRrf + rank_list(d)), the standard
+    * robust rank aggregation (no score calibration across retrievers
+    * needed, only ranks). In: ranking frames each (term, doc_id, rank).
+    * Out: (term, doc_id, rrf, n_lists, rank) — `rrf` the fixed-point
+    * fused score, `n_lists` how many input lists ranked the doc, `rank`
+    * the fused top-`k` position (ties to the lower doc_id).
+    *
+    * Scale: fusion touches ONLY the retrievers' top-k lists (#queries ×
+    * k × #lists rows — trivially small at any corpus size); the heavy
+    * lifting is the upstream retrievers themselves, and when those
+    * share subplans (d136/d141 build the identical postings frame)
+    * Spark's ReuseExchange dedupes the duplicated exchanges inside the
+    * one fused job. The final window partitions by term over ≤ k·#lists
+    * rows. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, "need kRrf >= 1")
+    val lists = rankings.map(_.select(col("term"), col("doc_id"), col("rank")))
+    lists.reduce(_ unionAll _)
+      .select(col("term"), col("doc_id"),
+        expr(s"$RrfScale div ($kRrf + rank)").as("contrib"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("rrf"), col("n_lists"), col("rank"))
+  }
+
   private val tfSql =
     """SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
@@ -223,6 +263,55 @@ object Retrieval {
               |  SELECT *, CAST(row_number() OVER (
               |    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
               |  FROM scored)
-              |SELECT term, doc_id, tf, score, rank FROM ranked WHERE rank <= 10""".stripMargin))
+              |SELECT term, doc_id, tf, score, rank FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // d143: reciprocal-rank fusion of the BM25 (d136) and QL (d141)
+    // top-10 lists for the shared 20-term workload — fixed-point
+    // integer contributions, so the fused scores are exact longs; the
+    // oracle rebuilds both rankings and replays the identical
+    // floor-div / sum / tie-break.
+    Q("d143_rrf_fusion",
+      (s, d) => {
+        val docs = documents(s, d)
+        rrfFuse(Seq(bm25TopK(docs), qlTopK(docs)))
+      },
+      Some(s"""WITH tf AS MATERIALIZED ($tfSql),
+              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+              |bstats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+              |                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+              |qstats AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+              |                 CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+              |qterms AS (SELECT term, df, cf FROM dfreq ORDER BY df DESC, term LIMIT 20),
+              |bscored AS (
+              |  SELECT tf.term, tf.doc_id,
+              |         ${bm25Formula.replace("avgdl", "(cast(sum_dl as double) / cast(ndocs as double))")} AS score
+              |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN bstats),
+              |branked AS (
+              |  SELECT term, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              |  FROM bscored),
+              |qscored AS (
+              |  SELECT tf.term, tf.doc_id, $qlFormula AS score
+              |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN qstats),
+              |qranked AS (
+              |  SELECT term, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              |  FROM qscored),
+              |u AS (
+              |  SELECT term, doc_id, rank FROM branked WHERE rank <= 10
+              |  UNION ALL
+              |  SELECT term, doc_id, rank FROM qranked WHERE rank <= 10),
+              |fused AS (
+              |  SELECT term, doc_id,
+              |         CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf,
+              |         CAST(count(*) AS BIGINT) AS n_lists
+              |  FROM u GROUP BY 1, 2),
+              |franked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY term ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+              |  FROM fused)
+              |SELECT term, doc_id, rrf, n_lists, rank
+              |FROM franked WHERE rank <= 10""".stripMargin))
   )
 }

@@ -185,4 +185,56 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Events.dailyAnomalies(ev).collect().map(r => r.getLong(0) -> r).toMap
     assert(got(20L).getLong(2) == 0L && !got(20L).getBoolean(6))
   }
+
+  test("d142: sessions split on STRICT gap; an exactly-threshold gap does not") {
+    import spark.implicits._
+    val M = 1000000L // 1 second in µs
+    // gap = 1 minute. user 1: 0s, 10s, 70s (gap == 60s -> SAME session),
+    // 131s (gap 61s -> new). user 2: one event.
+    val ev = Seq(
+      (0L, 1L, 0L * M, "view"), (1L, 1L, 10L * M, "view"),
+      (2L, 1L, 70L * M, "click"), (3L, 1L, 131L * M, "view"),
+      (4L, 2L, 5L * M, "purchase"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.sessionize(ev, gapMinutes = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.size == 3)
+    assert(got((1L, 1L)) == ((0L, 70L * M, 70L * M, 3L, 2L)))
+    assert(got((1L, 2L)) == ((131L * M, 131L * M, 0L, 1L, 1L)))
+    assert(got((2L, 1L)) == ((5L * M, 5L * M, 0L, 1L, 1L)))
+  }
+
+  test("d142: session_idx counts each user's sessions independently from 1") {
+    import spark.implicits._
+    val H = 3600000000L // 1 hour in µs
+    // default 30-min gap; user 1 has 3 well-separated bursts, user 2 has 2
+    val rows = Seq(
+      (1L, 0L), (1L, 60L), (1L, 2 * H), (1L, 4 * H), (1L, 4 * H + 5L),
+      (2L, 0L), (2L, 10 * H))
+    val ev = rows.zipWithIndex
+      .map { case ((u, ts), i) => (i.toLong, u, ts, "view") }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Events.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 2L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (2L, 1L) -> 1L, (2L, 2L) -> 1L))
+  }
+
+  test("d142 binding: sessions partition the events exactly at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.ops.Tables.events(spark, dir)
+    val sessions = Events.sessionize(ev)
+    val nEvents = ev.count()
+    val agg = sessions.agg(
+      org.apache.spark.sql.functions.sum("n_events"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect()(0)
+    // every event lands in exactly one session; durations never negative
+    assert(agg.getLong(0) == nEvents)
+    assert(sessions.where(org.apache.spark.sql.functions.col("duration_us") < 0).count() == 0)
+  }
 }

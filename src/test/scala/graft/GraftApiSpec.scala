@@ -198,6 +198,58 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mmr == top1)
   }
 
+  test("graph / linkage / diagnostics / retrieval facades work on in-memory frames") {
+    import spark.implicits._
+    // two baskets sharing the pair (1,2); support 2 keeps only that edge
+    val baskets = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (300L, 4L), (300L, 5L))
+      .toDF("basket_id", "item_id")
+    assert(Graft.copurchaseEdges(baskets).as[(Long, Long, Long)]
+      .collect().toSet == Set((1L, 2L, 2L)))
+    assert(Graft.copurchaseCommunities(spark, baskets).count() == 2L)
+    assert(Graft.relatedItems(baskets).count() == 2L)
+    assert(Graft.basketRules(baskets).count() == 2L)
+
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graft.triangleStats(tri).head().getAs[Long]("n_triangles") == 1L)
+    assert(Graft.kCore(tri, k = 2, rounds = 2).as[(Long, Long)]
+      .collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val hops = Graft.hopDistance(tri, Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+
+    // ranks: every edge-incident node gets one; PPR anchors at sources
+    val pr = Graft.pageRank(tri).as[(Long, Long)].collect().toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L))
+    val ppr = Graft.personalizedPageRank(tri, Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(ppr(1L) > ppr(4L))
+    assert(Graft.labelPropagation(tri).count() == 4L)
+
+    val recs = Seq((1L, "acme corp"), (2L, "acmex corp"), (3L, "zzz"))
+      .toDF("rec_id", "name")
+    val lm = Graft.bestMatches(recs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // 1 and 2 share the 'corp' block and sit one edit apart; 3 is alone
+    assert(lm == Map(1L -> Some(2L), 2L -> Some(1L), 3L -> None))
+
+    val skew = Graft.keySkewReport(baskets, "item_id").head()
+    assert(skew.getAs[Long]("n_rows") == 7L && skew.getAs[Long]("n_keys") == 5L)
+    assert(Graft.tableProfile(docsDf, Seq("lang", "n_chars")).count() == 2L)
+
+    // retrieval: fuse bm25+ql; every fused doc must appear in a source list
+    val corpus = docsDf.select(col("doc_id"), col("text"))
+    val bm = Graft.bm25TopK(corpus, nQueryTerms = 2, k = 3)
+    val ql = Graft.qlTopK(corpus, nQueryTerms = 2, k = 3)
+    val fused = Graft.rrfFuse(Seq(bm, ql), k = 3)
+    val srcDocs = (bm.select("doc_id").collect() ++ ql.select("doc_id").collect())
+      .map(_.getLong(0)).toSet
+    assert(fused.count() > 0)
+    assert(fused.select("doc_id").collect().map(_.getLong(0)).forall(srcDocs))
+    assert(Graft.tfidfKeywords(corpus, k = 2)
+      .groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
   test("trainingShards: every curation stage applies, survivors are packed") {
     import spark.implicits._
     val corpus = Seq(

@@ -295,4 +295,47 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
+
+  test("kCore: a tail chain peels one node per round; the clique survives") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} with a path 4-5-6-7 hanging off it. At k=2 the
+    // path peels from the END one node per round: 7 (deg 1) in round 1,
+    // then 6, then 5. The clique (all degrees 3) never peels.
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val es = edgesDf(clique ++ path)
+    def nodes(rounds: Int) =
+      Graphs.kCore(es, k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    val r1 = nodes(1)
+    assert(!r1.contains(7L) && r1.contains(6L) && r1.contains(5L))
+    val r2 = nodes(2)
+    assert(!r2.contains(6L) && r2.contains(5L))
+    val r3 = nodes(3)
+    // converged: only the clique remains, every degree 3 (4 still has
+    // its 3 clique neighbors after losing node 5)
+    assert(r3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // further rounds are no-ops after convergence
+    assert(nodes(6) == r3)
+  }
+
+  test("kCore: core degrees are measured INSIDE the surviving subgraph") {
+    import spark.implicits._
+    // triangle {1,2,3} plus spokes 1-10, 2-11: at k=2 the spokes peel
+    // and the triangle's degrees drop from (3,3,2) to (2,2,2)
+    val es = edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 10L), (2L, 11L)))
+    val got = Graphs.kCore(es, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // checkpointEvery is answer-invariant (lineage only)
+    val ck = Graphs.kCore(es, k = 2, rounds = 3, checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ck == got)
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    import spark.implicits._
+    val es = edgesDf(Seq((1L, 2L), (2L, 3L)))
+    assert(Graphs.kCore(es, k = 3, rounds = 2).count() == 0L)
+  }
 }

@@ -140,4 +140,54 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the non-universal term outranks it in every doc
     assert(got.filter(_._5 == 1L).forall(_._2 != "alpha"))
   }
+
+  test("rrfFuse: fixed-point contributions sum exactly; ties break to lower doc") {
+    import spark.implicits._
+    // 1e9 div 61 = 16393442, 1e9 div 62 = 16129032 (floor division)
+    val a = Seq(("t", 1L, 1L), ("t", 3L, 2L)).toDF("term", "doc_id", "rank")
+    val b = Seq(("t", 2L, 1L), ("t", 4L, 2L)).toDF("term", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._5)
+    // docs 1 and 2 tie at rank-1 contribution -> doc 1 first; 3 and 4
+    // tie at rank-2 contribution -> doc 3 third
+    assert(got.toSeq == Seq(
+      ("t", 1L, 16393442L, 1L, 1L), ("t", 2L, 16393442L, 1L, 2L),
+      ("t", 3L, 16129032L, 1L, 3L), ("t", 4L, 16129032L, 1L, 4L)))
+  }
+
+  test("rrfFuse: consensus doc outranks either list's solo winner; k caps") {
+    import spark.implicits._
+    val a = Seq(("t", 1L, 1L), ("t", 9L, 2L)).toDF("term", "doc_id", "rank")
+    val b = Seq(("t", 2L, 1L), ("t", 9L, 2L)).toDF("term", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 2)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._5)
+    // doc 9 appears in BOTH lists at rank 2: 2×16129032 = 32258064 beats
+    // any single rank-1 hit (16393442)
+    assert(got.length == 2)
+    assert(got(0) == (("t", 9L, 32258064L, 2L, 1L)))
+    assert(got(1)._2 == 1L && got(1)._4 == 1L)
+  }
+
+  test("d143 shape: fusing bm25 and ql replays a sequential fusion of their outputs") {
+    import spark.implicits._
+    val corpus = docs.toDF("doc_id", "text")
+    val bm = Retrieval.bm25TopK(corpus, nQueryTerms = 3, k = 4)
+      .select("term", "doc_id", "rank").as[(String, Long, Long)].collect()
+    val ql = Retrieval.qlTopK(corpus, nQueryTerms = 3, k = 4)
+      .select("term", "doc_id", "rank").as[(String, Long, Long)].collect()
+    val expected = (bm ++ ql).toSeq
+      .groupBy(t => (t._1, t._2))
+      .map { case ((term, doc), hits) =>
+        (term, doc, hits.map(h => 1000000000L / (60L + h._3)).sum, hits.size.toLong) }
+      .toSeq
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.collect {
+          case ((term, doc, rrf, n), i) if i < 4 => (term, doc, rrf, n, i + 1L) }
+      }.toSet
+    val got = Retrieval.rrfFuse(
+      Seq(Retrieval.bm25TopK(corpus, nQueryTerms = 3, k = 4),
+        Retrieval.qlTopK(corpus, nQueryTerms = 3, k = 4)), k = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
