@@ -389,6 +389,13 @@ object Graft {
       checkpointEvery: Int = 0): DataFrame =
     graft.ops.Graphs.labelPropagation(edges, iterations, checkpointEvery)
 
+  /** HITS hubs and authorities on a directed edge list — integer
+    * -normalized exact longs in [0, 1e6]. Out: (node, hub, authority).
+    * Reads: src, dst. */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.hits(edges, iterations, checkpointEvery)
+
   /** Multi-source BFS hop distance over an undirected edge set, bounded
     * to `maxHops`. Out: (node, hops). Reads: src, dst; sources: node. */
   def hopDistance(edges: DataFrame, sources: DataFrame,

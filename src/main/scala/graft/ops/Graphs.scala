@@ -453,11 +453,18 @@ object Graphs {
     *
     * Scale: each round is ONE node-keyed degree aggregation and two
     * semi-join prunes of the adjacency — all partitioned on node keys,
-    * no driver state; the adjacency only shrinks. `checkpointEvery`
-    * cuts lineage for deep peels (the d128 knob; at the default
-    * shallow rounds the unrolled plan wins). */
+    * no driver state; the adjacency only shrinks. UNLIKE the linear
+    * d128 rank chain (where the shallow unrolled plan measured faster
+    * than checkpointing), each peel round references the PREVIOUS
+    * round's adjacency three times (degree agg + both prune sides), so
+    * the unrolled logical plan grows 3^rounds-fold and Catalyst time
+    * explodes — measured at sf0.1: 288 s unrolled vs ~2 s with
+    * per-round checkpoints at the default 6 rounds. `checkpointEvery`
+    * therefore DEFAULTS TO 1 (materialize each round — the adjacency
+    * is the small frame here); 0 opts into the unrolled plan for
+    * 1–2-round calls. */
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
-            checkpointEvery: Int = 0): DataFrame = {
+            checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(rounds >= 1, "need rounds >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
@@ -477,6 +484,90 @@ object Graphs {
     adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** HITS hubs and authorities (d145, Kleinberg): on a directed graph,
+    * a node is a good HUB if it points at good authorities and a good
+    * AUTHORITY if good hubs point at it — the natural ranking for
+    * bipartite relationship graphs (here customer→supplier: hub = a
+    * customer with a broad high-quality supplier portfolio, authority
+    * = a supplier serving the strongest customers), complementing
+    * d128's single-score PageRank. Out: (node, hub, authority), exact
+    * longs in [0, Scale].
+    *
+    * Semantics (bit-exact in any engine, the d128 convention):
+    * h_0(n) = Scale; per iteration, a(n) = Σ_{m→n} h(m) and
+    * h(n) = Σ_{n→m} a(m), each followed by the integer normalization
+    * x → x div ((max(x) + Scale−1) div Scale) — floor-div by the
+    * ceiling of max/Scale, which keeps every score in [0, Scale] with
+    * pure long arithmetic. That replaces classic HITS' L2
+    * normalization (a float whose reduction order engines disagree
+    * on) with a deterministic rescale that preserves the relative
+    * order of scores exactly. Overflow headroom: a raw sum is at most
+    * N·Scale ≈ 1e15 at N=1e9 — inside Long with 3 decimal orders to
+    * spare, AT ANY iteration count because normalization re-bounds
+    * every round.
+    *
+    * Scale: per iteration, two edge-keyed equi-joins + partial
+    * -aggregated sums (the d128 plan shape) and two 1-row max
+    * broadcasts; `checkpointEvery` cuts lineage for deep runs. */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e = edges.toDF("src", "dst").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    def normalized(raw: DataFrame, valueCol: String): DataFrame = {
+      val mx = raw.agg(max(col(valueCol)).as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .na.fill(0L, Seq(valueCol))
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$valueCol div ((mx + ${Scale - 1}) div $Scale)").as(valueCol))
+    }
+    var hubs = nodes.select(col("node"), lit(Scale).as("h"))
+    var auths: DataFrame = nodes.select(col("node"), lit(0L).as("a"))
+    for (it <- 1 to iterations) {
+      val araw = e.join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      auths = normalized(araw, "a")
+      val hraw = e.join(auths.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      hubs = normalized(hraw, "h")
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations) {
+        hubs = hubs.localCheckpoint()
+        auths = auths.localCheckpoint()
+      }
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /** The d145 oracle: the identical iteration unrolled as chained CTEs
+    * over the directed customer→supplier graph. */
+  private def hitsSql(iterations: Int): String = {
+    val norm = s"((mx + ${Scale - 1}) // $Scale)"
+    val steps = (1 to iterations).map { i =>
+      s"ar$i AS (SELECT e.dst AS node, sum(h.h) AS s FROM el e " +
+        s"JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),\n" +
+        s"am$i AS (SELECT max(s) AS mx FROM ar$i),\n" +
+        s"a$i AS (SELECT n.node, CAST(coalesce(r.s, 0) // $norm AS BIGINT) AS a " +
+        s"FROM n LEFT JOIN ar$i r USING (node) CROSS JOIN am$i),\n" +
+        s"hr$i AS (SELECT e.src AS node, sum(a.a) AS s FROM el e " +
+        s"JOIN a$i a ON a.node = e.dst GROUP BY 1),\n" +
+        s"hm$i AS (SELECT max(s) AS mx FROM hr$i),\n" +
+        s"h$i AS (SELECT n.node, CAST(coalesce(r.s, 0) // $norm AS BIGINT) AS h " +
+        s"FROM n LEFT JOIN hr$i r USING (node) CROSS JOIN hm$i)"
+    }.mkString(",\n")
+    "WITH el AS MATERIALIZED (\n" +
+      "SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst\n" +
+      "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),\n" +
+      "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM el UNION ALL SELECT dst FROM el)),\n" +
+      s"h0 AS (SELECT node, CAST($Scale AS BIGINT) AS h FROM n),\n" +
+      steps + "\n" +
+      s"SELECT h$iterations.node, h$iterations.h AS hub, a$iterations.a AS authority\n" +
+      s"FROM h$iterations JOIN a$iterations USING (node)"
+  }
+
   /** The d144 oracle: the identical peel unrolled as chained CTEs. */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val chain = (1 to rounds).map { i =>
@@ -491,6 +582,22 @@ object Graphs {
   }
 
   def queries: Seq[Q] = Seq(
+
+    // d145: 2-iteration HITS on the directed customer→supplier graph
+    // — integer normalization, exact longs; the oracle unrolls the
+    // identical iterations.
+    Q("d145_hits",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+        val directed = o.join(l, Seq("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        hits(directed, iterations = 2)
+      },
+      Some(hitsSql(2))),
 
     // d144: 6-round 3-core peel of the co-purchase graph — exact
     // integer counting; the oracle unrolls the identical rounds.

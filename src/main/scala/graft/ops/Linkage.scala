@@ -98,10 +98,20 @@ object Linkage {
   def bestMatches(records: DataFrame, maxDist: Int = 3,
                   blockCap: Int = 1024): DataFrame = {
     val r = banded(records, maxDist)
+    // thresholded Levenshtein: the banded DP early-exits once the
+    // distance provably exceeds maxDist (returns -1), O(len·maxDist)
+    // per pair instead of O(len²) — the comparator is the dominant
+    // per-pair cost, and every distance beyond maxDist is discarded by
+    // the argmin anyway (A/B at sf0.1, ~2M surviving pairs, bench
+    // noop-write load-normalized: ~19 s full-matrix vs ~9 s
+    // thresholded; count()-based probes are NOT valid here — count
+    // prunes the left join to the unique-keyed aggregate and skips the
+    // comparator entirely). -1 (over threshold) is excluded exactly
+    // where the full form's `dist <= maxDist` was.
     val best = candidateFrame(records, maxDist, blockCap)
-      .withColumn("dist", levenshtein(col("name"), col("b_name")))
+      .withColumn("dist", levenshtein(col("name"), col("b_name"), maxDist))
       .groupBy(col("rec_id"))
-      .agg(min(when(col("dist") <= maxDist,
+      .agg(min(when(col("dist") >= 0,
         col("dist").cast(LongType) * IdBase + col("b_id"))).as("enc"))
     r.select(col("rec_id"), col("name"))
       .join(best, Seq("rec_id"), "left")

@@ -225,6 +225,9 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     assert(ppr(1L) > ppr(4L))
     assert(Graft.labelPropagation(tri).count() == 4L)
+    // HITS on the directed triangle+spoke: every node scored
+    val hs = Graft.hits(tri).collect()
+    assert(hs.length == 4 && hs.forall(_.getAs[Long]("hub") >= 0L))
 
     val recs = Seq((1L, "acme corp"), (2L, "acmex corp"), (3L, "zzz"))
       .toDF("rec_id", "name")

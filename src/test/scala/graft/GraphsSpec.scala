@@ -327,15 +327,63 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Graphs.kCore(es, k = 2, rounds = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
-    // checkpointEvery is answer-invariant (lineage only)
-    val ck = Graphs.kCore(es, k = 2, rounds = 3, checkpointEvery = 1)
+    // the default per-round checkpoint is answer-invariant vs the
+    // fully unrolled plan (lineage/physical only)
+    val unrolled = Graphs.kCore(es, k = 2, rounds = 3, checkpointEvery = 0)
       .as[(Long, Long)].collect().toMap
-    assert(ck == got)
+    assert(unrolled == got)
   }
 
   test("kCore: k above the max degree empties the graph") {
     import spark.implicits._
     val es = edgesDf(Seq((1L, 2L), (2L, 3L)))
     assert(Graphs.kCore(es, k = 3, rounds = 2).count() == 0L)
+  }
+
+  test("hits: hand-computed star fixture — broad hub and popular authority win") {
+    import spark.implicits._
+    // 1 -> {2, 3}, 4 -> {2}. Iteration 1 by hand (Scale = 1e6):
+    // a_raw(2) = 2e6, a_raw(3) = 1e6; mx 2e6 -> divisor 2 ->
+    //   a(2) = 1e6, a(3) = 5e5, a(1) = a(4) = 0.
+    // h_raw(1) = a(2)+a(3) = 1.5e6, h_raw(4) = 1e6; mx 1.5e6 ->
+    //   divisor 2 -> h(1) = 75e4, h(4) = 5e5, h(2) = h(3) = 0.
+    val es = edgesDf(Seq((1L, 2L), (1L, 3L), (4L, 2L)))
+    val got = Graphs.hits(es, iterations = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((750000L, 0L)), 4L -> ((500000L, 0L)),
+      2L -> ((0L, 1000000L)), 3L -> ((0L, 500000L))))
+  }
+
+  /** The documented HITS iteration, replayed sequentially in Scala. */
+  private def hitsReplay(es: Seq[(Long, Long)], iterations: Int): Map[Long, (Long, Long)] = {
+    val e = es.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = raw.values.max
+      val d = (mx + Graphs.Scale - 1) / Graphs.Scale
+      nodes.map(n => n -> raw.getOrElse(n, 0L) / d).toMap
+    }
+    var h = nodes.map(_ -> Graphs.Scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iterations) {
+      a = norm(e.groupBy(_._2).map { case (n, in) => n -> in.map(x => h(x._1)).sum })
+      h = norm(e.groupBy(_._1).map { case (n, out) => n -> out.map(x => a(x._2)).sum })
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("hits: equals the sequential replay on a random graph; checkpoint invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(45)
+    val es = Seq.fill(60)((rng.nextInt(12).toLong, 12L + rng.nextInt(8))).distinct
+    val expected = hitsReplay(es, 3)
+    val got = Graphs.hits(edgesDf(es), iterations = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    val ck = Graphs.hits(edgesDf(es), iterations = 3, checkpointEvery = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ck == expected)
   }
 }
