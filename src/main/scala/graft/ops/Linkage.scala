@@ -87,8 +87,21 @@ object Linkage {
       .where(col("rk") <= blockCap)
       .select(col("rec_id").as("b_id"), col("name").as("b_name"),
         col("blk"), col("band"))
+    // EXPLICIT pinned-count repartition on the join key: this join is
+    // explosive (tiny inputs, huge output — ~60 k probe rows fan out to
+    // 24.5 M candidate pairs at sf0.1), and AQE coalesces shuffles by
+    // INPUT size, so left to itself it collapses the ~2 MB pre-join
+    // exchange to one partition and the entire Levenshtein pass runs
+    // single-threaded (measured: 14.6 s warm for the comparator alone).
+    // A user-specified numPartitions is exempt from AQE coalescing, and
+    // since a join can only coalesce both sides together, pinning the
+    // probe side keeps the whole join at full width — the downstream
+    // rec_id aggregation still partial-aggregates map-side, so no extra
+    // corpus-width shuffle is introduced at any scale.
+    val n = records.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = r.select(col("rec_id"), col("name"), col("blk"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+      .repartition(n, col("blk"), col("band"))
     a.join(b, Seq("blk", "band"))
       .where(col("rec_id") =!= col("b_id") &&
         abs(length(col("name")) - length(col("b_name"))) <= maxDist)
@@ -102,11 +115,13 @@ object Linkage {
     // distance provably exceeds maxDist (returns -1), O(len·maxDist)
     // per pair instead of O(len²) — the comparator is the dominant
     // per-pair cost, and every distance beyond maxDist is discarded by
-    // the argmin anyway (A/B at sf0.1, ~2M surviving pairs, bench
-    // noop-write load-normalized: ~19 s full-matrix vs ~9 s
-    // thresholded; count()-based probes are NOT valid here — count
-    // prunes the left join to the unique-keyed aggregate and skips the
-    // comparator entirely). -1 (over threshold) is excluded exactly
+    // the argmin anyway (A/B at sf0.1 over the real 24.5 M candidate
+    // pairs, 32-way parallel: full-matrix 4.7 s vs thresholded 3.0 s
+    // for the comparator pass; end-to-end bestMatches 17.7 s → 4.6 s
+    // warm once the repartition above restored parallelism). NOTE:
+    // count()-based probes are NOT valid on this plan — count prunes
+    // the left join to the unique-keyed aggregate and skips the
+    // comparator entirely. -1 (over threshold) is excluded exactly
     // where the full form's `dist <= maxDist` was.
     val best = candidateFrame(records, maxDist, blockCap)
       .withColumn("dist", levenshtein(col("name"), col("b_name"), maxDist))
