@@ -72,13 +72,13 @@ object Graphs {
     * at 1e9 nodes it's a shuffle join partitioned on the node key, the
     * shape you want), one dst-keyed partial-aggregated sum, and a 1-row
     * dangling total broadcast. The plan unrolls `iterations` times;
-    * beyond ~10 iterations a production caller should localCheckpoint
-    * the rank frame per iteration to cut lineage — at the default 3 the
-    * unrolled plan is the cheaper choice (no materialization barrier).
     * `checkpointEvery = k` localCheckpoints the rank frame every k
-    * iterations (the d14/BPE lineage-cut precedent) so deep iteration
-    * counts don't build an unbounded plan; 0 (default) never
-    * checkpoints. The cost is not hypothetical: the unrolled plan's
+    * iterations AND materializes the edge frame once (the d14/BPE
+    * lineage-cut precedent) so iteration jobs read only materialized
+    * inputs; 0 (default) keeps the lazy unrolled plan. Measured at
+    * sf0.1 even the default 3 iterations run ~1.8× faster with
+    * checkpointEvery=1 (the registered d128 binding), and the cost at
+    * depth is not hypothetical: the unrolled plan's
     * OPTIMIZER time grows super-linearly with depth (measured: 12
     * unrolled iterations take minutes of Catalyst time on a 15-node
     * graph, where checkpointEvery=3 runs in seconds — GraphsSpec).
@@ -91,12 +91,16 @@ object Graphs {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     // The edge frame and rank frame are each referenced several times
-    // per iteration; at a fixed shallow depth Spark's exchange reuse
-    // already dedupes those identical subplans inside the one job, so
-    // no eager materialization is forced here (A/B at sf0.1: adding
-    // localCheckpoints on e/nodes measured ~1 s SLOWER warm) — deep
-    // counts opt into `checkpointEvery` instead.
-    val e = edges.toDF("src", "dst").distinct()
+    // per iteration. A/B at sf0.1 (same run, noop writes): either
+    // materialization ALONE loses (edge-only 9.2 s, rank-only ~15 s,
+    // vs 11.3 s fully unrolled — each checkpoint barrier re-derives
+    // the other frame's lineage), but the COMBINATION wins: edges
+    // materialized once + per-iteration rank checkpoints = 6.3-7.8 s
+    // warm, because every per-iteration job then reads only
+    // materialized inputs. checkpointEvery > 0 therefore opts into
+    // BOTH; 0 keeps the lazy unrolled plan.
+    val e0 = edges.toDF("src", "dst").distinct()
+    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
     // node universe + out-degree (0 for dst-only nodes = dangling)
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -155,7 +159,11 @@ object Graphs {
       iterations: Int = 3, checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
-    val e = edges.toDF("src", "dst").distinct()
+    // d128's measured rule: checkpointEvery > 0 materializes the edge
+    // frame too — per-iteration checkpoints only pay off when each
+    // job reads materialized inputs.
+    val e0 = edges.toDF("src", "dst").distinct()
+    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val src = sources.toDF("node").distinct().select(col("node"), lit(1L).as("is_src"))
     val nodes = e.select(col("src").as("node"))
@@ -212,8 +220,11 @@ object Graphs {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    // d128's measured rule: checkpointEvery > 0 materializes the
+    // (symmetrized) edge frame too.
     val e = edges.toDF("src", "dst").distinct()
-    val sym = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
+    val sym0 = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
+    val sym = if (checkpointEvery > 0) sym0.localCheckpoint() else sym0
     var lbls = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (it <- 1 to iterations) {
@@ -513,7 +524,10 @@ object Graphs {
            checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
-    val e = edges.toDF("src", "dst").distinct()
+    // d128's measured rule: checkpointEvery > 0 materializes the edge
+    // frame too.
+    val e0 = edges.toDF("src", "dst").distinct()
+    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     def normalized(raw: DataFrame, valueCol: String): DataFrame = {
@@ -595,7 +609,7 @@ object Graphs {
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-        hits(directed, iterations = 2)
+        hits(directed, iterations = 2, checkpointEvery = 1)
       },
       Some(hitsSql(2))),
 
@@ -704,7 +718,7 @@ object Graphs {
     // customer–supplier graph — pure long arithmetic, the oracle
     // replays the identical truncating iteration.
     Q("d128_pagerank",
-      (s, d) => pageRank(tradeEdges(s, d), iterations = 3),
+      (s, d) => pageRank(tradeEdges(s, d), iterations = 3, checkpointEvery = 1),
       Some("""WITH el AS (
              |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
              |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -751,7 +765,7 @@ object Graphs {
           .distinct()
         val seeds = directed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("node")).limit(5).select(col("node"))
-        personalizedPageRank(directed, seeds, iterations = 3)
+        personalizedPageRank(directed, seeds, iterations = 3, checkpointEvery = 1)
       },
       Some("""WITH el AS MATERIALIZED (
              |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
@@ -791,7 +805,7 @@ object Graphs {
     Q("d140_label_propagation",
       (s, d) => labelPropagation(
         copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst")),
-        iterations = 3),
+        iterations = 3, checkpointEvery = 1),
       Some(s"""WITH e AS MATERIALIZED ($copurchaseSql),
               |sym AS MATERIALIZED (
               |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
