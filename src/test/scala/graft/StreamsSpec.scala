@@ -83,4 +83,38 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.head.nEvents == 2L)
     } finally q.stop()
   }
+
+  test("sessionize: stream == batch d142 on an ordered replay of the events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.ops.Tables.events(spark, dir)
+    // batch truth: d142's per-session table, projected to the streaming
+    // schema (the stream emits no type breadth)
+    val expected = graft.ops.Events.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5))).toSet
+    val rows = ev.selectExpr("user_id", "ts_us", "event_type")
+      .as[(Long, Long, String)].collect()
+      .sortBy(_._2).map(t => Ev(t._1, t._2, t._3))
+    val maxTs = rows.map(_.tsUs).max
+    val in = MemoryStream[Ev]
+    val sessions = Streams.sessionize(spark, in.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ordered chunked replay (never late vs the 2 h watermark), then a
+      // sentinel far past the horizon so every open session times out
+      rows.grouped(math.max(rows.length / 5, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      in.addData(Ev(-1L, maxTs + 30L * 86400000000L, "flush"))
+      q.processAllAvailable()
+      val got = spark.table("sessions_parity").as[SessionOut].collect()
+        .filter(_.userId >= 0)
+        .map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
