@@ -443,6 +443,13 @@ object Graft {
   def qlTopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame =
     graft.ops.Retrieval.qlTopK(docs, nQueryTerms, k)
 
+  /** Pseudo-relevance-feedback query expansion: per query term, the
+    * top co-occurring terms across its BM25 feedback documents. Out:
+    * (qterm, term, tf_sum, df_k, rank). Reads: doc_id, text. */
+  def prfExpansion(docs: DataFrame, nQueryTerms: Int = 20, kDocs: Int = 10,
+                   kTerms: Int = 5): DataFrame =
+    graft.ops.Retrieval.prfExpansion(docs, nQueryTerms, kDocs, kTerms)
+
   /** Reciprocal-rank fusion of per-query rankings from several
     * retrievers — fixed-point integer contributions, exact longs. In:
     * frames of (term, doc_id, rank). Out: (term, doc_id, rrf, n_lists,

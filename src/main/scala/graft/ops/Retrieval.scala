@@ -202,6 +202,39 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("rrf"), col("n_lists"), col("rank"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (d146, Rocchio/RM1
+    * -lite): for each query term, take its BM25 top-`kDocs` documents
+    * as the feedback set and rank the other terms occurring in it by
+    * total term frequency — the classic automatic query-expansion step
+    * (and, in a curation pipeline, "what co-occurs with this topic
+    * term" corpus exploration). Out: (qterm, term, tf_sum, df_k, rank
+    * 1..kTerms) — tf_sum = Σ tf over the feedback docs, df_k = how many
+    * of them contain the term; exact longs, ties to the
+    * lexicographically smaller term.
+    *
+    * Scale: the feedback set is nQueryTerms·kDocs rows — broadcast —
+    * so the expansion is one doc_id-keyed prune of the postings frame
+    * (the corpus never re-shuffles), a (qterm, term)-keyed rollup of
+    * the pruned slice, and a per-qterm top-k window over the feedback
+    * docs' own vocabulary. */
+  def prfExpansion(docs: DataFrame, nQueryTerms: Int = 20, kDocs: Int = 10,
+                   kTerms: Int = 5): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val feedback = bm25TopK(docs, nQueryTerms, kDocs)
+      .select(col("term").as("qterm"), col("doc_id"))
+    tf.join(broadcast(feedback), Seq("doc_id"))
+      .where(col("term") =!= col("qterm"))
+      .groupBy(col("qterm"), col("term"))
+      .agg(sum(col("tf")).as("tf_sum"), count(lit(1)).as("df_k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qterm"))
+          .orderBy(col("tf_sum").desc, col("term"))).cast(LongType))
+      .where(col("rank") <= kTerms)
+      .select(col("qterm"), col("term"), col("tf_sum"), col("df_k"), col("rank"))
+  }
+
   private val tfSql =
     """SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
@@ -312,6 +345,40 @@ object Retrieval {
               |    PARTITION BY term ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
               |  FROM fused)
               |SELECT term, doc_id, rrf, n_lists, rank
-              |FROM franked WHERE rank <= 10""".stripMargin))
+              |FROM franked WHERE rank <= 10""".stripMargin)),
+
+    // d146: PRF query expansion over the BM25 feedback sets — exact
+    // integer rollups; the oracle rebuilds the d136 ranking and
+    // replays the identical prune / rollup / tie-break.
+    Q("d146_prf_expansion",
+      (s, d) => prfExpansion(documents(s, d)),
+      Some(s"""WITH tf AS MATERIALIZED ($tfSql),
+              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+              |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 20),
+              |scored AS (
+              |  SELECT tf.term, tf.doc_id,
+              |         ${bm25Formula.replace("avgdl", "(cast(sum_dl as double) / cast(ndocs as double))")} AS score
+              |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+              |feedback AS (
+              |  SELECT term AS qterm, doc_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+              |    FROM scored)
+              |  WHERE rank <= 10),
+              |exp AS (
+              |  SELECT f.qterm, t.term,
+              |         CAST(sum(t.tf) AS BIGINT) AS tf_sum,
+              |         CAST(count(*) AS BIGINT) AS df_k
+              |  FROM tf t JOIN feedback f USING (doc_id)
+              |  WHERE t.term <> f.qterm
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY qterm ORDER BY tf_sum DESC, term) AS BIGINT) AS rank
+              |  FROM exp)
+              |SELECT qterm, term, tf_sum, df_k, rank FROM ranked WHERE rank <= 5""".stripMargin))
   )
 }

@@ -251,6 +251,8 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fused.select("doc_id").collect().map(_.getLong(0)).forall(srcDocs))
     assert(Graft.tfidfKeywords(corpus, k = 2)
       .groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+    val prf = Graft.prfExpansion(corpus, nQueryTerms = 2, kDocs = 2, kTerms = 3).collect()
+    assert(prf.forall(r => r.getString(0) != r.getString(1)))
   }
 
   test("trainingShards: every curation stage applies, survivors are packed") {

@@ -168,6 +168,39 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1)._2 == 1L && got(1)._4 == 1L)
   }
 
+  test("prfExpansion: feedback-set term totals, query term excluded, ties to smaller term") {
+    import spark.implicits._
+    // query term = the universal "q" (df 4, wins the df ranking); its
+    // feedback set at kDocs=2 is the two best-scoring docs. "b" appears
+    // in doc 1 twice and doc 2 once; "a" once in each; "z" only in the
+    // excluded docs.
+    val corpus = Seq(
+      (1L, "q b b a"), (2L, "q b a"), (3L, "q z z z z z z z"), (4L, "q z z z z z z z z"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = Retrieval.prfExpansion(df, nQueryTerms = 1, kDocs = 2, kTerms = 3)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.forall(_._1 == "q"))
+    assert(!got.exists(_._2 == "q")) // the query term never expands itself
+    // BM25 prefers the short docs 1 and 2 for "q" (same tf, shorter dl)
+    val byRank = got.sortBy(_._5).toSeq
+    assert(byRank.map(r => (r._2, r._3, r._4)) ==
+      Seq(("b", 3L, 2L), ("a", 2L, 2L), ("z", 0L, 0L)).filter(_._2 > 0))
+  }
+
+  test("prfExpansion: rank caps at kTerms and is dense per query term") {
+    import spark.implicits._
+    val got = Retrieval.prfExpansion(docs.toDF("doc_id", "text"),
+        nQueryTerms = 3, kDocs = 3, kTerms = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val ranks = rows.map(_._5).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq && ranks.length <= 2)
+    }
+    assert(got.forall(r => r._1 != r._2))
+  }
+
   test("d143 shape: fusing bm25 and ql replays a sequential fusion of their outputs") {
     import spark.implicits._
     val corpus = docs.toDF("doc_id", "text")
