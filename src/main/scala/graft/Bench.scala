@@ -559,6 +559,23 @@ object Bench {
     Files.writeString(Paths.get("bench_summary.json"), summary + "\n")
     System.err.println(summary)
     System.out.println(summary)
+    // Tail-window-safe trailer: the consumer captures only the last ~2000
+    // characters of stdout, and the full summary line outgrew that window
+    // once the extended tier list did (its start — `{"metric":…` — falls
+    // outside the capture, so no complete JSON line survives). The LAST
+    // stdout line is therefore a compact restatement of the headline
+    // numbers, guaranteed to fit: 30 headline queries + totals ≈ 1.1 KB,
+    // errors capped at 3 entries (the count rides alongside).
+    val errsCompact = errors.take(3).map(e =>
+      s""""${e.replace("\\", "\\\\").replace("\"", "\\\"").take(80)}"""")
+      .mkString("[", ",", "]")
+    val trailer =
+      s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
+        s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
+        s""""extended_total_cold":${f(totCold(ext))},"extended_n":${ext.size},""" +
+        s""""n_errors":${errors.size},"errors":$errsCompact,"sf":"$sfDir"}"""
+    System.err.println(trailer)
+    System.out.println(trailer)
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

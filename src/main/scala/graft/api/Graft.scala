@@ -406,7 +406,7 @@ object Graft {
     * degree-<k nodes, with their in-subgraph degree. Out: (node,
     * core_deg). Reads: src, dst. */
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
-            checkpointEvery: Int = 0): DataFrame =
+            checkpointEvery: Int = 1): DataFrame =
     graft.ops.Graphs.kCore(edges, k, rounds, checkpointEvery)
 
   /** Fuzzy record linkage: per record, the best Levenshtein match

@@ -79,25 +79,44 @@ object Diagnostics {
     * single 1-row result. */
   def tableProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
     require(colNames.nonEmpty, "profile at least one column")
-    val numeric = df.schema.fields.map(f =>
-      f.name -> f.dataType.isInstanceOf[NumericType]).toMap
-    val aggs = colNames.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd")) ++
-        (if (numeric(c))
-          Seq(min(col(c)).cast(DoubleType).as(s"${c}__mn"),
-            max(col(c)).cast(DoubleType).as(s"${c}__mx"))
+    // Resolve requested names against the actual schema up front —
+    // case-insensitively unless spark.sql.caseSensitive is on, matching
+    // what column resolution in a query would do — so a typo fails with
+    // a clear message instead of a bare NoSuchElementException. The
+    // resolved StructField's own spelling is used from here on, and no
+    // user-supplied name is ever interpolated into SQL text (aliases are
+    // positional, the unpivot is explode-of-structs), so names holding
+    // backticks, quotes, or dots profile like any other.
+    val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    val fields = colNames.map { c =>
+      val hits = df.schema.fields.filter(f =>
+        if (caseSensitive) f.name == c else f.name.equalsIgnoreCase(c))
+      require(hits.length == 1,
+        s"tableProfile: column '$c' ${if (hits.isEmpty) "not found" else "is ambiguous"}" +
+          s" in schema ${df.schema.fieldNames.mkString("[", ", ", "]")}")
+      hits.head
+    }
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = df(f.name) // exact resolution — never re-parsed as SQL
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"c${i}__nulls"),
+        countDistinct(c).as(s"c${i}__nd")) ++
+        (if (f.dataType.isInstanceOf[NumericType])
+          Seq(min(c).cast(DoubleType).as(s"c${i}__mn"),
+            max(c).cast(DoubleType).as(s"c${i}__mx"))
         else
-          Seq(lit(null).cast(DoubleType).as(s"${c}__mn"),
-            lit(null).cast(DoubleType).as(s"${c}__mx")))
+          Seq(lit(null).cast(DoubleType).as(s"c${i}__mn"),
+            lit(null).cast(DoubleType).as(s"c${i}__mx")))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = colNames.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
-    row.selectExpr("n_rows",
-        s"stack(${colNames.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_num, max_num)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"))
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(f.name).as("col_name"), col(s"c${i}__nulls").as("n_nulls"),
+        col(s"c${i}__nd").as("n_distinct"), col(s"c${i}__mn").as("min_num"),
+        col(s"c${i}__mx").as("max_num"))
+    }
+    row.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"),
+        col("e.min_num").as("min_num"), col("e.max_num").as("max_num"))
   }
 
   def queries: Seq[Q] = Seq(

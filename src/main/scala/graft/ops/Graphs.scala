@@ -32,22 +32,52 @@ object Graphs {
     * containing both, pruned to weight >= minSupport.
     *
     * Scale: the classic market-basket shape — pair generation is the
-    * per-basket self-join, bounded by basket size squared (baskets are
-    * small by domain; a runaway basket would be capped upstream by a
-    * Gopher-style gate), then one pair-keyed count. Never an item×item
-    * cartesian: pairs only materialize where a basket witnesses them.
-    * The distinct() first collapses multiplicity (lineitem can repeat a
-    * part within an order) so the self-join fans out on the smallest
-    * possible frame. */
-  def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L): DataFrame = {
-    val bi = baskets.toDF("basket_id", "item_id").distinct()
+    * per-basket self-join, bounded by basket size squared, then one
+    * pair-keyed count. Never an item×item cartesian: pairs only
+    * materialize where a basket witnesses them. The distinct() first
+    * collapses multiplicity (lineitem can repeat a part within an
+    * order) so the self-join fans out on the smallest possible frame.
+    * `maxBasketItems` is the Gopher-style runaway-basket gate (see
+    * [[copurchaseCandidates]]): one pathological 1e5-item basket (a bot
+    * account, a crawler session) would alone emit 5e9 pairs and its
+    * quadratic fan-out would land on a single basket key; baskets over
+    * the cap are DROPPED (not truncated — truncation would bias
+    * co-occurrence toward whatever item order the truncation kept).
+    * TPC-H baskets hold ≤ 7 distinct parts, so the default cap leaves
+    * every registered query's answer untouched. */
+  def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L,
+                      maxBasketItems: Int = 1024): DataFrame =
+    copurchaseCandidates(baskets, maxBasketItems)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .where(col("weight") >= minSupport)
+
+  /** The pre-aggregation candidate pair stream behind [[copurchaseEdges]]
+    * — one (src, dst) row (src < dst) per basket witnessing the pair,
+    * from baskets holding at most `maxBasketItems` distinct items.
+    * Public (the d130 `candidateFrame` precedent) so the scale harness
+    * can count pair volume directly: this frame's row count —
+    * Σ_baskets (n_items choose 2), which the cap bounds at
+    * |baskets|·(cap choose 2) — IS the operator's scale story, and the
+    * quantity a planted heavy-basket probe has to show is bounded.
+    *
+    * The gate costs one basket-keyed partial-aggregated count plus a
+    * basket-keyed semi-join — linear, same key as the self-join that
+    * follows, and it runs BEFORE the quadratic fan-out (capping after
+    * would only hide the pairs, not avoid generating them). */
+  def copurchaseCandidates(baskets: DataFrame,
+                           maxBasketItems: Int = 1024): DataFrame = {
+    require(maxBasketItems >= 2, "a co-occurrence basket needs >= 2 items")
+    val bi0 = baskets.toDF("basket_id", "item_id").distinct()
+    val small = bi0.groupBy(col("basket_id")).agg(count(lit(1)).as("n_items"))
+      .where(col("n_items") <= maxBasketItems)
+      .select(col("basket_id"))
+    val bi = bi0.join(small, Seq("basket_id"), "left_semi")
     val a = bi.toDF("basket_id", "src")
     val b = bi.toDF("basket_id", "dst")
     a.join(b, Seq("basket_id"))
       .where(col("src") < col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("weight"))
-      .where(col("weight") >= minSupport)
+      .select(col("src"), col("dst"))
   }
 
   /** PageRank (d128), fixed iteration count, fixed-point integer
@@ -132,14 +162,81 @@ object Graphs {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Weighted PageRank (d147): rank mass flows proportionally to edge
+    * WEIGHT instead of uniformly over out-edges — on the co-purchase
+    * graph, co-purchase STRENGTH is the signal, and d128's unweighted
+    * walk treats a 2-basket tie like a 2000-basket one. In: directed
+    * edges (src, dst, weight), weight a positive long, ONE row per
+    * directed edge (pass both directions for an undirected graph —
+    * duplicate rows would double-count their weight). Out: (node, rank),
+    * longs in 1e-6 units, the d128 convention.
+    *
+    * Semantics (bit-exact in any engine): r0(n) = Scale;
+    * r_{t+1}(n) = (15·Scale) div 100
+    *            + (85 · (Σ_{m→n, w} ((r_t(m)·w) div W(m)) + dangling div N)) div 100
+    * where W(m) = Σ w over m's out-edges and dangling = Σ r_t over nodes
+    * with no out-edges. The per-edge contribution floors ONCE at
+    * (rank·w) div W — weighting before the division, so a w=0 edge
+    * contributes exactly 0 and relative weights are honored to 1e-6.
+    * Pure long arithmetic; the oracle unrolls the identical iterations.
+    *
+    * Scale: the exact d128 plan — per iteration one edge-keyed equi-join
+    * (the rank+W frame joins the edges on src), one dst-keyed partial
+    * -aggregated sum, 1-row dangling/N broadcasts; `checkpointEvery` as
+    * in d128. Overflow headroom: rank·w ≤ N·Scale·max_w must stay inside
+    * Long — at N = 1e9 nodes that bounds max_w at ~9e3·(1e9/N); callers
+    * with larger weights should pre-scale them down (only RATIOS within
+    * one node's out-edges matter). */
+  def weightedPageRank(edges: DataFrame, iterations: Int = 3,
+                       checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e0 = edges.toDF("src", "dst", "weight")
+    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
+    val wout = e.groupBy(col("src").as("node")).agg(sum(col("weight")).as("wout"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(wout, Seq("node"), "left")
+      .na.fill(0L, Seq("wout"))
+    val nNodes = nodes.select(count(lit(1)).as("n_nodes"))
+
+    var ranks = nodes.select(col("node"), col("wout"), lit(Scale).as("rank"))
+    for (it <- 1 to iterations) {
+      val contrib = e.join(
+          ranks.where(col("wout") > 0)
+            .select(col("node").as("src"), col("rank"), col("wout")), Seq("src"))
+        .select(col("dst"), expr("(rank * weight) div wout").as("contrib"))
+      val inbound = contrib
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("inbound"))
+      val dangling = ranks.select(
+        sum(when(col("wout") === 0, col("rank")).otherwise(lit(0L))).as("dangling"))
+      ranks = ranks.select(col("node"), col("wout"))
+        .join(inbound, Seq("node"), "left")
+        .na.fill(0L, Seq("inbound"))
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nNodes))
+        .select(col("node"), col("wout"),
+          (lit(15L * Scale / 100L) +
+            expr("85 * (inbound + dangling div n_nodes) div 100")).as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Personalized PageRank (d139): random walk with restart — the
     * teleport mass lands ONLY on the source set, so ranks measure
     * proximity to the anchors ("related to these seed items", topic
     * -sensitive influence) instead of global importance. In: directed
     * edges (src, dst) and a 1-column sources frame (ids outside the
     * node universe are ignored — a walk can't restart where no edge
-    * reaches). Out: (node, rank) for every edge-incident node; rank is
-    * a long in 1e-6 units of walk mass anchored at the sources.
+    * reaches; if NO source id is in the universe the effective source
+    * set is empty and every rank is 0 — the divisor is guarded with
+    * greatest(n_src, 1) so the degenerate call returns the all-zero
+    * frame instead of an ANSI DIVIDE_BY_ZERO). Out: (node, rank) for
+    * every edge-incident node; rank is a long in 1e-6 units of walk
+    * mass anchored at the sources.
     *
     * Semantics (bit-exact in any engine, the d128 convention):
     * r0(n) = Scale·[n ∈ S];
@@ -189,8 +286,12 @@ object Graphs {
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nSrc))
         .select(col("node"), col("outdeg"), col("is_src"),
+          // greatest(n_src, 1): with an empty effective source set every
+          // rank (and the dangling total's is_src gate) is already 0, so
+          // the guarded divisor only prevents the ANSI-mode crash — it
+          // never changes a populated run's arithmetic.
           expr(s"is_src * ${15L * Scale / 100L} + " +
-            "85 * (inbound + is_src * (dangling div n_src)) div 100").as("rank"))
+            "85 * (inbound + is_src * (dangling div greatest(n_src, 1))) div 100").as("rank"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
         ranks = ranks.localCheckpoint()
     }
@@ -371,8 +472,10 @@ object Graphs {
     * contamination blast-radius over a similarity graph, or the seed
     * expansion step of a crawl. In: undirected edges (src, dst) (the
     * d127 shape — one row per unordered pair) and a 1-column sources
-    * frame. Out: (node, hops) for every node within maxHops of a
-    * source; hops = exact BFS level, 0 for the sources themselves.
+    * frame (ids absent from the edge set are ignored — they are not in
+    * the graph, so no phantom hops=0 rows). Out: (node, hops) for every
+    * node within maxHops of a source; hops = exact BFS level, 0 for the
+    * sources themselves.
     *
     * Scale: textbook distributed frontier iteration — each hop is ONE
     * edge-keyed equi-join of the CURRENT frontier (never the settled
@@ -396,7 +499,12 @@ object Graphs {
     // not replayed maxHops times
     val e = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
       .localCheckpoint()
+    // seed only sources that exist in the edge set — a stale/foreign seed
+    // id would otherwise surface as a phantom hops=0 row in the output
+    // (the universe probe is one semi-join against the already-
+    // materialized edge frame, before the seed's own materialization)
     var settled = sources.toDF("node").distinct()
+      .join(e.select(col("src").as("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
     var frontier = settled
     var h = 1
@@ -412,6 +520,185 @@ object Graphs {
       h += 1
     }
     settled
+  }
+
+  /** Single-source (or multi-source) weighted shortest paths (d151):
+    * minimum total integer cost from any source, over paths of at most
+    * `maxRounds` edges — Bellman–Ford's rounds-bounded form as a
+    * distributed frontier iteration, completing the BFS family the way
+    * d139 completed d128: [[hopDistance]] counts hops, this weighs
+    * them. In: undirected edges (src, dst, cost) — one row per
+    * unordered pair, cost a non-negative long — and a 1-column sources
+    * frame (ids absent from the edge set are ignored, the hopDistance
+    * contract). Out: (node, dist) for every node reachable within
+    * maxRounds edges; dist = exact min path cost using ≤ maxRounds
+    * edges (= the true shortest-path distance whenever the true
+    * shortest path uses that few edges), 0 for the sources.
+    *
+    * Correctness of the frontier restriction: if a node's best
+    * (r+1)-edge distance beats its best r-edge one, the predecessor on
+    * that path must itself have improved at round r (otherwise the same
+    * path minus its last edge was already available a round earlier and
+    * the node would have improved then) — so joining only LAST ROUND'S
+    * improvements against the edges loses nothing, and per-round work
+    * is proportional to the improving frontier, not the settled volume.
+    * All arithmetic is long addition + min: bit-exact anywhere.
+    *
+    * Scale: per round ONE frontier-edge equi-join, a node-keyed min,
+    * and a node-keyed join against the settled frame; everything
+    * shuffles on node keys, no driver state. Frontier and settled are
+    * localCheckpointed per round (each is consumed twice; the
+    * empty-frontier early exit — stable distances end the loop before
+    * maxRounds — is an action per round anyway, the d135 precedent). */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    maxRounds: Int = 4): DataFrame = {
+    require(maxRounds >= 0, "need maxRounds >= 0")
+    val e0 = edges.toDF("src", "dst", "cost")
+    val e = e0.union(e0.select(col("dst"), col("src"), col("cost")))
+      .toDF("src", "dst", "cost")
+      .localCheckpoint()
+    var settled = sources.toDF("node").distinct()
+      .join(e.select(col("src").as("node")), Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = settled
+    var r = 1
+    while (r <= maxRounds && !frontier.isEmpty) {
+      val cand = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (frontier("dist") + col("cost")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(settled.select(col("node"), col("dist").as("old")), Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      settled = settled.join(improved, Seq("node"), "left_anti")
+        .union(improved).localCheckpoint()
+      frontier = improved
+      r += 1
+    }
+    settled
+  }
+
+  /** Exact r-bounded neighborhood function — |{m : d(n,m) ≤ t}| for
+    * every node n and radius t in 0..`radius` — via a (root, member)
+    * closure replay: the frame that is O(Σ ball sizes) and therefore
+    * INFEASIBLE at 1e9 nodes. It exists as [[hyperBall]]'s exact
+    * adjudicator (the d36 sibling discipline): small-graph-checkable,
+    * DuckDB-replayable, sharing the frontier machinery the estimator's
+    * correctness rests on. In: undirected edges (src, dst), one row per
+    * unordered pair. Out: (node, radius, ball), exact longs. */
+  def neighborhoodExact(edges: DataFrame, radius: Int = 2): DataFrame = {
+    require(radius >= 0, "need radius >= 0")
+    val e0 = edges.toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .localCheckpoint()
+    var reached = e.select(col("src").as("root"))
+      .distinct()
+      .select(col("root"), col("root").as("member"))
+      .localCheckpoint()
+    var frontier = reached
+    var out = reached.groupBy(col("root").as("node"))
+      .agg(count(lit(1)).as("ball"))
+      .select(col("node"), lit(0L).as("radius"), col("ball"))
+    for (t <- 1 to radius) {
+      val next = frontier
+        .join(e, frontier("member") === e("src"))
+        .select(col("root"), col("dst").as("member")).distinct()
+        .join(reached, Seq("root", "member"), "left_anti")
+        .localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
+      frontier = next
+      out = out.union(
+        reached.groupBy(col("root").as("node"))
+          .agg(count(lit(1)).as("ball"))
+          .select(col("node"), lit(t.toLong).as("radius"), col("ball")))
+    }
+    out
+  }
+
+  /** HyperBall (d148, Boldi & Vigna): the per-node neighborhood function
+    * at radii 0..`radius`, ESTIMATED with mergeable HLL sketches — each
+    * node carries a constant-size sketch of its ball, and one round of
+    * "union every node's sketch with its neighbors' sketches" grows
+    * every ball by one hop. This is the centrality primitive that is
+    * infeasible exactly at 1e9 nodes (the exact frame is Σ ball sizes ≈
+    * n² rows on a small-diameter graph) but costs O(n·sketch) per round
+    * sketched — per round ONE edge-keyed join and one node-keyed
+    * hll_union_agg, the d128 plan shape with a 2-4 KB payload column.
+    * Closeness/harmonic centrality falls out of the output: ball(t) −
+    * ball(t−1) estimates the count of nodes at distance exactly t (see
+    * [[hyperBallCloseness]]).
+    *
+    * Out: (node, radius, est_ball) — est_ball a long. DETERMINISTIC:
+    * DataSketches HLL is a pure function of the value SET (register max
+    * is order-independent, unions commute), so repeated runs agree
+    * bit-for-bit; but the estimate is engine-specific, so the driver
+    * gate is the d36 pattern — [[hyperBallBound]] is the hash-green
+    * sibling pinning the estimates within tolerance of the exact
+    * closure replay. Estimates are exact while a ball is small (the
+    * sketch stays in sparse mode) and ~0.8% rsd at lgK=14 beyond. */
+  def hyperBall(edges: DataFrame, radius: Int = 3, lgK: Int = 14): DataFrame = {
+    require(radius >= 0, "need radius >= 0")
+    require(lgK >= 4 && lgK <= 21, "lgK out of the DataSketches range")
+    val e0 = edges.toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var sk = nodes.groupBy(col("node"))
+      .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
+      .localCheckpoint()
+    var out = sk.select(col("node"), lit(0L).as("radius"),
+      expr("hll_sketch_estimate(sk)").as("est_ball"))
+    for (t <- 1 to radius) {
+      val nbr = e.join(sk.select(col("node").as("dst"), col("sk")), Seq("dst"))
+        .select(col("src").as("node"), col("sk"))
+      sk = nbr.union(sk.select(col("node"), col("sk")))
+        .groupBy(col("node")).agg(expr("hll_union_agg(sk)").as("sk"))
+        .localCheckpoint()
+      out = out.union(sk.select(col("node"), lit(t.toLong).as("radius"),
+        expr("hll_sketch_estimate(sk)").as("est_ball")))
+    }
+    out
+  }
+
+  /** Closeness-style centrality from the [[hyperBall]] neighborhood
+    * function: sum_t t·(ball(t) − ball(t−1)) estimates Σ_m d(n,m) over
+    * the radius-bounded ball (HLL ball estimates are monotone in t —
+    * the sketch only gains registers — so the per-shell differences are
+    * non-negative). Out: (node, reach = est ball(radius), dist_sum);
+    * small dist_sum at large reach = central. */
+  def hyperBallCloseness(edges: DataFrame, radius: Int = 3,
+                         lgK: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = hyperBall(edges, radius, lgK)
+    val shell = nf.withColumn("prev", lag(col("est_ball"), 1).over(
+        Window.partitionBy(col("node")).orderBy(col("radius"))))
+      .where(col("radius") > 0)
+      .select(col("node"), col("radius"), col("est_ball"),
+        (col("est_ball") - col("prev")).as("shell"))
+    shell.groupBy(col("node")).agg(
+      max(col("est_ball")).as("reach"),
+      sum(col("radius") * col("shell")).as("dist_sum"))
+  }
+
+  /** The d36-pattern gate for [[hyperBall]] (d152): the EXACT
+    * neighborhood function (oracle-recomputable via a recursive-CTE
+    * closure) beside a boolean asserting the production estimator sat
+    * within `tol` relative error of it. Sketch estimates can never
+    * hash-match an oracle; this projection can — the oracle pins
+    * within_bound to TRUE, so a hash match adjudicates both the exact
+    * balls and the estimator's bound. tol = 0.1 ≈ 12× the configured
+    * lgK=14 rsd (small balls are estimated exactly; large ones are
+    * ~0.8% rsd, so 10% is a >6σ bound per node). */
+  def hyperBallBound(edges: DataFrame, radius: Int = 2,
+                     tol: Double = 0.1): DataFrame = {
+    val exact = neighborhoodExact(edges, radius)
+    val est = hyperBall(edges, radius)
+    val b = col("ball").cast("double")
+    exact.join(est, Seq("node", "radius"))
+      .select(col("node"), col("radius"), col("ball"),
+        (abs(col("est_ball").cast("double") - b) / b <= tol).as("within_bound"))
   }
 
   /** Association rules (d134): directed a→b rules over the co-purchase
@@ -473,26 +760,60 @@ object Graphs {
     * per-round checkpoints at the default 6 rounds. `checkpointEvery`
     * therefore DEFAULTS TO 1 (materialize each round — the adjacency
     * is the small frame here); 0 opts into the unrolled plan for
-    * 1–2-round calls. */
+    * 1–2-round calls. Under checkpointEvery > 0 the peel EARLY-EXITS at
+    * the first checkpointed round that deleted nothing (the count is
+    * cheap on the just-materialized partitions) — same answer, rounds
+    * bounded by the realized peel depth instead of the worst case. */
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
-            checkpointEvery: Int = 1): DataFrame = {
+            checkpointEvery: Int = 1): DataFrame =
+    kCorePeeled(edges, k, rounds, checkpointEvery)._1
+
+  /** [[kCore]] plus the number of peel rounds actually executed —
+    * exposed (package-private) so the convergence spec can assert the
+    * early exit fires. Peeling is monotone (the adjacency only ever
+    * shrinks), so a round whose surviving edge COUNT equals the previous
+    * round's deleted nothing, every later round is a no-op, and the loop
+    * stops — the answer equals the full-`rounds` unroll by definition.
+    * The convergence check piggybacks on the `checkpointEvery`
+    * materialization (a count over already-materialized partitions, the
+    * d135 `isEmpty` precedent); under checkpointEvery = 0 the lazy
+    * unrolled plan is preserved untouched, so no count jobs are added
+    * and all `rounds` rounds unroll. For the same reason checkpointEvery
+    * > 0 now also materializes the STARTING adjacency (the d128
+    * edge-frame rule: round 1 references it three times). */
+  private[graft] def kCorePeeled(edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int): (DataFrame, Int) = {
     require(k >= 1, "need k >= 1")
     require(rounds >= 1, "need rounds >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e0 = edges.toDF("src", "dst")
     var adj = e0.union(e0.select(col("dst"), col("src")))
       .toDF("src", "dst").distinct()
-    for (it <- 1 to rounds) {
+    var prevEdges = -1L
+    if (checkpointEvery > 0) {
+      adj = adj.localCheckpoint()
+      prevEdges = adj.count()
+    }
+    var executed = 0
+    var it = 1
+    var converged = false
+    while (it <= rounds && !converged) {
       val keep = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("node"))
       adj = adj
         .join(keep.select(col("node").as("src")), Seq("src"))
         .join(keep.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < rounds)
+      executed = it
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < rounds) {
         adj = adj.localCheckpoint()
+        val survivors = adj.count()
+        if (survivors == prevEdges) converged = true
+        prevEdges = survivors
+      }
+      it += 1
     }
-    adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    (adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg")), executed)
   }
 
   /** HITS hubs and authorities (d145, Kleinberg): on a directed graph,
@@ -580,6 +901,33 @@ object Graphs {
       steps + "\n" +
       s"SELECT h$iterations.node, h$iterations.h AS hub, a$iterations.a AS authority\n" +
       s"FROM h$iterations JOIN a$iterations USING (node)"
+  }
+
+  /** The d147 oracle: the identical weighted iteration unrolled as
+    * chained CTEs over the symmetrized weighted co-purchase graph. The
+    * symmetrized graph has no dangling nodes, but the dangling CTEs stay
+    * so the oracle replays the operator's full formula, not a
+    * simplification of it. */
+  private def weightedPrSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"i$i AS (SELECT e.dst AS node, CAST(sum((r.rank * e.weight) // r.wout) AS BIGINT) AS inbound\n" +
+        s"     FROM e JOIN r${i - 1} r ON r.node = e.src AND r.wout > 0 GROUP BY 1),\n" +
+        s"g$i AS (SELECT CAST(coalesce(sum(CASE WHEN wout = 0 THEN rank ELSE 0 END), 0) AS BIGINT) AS dangling FROM r${i - 1}),\n" +
+        s"r$i AS (SELECT n.node, n.wout,\n" +
+        s"       150000 + 85 * (coalesce(i.inbound, 0) + g.dangling // nn.n_nodes) // 100 AS rank\n" +
+        s"     FROM nodes n LEFT JOIN i$i i USING (node) CROSS JOIN g$i g CROSS JOIN nn)"
+    }.mkString(",\n")
+    s"WITH e0 AS MATERIALIZED ($copurchaseSql),\n" +
+      "e AS MATERIALIZED (\n" +
+      "  SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0),\n" +
+      "wo AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM e GROUP BY 1),\n" +
+      "nodes AS (\n" +
+      "  SELECT node, coalesce(wout, 0) AS wout\n" +
+      "  FROM (SELECT DISTINCT src AS node FROM e) LEFT JOIN wo USING (node)),\n" +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),\n" +
+      s"r0 AS (SELECT node, wout, CAST($Scale AS BIGINT) AS rank FROM nodes),\n" +
+      steps + "\n" +
+      s"SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations"
   }
 
   /** The d144 oracle: the identical peel unrolled as chained CTEs. */
@@ -830,6 +1178,83 @@ object Graphs {
               |       WHERE rn = 1),
               |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS label_size FROM l3 GROUP BY 1)
               |SELECT node, label, label_size FROM l3 JOIN sz USING (label)""".stripMargin)),
+
+    // d147: 3-iteration weighted PageRank over the symmetrized weighted
+    // co-purchase graph — rank mass flows with co-purchase strength;
+    // the oracle unrolls the identical truncating arithmetic.
+    Q("d147_weighted_pagerank",
+      (s, d) => {
+        val p = copurchaseEdges(orderBaskets(s, d))
+        val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
+        weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
+      },
+      Some(weightedPrSql(3))),
+
+    // d148: HyperBall neighborhood function at radii 0..3 over the
+    // co-purchase graph — HLL-sketched ball sizes (deterministic but
+    // engine-specific estimates: rows-only here; d152 is the d36-style
+    // hash-green adjudicator pinning the estimator within bound of the
+    // exact closure).
+    Q("d148_hyperball",
+      (s, d) => hyperBall(
+        copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst")),
+        radius = 3),
+      None),
+
+    // d152: the d148 gate — exact radius-0..2 neighborhood function
+    // (oracle = recursive-CTE closure with min-hop dedup) beside a
+    // within-bound boolean the oracle pins TRUE.
+    Q("d152_hyperball_bound",
+      (s, d) => hyperBallBound(
+        copurchaseEdges(orderBaskets(s, d)).select(col("src"), col("dst")),
+        radius = 2),
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+              |nodes AS (SELECT DISTINCT u FROM sym),
+              |reach AS (
+              |  SELECT u AS root, u AS member, 0 AS hops FROM nodes
+              |  UNION
+              |  SELECT reach.root, sym.v, reach.hops + 1
+              |  FROM reach JOIN sym ON sym.u = reach.member
+              |  WHERE reach.hops < 2),
+              |d AS (SELECT root, member, min(hops) AS dist FROM reach GROUP BY 1, 2),
+              |radii AS (SELECT unnest(range(0, 3)) AS radius)
+              |SELECT d.root AS node, CAST(r.radius AS BIGINT) AS radius,
+              |       CAST(count(*) AS BIGINT) AS ball, TRUE AS within_bound
+              |FROM d CROSS JOIN radii r
+              |WHERE d.dist <= r.radius
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // d151: 4-round weighted shortest paths from the co-purchase
+    // graph's highest-degree item, cost = 1e6 div co-purchase weight
+    // (strong ties are short) — the oracle replays the bounded walk
+    // closure with min(dist) at the end.
+    Q("d151_shortest_paths",
+      (s, d) => {
+        val p = copurchaseEdges(orderBaskets(s, d))
+        val wc = p.select(col("src"), col("dst"),
+          expr("1000000 div weight").as("cost"))
+        val sym = wc.select(col("src").as("u")).union(wc.select(col("dst").as("u")))
+        val seed = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("u")).limit(1).select(col("u"))
+        shortestPaths(wc, seed, maxRounds = 4)
+      },
+      Some(s"""WITH RECURSIVE e0 AS MATERIALIZED ($copurchaseSql),
+              |e AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v, 1000000 // weight AS cost FROM e0
+              |  UNION ALL SELECT dst, src, 1000000 // weight FROM e0),
+              |seed AS (
+              |  SELECT u AS node FROM (SELECT u, count(*) AS deg FROM e GROUP BY 1)
+              |  ORDER BY deg DESC, u LIMIT 1),
+              |walk AS (
+              |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seed
+              |  UNION
+              |  SELECT e.v, walk.dist + e.cost, walk.hops + 1
+              |  FROM walk JOIN e ON e.u = walk.node
+              |  WHERE walk.hops < 4)
+              |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+              |FROM walk GROUP BY 1""".stripMargin)),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.
