@@ -369,7 +369,8 @@ object Bench {
         graft.ops.LineIndex.MemoizedQueries ++
         graft.ops.GramIndex.MemoizedQueries ++
         graft.ops.PhraseIndex.MemoizedQueries ++
-        graft.ops.SimHashIndex.MemoizedQueries
+        graft.ops.SimHashIndex.MemoizedQueries ++
+        graft.ops.Retrieval.MemoizedQueries
     def minOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min

@@ -340,8 +340,42 @@ object Graft {
   /** Item co-occurrence graph: undirected weighted edges between items
     * sharing a basket, support-pruned. Out: (src, dst, weight) with
     * src < dst. Reads: basket_id, item_id (first two columns). */
-  def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L): DataFrame =
-    graft.ops.Graphs.copurchaseEdges(baskets, minSupport)
+  def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L,
+                      maxBasketItems: Int = 1024): DataFrame =
+    graft.ops.Graphs.copurchaseEdges(baskets, minSupport, maxBasketItems)
+
+  /** Weighted PageRank: rank mass flows proportionally to edge weight
+    * (contrib = rank·w div Σw_out), fixed-point longs. Out: (node,
+    * rank). Reads: src, dst, weight. */
+  def weightedPageRank(edges: DataFrame, iterations: Int = 3,
+                       checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.weightedPageRank(edges, iterations, checkpointEvery)
+
+  /** Rounds-bounded weighted shortest paths (Bellman–Ford frontier
+    * iteration) from a source set over an undirected weighted edge set.
+    * Out: (node, dist). Reads: src, dst, cost; sources: node. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    maxRounds: Int = 4): DataFrame =
+    graft.ops.Graphs.shortestPaths(edges, sources, maxRounds)
+
+  /** HyperBall: HLL-sketched neighborhood function — estimated ball
+    * sizes per node at radii 0..`radius`. Out: (node, radius,
+    * est_ball). Reads: src, dst. */
+  def hyperBall(edges: DataFrame, radius: Int = 3, lgK: Int = 14): DataFrame =
+    graft.ops.Graphs.hyperBall(edges, radius, lgK)
+
+  /** Closeness-style centrality from the HyperBall neighborhood
+    * function: radius-bounded reach and estimated distance sum per
+    * node. Out: (node, reach, dist_sum). Reads: src, dst. */
+  def hyperBallCloseness(edges: DataFrame, radius: Int = 3,
+                         lgK: Int = 14): DataFrame =
+    graft.ops.Graphs.hyperBallCloseness(edges, radius, lgK)
+
+  /** Exact radius-bounded neighborhood function via closure replay —
+    * [[hyperBall]]'s small-graph adjudicator (infeasible at corpus
+    * scale by design). Out: (node, radius, ball). Reads: src, dst. */
+  def neighborhoodExact(edges: DataFrame, radius: Int = 2): DataFrame =
+    graft.ops.Graphs.neighborhoodExact(edges, radius)
 
   /** Item communities: connected components of the co-purchase graph
     * (large-star/small-star). Out: (item_id, community_id,
@@ -442,6 +476,12 @@ object Graft {
     * doc_id, text. */
   def qlTopK(docs: DataFrame, nQueryTerms: Int = 20, k: Int = 10): DataFrame =
     graft.ops.Retrieval.qlTopK(docs, nQueryTerms, k)
+
+  /** Dirichlet query-likelihood for an explicit term set (the serve
+    * -path contract; [[searchQl]] is the index-served twin). Out:
+    * (term, doc_id, tf, score, rank). Reads: doc_id, text. */
+  def qlRank(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    graft.ops.Retrieval.qlRank(docs, terms, k)
 
   /** Pseudo-relevance-feedback query expansion: per query term, the
     * top co-occurring terms across its BM25 feedback documents. Out:
@@ -851,6 +891,21 @@ object Graft {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     LexIndex.searchBm25(spark, dir, terms, k, k1, b)
+
+  /** Dirichlet query-likelihood retrieval served from a saved
+    * [[lexIndexSave]] index — postings from the query terms' pruned
+    * buckets, lengths from docstats; equal to [[qlRank]] on the indexed
+    * corpus by construction. */
+  def searchQl(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10): DataFrame =
+    LexIndex.searchQl(spark, dir, terms, k)
+
+  /** The full (doc_id, term, tf) postings frame of a saved index — feed
+    * it to the retrieval family's `...From` twins (qlTopKFrom,
+    * prfExpansionFrom, bm25TopKFrom, tfidfKeywordsFrom) to serve the
+    * whole family without re-tokenizing the corpus. */
+  def lexPostings(spark: SparkSession, dir: String): DataFrame =
+    LexIndex.postings(spark, dir)
 
   /** Compact a fragmented lexical index (one partition per past append/
     * ingest batch) into a fresh single-generation snapshot at `dst`;

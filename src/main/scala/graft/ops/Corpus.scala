@@ -60,7 +60,7 @@ object Corpus {
   private val lexDirMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), String]()
 
-  private def lexIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private[ops] def lexIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val k = (s, d)
     val hit = lexDirMemo.get(k)
     if (hit != null) hit

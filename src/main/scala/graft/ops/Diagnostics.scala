@@ -97,7 +97,10 @@ object Diagnostics {
       hits.head
     }
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = df(f.name) // exact resolution — never re-parsed as SQL
+      // backtick-quote the resolved name (inner backticks doubled) so the
+      // attribute reference is exact — df(name) would re-PARSE the name
+      // and choke on a stray backtick or treat a dot as nesting
+      val c = df.col("`" + f.name.replace("`", "``") + "`")
       Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"c${i}__nulls"),
         countDistinct(c).as(s"c${i}__nd")) ++
         (if (f.dataType.isInstanceOf[NumericType])

@@ -94,14 +94,55 @@ object LexIndex extends PersistedIndex {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25: empty query")
     IndexCommit.requireCommitted(spark, dir, "searchBm25")
-    import spark.implicits._
-    val buckets = terms.toDF("term")
-      .select(bucketCol.as("bucket")).distinct().as[Long].collect()
-    val tf = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets.toIndexedSeq: _*) && col("term").isin(terms: _*))
-      .select(col("doc_id"), col("term"), col("tf"))
+    val tf = prunedPostings(spark, dir, terms)
     val dl = spark.read.parquet(s"$dir/docstats")
       .select(col("doc_id"), col("dl"))
     Corpus.bm25ScoreFrom(tf, dl, k, k1, b)
+  }
+
+  /** Per-term top-`k` documents for `terms` under Dirichlet
+    * query-likelihood (the d141 scoring), served from the saved index:
+    * the query terms' postings come from their pruned buckets, each
+    * term's collection frequency rolls up from those same postings
+    * (a term's postings all live in its bucket, so the rollup is
+    * complete), and document length / total token count come from the
+    * narrow docstats table — nothing re-tokenizes, nothing reads
+    * postings outside the query's buckets. Out the d141 shape:
+    * (term, doc_id, tf, score, rank ≤ k). Equal to the direct
+    * [[Retrieval.qlRank]] on the indexed corpus by construction
+    * (LexIndexSpec asserts it). */
+  def searchQl(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "searchQl: empty query")
+    IndexCommit.requireCommitted(spark, dir, "searchQl")
+    val tf = prunedPostings(spark, dir, terms)
+    val dl = spark.read.parquet(s"$dir/docstats")
+      .select(col("doc_id"), col("dl"))
+    Retrieval.qlRankFrames(tf, dl, k)
+  }
+
+  /** The full (doc_id, term, tf) postings frame, commit-gated — the
+    * input to the retrieval family's `...From` twins (d149/d150 pass it
+    * to [[Retrieval.qlTopKFrom]]/[[Retrieval.prfExpansionFrom]]): one
+    * compact columnar scan of pre-aggregated counts instead of
+    * re-tokenizing the corpus, and the scan stays current as [[append]]
+    * / [[ingest]] add batches. */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    IndexCommit.requireCommitted(spark, dir, "postings")
+    spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
+  /** The query terms' postings, read from only the buckets they hash to
+    * (partition pruning — the ≤ |terms| bucket ids are the only
+    * driver-side collect). */
+  private def prunedPostings(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketCol.as("bucket")).distinct().as[Long].collect()
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
   }
 }

@@ -676,6 +676,39 @@ object ScaleSmoke {
       println(f"[scale] linkage n=$n%8d capped=$capped%12d ($tCand%.2f s) " +
         f"uncapped=$uncapped%12d  per-name=${capped.toDouble / n}%.1f")
     }
+
+    // --- d127 basket-cap growth probe: candidate pair volume is
+    // Σ_baskets C(n_items, 2), so ONE runaway basket (a bot account, a
+    // crawler session) dominates the whole corpus quadratically. Plant a
+    // heavy basket at 1k then 10k items (100× its pair count) on a fixed
+    // 100k-row honest corpus and count copurchaseCandidates directly
+    // (the d130 candidateFrame discipline — the pre-aggregation frame's
+    // row count IS the operator's scale story): the capped frame must
+    // stay FLAT across the heavy-basket growth while the uncapped one
+    // explodes with C(heavy, 2).
+    // Measured (2026-08, round 12): capped 200,000 pairs at BOTH heavy
+    // sizes, 1.4/1.9 s (flat — the bot basket is gone before the
+    // self-join, the honest corpus alone fans out) vs uncapped 2,199,000
+    // at heavy=2k -> 200,190,000 at heavy=20k, 2.2 -> 9.1 s (C(heavy,2):
+    // a 91× pair blow-up from ONE basket even at toy scale, quadratic
+    // from here — and all of it lands on a single basket key).
+    Seq(2000, 20000).foreach { heavy =>
+      val honest = spark.range(100000).select(
+        (col("id") / 5).cast("long").as("basket_id"),
+        pmod(col("id") * 2654435761L, lit(4096L)).as("item_id"))
+      val bot = spark.range(heavy).select(
+        lit(99999999L).as("basket_id"), col("id").as("item_id"))
+      val baskets = honest.unionByName(bot).localCheckpoint()
+      val t0 = System.nanoTime()
+      val capped = graft.ops.Graphs.copurchaseCandidates(baskets).count()
+      val tCap = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val uncapped = graft.ops.Graphs
+        .copurchaseCandidates(baskets, Int.MaxValue).count()
+      val tUn = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] basket-cap heavy=$heavy%6d capped=$capped%12d " +
+        f"($tCap%.2f s) uncapped=$uncapped%12d ($tUn%.2f s)")
+    }
     spark.stop()
   }
 }

@@ -90,4 +90,24 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-numeric: min/max deliberately null, null/distinct still exact
     assert(got("c") == ("c", 4L, 1L, 2L, None, None))
   }
+
+  test("tableProfile: case-insensitive resolution, clear error on a typo, hostile names") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("MyCol", "other`weird'name")
+    // default sessions are case-insensitive — 'mycol' resolves to MyCol,
+    // and the output carries the SCHEMA's spelling
+    val ci = Diagnostics.tableProfile(df, Seq("mycol"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(ci.toSeq == Seq(("MyCol", 2L, 0L, 2L, Some(1.0), Some(2.0))))
+    // a name containing a backtick and a quote profiles like any other
+    // (no raw interpolation into SQL text anywhere)
+    val hostile = Diagnostics.tableProfile(df, Seq("other`weird'name"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(hostile.toSeq == Seq(("other`weird'name", 2L, 0L, 2L, None, None)))
+    // a typo fails fast with the offending name and the schema in the message
+    val err = intercept[IllegalArgumentException] {
+      Diagnostics.tableProfile(df, Seq("nope"))
+    }
+    assert(err.getMessage.contains("'nope'") && err.getMessage.contains("MyCol"))
+  }
 }

@@ -255,6 +255,35 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prf.forall(r => r.getString(0) != r.getString(1)))
   }
 
+  test("round-17 facades: weighted rank, shortest paths, HyperBall, served QL") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val wtri = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val sym = wtri.union(wtri.select(col("dst"), col("src"), col("weight")))
+    val wpr = Graft.weightedPageRank(sym).as[(Long, Long)].collect().toMap
+    assert(wpr.keySet == Set(1L, 2L, 3L, 4L))
+    val sp = Graft.shortestPaths(
+      Seq((1L, 2L, 4L), (2L, 3L, 4L)).toDF("src", "dst", "cost"),
+      Seq(1L).toDF("node")).as[(Long, Long)].collect().toMap
+    assert(sp == Map(1L -> 0L, 2L -> 4L, 3L -> 8L))
+    // tiny balls: the sketch estimates equal the exact closure counts
+    val hb = Graft.hyperBall(tri, radius = 1).as[(Long, Long, Long)].collect().toSet
+    val ne = Graft.neighborhoodExact(tri, radius = 1).as[(Long, Long, Long)].collect().toSet
+    assert(hb == ne)
+    assert(Graft.hyperBallCloseness(tri, radius = 2).count() == 4L)
+
+    val corpus = docsDf.select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-lexq").toString
+    try {
+      Graft.lexIndexSave(corpus, dir)
+      val served = Graft.searchQl(spark, dir, Seq("the", "fox"), k = 3).collect().toSet
+      val direct = Graft.qlRank(corpus, Seq("the", "fox"), k = 3).collect().toSet
+      assert(served == direct && served.nonEmpty)
+      assert(Graft.lexPostings(spark, dir).count() > 0L)
+    } finally graft.ops.Corpus.deleteRecursively(dir)
+  }
+
   test("trainingShards: every curation stage applies, survivors are packed") {
     import spark.implicits._
     val corpus = Seq(

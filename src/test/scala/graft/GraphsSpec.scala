@@ -386,4 +386,170 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(ck == expected)
   }
+
+  test("copurchaseEdges: a runaway basket is dropped by the cap; small baskets unaffected") {
+    import spark.implicits._
+    // two honest baskets witnessing (1,2) twice, plus a 6-item bot
+    // basket that would fabricate 15 pairs
+    val honest = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val bot = (10L to 15L).map(i => (99L, i))
+    val baskets = (honest ++ bot).toDF("basket_id", "item_id")
+    val capped = Graphs.copurchaseEdges(baskets, minSupport = 1L, maxBasketItems = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 2L)))
+    // candidate volume: honest pairs only under the cap; 1 + 15 without
+    assert(Graphs.copurchaseCandidates(baskets, maxBasketItems = 5).count() == 2L)
+    assert(Graphs.copurchaseCandidates(baskets, maxBasketItems = 6).count() == 17L)
+    // the default cap (1024) leaves every small-basket answer untouched
+    val dflt = Graphs.copurchaseEdges(baskets, minSupport = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dflt.contains((1L, 2L, 2L)) && dflt.size == 16)
+  }
+
+  test("kCore: early exit stops at the fixed point with the full-unroll answer") {
+    import spark.implicits._
+    // K4 on 1..4 plus a single pendant 5-1: round 1 deletes node 5,
+    // round 2 deletes nothing -> converged; rounds 3..6 must not run
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L))
+    val (coreDf, executed) = Graphs.kCorePeeled(edgesDf(es), k = 3, rounds = 6,
+      checkpointEvery = 1)
+    val core = coreDf.as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(executed == 2, s"expected convergence after round 2, ran $executed")
+    // the lazy unrolled plan (no early exit) agrees
+    val unrolled = Graphs.kCore(edgesDf(es), k = 3, rounds = 6, checkpointEvery = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(unrolled == core)
+    // an already-converged input exits after one confirming round
+    val (_, e2) = Graphs.kCorePeeled(edgesDf(es.take(6)), k = 3, rounds = 6,
+      checkpointEvery = 1)
+    assert(e2 == 1)
+  }
+
+  /** The documented d147 semantics, sequentially: contributions weight
+    * -proportional with a single floor division per edge. */
+  private def bruteWeightedPR(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> Graphs.Scale).toMap
+    for (_ <- 1 to iters) {
+      val inbound = nodes.map(v => v ->
+        edges.filter(_._2 == v).map { case (m, _, w) =>
+          if (wout.getOrElse(m, 0L) > 0L) rank(m) * w / wout(m) else 0L
+        }.sum).toMap
+      val dangling = rank.collect { case (m, r) if wout.getOrElse(m, 0L) == 0L => r }.sum
+      rank = nodes.map(v =>
+        v -> (15L * Graphs.Scale / 100L + 85L * (inbound(v) + dangling / n) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("weightedPageRank: equals the sequential replay; weight skew shifts rank") {
+    import spark.implicits._
+    // 1 splits its mass 9:1 between 2 and 3; 2,3 return to 1; 4 dangles
+    val es = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (1L, 4L, 2L))
+    val got = Graphs.weightedPageRank(es.toDF("src", "dst", "weight"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == bruteWeightedPR(es, 3))
+    // the heavy-edge target outranks the light one
+    assert(got(2L) > got(3L))
+  }
+
+  test("weightedPageRank: uniform weights reproduce pageRank exactly; checkpoint invariant") {
+    import spark.implicits._
+    // floor((r*w)/(w*outdeg)) == floor(r/outdeg) for any uniform w > 0,
+    // so the weighted walk on constant weights IS the unweighted one
+    val rnd = new scala.util.Random(31)
+    val es = (1 to 70).map(_ => (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val uniform = es.map { case (a, b) => (a, b, 7L) }
+    val weighted = Graphs.weightedPageRank(uniform.toDF("src", "dst", "weight"),
+      iterations = 3).as[(Long, Long)].collect().toMap
+    val plain = Graphs.pageRank(edgesDf(es), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted == plain)
+    val ck = Graphs.weightedPageRank(uniform.toDF("src", "dst", "weight"),
+      iterations = 3, checkpointEvery = 1).as[(Long, Long)].collect().toMap
+    assert(ck == weighted)
+  }
+
+  test("shortestPaths: weighted shortcut beats the direct edge; bound truncates; islands excluded") {
+    import spark.implicits._
+    // 1-2 costs 10 direct, but 1-3-2 costs 3+3=6; island 8-9 unreachable
+    val es = Seq((1L, 2L, 10L), (1L, 3L, 3L), (3L, 2L, 3L), (8L, 9L, 1L))
+    val src = Seq(1L).toDF("node")
+    val got = Graphs.shortestPaths(es.toDF("src", "dst", "cost"), src, maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 3L, 2L -> 6L))
+    // maxRounds = 1: only 1-edge paths — the direct cost stands
+    val one = Graphs.shortestPaths(es.toDF("src", "dst", "cost"), src, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 3L))
+    // undirected: reachable from the other endpoint too
+    val fromTwo = Graphs.shortestPaths(es.toDF("src", "dst", "cost"),
+      Seq(2L).toDF("node"), maxRounds = 4).as[(Long, Long)].collect().toMap
+    assert(fromTwo == Map(2L -> 0L, 3L -> 3L, 1L -> 6L))
+  }
+
+  test("shortestPaths and hopDistance ignore out-of-graph seed ids") {
+    import spark.implicits._
+    val es = Seq((1L, 2L))
+    val seeds = Seq(1L, 777L).toDF("node") // 777 is not in the graph
+    val hops = Graphs.hopDistance(edgesDf(es), seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L)) // no phantom 777 row
+    val dist = Graphs.shortestPaths(Seq((1L, 2L, 5L)).toDF("src", "dst", "cost"),
+      seeds, maxRounds = 2).as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 2L -> 5L))
+  }
+
+  test("personalizedPageRank: an empty effective source set yields all-zero ranks, no crash") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L))
+    val got = Graphs.personalizedPageRank(edgesDf(es), Seq(777L).toDF("node"),
+      iterations = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("neighborhoodExact: path graph balls by hand") {
+    import spark.implicits._
+    // path 1-2-3-4: ball_1(2) = {1,2,3} = 3; ball_2(1) = {1,2,3} = 3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graphs.neighborhoodExact(edgesDf(es), radius = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, r, b) => (n, r) -> b }.toMap
+    assert(got((1L, 0L)) == 1L && got((2L, 0L)) == 1L)
+    assert(got((1L, 1L)) == 2L && got((2L, 1L)) == 3L && got((3L, 1L)) == 3L)
+    assert(got((1L, 2L)) == 3L && got((2L, 2L)) == 4L && got((4L, 2L)) == 3L)
+  }
+
+  test("hyperBall: estimates are EXACT on small balls and bound-checked against the closure") {
+    import spark.implicits._
+    // two 6-cliques bridged by one edge — ball sizes ≤ 12, far below the
+    // HLL sparse-mode threshold, so estimates must equal the exact counts
+    val c1 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val c2 = for (a <- 11L to 16L; b <- (a + 1) to 16L) yield (a, b)
+    val es = c1 ++ c2 ++ Seq((6L, 11L))
+    val est = Graphs.hyperBall(edgesDf(es), radius = 2)
+      .as[(Long, Long, Long)].collect().map { case (n, r, b) => (n, r) -> b }.toMap
+    val exact = Graphs.neighborhoodExact(edgesDf(es), radius = 2)
+      .as[(Long, Long, Long)].collect().map { case (n, r, b) => (n, r) -> b }.toMap
+    assert(est == exact)
+    // the registered-gate projection: every row within bound
+    val bound = Graphs.hyperBallBound(edgesDf(es), radius = 2)
+    assert(bound.where(!col("within_bound")).count() == 0L)
+    assert(bound.count() == exact.size.toLong)
+  }
+
+  test("hyperBallCloseness: the star center is closer than its leaves") {
+    import spark.implicits._
+    val es = (2L to 9L).map(l => (1L, l))
+    val got = Graphs.hyperBallCloseness(edgesDf(es), radius = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // center: 8 nodes at distance 1 -> dist_sum 8, reach 9
+    assert(got(1L) == ((9L, 8L)))
+    // each leaf: 1 at distance 1, 7 at distance 2 -> dist_sum 15
+    assert(got(2L) == ((9L, 15L)))
+  }
 }

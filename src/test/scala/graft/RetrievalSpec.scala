@@ -223,4 +223,57 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("prfExpansion tokenizes ONCE: no Generate survives in the main plan") {
+    import spark.implicits._
+    // the postings frame feeds five plan branches; before the shared
+    // materialization the executed plan carried SEVEN Generate nodes
+    // (ReuseExchange did not dedupe the separately planned copies). The
+    // one explode now runs in the localCheckpoint job; the main plan
+    // must read the materialization — zero Generates.
+    val df = Retrieval.prfExpansion(docs.toDF("doc_id", "text"),
+      nQueryTerms = 2, kDocs = 2, kTerms = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 0, s"expected 0 Generates (tokenize runs once at " +
+      s"materialization), saw $generates:\n$plan")
+  }
+
+  test("indexed QL/PRF (d149/d150 path) equal the direct corpus paths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexq-spec").toString
+    try {
+      val corpus = docs.toDF("doc_id", "text")
+      graft.ops.LexIndex.save(corpus, dir)
+      val post = graft.ops.LexIndex.postings(spark, dir)
+      val qlIdx = Retrieval.qlTopKFrom(post, nQueryTerms = 3, k = 2)
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      val qlDirect = Retrieval.qlTopK(corpus, nQueryTerms = 3, k = 2)
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      assert(qlIdx == qlDirect)
+      val prfIdx = Retrieval.prfExpansionFrom(post, nQueryTerms = 2, kDocs = 2, kTerms = 3)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val prfDirect = Retrieval.prfExpansion(corpus, nQueryTerms = 2, kDocs = 2, kTerms = 3)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(prfIdx == prfDirect)
+    } finally graft.ops.Corpus.deleteRecursively(dir)
+  }
+
+  test("searchQl: the bucket-pruned serve path equals the direct explicit-terms QL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexq-serve").toString
+    try {
+      val corpus = docs.toDF("doc_id", "text")
+      graft.ops.LexIndex.save(corpus, dir)
+      val terms = Seq("the", "mat", "dog")
+      val served = graft.ops.LexIndex.searchQl(spark, dir, terms, k = 3)
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      val direct = Retrieval.qlRank(corpus, terms, k = 3)
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      assert(served == direct && served.nonEmpty)
+      // every query term that occurs in the corpus is served
+      assert(served.map(_._1) == Set("the", "mat", "dog"))
+    } finally graft.ops.Corpus.deleteRecursively(dir)
+  }
 }
