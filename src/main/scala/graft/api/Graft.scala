@@ -377,6 +377,18 @@ object Graft {
   def neighborhoodExact(edges: DataFrame, radius: Int = 2): DataFrame =
     graft.ops.Graphs.neighborhoodExact(edges, radius)
 
+  /** Per-node triangle counts and local clustering coefficient in
+    * exact integer ppm. Out: (node, degree, n_triangles,
+    * clustering_ppm). Reads: src, dst. */
+  def localClustering(edges: DataFrame): DataFrame =
+    graft.ops.Graphs.localClustering(edges)
+
+  /** Degree assortativity (Newman's r) over an undirected edge set —
+    * exact integer sums plus the rounded Pearson coefficient. One
+    * summary row. Reads: src, dst. */
+  def degreeAssortativity(edges: DataFrame): DataFrame =
+    graft.ops.Graphs.degreeAssortativity(edges)
+
   /** Item communities: connected components of the co-purchase graph
     * (large-star/small-star). Out: (item_id, community_id,
     * community_size). Reads: basket_id, item_id. */

@@ -542,6 +542,55 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bound.count() == exact.size.toLong)
   }
 
+  test("localClustering: K4 with a pendant — hand-computed per-node counts and ppm") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L))
+    val got = Graphs.localClustering(edgesDf(es))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node 1: degree 4 (K4 + pendant), 3 triangles, 2·3·1e6/(4·3) = 500000
+    assert(got(1L) == ((4L, 3L, 500000L)))
+    // nodes 2-4: degree 3, 3 triangles each, 2·3·1e6/(3·2) = 1000000
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, 3L, 1000000L))))
+    // the pendant: degree 1, no triangles, ppm 0 by the deg<2 rule
+    assert(got(5L) == ((1L, 0L, 0L)))
+    // corner attribution is conservative: 3 × total triangles
+    assert(got.values.map(_._2).sum == 3L * 4L)
+  }
+
+  test("localClustering: per-node counts match a brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2209)
+    val es = (1 to 120).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val verts = adj.keys.toSeq.sorted
+    val brute = verts.map { v =>
+      val ns = adj(v).toSeq.sorted
+      v -> (for { i <- ns; j <- ns if j > i && adj(i)(j) } yield 1).size.toLong
+    }.toMap
+    val got = Graphs.localClustering(edgesDf(es))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap == brute)
+    got.foreach { case (v, d, t, ppm) =>
+      assert(d == adj(v).size.toLong)
+      assert(ppm == (if (d >= 2) 2L * t * 1000000L / (d * (d - 1)) else 0L))
+    }
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val row = Graphs.degreeAssortativity(edgesDf(es)).collect()(0)
+    // sym has 6 rows; center deg 3 pairs with leaf deg 1 in every edge:
+    // m=6, Σdx=12, Σdxdy=18, Σdx²=30 -> r = (108-144)/(180-144) = -1
+    assert(row.getAs[Long]("m") == 6L && row.getAs[Long]("sum_dx") == 12L)
+    assert(row.getAs[Long]("sum_dxdy") == 18L && row.getAs[Long]("sum_dx2") == 30L)
+    assert(row.getAs[Double]("assortativity") == -1.0)
+  }
+
   test("hyperBallCloseness: the star center is closer than its leaves") {
     import spark.implicits._
     val es = (2L to 9L).map(l => (1L, l))
