@@ -389,6 +389,19 @@ object Graft {
   def degreeAssortativity(edges: DataFrame): DataFrame =
     graft.ops.Graphs.degreeAssortativity(edges)
 
+  /** Deterministic DeepWalk corpus: hash-addressed random walks from
+    * every node — reproducible graph-embedding training sentences.
+    * Out: (start_node, walk, step, node). Reads: src, dst. */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 1,
+                  steps: Int = 3): DataFrame =
+    graft.ops.Graphs.randomWalks(edges, walksPerNode, steps)
+
+  /** Skip-gram (center, context, n_pairs) extraction over a walk
+    * corpus — word2vec-style graph-embedding training pairs. Reads:
+    * the [[randomWalks]] output shape. */
+  def walkSkipGrams(walks: DataFrame, window: Int = 2): DataFrame =
+    graft.ops.Graphs.walkSkipGrams(walks, window)
+
   /** Item communities: connected components of the co-purchase graph
     * (large-star/small-star). Out: (item_id, community_id,
     * community_size). Reads: basket_id, item_id. */

@@ -451,6 +451,89 @@ object Graphs {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Deterministic random-walk corpus (d157, DeepWalk / node2vec at
+    * p=q=1): `walksPerNode` walks of `steps` steps from EVERY node of
+    * the undirected graph — the sentence corpus a graph-embedding
+    * trainer consumes. The "randomness" is a 60-bit md5 of
+    * (start, walk, step, current) selecting an index into the node's
+    * id-ordered neighbor list, so the corpus is a PURE FUNCTION of the
+    * graph: reproducible shards, resumable generation, and a DuckDB
+    * oracle that replays every transition bit-exactly (the d09 md5
+    * -parity trick — Spark conv(substring(md5,1,15),16,10) ==
+    * DuckDB CAST('0x'||substring(md5,1,15) AS BIGINT)). Out:
+    * (start_node, walk, step, node), step 0 = the start itself; walks
+    * never dead-end (every node of an edge list has a neighbor).
+    *
+    * Scale: the indexed adjacency (neighbors numbered 0..deg−1 by id)
+    * is built once with per-node windows (sorts each neighborhood,
+    * never globally) and materialized; each step is one node-keyed
+    * join to fetch the degree, the in-row hash, and one (node, idx)
+    * -keyed join to fetch the chosen neighbor — work ∝ #walks per
+    * step, NOT Σ deg (the degree join prunes before the adjacency
+    * join). The frontier is localCheckpointed per step (consumed by
+    * the output union and the next step). */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 1,
+                  steps: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walksPerNode >= 1, "need walksPerNode >= 1")
+    require(steps >= 0, "need steps >= 0")
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst"), col("src"))).toDF("u", "v").distinct()
+    val adj = sym
+      .withColumn("idx", (row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("v"))) - 1).cast(LongType))
+      .localCheckpoint()
+    val degs = adj.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var cur = degs.select(col("du").as("start_node"),
+        explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("walk"))
+      .select(col("start_node"), col("walk").cast(LongType).as("walk"),
+        col("start_node").as("node"))
+      .localCheckpoint()
+    var out = cur.select(col("start_node"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val sel = cur.join(degs, cur("node") === degs("du"))
+        .withColumn("h", expr("cast(conv(substring(md5(concat_ws('|', " +
+          s"start_node, walk, ${t - 1}, node)), 1, 15), 16, 10) as bigint)"))
+        .select(col("start_node"), col("walk"), col("node").as("at"),
+          pmod(col("h"), col("deg")).as("pick"))
+      cur = sel.join(adj,
+          sel("at") === adj("u") && sel("pick") === adj("idx"))
+        .select(col("start_node"), col("walk"), col("v").as("node"))
+        .localCheckpoint()
+      out = out.union(cur.select(col("start_node"), col("walk"),
+        lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
+  /** Skip-gram pair extraction over a walk corpus (d158): the
+    * (center, context) co-occurrence pairs within `window` steps along
+    * each walk, rolled up with their multiplicity — the direct input
+    * to a word2vec-style graph-embedding trainer (and the graph analog
+    * of d77's PMI bigrams). In: the [[randomWalks]] shape (start_node,
+    * walk, step, node). Out: (center, context, n_pairs), both
+    * directions of every co-occurrence, exact longs.
+    *
+    * Scale: one walk-keyed self-join band-limited by the window (each
+    * position joins ≤ 2·window others of the SAME walk — walks are
+    * bounded-length by construction, so the fan-out is a constant) and
+    * one pair-keyed partial-aggregated count. */
+  def walkSkipGrams(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "need window >= 1")
+    val w = walks.toDF("start_node", "walk", "step", "node")
+    val a = w.select(col("start_node"), col("walk"),
+      col("step").as("s1"), col("node").as("center"))
+    val b = w.select(col("start_node"), col("walk"),
+      col("step").as("s2"), col("node").as("context"))
+    a.join(b, Seq("start_node", "walk"))
+      .where(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The assortativity formula — ONE literal string both engines parse
     * (the bm25Formula discipline): Pearson correlation of endpoint
     * degrees over the DIRECTED (symmetrized) edge list, computed from
@@ -1015,6 +1098,28 @@ object Graphs {
       s"FROM h$iterations JOIN a$iterations USING (node)"
   }
 
+  /** The shared d157/d158 walk corpus as a recursive CTE: the identical
+    * indexed adjacency, md5 selection, and step bound. */
+  private def walkSql(walksPerNode: Int, steps: Int): String =
+    s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+       |sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+       |adj AS MATERIALIZED (
+       |  SELECT u, v, CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS idx
+       |  FROM sym),
+       |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |starts AS (SELECT u AS start_node, CAST(w.walk AS BIGINT) AS walk
+       |           FROM deg, LATERAL (SELECT unnest(range(0, $walksPerNode)) AS walk) w),
+       |walk AS (
+       |  SELECT start_node, walk, CAST(0 AS BIGINT) AS step, start_node AS node FROM starts
+       |  UNION ALL
+       |  SELECT wk.start_node, wk.walk, wk.step + 1, adj.v
+       |  FROM walk wk
+       |  JOIN deg ON deg.u = wk.node
+       |  JOIN adj ON adj.u = wk.node
+       |   AND adj.idx = CAST(('0x' || substring(md5(concat_ws('|', wk.start_node, wk.walk, wk.step, wk.node)), 1, 15)) AS BIGINT) % deg.deg
+       |  WHERE wk.step < $steps)""".stripMargin
+
   /** The d147 oracle: the identical weighted iteration unrolled as
     * chained CTEs over the symmetrized weighted co-purchase graph. The
     * symmetrized graph has no dangling nodes, but the dangling CTEs stay
@@ -1365,6 +1470,29 @@ object Graphs {
               |  WHERE walk.hops < 4)
               |SELECT node, CAST(min(dist) AS BIGINT) AS dist
               |FROM walk GROUP BY 1""".stripMargin)),
+
+    // d157: two deterministic DeepWalk walks of 3 steps from every
+    // co-purchase node — the md5-addressed transitions replay
+    // bit-exactly in the oracle's recursive CTE.
+    Q("d157_random_walks",
+      (s, d) => randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+      Some(walkSql(2, 3) +
+        "\nSELECT start_node, walk, step, node FROM walk")),
+
+    // d158: skip-gram (center, context) pairs with multiplicity from
+    // the d157 corpus — the word2vec-style training-pair extraction;
+    // the oracle rebuilds the walks and replays the banded self-join.
+    Q("d158_skipgram_pairs",
+      (s, d) => walkSkipGrams(
+        randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+        window = 2),
+      Some(walkSql(2, 3) +
+        """
+          |SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM walk a JOIN walk b
+          |  ON a.start_node = b.start_node AND a.walk = b.walk
+          | AND a.step <> b.step AND abs(a.step - b.step) <= 2
+          |GROUP BY 1, 2""".stripMargin)),
 
     // d155: per-node triangle counts + local clustering coefficient in
     // exact integer ppm — the oracle replays the identical

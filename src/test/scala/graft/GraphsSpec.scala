@@ -591,6 +591,78 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("assortativity") == -1.0)
   }
 
+  /** The documented d157 selection, sequentially: 60-bit md5 of
+    * "start|walk|step|node" modulo degree indexes the id-ordered
+    * neighbor list. */
+  private def bruteWalks(edges: Seq[(Long, Long)], walksPerNode: Int,
+      steps: Int): Set[(Long, Long, Long, Long)] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).map { case (u, ns) => u -> ns.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pick(start: Long, walk: Long, step: Long, node: Long): Long = {
+      val hex = md.digest(s"$start|$walk|$step|$node".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val ns = adj(node)
+      ns((h % ns.size).toInt)
+    }
+    (for {
+      start <- adj.keys.toSeq
+      walk <- 0L until walksPerNode.toLong
+    } yield {
+      var node = start
+      (0L to steps.toLong).map { step =>
+        val row = (start, walk, step, node)
+        if (step < steps) node = pick(start, walk, step, node)
+        row
+      }
+    }).flatten.toSet
+  }
+
+  test("randomWalks: equals the sequential md5 replay; every hop is an edge") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graphs.randomWalks(edgesDf(es), walksPerNode = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == bruteWalks(es, 2, 3))
+    // structural: 5 nodes × 2 walks × 4 positions
+    assert(got.size == 5 * 2 * 4)
+    // every consecutive transition is a real edge
+    val undirected = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val byWalk = got.groupBy(r => (r._1, r._2))
+    byWalk.values.foreach { rows =>
+      rows.toSeq.sortBy(_._3).map(_._4).sliding(2).foreach {
+        case Seq(a, b) => assert(undirected((a, b)), s"phantom hop $a -> $b")
+        case _ =>
+      }
+    }
+    // determinism: a second evaluation is identical
+    val again = Graphs.randomWalks(edgesDf(es), walksPerNode = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("walkSkipGrams: hand-computed window pairs with multiplicity") {
+    import spark.implicits._
+    // one walk 1 -> 2 -> 1, one walk 9 -> 8 (different start)
+    val walks = Seq(
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 1L),
+      (9L, 0L, 0L, 9L), (9L, 0L, 1L, 8L))
+      .toDF("start_node", "walk", "step", "node")
+    val got = Graphs.walkSkipGrams(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // walk 1: positions (1@0, 2@1, 1@2) — window 2 pairs every pair:
+    // (1,2)×2 each direction, (1,1)×2 (the step-0/step-2 revisit)
+    // walk 9: (9,8) and (8,9) once each
+    assert(got == Set(
+      (1L, 2L, 2L), (2L, 1L, 2L), (1L, 1L, 2L),
+      (9L, 8L, 1L), (8L, 9L, 1L)))
+    // window 1 drops the distance-2 revisit pair
+    val w1 = Graphs.walkSkipGrams(walks, window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w1 == Set((1L, 2L, 2L), (2L, 1L, 2L), (9L, 8L, 1L), (8L, 9L, 1L)))
+  }
+
   test("hyperBallCloseness: the star center is closer than its leaves") {
     import spark.implicits._
     val es = (2L to 9L).map(l => (1L, l))
