@@ -567,8 +567,10 @@ object Bench {
     // stdout line is therefore a compact restatement of the headline
     // numbers, guaranteed to fit: 30 headline queries + totals ≈ 1.1 KB,
     // errors capped at 3 entries (the count rides alongside).
+    // truncate BEFORE escaping — cutting after could split a trailing
+    // \\ or \" escape in half and break the line's JSON
     val errsCompact = errors.take(3).map(e =>
-      s""""${e.replace("\\", "\\\\").replace("\"", "\\\"").take(80)}"""")
+      s""""${e.take(80).replace("\\", "\\\\").replace("\"", "\\\"")}"""")
       .mkString("[", ",", "]")
     val trailer =
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +

@@ -402,6 +402,15 @@ object Graft {
   def walkSkipGrams(walks: DataFrame, window: Int = 2): DataFrame =
     graft.ops.Graphs.walkSkipGrams(walks, window)
 
+  /** Effective diameter at `qPpm` (default 90%) via HyperBall — the
+    * radius covering that share of all reachable pairs. One summary
+    * row. Reads: src, dst. */
+  def effectiveDiameter(edges: DataFrame, radius: Int = 3,
+                        qPpm: Long = 900000L, lgK: Int = 14): DataFrame =
+    graft.ops.Graphs.effectiveDiameter(
+      graft.ops.Graphs.hyperBall(edges, radius, lgK)
+        .withColumnRenamed("est_ball", "ball"), qPpm)
+
   /** Item communities: connected components of the co-purchase graph
     * (large-star/small-star). Out: (item_id, community_id,
     * community_size). Reads: basket_id, item_id. */

@@ -451,6 +451,37 @@ object Graphs {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Effective diameter (d159, the classic HyperBall application): the
+    * smallest radius t at which the summed reachable-pairs count
+    * Σ_n ball(n, t) reaches `qPpm` (parts-per-million, default 90%) of
+    * the radius-cap total — "how many hops cover 90% of all reachable
+    * pairs", the one-number connectivity summary for a web/co-purchase
+    * graph. In: a neighborhood-function frame, either [[hyperBall]]
+    * (the production estimator at any scale) or [[neighborhoodExact]]
+    * (the adjudicable exact sibling the registered query hashes). Out:
+    * ONE row (radius_cap, total_pairs, eff_diameter, pairs_at_eff) —
+    * exact longs over the exact NF; GraphsSpec proves the estimator
+    * -fed value agrees on sub-sparse-mode graphs.
+    *
+    * Scale: a radius-keyed rollup of the NF frame (≤ radius_cap+1
+    * rows after aggregation), a 1-row broadcast of the cap totals, and
+    * a limit — nothing corpus-width beyond the NF itself. Overflow:
+    * pairs·1e6 must stay in Long — pairs ≤ Σ ball ≤ n·max_ball, fine
+    * to ~9e12 reachable pairs; beyond that pre-scale qPpm down. */
+  def effectiveDiameter(nf: DataFrame, qPpm: Long = 900000L): DataFrame = {
+    require(qPpm >= 1L && qPpm <= 1000000L, "qPpm is parts-per-million")
+    val sums = nf.toDF("node", "radius", "ball")
+      .groupBy(col("radius")).agg(sum(col("ball")).as("pairs"))
+    val cap = sums.orderBy(col("radius").desc).limit(1)
+      .select(col("radius").as("radius_cap"), col("pairs").as("total_pairs"))
+    sums.crossJoin(broadcast(cap))
+      .where(col("pairs") * lit(1000000L) >= col("total_pairs") * lit(qPpm))
+      .orderBy(col("radius"))
+      .limit(1)
+      .select(col("radius_cap"), col("total_pairs"),
+        col("radius").as("eff_diameter"), col("pairs").as("pairs_at_eff"))
+  }
+
   /** Deterministic random-walk corpus (d157, DeepWalk / node2vec at
     * p=q=1): `walksPerNode` walks of `steps` steps from EVERY node of
     * the undirected graph — the sentence corpus a graph-embedding
@@ -1470,6 +1501,36 @@ object Graphs {
               |  WHERE walk.hops < 4)
               |SELECT node, CAST(min(dist) AS BIGINT) AS dist
               |FROM walk GROUP BY 1""".stripMargin)),
+
+    // d159: effective diameter at 90% over the exact radius-0..2
+    // neighborhood function (the estimator-fed production path is the
+    // facade composition with d148's hyperBall; GraphsSpec proves the
+    // two agree below sparse-mode scale) — the oracle replays the
+    // closure, the per-radius pair sums, and the threshold pick.
+    Q("d159_effective_diameter",
+      (s, d) => effectiveDiameter(
+        neighborhoodExact(copurchaseFrame(s, d), radius = 2)),
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+              |nodes AS (SELECT DISTINCT u FROM sym),
+              |reach AS (
+              |  SELECT u AS root, u AS member, 0 AS hops FROM nodes
+              |  UNION
+              |  SELECT reach.root, sym.v, reach.hops + 1
+              |  FROM reach JOIN sym ON sym.u = reach.member
+              |  WHERE reach.hops < 2),
+              |d AS (SELECT root, member, min(hops) AS dist FROM reach GROUP BY 1, 2),
+              |radii AS (SELECT unnest(range(0, 3)) AS radius),
+              |b AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS pairs
+              |      FROM d CROSS JOIN radii t WHERE d.dist <= t.radius GROUP BY 1),
+              |cap AS (SELECT CAST(radius AS BIGINT) AS radius_cap, pairs AS total_pairs
+              |        FROM b ORDER BY radius DESC LIMIT 1)
+              |SELECT cap.radius_cap, cap.total_pairs,
+              |       CAST(b.radius AS BIGINT) AS eff_diameter, b.pairs AS pairs_at_eff
+              |FROM b CROSS JOIN cap
+              |WHERE b.pairs * 1000000 >= cap.total_pairs * 900000
+              |ORDER BY b.radius LIMIT 1""".stripMargin)),
 
     // d157: two deterministic DeepWalk walks of 3 steps from every
     // co-purchase node — the md5-addressed transitions replay

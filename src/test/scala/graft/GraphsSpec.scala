@@ -663,6 +663,28 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1 == Set((1L, 2L, 2L), (2L, 1L, 2L), (9L, 8L, 1L), (8L, 9L, 1L)))
   }
 
+  test("effectiveDiameter: hand-computed threshold pick; estimator path agrees") {
+    import spark.implicits._
+    // path 1-2-3-4-5: exact balls sum to 5 (r0), 13 (r1), 19 (r2);
+    // 90% of 19 = 17.1 -> eff diameter 2 at q=0.9, 1 at q=0.5 (13 >= 9.5)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val nf = Graphs.neighborhoodExact(edgesDf(es), radius = 2)
+    val row = Graphs.effectiveDiameter(nf).collect()(0)
+    assert(row.getAs[Long]("radius_cap") == 2L)
+    assert(row.getAs[Long]("total_pairs") == 19L)
+    assert(row.getAs[Long]("eff_diameter") == 2L)
+    assert(row.getAs[Long]("pairs_at_eff") == 19L)
+    val half = Graphs.effectiveDiameter(nf, qPpm = 500000L).collect()(0)
+    assert(half.getAs[Long]("eff_diameter") == 1L &&
+      half.getAs[Long]("pairs_at_eff") == 13L)
+    // the production composition — HyperBall-fed — agrees below
+    // sparse-mode scale (sketches exact on tiny balls)
+    val est = Graphs.effectiveDiameter(
+      Graphs.hyperBall(edgesDf(es), radius = 2)
+        .withColumnRenamed("est_ball", "ball")).collect()(0)
+    assert(est == row)
+  }
+
   test("hyperBallCloseness: the star center is closer than its leaves") {
     import spark.implicits._
     val es = (2L to 9L).map(l => (1L, l))
