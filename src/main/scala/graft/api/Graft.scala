@@ -344,6 +344,15 @@ object Graft {
                       maxBasketItems: Int = 1024): DataFrame =
     graft.ops.Graphs.copurchaseEdges(baskets, minSupport, maxBasketItems)
 
+  /** Observability companion for [[copurchaseEdges]]'s runaway-basket
+    * gate: ONE row counting the baskets (and their rows) the cap drops
+    * — log it beside the edge build so the gate's silent data loss is
+    * observable. Out: (n_dropped_baskets, n_dropped_rows,
+    * max_basket_items). Reads: basket_id, item_id. */
+  def copurchaseDropped(baskets: DataFrame,
+                        maxBasketItems: Int = 1024): DataFrame =
+    graft.ops.Graphs.copurchaseDropped(baskets, maxBasketItems)
+
   /** Weighted PageRank: rank mass flows proportionally to edge weight
     * (contrib = rank·w div Σw_out), fixed-point longs. Out: (node,
     * rank). Reads: src, dst, weight. */
@@ -432,7 +441,7 @@ object Graft {
 
   /** Triangle census of an undirected edge set (degree-oriented, each
     * triangle counted once). Out: one row (n_nodes, n_edges,
-    * n_triangles, global_clustering_ppm). Reads: src, dst. */
+    * n_triangles). Reads: src, dst. */
   def triangleStats(edges: DataFrame): DataFrame =
     graft.ops.Graphs.triangleStats(edges)
 

@@ -44,7 +44,10 @@ object Graphs {
     * the cap are DROPPED (not truncated — truncation would bias
     * co-occurrence toward whatever item order the truncation kept).
     * TPC-H baskets hold ≤ 7 distinct parts, so the default cap leaves
-    * every registered query's answer untouched. */
+    * every registered query's answer untouched. The drop is silent by
+    * design in the edge build itself (a per-row warning would be its
+    * own scale problem) — [[copurchaseDropped]] is the one-row
+    * companion diagnostic a capping pipeline should log beside it. */
   def copurchaseEdges(baskets: DataFrame, minSupport: Long = 2L,
                       maxBasketItems: Int = 1024): DataFrame =
     copurchaseCandidates(baskets, maxBasketItems)
@@ -83,6 +86,29 @@ object Graphs {
     a.join(b, Seq("basket_id"))
       .where(col("src") < col("dst"))
       .select(col("src"), col("dst"))
+  }
+
+  /** Companion observability frame for [[copurchaseEdges]]'s
+    * runaway-basket gate: ONE row (n_dropped_baskets, n_dropped_rows,
+    * max_basket_items) counting the baskets (and their distinct-item
+    * rows) the gate would DROP at this cap — so the silent-by-design
+    * data loss of the cap is one cheap query away from being observed
+    * and alerted on. A pipeline that caps should log this beside the
+    * edge build; a nonzero count on data believed well-behaved is the
+    * bot-basket signal the cap exists for.
+    *
+    * Scale: the same single basket-keyed aggregation the gate itself
+    * costs — nothing quadratic, no join with the edge build. */
+  def copurchaseDropped(baskets: DataFrame,
+                        maxBasketItems: Int = 1024): DataFrame = {
+    require(maxBasketItems >= 2, "a co-occurrence basket needs >= 2 items")
+    baskets.toDF("basket_id", "item_id").distinct()
+      .groupBy(col("basket_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBasketItems)
+      .agg(count(lit(1)).as("n_dropped_baskets"),
+        coalesce(sum(col("n")), lit(0L)).as("n_dropped_rows"))
+      .select(col("n_dropped_baskets"), col("n_dropped_rows"),
+        lit(maxBasketItems.toLong).as("max_basket_items"))
   }
 
   /** PageRank (d128), fixed iteration count, fixed-point integer
@@ -368,8 +394,24 @@ object Graphs {
     * Scale: two edge-keyed joins and one count — no adjacency lists in
     * memory, no driver state. Wedge volume is the only superlinear term
     * and the orientation bounds it. */
+  /** Canonical undirected edge list: one (src, dst) row per unordered
+    * pair with src < dst, self-loops dropped — the input contract of
+    * the triangle family and degree mixing, ENFORCED here rather than
+    * assumed (r12 ADVICE): an edge supplied as (hi, lo), as both
+    * orientations, or as a self-loop would otherwise silently
+    * under/double-count triangles and degrees. One projection +
+    * distinct — the same cost as the distinct the callers already
+    * paid. */
+  private def normalizedUndirected(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    e.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") < col("dst"))
+      .distinct()
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct()
+    val e = normalizedUndirected(edges)
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -404,7 +446,9 @@ object Graphs {
     * sits in, and clustering_ppm = 2·tri·1e6 div (deg·(deg−1)) — the
     * node-level density diagnostic behind community quality scoring
     * and spam-farm detection (spam rings cluster; organic hubs don't),
-    * refining d129's one-row census to a per-node profile.
+    * refining d129's one-row census to a per-node profile. Input edges
+    * are canonicalized by [[normalizedUndirected]] (any orientation/
+    * duplication convention is accepted; self-loops dropped).
     *
     * Same degree-oriented enumeration as [[triangleStats]] (each
     * triangle materializes exactly once, wedge fan-out bounded
@@ -418,7 +462,7 @@ object Graphs {
     * (closed-triangle-count)-sized frame and a node-keyed
     * partial-aggregated count — nothing new shuffles at corpus width. */
   def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct()
+    val e = normalizedUndirected(edges)
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -570,12 +614,17 @@ object Graphs {
     * degrees over the DIRECTED (symmetrized) edge list, computed from
     * the exact integer sums, every operand cast to double, rounded to
     * 4 decimals. By symmetry sum_dx = sum_dy and sum_dx2 = sum_dy2, so
-    * the classic r collapses to the two-sum form below. */
+    * the classic r collapses to the two-sum form below. The
+    * denominator (the degree variance) is exactly 0 on any REGULAR
+    * graph (cycle, clique, perfect matching) — correlation of a
+    * constant is undefined, so the nullif guard returns NULL there (a
+    * documented value both engines agree on) instead of an engine
+    * -specific NaN/±Infinity that may not round-trip the hash gate. */
   private val assortativityFormula: String =
     "round((cast(m as double) * cast(sum_dxdy as double)" +
       " - cast(sum_dx as double) * cast(sum_dx as double))" +
-      " / (cast(m as double) * cast(sum_dx2 as double)" +
-      " - cast(sum_dx as double) * cast(sum_dx as double)), 4)"
+      " / nullif(cast(m as double) * cast(sum_dx2 as double)" +
+      " - cast(sum_dx as double) * cast(sum_dx as double), 0.0), 4)"
 
   /** Degree assortativity (d156, Newman): do high-degree nodes attach
     * to high-degree nodes? r > 0 = assortative (social-network-like),
@@ -584,14 +633,19 @@ object Graphs {
     * pipeline whether degree-based sampling or hub-removal will change
     * graph structure. Out: ONE row (m, sum_dx, sum_dxdy, sum_dx2,
     * assortativity) — the raw sums are exact longs the oracle
-    * recomputes, r is the shared-literal double formula over them.
+    * recomputes, r is the shared-literal double formula over them
+    * (NULL on a regular graph, where the degree variance is 0 and the
+    * correlation undefined — see [[assortativityFormula]]). Input
+    * edges are canonicalized by [[normalizedUndirected]], so any
+    * orientation/duplication convention (pre-symmetrized, (hi,lo)
+    * rows, self-loops) is accepted without double-counting degrees.
     *
     * Scale: two degree attaches (node-keyed joins) and one global
     * partial-aggregated sum — no window, no sort. Overflow: sum_dxdy ≤
     * m·maxdeg² must stay inside Long — holds to m = 1e10 edges at
     * maxdeg = 3e4; corpora beyond that should pre-bucket degrees. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct()
+    val e = normalizedUndirected(edges)
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -633,9 +687,19 @@ object Graphs {
     directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** The d127 oracle — replays [[copurchaseEdges]] INCLUDING the
+    * default runaway-basket gate (the `qualify count <= 1024` filter),
+    * so the oracle and the operator agree even on a corpus with a
+    * >1024-distinct-item basket (TPC-H baskets hold ≤ 7 parts, so the
+    * gate never fires on the registered data — but the oracle must
+    * encode the operator's full contract, not a coincidence of the
+    * gated corpus). */
   private val copurchaseSql =
-    """WITH op AS (
-      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem)
+    """WITH op0 AS (
+      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+      |op AS (
+      |  SELECT basket_id, item_id FROM op0
+      |  QUALIFY count(*) OVER (PARTITION BY basket_id) <= 1024)
       |SELECT a.item_id AS src, b.item_id AS dst, CAST(count(*) AS BIGINT) AS weight
       |FROM op a JOIN op b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin

@@ -695,4 +695,43 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each leaf: 1 at distance 1, 7 at distance 2 -> dist_sum 15
     assert(got(2L) == ((9L, 15L)))
   }
+
+  test("triangle family canonicalizes hostile edge input (r12 ADVICE)") {
+    // the same K4-with-tail graph presented canonically vs hostilely:
+    // reversed orientations, both directions of some edges, self-loops
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val hostile = Seq((2L, 1L), (1L, 3L), (3L, 1L), (4L, 1L), (2L, 3L),
+      (4L, 2L), (2L, 4L), (3L, 4L), (5L, 4L), (3L, 3L))
+    assert(Graphs.triangleStats(edgesDf(hostile)).collect().toSeq ==
+      Graphs.triangleStats(edgesDf(canon)).collect().toSeq)
+    assert(Graphs.localClustering(edgesDf(hostile)).collect().toSet ==
+      Graphs.localClustering(edgesDf(canon)).collect().toSet)
+    assert(Graphs.degreeAssortativity(edgesDf(hostile)).collect().toSeq ==
+      Graphs.degreeAssortativity(edgesDf(canon)).collect().toSeq)
+  }
+
+  test("degreeAssortativity: NULL (not NaN) on a regular graph") {
+    // a 4-cycle is 2-regular: degree variance 0, correlation undefined
+    val row = Graphs.degreeAssortativity(
+      edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("assortativity")))
+    assert(row.getLong(row.fieldIndex("m")) == 8L)
+  }
+
+  test("copurchaseDropped: counts gated baskets; zero row when none fire") {
+    import spark.implicits._
+    val baskets = (Seq.tabulate(5)(i => (1L, i.toLong)) ++ // 5-item basket
+      Seq((2L, 1L), (2L, 2L), (3L, 7L))).toDF("basket_id", "item_id")
+    val hit = Graphs.copurchaseDropped(baskets, maxBasketItems = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hit == Seq((1L, 5L, 4L)))
+    val clean = Graphs.copurchaseDropped(baskets, maxBasketItems = 1024)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(clean == Seq((0L, 0L, 1024L)))
+    // and the gate it observes actually drops that basket's pairs
+    val edges = Graphs.copurchaseEdges(baskets, minSupport = 1L,
+      maxBasketItems = 4).collect()
+    assert(edges.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }
