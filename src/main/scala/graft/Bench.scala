@@ -367,6 +367,7 @@ object Bench {
         graft.sources.TextSources.MemoizedQueries ++
         graft.ops.HashIndex.MemoizedQueries ++
         graft.ops.LineIndex.MemoizedQueries ++
+        graft.ops.EdgeIndex.MemoizedQueries ++
         graft.ops.GramIndex.MemoizedQueries ++
         graft.ops.PhraseIndex.MemoizedQueries ++
         graft.ops.SimHashIndex.MemoizedQueries ++

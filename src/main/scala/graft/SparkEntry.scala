@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
+      graft.ops.EdgeIndex.queries ++
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++

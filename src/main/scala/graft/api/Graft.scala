@@ -577,6 +577,40 @@ object Graft {
       maxDocFreq: Long = 2): DataFrame =
     graft.ops.LineIndex.scrubAgainst(spark, docs, dir, maxDocFreq)
 
+  /** Persist a co-purchase edge index (the incremental serving form of
+    * [[copurchaseEdges]] — additive per-batch basket-witnessed pair
+    * counts under the shared crash-safe commit protocol, the per-batch
+    * runaway-basket cap applied before the self-join). Reads:
+    * basket_id, item_id. */
+  def edgeIndexSave(baskets: DataFrame, dir: String): Unit =
+    graft.ops.EdgeIndex.save(baskets, dir)
+
+  /** Incrementally count additional baskets into a saved edge index
+    * (batches must be BASKET-disjoint — a split or repeated basket
+    * would miss/double-count pairs; `checkDisjoint` enforces it). */
+  def edgeIndexAppend(baskets: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.EdgeIndex.append(baskets, dir, checkDisjoint)
+
+  /** Continuously count a streaming (basket_id, item_id) frame into the
+    * edge index (exactly-once per micro-batch). */
+  def edgeIndexIngest(baskets: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.EdgeIndex.ingest(baskets, dir, checkpoint)
+
+  /** Compact a fragmented edge index into a fresh single-generation
+    * snapshot directory (source untouched; see IndexCommit.compactTo). */
+  def edgeIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
+    graft.ops.EdgeIndex.compactTo(spark, src, dst)
+
+  /** The full co-purchase edge set served from a persisted edge index —
+    * summed across batches, support-pruned after the sum; equals
+    * [[copurchaseEdges]] on the indexed corpus. Out: (src, dst,
+    * weight). */
+  def edgeIndexEdges(spark: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame =
+    graft.ops.EdgeIndex.edgesOf(spark, dir, minSupport)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).

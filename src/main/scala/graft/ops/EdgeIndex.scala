@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Persisted co-occurrence edge index — the incremental serving form of
+  * d127's co-purchase graph (the eleventh [[IndexCommit]] family, r12
+  * verdict ask #1): count each batch's basket-witnessed (src, dst)
+  * pairs once, persist the additive facts, and serve the FULL edge set
+  * to every graph consumer (PageRank, communities, related items,
+  * rules, walks, k-core, the triangle family) without rescanning raw
+  * baskets. At 100 TB the basket scan plus the quadratic per-basket
+  * self-join dominates every one of the ~15 registered graph queries —
+  * with this index that cost is paid once per ingest batch, and the
+  * whole family reads pre-counted (src, dst, weight) facts.
+  *
+  * On-disk layout (parquet):
+  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, weight BIGINT)
+  *   <dir>/basketids/ingest_batch=B/ (basket_id)
+  * `pairfacts` carries each batch's PER-BATCH pair counts — weight =
+  * #distinct baskets of THIS batch witnessing the pair, support-
+  * UNPRUNED (pruning belongs to the read, where the cross-batch totals
+  * exist: a pair with weight 1 in each of two batches has total 2, so
+  * pruning at write would lose it). Across BASKET-disjoint batches the
+  * total weight is the plain SUM, so an append writes only its own
+  * counts and never rewrites earlier batches — the [[LineIndex]]
+  * additive-df precedent. `basketids` enforces that disjointness
+  * contract (the docids precedent): a basket split across batches
+  * would miss its cross-fragment pairs, a repeated one would double-
+  * count, so append(checkDisjoint = true) refuses overlapping basket
+  * ids. The runaway-basket cap ([[Graphs.copurchaseCandidates]])
+  * applies per batch BEFORE the quadratic self-join — globally correct
+  * because a basket lives entirely inside one batch.
+  *
+  * Scale notes:
+  *  - per-batch write cost is d127's own: the capped basket self-join
+  *    plus one pair-keyed count — linear in witnessed pairs, bounded by
+  *    |batch baskets|·(cap choose 2);
+  *  - serving ([[edgesOf]]) aggregates pairfacts by (src, dst) — a
+  *    pair-keyed shuffle over INDEX rows (already one row per distinct
+  *    pair per batch), never the raw corpus — then prunes to
+  *    minSupport;
+  *  - compaction is the default restamp: per-original-batch pairfacts
+  *    rows stay additive (the read path sums anyway), so only the
+  *    partition layout collapses — no re-aggregation, no corpus
+  *    re-read. A semantic merge (summing weights per pair into one
+  *    generation) would be a further compaction; the restamp keeps the
+  *    default crash-safety story with zero family-specific code.
+  */
+object EdgeIndex extends PersistedIndex {
+
+  /** The per-batch runaway-basket cap — [[Graphs.copurchaseEdges]]'s
+    * default, fixed at write time so every batch is gated identically
+    * (a cap that drifted between batches would make the summed weights
+    * incomparable). */
+  val MaxBasketItems: Int = 1024
+
+  /** Lifecycle is [[PersistedIndex]]'s: per-batch basket-witnessed pair
+    * counts (additive across BASKET-disjoint batches) plus the basket
+    * ids enforcing that contract. */
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("pairfacts"),
+      (baskets, _, _) => Graphs.copurchaseCandidates(baskets, MaxBasketItems)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("weight"))),
+    BatchTable(IndexCommit.TableSpec("basketids"),
+      (baskets, _, _) => baskets.toDF("basket_id", "item_id")
+        .select(col("basket_id")).distinct()))
+
+  override protected def disjointIdCol: Option[String] = Some("basket_id")
+  override protected def disjointTable: String = "basketids"
+
+  /** The full co-purchase edge set across all indexed batches —
+    * (src, dst, weight) with src < dst, weight = #distinct baskets
+    * witnessing the pair corpus-wide, pruned to `minSupport`. When the
+    * indexed batches partition exactly the corpus d127 reads, this
+    * EQUALS [[Graphs.copurchaseEdges]] on that corpus — the d160 gate. */
+  def edgesOf(spark: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame = {
+    IndexCommit.requireCommitted(spark, dir, "edgesOf")
+    spark.read.parquet(s"$dir/pairfacts")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).cast("long").as("weight"))
+      .where(col("weight") >= minSupport)
+  }
+
+  // ---- driver binding --------------------------------------------------
+
+  /** Per-(session, sfDir) saved index over the lineitem basket frame,
+    * built INCREMENTALLY — save the even-orderkey baskets, append the
+    * odd ones (checkDisjoint on, exercising the contract) — so the
+    * registered gate proves the split-ingest round trip reproduces the
+    * single-pass d127 computation exactly (the d82/d97 discipline;
+    * directories die with the session). */
+  private val dirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def savedDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = dirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-edgeidx-q").toString
+      // canonical column names up front: the append-time disjointness
+      // probe selects `basket_id` from the arriving batch itself
+      val baskets = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .toDF("basket_id", "item_id")
+      save(baskets.where(col("l_orderkey") % 2 === 0), dir)
+      append(baskets.where(col("l_orderkey") % 2 === 1), dir,
+        checkDisjoint = true)
+      val prev = dirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "edgeindex-dirs") { () =>
+          val it = dirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) { Corpus.deleteRecursively(e.getValue); it.remove() }
+          }
+        }
+        dir
+      }
+    }
+  }
+
+  val MemoizedQueries: Set[String] = Set("d160_edge_index")
+
+  def queries: Seq[Q] = Seq(
+    // d160: d127 served from the persisted additive edge index — save
+    // the even-orderkey basket half, append the odd half, then read the
+    // summed + pruned edge set; hash-gated by d127's oracle VERBATIM,
+    // proving the index round trip (per-batch capped self-joins,
+    // sum-on-read, support pruning after the sum) reproduces the
+    // direct single-pass computation exactly.
+    Q("d160_edge_index",
+      (s, d) => edgesOf(s, savedDir(s, d)),
+      Some(Graphs.copurchaseSql)))
+}

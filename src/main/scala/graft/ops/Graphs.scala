@@ -694,7 +694,7 @@ object Graphs {
     * gate never fires on the registered data — but the oracle must
     * encode the operator's full contract, not a coincidence of the
     * gated corpus). */
-  private val copurchaseSql =
+  private[graft] val copurchaseSql =
     """WITH op0 AS (
       |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
       |op AS (

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{EdgeIndex, Graphs, IndexCommit}
+
+/** Serving-path coverage for the persisted co-purchase edge index
+  * (d160): a split save+append must reproduce the direct single-pass
+  * edge build exactly — in particular, support pruning must happen
+  * AFTER the cross-batch sum (a pair below support in every batch but
+  * at support in total must survive), and the per-batch runaway-basket
+  * cap must gate each batch the way the direct build gates the whole
+  * corpus. Lifecycle behavior (commit marker, idempotent replays,
+  * disjointness, compaction) is gated family-generically in
+  * [[PersistedIndexSpec]].
+  */
+class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("edge-index-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def baskets(rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("basket_id", "item_id")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("edgeidx").toString
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    df.as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("split save+append equals the direct single-pass edge build") {
+    // pair (1,2) is witnessed once in EACH half — only the summed
+    // index (or the whole-corpus direct build) reaches support 2
+    val all = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),   // even half: (1,2),(1,3),(2,3) once
+      (3L, 4L), (3L, 5L),             //   and (4,5) once
+      (2L, 1L), (2L, 2L),             // odd half: (1,2) again
+      (4L, 4L), (4L, 5L),             //   and (4,5) again
+      (6L, 2L), (6L, 3L))             //   and (2,3) again
+    val dir = tmp()
+    EdgeIndex.save(baskets(all.filter(_._1 % 2 == 0)), dir)
+    EdgeIndex.append(baskets(all.filter(_._1 % 2 == 1)), dir,
+      checkDisjoint = true)
+    val served = edgeSet(EdgeIndex.edgesOf(spark, dir))
+    val direct = edgeSet(Graphs.copurchaseEdges(baskets(all)))
+    assert(served == direct)
+    assert(served == Set((1L, 2L, 2L), (2L, 3L, 2L), (4L, 5L, 2L)))
+  }
+
+  test("support pruning applies to the summed weight, not per batch") {
+    val dir = tmp()
+    EdgeIndex.save(baskets(Seq((1L, 7L), (1L, 8L))), dir)    // (7,8) x1
+    EdgeIndex.append(baskets(Seq((2L, 7L), (2L, 8L))), dir)  // (7,8) x1
+    EdgeIndex.append(baskets(Seq((3L, 7L), (3L, 8L))), dir)  // (7,8) x1
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir)) == Set((7L, 8L, 3L)))
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 4L)).isEmpty)
+  }
+
+  test("an uncommitted index fails closed on read") {
+    val dir = tmp()
+    EdgeIndex.save(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    val m = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    assertThrows[IllegalArgumentException] {
+      EdgeIndex.edgesOf(spark, dir)
+    }
+  }
+
+  test("the per-batch cap gates a planted runaway basket at write time") {
+    // one basket larger than the cap contributes NO pairs; the fact
+    // table (not just the pruned read) must already exclude it
+    val bot = Seq.tabulate(EdgeIndex.MaxBasketItems + 1)(i => (9L, i.toLong))
+    val ok = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val dir = tmp()
+    EdgeIndex.save(baskets(ok ++ bot), dir)
+    val facts = spark.read.parquet(s"$dir/pairfacts")
+      .agg(sum(col("weight")).cast("long")).collect()(0).getLong(0)
+    assert(facts == 2L) // only the two witnesses of (1,2)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir)) == Set((1L, 2L, 2L)))
+  }
+}

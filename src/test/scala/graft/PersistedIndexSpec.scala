@@ -6,9 +6,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops._
 
-/** The SHARED lifecycle contract of the eight persisted document-keyed
-  * index families, tested once over the [[PersistedIndex]] trait (r09
-  * ask #8). The per-family specs keep gating their serving paths; this
+/** The SHARED lifecycle contract of the nine persisted index families
+  * (eight document-keyed plus the basket-keyed edge family), tested
+  * once over the [[PersistedIndex]] trait (r09 ask #8). The per-family specs keep gating their serving paths; this
   * spec pins the protocol itself — so a lifecycle bug (like the
   * GramIndex compaction-guard alias the r9 review caught in ONE family)
   * can no longer exist in some families and not others.
@@ -32,13 +32,30 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       (11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
   }
 
+  /** Basket-shaped inputs for the edge family (its unit is a basket,
+    * not a document): two baskets per frame, with a shared pair across
+    * the frames' item spaces so summed weights are exercised. */
+  private def basketsA: DataFrame = {
+    import spark.implicits._
+    Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L)).toDF("basket_id", "item_id")
+  }
+  private def basketsB: DataFrame = {
+    import spark.implicits._
+    Seq((5L, 10L), (5L, 11L),
+      (6L, 20L), (6L, 21L)).toDF("basket_id", "item_id")
+  }
+
   /** name, family, lead table, whether append enforces id-disjointness,
-    * and how to normalize the lead table's logical content for the
-    * compaction-preservation check (default: row set minus the batch
-    * stamp; LmIndex merges counts on compaction, so it compares the
-    * per-token sums). */
+    * the save/append input frames (documents by default; the edge
+    * family indexes baskets), and how to normalize the lead table's
+    * logical content for the compaction-preservation check (default:
+    * row set minus the batch stamp; LmIndex merges counts on
+    * compaction, so it compares the per-token sums). */
   private case class Fam(name: String, idx: PersistedIndex, lead: String,
       disjoint: Boolean = true,
+      inA: () => DataFrame = () => docsA,
+      inB: () => DataFrame = () => docsB,
       normalize: DataFrame => Set[String] = df =>
         df.drop(IndexCommit.BatchCol).collect().map(_.mkString("|")).toSet)
 
@@ -52,7 +69,9 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Fam("line", LineIndex, "linedf"),
     Fam("gram", GramIndex, "grams", disjoint = false),
     Fam("phrase", PhraseIndex, "postings"),
-    Fam("simhash", SimHashIndex, "signatures"))
+    Fam("simhash", SimHashIndex, "signatures"),
+    Fam("edge", EdgeIndex, "pairfacts",
+      inA = () => basketsA, inB = () => basketsB))
 
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"pidx_$tag").toString
@@ -60,9 +79,9 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   families.foreach { f =>
     test(s"${f.name}: save+append commit, batches land additively") {
       val dir = tmp(f.name)
-      f.idx.save(docsA, dir)
+      f.idx.save(f.inA(), dir)
       assert(IndexCommit.isCommitted(spark, dir))
-      f.idx.append(docsB, dir)
+      f.idx.append(f.inB(), dir)
       assert(IndexCommit.isCommitted(spark, dir))
       val batches = spark.read.parquet(s"$dir/${f.lead}")
         .select(col(IndexCommit.BatchCol)).distinct().count()
@@ -71,27 +90,27 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     test(s"${f.name}: replaying an append batch id is idempotent") {
       val dir = tmp(f.name)
-      f.idx.save(docsA, dir)
-      f.idx.writeBatch(docsB, dir, batchId = 0L, overwriteAll = false)
+      f.idx.save(f.inA(), dir)
+      f.idx.writeBatch(f.inB(), dir, batchId = 0L, overwriteAll = false)
       val once = spark.read.parquet(s"$dir/${f.lead}").count()
-      f.idx.writeBatch(docsB, dir, batchId = 0L, overwriteAll = false)
+      f.idx.writeBatch(f.inB(), dir, batchId = 0L, overwriteAll = false)
       assert(spark.read.parquet(s"$dir/${f.lead}").count() == once)
     }
 
     test(s"${f.name}: checkDisjoint ${if (f.disjoint) "refuses overlapping ids"
         else "is a set-semantics no-op"}") {
       val dir = tmp(f.name)
-      f.idx.save(docsA, dir)
+      f.idx.save(f.inA(), dir)
       if (f.disjoint)
         assertThrows[IllegalArgumentException] {
-          f.idx.append(docsA, dir, checkDisjoint = true)
+          f.idx.append(f.inA(), dir, checkDisjoint = true)
         }
-      else f.idx.append(docsA, dir, checkDisjoint = true) // must not throw
+      else f.idx.append(f.inA(), dir, checkDisjoint = true) // must not throw
     }
 
     test(s"${f.name}: an interrupted write leaves the index uncommitted") {
       val dir = tmp(f.name)
-      f.idx.save(docsA, dir)
+      f.idx.save(f.inA(), dir)
       val m = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
       m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
       assert(!IndexCommit.isCommitted(spark, dir))
@@ -99,8 +118,8 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     test(s"${f.name}: compaction preserves content and commits dst") {
       val dir = tmp(f.name)
-      f.idx.save(docsA, dir)
-      f.idx.append(docsB, dir)
+      f.idx.save(f.inA(), dir)
+      f.idx.append(f.inB(), dir)
       val dst = tmp(s"${f.name}_dst")
       f.idx.compactTo(spark, dir, dst)
       assert(IndexCommit.isCommitted(spark, dst))
@@ -117,7 +136,7 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rel = s"pidx_alias_${f.name}"
       val abs = new java.io.File(rel).getAbsolutePath
       try {
-        f.idx.save(docsA, rel)
+        f.idx.save(f.inA(), rel)
         assertThrows[IllegalArgumentException] {
           f.idx.compactTo(spark, rel, abs)
         }
