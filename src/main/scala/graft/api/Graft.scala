@@ -398,6 +398,15 @@ object Graft {
   def degreeAssortativity(edges: DataFrame): DataFrame =
     graft.ops.Graphs.degreeAssortativity(edges)
 
+  /** Newman modularity of a community assignment over a weighted
+    * undirected edge set — the partition-quality score that chooses
+    * between assignments (CC vs LPA). Out: one row (m2, sum_in,
+    * sum_tot_sq, modularity; NULL on an empty edge set). Reads: src,
+    * dst, weight; assign: node, community (unassigned edge-incident
+    * nodes count as singletons). */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame =
+    graft.ops.Graphs.modularity(edges, assign)
+
   /** Deterministic DeepWalk corpus: hash-addressed random walks from
     * every node — reproducible graph-embedding training sentences.
     * Out: (start_node, walk, step, node). Reads: src, dst. */

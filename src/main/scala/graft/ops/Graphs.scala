@@ -659,6 +659,66 @@ object Graphs {
         expr(assortativityFormula).as("assortativity"))
   }
 
+  /** The modularity formula — ONE literal string both engines parse
+    * (the d156 discipline): Q = sum_in/m2 − sum_tot_sq/m2², every
+    * operand cast to double, rounded to 6 decimals; NULL (not a crash
+    * or NaN) on an empty edge set, where m2 = 0 and the quantity is
+    * undefined. */
+  private val modularityFormula: String =
+    "round(cast(sum_in as double) / nullif(cast(m2 as double), 0.0)" +
+      " - cast(sum_tot_sq as double)" +
+      " / nullif(cast(m2 as double) * cast(m2 as double), 0.0), 6)"
+
+  /** Newman modularity (d161) of a community assignment over a weighted
+    * undirected graph — THE standard quality score for a partition
+    * (Newman & Girvan): the fraction of edge weight inside communities
+    * minus what a degree-preserving random graph would put there.
+    * Q ∈ [−0.5, 1); higher = denser-than-chance communities. This is
+    * what lets a pipeline CHOOSE between assignments (d132's CC vs
+    * d140's LPA) instead of emitting both unscored.
+    *
+    * In: edges (src, dst, weight) — one row per unordered pair, the
+    * d127 shape — and assign (node, community). Nodes incident to an
+    * edge but absent from `assign` are treated as singleton communities
+    * labeled by their own node id (the d132 convention — community ids
+    * there ARE min-member node ids — makes this the natural embedding;
+    * a hostile assignment that reuses a foreign node id as a label
+    * breaks the embedding and is caller error). Out: ONE row
+    * (m2, sum_in, sum_tot_sq, modularity) — m2 = total directed weight
+    * (2m), sum_in = intra-community directed weight, sum_tot_sq =
+    * Σ_c (Σ_{u∈c} k_u)², all exact longs the oracle recomputes;
+    * modularity is the shared-literal 6-decimal double formula over
+    * them, Q = sum_in/m2 − sum_tot_sq/m2².
+    *
+    * Scale: one node-keyed weighted-degree aggregation, two node-keyed
+    * label attaches onto the edge list, a community-keyed sum and three
+    * 1-row broadcasts — the d156 plan shape, no window, no sort.
+    * Overflow: sum_tot_sq ≤ m2² must stay inside Long — holds to
+    * m2 ≈ 3e9 total directed weight; heavier corpora should pre-scale
+    * weights down (Q is scale-invariant in the weights). */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("u"), col("dst").as("v"), col("weight"))
+      .union(e.select(col("dst").as("u"), col("src").as("v"), col("weight")))
+    val a = assign.toDF("node", "community")
+    val deg = sym.groupBy(col("u")).agg(sum(col("weight")).as("k"))
+    val lbl = deg.join(a, deg("u") === a("node"), "left")
+      .select(col("u"), col("k"), coalesce(col("community"), col("u")).as("c"))
+    val tot = lbl.groupBy(col("c")).agg(sum(col("k")).as("tot"))
+    val m2 = sym.agg(coalesce(sum(col("weight")), lit(0L))
+      .cast(LongType).as("m2"))
+    val inSum = sym
+      .join(lbl.select(col("u"), col("c").as("cu")), Seq("u"))
+      .join(lbl.select(col("u").as("v"), col("c").as("cv")), Seq("v"))
+      .agg(coalesce(sum(when(col("cu") === col("cv"), col("weight"))), lit(0L))
+        .cast(LongType).as("sum_in"))
+    val totSq = tot.agg(coalesce(sum(col("tot") * col("tot")), lit(0L))
+      .cast(LongType).as("sum_tot_sq"))
+    broadcast(m2).crossJoin(broadcast(inSum)).crossJoin(broadcast(totSq))
+      .select(col("m2"), col("sum_in"), col("sum_tot_sq"),
+        expr(modularityFormula).as("modularity"))
+  }
+
   // ---- registered queries --------------------------------------------------
 
   /** Distinct (order, part) pairs — the basket frame for d127/d129. */
@@ -1660,6 +1720,41 @@ object Graphs {
               |SELECT m, sum_dx, sum_dxdy, sum_dx2,
               |       $assortativityFormula AS assortativity
               |FROM s""".stripMargin)),
+
+    // d161: Newman modularity of the CC community assignment over the
+    // weighted co-purchase graph — exact integer sums, shared-literal
+    // 6-decimal formula, one summary row; the oracle recomputes the
+    // closure-replay CC labels and the identical sums.
+    Q("d161_modularity",
+      (s, d) => {
+        // one materialized weighted edge frame feeds BOTH the CC
+        // labeling and the modularity sums (the d147 precedent)
+        val p = copurchaseEdges(orderBaskets(s, d)).localCheckpoint()
+        val assign = Similarity.connectedComponents(s,
+            p.select(col("src").as("a"), col("dst").as("b")))
+          .select(col("v").as("node"), col("lbl").as("community"))
+        modularity(p, assign)
+      },
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v, weight FROM e
+              |  UNION ALL SELECT dst, src, weight FROM e),
+              |edges AS (SELECT u AS a, v AS b FROM sym),
+              |nodes AS (SELECT DISTINCT a AS v FROM edges),
+              |reach AS (
+              |  SELECT v, v AS l FROM nodes
+              |  UNION
+              |  SELECT r.v, ed.b AS l FROM reach r JOIN edges ed ON ed.a = r.l),
+              |lab AS (SELECT v AS node, min(l) AS c FROM reach GROUP BY 1),
+              |deg AS (SELECT u, CAST(sum(weight) AS BIGINT) AS k FROM sym GROUP BY 1),
+              |lbl AS (SELECT deg.u, deg.k, lab.c FROM deg JOIN lab ON lab.node = deg.u),
+              |tot AS (SELECT c, sum(k) AS tot FROM lbl GROUP BY 1),
+              |m2t AS (SELECT CAST(sum(weight) AS BIGINT) AS m2 FROM sym),
+              |ins AS (SELECT CAST(coalesce(sum(CASE WHEN lu.c = lv.c THEN s.weight END), 0) AS BIGINT) AS sum_in
+              |        FROM sym s JOIN lbl lu ON lu.u = s.u JOIN lbl lv ON lv.u = s.v),
+              |tsq AS (SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS sum_tot_sq FROM tot)
+              |SELECT m2, sum_in, sum_tot_sq, $modularityFormula AS modularity
+              |FROM m2t CROSS JOIN ins CROSS JOIN tsq""".stripMargin)),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.

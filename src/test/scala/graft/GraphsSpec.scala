@@ -696,6 +696,35 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((9L, 15L)))
   }
 
+  test("modularity: hand-computed two-triangle fixture; singleton fallback") {
+    import spark.implicits._
+    // two unit-weight triangles bridged by one edge
+    val es = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    // the natural split: m2=14, sum_in=12, tots 7+7 -> sum_tot_sq=98,
+    // Q = 12/14 - 98/196 = 0.357143
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val r1 = Graphs.modularity(es, split).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((14L, 12L, 98L)))
+    assert(r1.getDouble(3) == 0.357143)
+    // everything in ONE community scores lower than the split
+    val one = (1L to 6L).map(n => (n, 1L)).toDF("node", "community")
+    assert(Graphs.modularity(es, one).collect()(0).getDouble(3) == 0.0)
+    // unassigned nodes become singletons: cover only the left triangle
+    // -> sum_in=6, tots 7,3,2,2 -> sum_tot_sq=66, Q = 6/14 - 66/196
+    val partial = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "community")
+    val r3 = Graphs.modularity(es, partial).collect()(0)
+    assert((r3.getLong(1), r3.getLong(2)) == ((6L, 66L)))
+    assert(r3.getDouble(3) == 0.091837)
+    // empty edge set: NULL, not a crash
+    val r4 = Graphs.modularity(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"),
+      split).collect()(0)
+    assert(r4.isNullAt(3) && r4.getLong(0) == 0L)
+  }
+
   test("triangle family canonicalizes hostile edge input (r12 ADVICE)") {
     // the same K4-with-tail graph presented canonically vs hostilely:
     // reversed orientations, both directions of some edges, self-loops
