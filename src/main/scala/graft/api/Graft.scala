@@ -414,6 +414,14 @@ object Graft {
                   steps: Int = 3): DataFrame =
     graft.ops.Graphs.randomWalks(edges, walksPerNode, steps)
 
+  /** node2vec biased walks: second-order transitions weighted by
+    * wReturn (backtrack, 1/p), wIn (neighbor of prev), wOut (explore,
+    * 1/q); wReturn = wIn = wOut reproduces [[randomWalks]] exactly.
+    * Out: (start_node, walk, step, node). Reads: src, dst. */
+  def biasedWalks(edges: DataFrame, walksPerNode: Int = 1, steps: Int = 3,
+                  wReturn: Int = 1, wIn: Int = 1, wOut: Int = 1): DataFrame =
+    graft.ops.Graphs.biasedWalks(edges, walksPerNode, steps, wReturn, wIn, wOut)
+
   /** Skip-gram (center, context, n_pairs) extraction over a walk
     * corpus — word2vec-style graph-embedding training pairs. Reads:
     * the [[randomWalks]] output shape. */

@@ -583,6 +583,108 @@ object Graphs {
     out
   }
 
+  /** node2vec biased random walks (d162, Grover & Leskovec): the
+    * second-order generalization of [[randomWalks]] — the transition
+    * out of `cur` depends on where the walk CAME FROM. Each neighbor n
+    * of cur is weighted by its relation to prev: `wReturn` when
+    * n = prev (node2vec's 1/p — backtrack), `wIn` when n is adjacent to
+    * prev (distance 1 — BFS-ish, stay local), `wOut` otherwise
+    * (distance 2, node2vec's 1/q — DFS-ish, explore). Integer weights
+    * (the published 1/p, 1, 1/q as a ratio) keep the cumulative-range
+    * selection pure integer arithmetic. The first step has no prev and
+    * is uniform first-order — the paper's convention — and with
+    * wReturn = wIn = wOut the cumulative ranges collapse to unit slots,
+    * so EVERY transition reduces to d157's `h mod deg` pick exactly:
+    * p = q = 1 reproduces [[randomWalks]] bit-for-bit (spec-pinned).
+    *
+    * Determinism is d157's: the same 60-bit md5 of (start, walk, step,
+    * current) addresses a position in the (prev, cur)-conditional
+    * cumulative weight ranges (neighbors id-ordered), so the corpus is
+    * a pure function of (graph, weights) and the oracle replays every
+    * transition. Out: (start_node, walk, step, node), step 0 = start.
+    *
+    * Scale: second-order walks inherently carry (prev, cur)-conditional
+    * state — this is the published trade. The transition table is one
+    * row per WEDGE (directed edge pair sharing a midpoint): O(Σ deg²),
+    * the same bound as node2vec's per-edge alias tables, built once
+    * with per-(prev, cur) windows (sorts each conditional neighborhood,
+    * never globally) and materialized. Each step is one (prev, cur)
+    * -keyed equi-join whose fan-out is deg(cur) before the range filter
+    * — per-step work ∝ Σ_frontier deg, vs d157's O(#walks). On
+    * heavy-hub graphs, cap or k-core the edge set first (the d127 cap
+    * precedent); the wedge volume, not the walk count, is the scale
+    * limit. */
+  def biasedWalks(edges: DataFrame, walksPerNode: Int = 1, steps: Int = 3,
+                  wReturn: Int = 1, wIn: Int = 1, wOut: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walksPerNode >= 1, "need walksPerNode >= 1")
+    require(steps >= 0, "need steps >= 0")
+    require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
+      "transition weights must be >= 1 (a zero class could dead-end a walk)")
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst"), col("src"))).toDF("u", "v")
+      .distinct().localCheckpoint()
+    val adj = sym
+      .withColumn("idx", (row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("v"))) - 1).cast(LongType))
+      .localCheckpoint()
+    val degs = adj.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // the (prev, cur)-conditional transition ranges: one row per wedge,
+    // [lo, hi) cumulative over id-ordered neighbors, tw = total weight
+    val pc = sym.toDF("tprev", "tcur")
+    val cn = sym.toDF("tcur", "nbr")
+    val marked = pc.join(cn, Seq("tcur"))
+      .join(sym.select(col("u").as("tprev"), col("v").as("nbr"),
+        lit(1).as("adj_pn")), Seq("tprev", "nbr"), "left")
+    val w = Window.partitionBy(col("tprev"), col("tcur")).orderBy(col("nbr"))
+    val trans = marked.select(col("tprev"), col("tcur"), col("nbr"),
+        when(col("nbr") === col("tprev"), lit(wReturn.toLong))
+          .when(col("adj_pn").isNotNull, lit(wIn.toLong))
+          .otherwise(lit(wOut.toLong)).as("tweight"))
+      .withColumn("hi", sum(col("tweight")).over(w))
+      .withColumn("lo", col("hi") - col("tweight"))
+      .withColumn("tw", sum(col("tweight")).over(
+        Window.partitionBy(col("tprev"), col("tcur"))))
+      .select(col("tprev"), col("tcur"), col("nbr"),
+        col("lo"), col("hi"), col("tw"))
+      .localCheckpoint()
+    val starts = degs.select(col("du").as("start_node"),
+        explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("walk"))
+      .select(col("start_node"), col("walk").cast(LongType).as("walk"))
+      .localCheckpoint()
+    var out = starts.select(col("start_node"), col("walk"),
+      lit(0L).as("step"), col("start_node").as("node"))
+    if (steps == 0) return out
+    // step 1: uniform first-order (no prev yet) — d157's pick verbatim
+    var cur = starts
+      .join(degs, starts("start_node") === degs("du"))
+      .withColumn("h", expr("cast(conv(substring(md5(concat_ws('|', " +
+        "start_node, walk, 0, start_node)), 1, 15), 16, 10) as bigint)"))
+      .select(col("start_node"), col("walk"),
+        col("start_node").as("at"), pmod(col("h"), col("deg")).as("pick"))
+    cur = cur.join(adj, cur("at") === adj("u") && cur("pick") === adj("idx"))
+      .select(col("start_node"), col("walk"),
+        col("at").as("prev"), col("v").as("node"))
+      .localCheckpoint()
+    out = out.union(cur.select(col("start_node"), col("walk"),
+      lit(1L).as("step"), col("node")))
+    for (t <- 2 to steps) {
+      val sel = cur
+        .join(trans, cur("prev") === trans("tprev") && cur("node") === trans("tcur"))
+        .withColumn("h", expr("cast(conv(substring(md5(concat_ws('|', " +
+          s"start_node, walk, ${t - 1}, node)), 1, 15), 16, 10) as bigint)"))
+        .where(pmod(col("h"), col("tw")) >= col("lo") &&
+          pmod(col("h"), col("tw")) < col("hi"))
+      cur = sel.select(col("start_node"), col("walk"),
+          col("node").as("prev"), col("nbr").as("node"))
+        .localCheckpoint()
+      out = out.union(cur.select(col("start_node"), col("walk"),
+        lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   /** Skip-gram pair extraction over a walk corpus (d158): the
     * (center, context) co-occurrence pairs within `window` steps along
     * each walk, rolled up with their multiplicity — the direct input
@@ -1275,6 +1377,55 @@ object Graphs {
        |   AND adj.idx = CAST(('0x' || substring(md5(concat_ws('|', wk.start_node, wk.walk, wk.step, wk.node)), 1, 15)) AS BIGINT) % deg.deg
        |  WHERE wk.step < $steps)""".stripMargin
 
+  /** The d162 walk corpus as SQL: the identical conditional transition
+    * ranges (wedge table, id-ordered cumulative weights), the identical
+    * md5 addressing, with the uniform first step computed outside the
+    * recursion (the recursive term may reference the CTE only once, and
+    * steps >= 2 need prev in the recursion state). */
+  private def biasedWalkSql(walksPerNode: Int, steps: Int,
+      wReturn: Int, wIn: Int, wOut: Int): String =
+    s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+       |sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+       |adj AS MATERIALIZED (
+       |  SELECT u, v, CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS idx
+       |  FROM sym),
+       |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |tw0 AS (
+       |  SELECT pc.u AS tprev, pc.v AS tcur, cn.v AS nbr,
+       |         CAST(CASE WHEN cn.v = pc.u THEN $wReturn
+       |              WHEN pn.u IS NOT NULL THEN $wIn
+       |              ELSE $wOut END AS BIGINT) AS tweight
+       |  FROM sym pc JOIN sym cn ON cn.u = pc.v
+       |  LEFT JOIN sym pn ON pn.u = pc.u AND pn.v = cn.v),
+       |trans AS MATERIALIZED (
+       |  SELECT tprev, tcur, nbr,
+       |         sum(tweight) OVER (PARTITION BY tprev, tcur ORDER BY nbr) - tweight AS lo,
+       |         sum(tweight) OVER (PARTITION BY tprev, tcur ORDER BY nbr) AS hi,
+       |         sum(tweight) OVER (PARTITION BY tprev, tcur) AS tw
+       |  FROM tw0),
+       |starts AS (SELECT u AS start_node, CAST(w.walk AS BIGINT) AS walk
+       |           FROM deg, LATERAL (SELECT unnest(range(0, $walksPerNode)) AS walk) w),
+       |s1 AS (
+       |  SELECT st.start_node, st.walk, adj.v AS node, st.start_node AS prev
+       |  FROM starts st
+       |  JOIN deg ON deg.u = st.start_node
+       |  JOIN adj ON adj.u = st.start_node
+       |   AND adj.idx = CAST(('0x' || substring(md5(concat_ws('|', st.start_node, st.walk, 0, st.start_node)), 1, 15)) AS BIGINT) % deg.deg),
+       |walk AS (
+       |  SELECT start_node, walk, CAST(1 AS BIGINT) AS step, node, prev FROM s1
+       |  UNION ALL
+       |  SELECT wk.start_node, wk.walk, wk.step + 1, t.nbr, wk.node
+       |  FROM walk wk
+       |  JOIN trans t ON t.tprev = wk.prev AND t.tcur = wk.node
+       |   AND (CAST(('0x' || substring(md5(concat_ws('|', wk.start_node, wk.walk, wk.step, wk.node)), 1, 15)) AS BIGINT) % t.tw) >= t.lo
+       |   AND (CAST(('0x' || substring(md5(concat_ws('|', wk.start_node, wk.walk, wk.step, wk.node)), 1, 15)) AS BIGINT) % t.tw) < t.hi
+       |  WHERE wk.step < $steps),
+       |corpus AS (
+       |  SELECT start_node, walk, CAST(0 AS BIGINT) AS step, start_node AS node FROM starts
+       |  UNION ALL
+       |  SELECT start_node, walk, step, node FROM walk)""".stripMargin
+
   /** The d147 oracle: the identical weighted iteration unrolled as
     * chained CTEs over the symmetrized weighted co-purchase graph. The
     * symmetrized graph has no dangling nodes, but the dangling CTEs stay
@@ -1663,6 +1814,16 @@ object Graphs {
       (s, d) => randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
       Some(walkSql(2, 3) +
         "\nSELECT start_node, walk, step, node FROM walk")),
+
+    // d162: two node2vec walks of 3 steps from every co-purchase node,
+    // BFS-leaning weights (wReturn=1, wIn=4, wOut=2) — the biased
+    // second-order transitions replay bit-exactly in the oracle's
+    // wedge-table recursive CTE.
+    Q("d162_node2vec_walks",
+      (s, d) => biasedWalks(copurchaseFrame(s, d), walksPerNode = 2,
+        steps = 3, wReturn = 1, wIn = 4, wOut = 2),
+      Some(biasedWalkSql(2, 3, 1, 4, 2) +
+        "\nSELECT start_node, walk, step, node FROM corpus")),
 
     // d158: skip-gram (center, context) pairs with multiplicity from
     // the d157 corpus — the word2vec-style training-pair extraction;

@@ -696,6 +696,39 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((9L, 15L)))
   }
 
+  test("biasedWalks: p=q=1 reproduces randomWalks bit-for-bit") {
+    // K4 plus a tail — mixed degrees so several pick ranges exercise
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val uni = Graphs.randomWalks(edgesDf(es), walksPerNode = 2, steps = 4)
+      .collect().toSet
+    val bia = Graphs.biasedWalks(edgesDf(es), walksPerNode = 2, steps = 4,
+      wReturn = 1, wIn = 1, wOut = 1).collect().toSet
+    assert(bia == uni)
+  }
+
+  test("biasedWalks: extreme weights steer the second step as published") {
+    import spark.implicits._
+    // path 1-2-3: from start 1, step 1 must go to 2 (only neighbor);
+    // at 2 with prev=1 the choices are return (1) or explore (3)
+    val path = edgesDf(Seq((1L, 2L), (2L, 3L)))
+    def stepTwoFrom1(wr: Int, wi: Int, wo: Int): Long =
+      Graphs.biasedWalks(path, walksPerNode = 1, steps = 2,
+          wReturn = wr, wIn = wi, wOut = wo)
+        .where(col("start_node") === 1L && col("step") === 2L)
+        .as[(Long, Long, Long, Long)].collect()(0)._4
+    assert(stepTwoFrom1(1000000, 1, 1) == 1L) // overwhelming return weight
+    assert(stepTwoFrom1(1, 1, 1000000) == 3L) // overwhelming explore weight
+    // triangle 1-2-3: at 2 with prev=1, node 3 IS adjacent to prev —
+    // overwhelming wIn picks it over returning
+    val tri = edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val got = Graphs.biasedWalks(tri, walksPerNode = 1, steps = 2,
+        wReturn = 1, wIn = 1000000, wOut = 1)
+      .where(col("start_node") === 1L && col("step") === 2L)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(got._4 != 1L) // never backtracks to the start
+  }
+
   test("modularity: hand-computed two-triangle fixture; singleton fallback") {
     import spark.implicits._
     // two unit-weight triangles bridged by one edge
