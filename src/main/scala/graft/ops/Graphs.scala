@@ -711,6 +711,116 @@ object Graphs {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Graph-embedding training over a skip-gram pair corpus (d163) —
+    * the step the d157/d158 DeepWalk machinery exists for: a shallow
+    * squared-loss factorization fitting one embedding per node so that
+    * u_c · u_x ≈ ln(1 + n_pairs) for every observed (center, context)
+    * pair (the implicit-matrix view of word2vec — Levy & Goldberg: SGNS
+    * factorizes a shifted co-occurrence statistic; squared loss keeps
+    * the gradient free of engine-variant sigmoids), trained by
+    * full-batch gradient descent with the parameters held as
+    * FIXED-POINT LONGS in 1e-6 units — the d128 rank convention
+    * applied to d64's unrolled-GD discipline. Per-pair gradient terms
+    * are computed in doubles ROW-LOCALLY (fixed association order over
+    * exact-integer-derived operands — bit-identical in any engine) and
+    * quantized back to 1e-6 units; every reduction and update is then
+    * exact integer arithmetic: long sums, half-away-from-zero integer
+    * division folding the rational learning rate in. Measured to
+    * matter twice: the d64 round-the-6th-decimal-average convention
+    * left ~1-ulp flips on a few of this operator's 15k small per-node
+    * averages, and even exact long sums flipped when divided back
+    * through a float — per-node groups are small enough that both
+    * hazards reach the output. The all-integer path removes them BY
+    * CONSTRUCTION; the ≤1e-6-per-term quantization is part of the
+    * defined semantics, and the oracle unrolls the identical
+    * iterations as CTEs (hash-gated).
+    *
+    * Unlike d64 (whose 4 weights collect to the driver), the parameters
+    * here are PER-NODE embedding rows that never leave DataFrames: each
+    * iteration attaches both endpoints' embeddings to the pair list
+    * (two node-keyed joins), computes per-pair terms row-locally,
+    * reduces them to per-node gradient sums (node-keyed partial
+    * aggregation of longs), and applies the update in one node-keyed
+    * join. In: (center, context, n_pairs) — the [[walkSkipGrams]]
+    * shape, both directions present. The learning rate is the rational
+    * lrNum/lrDen (default 1/10), applied as one exact integer division
+    * per update: delta = round_half_away(avg_term · lrNum / lrDen).
+    * Out: (node, e0..e{dim-1}) as doubles — each the single exact
+    * division units/1e6 of the final long state.
+    *
+    * Scale: per iteration two pair-keyed equi-joins + one node-keyed
+    * partial-aggregated long sum + one node-keyed update join — the
+    * d128 plan shape with a dim-column payload; embeddings
+    * localCheckpoint per iteration (the frame is consumed by both
+    * joins of the next round). Work ∝ |pairs|·dim per iteration;
+    * nothing driver-side. Overflow: per-node term sums are bounded by
+    * n_pairs(node)·|2·err·x|·1e6 ≈ 6e6·n_pairs(node) — inside Long to
+    * ~1e12 pairs per single node. */
+  def walkEmbeddings(pairs0: DataFrame, dim: Int = 4, iters: Int = 2,
+                     lrNum: Int = 1, lrDen: Int = 10): DataFrame = {
+    require(dim >= 1 && dim <= 16, "dim in 1..16 (wide-column layout)")
+    require(iters >= 0, "need iters >= 0")
+    require(lrNum >= 1 && lrDen >= 1, "learning rate is a positive rational")
+    // checkpoint AND reset size statistics: localCheckpoint PRESERVES
+    // the origin plan's sizeInBytes, and the size-only stats visitor
+    // MULTIPLIES child sizes at every join — so an iterated
+    // self-referential join loop DOUBLES the estimate's bit-length per
+    // iteration (measured: 299 -> 50747 bits in 8 rounds) until
+    // Catalyst spends its time in BigInteger multiplication around
+    // round ~20. The shallow registered graph iterations (<= 6 rounds)
+    // never reach that regime; a 20-50-round trainer does. Re-wrapping
+    // the checkpointed RDD resets the estimate to the constant default
+    // at the cost of one Row conversion layer per read.
+    def checkpointFresh(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    val js = 0 until dim
+    val pairs = pairs0.toDF("center", "context", "n_pairs")
+      .withColumn("s", round(log(lit(1.0) + col("n_pairs").cast(DoubleType)), 6))
+      .localCheckpoint()
+    // deterministic init in [-0.1, 0.1] (±100000 units): the d157
+    // md5-parity trick per (node, dimension) — engine-exact
+    var emb = pairs.select(col("center").as("node")).distinct()
+      .select(col("node") +: js.map(j =>
+        ((expr("cast(conv(substring(md5(concat_ws('|', node, " +
+          s"$j)), 1, 15), 16, 10) as bigint) % 2001") - lit(1000L)) *
+          lit(100L)).as(s"e$j")): _*)
+    emb = checkpointFresh(emb)
+    for (_ <- 1 to iters) {
+      val c = emb.toDF(("center" +: js.map(j => s"c$j")): _*)
+      val x = emb.toDF(("context" +: js.map(j => s"x$j")): _*)
+      val joined = pairs.join(c, Seq("center")).join(x, Seq("context"))
+      // row-local doubles from exact units, fixed association order:
+      // ((c0x0 + c1x1) + ...) — matches the oracle's SQL sum exactly
+      def d(name: String) = col(name).cast(DoubleType) / 1000000.0
+      val dot = js.map(j => d(s"c$j") * d(s"x$j")).reduce(_ + _)
+      val err = dot - col("s")
+      // per-pair term quantized to 1e-6 units as a LONG (row-local,
+      // engine-exact), reduced by exact integer sum
+      def term(j: Int) =
+        round(lit(2.0) * err * d(s"x$j") * 1000000.0, 0).cast(LongType)
+      val grads = joined.groupBy(col("center").as("node"))
+        .agg(sum(term(0)).as("g0"),
+          (js.tail.map(j => sum(term(j)).as(s"g$j")) :+
+            count(lit(1)).as("gn")): _*)
+      // delta = half-away-from-zero((gsum/gn)·lrNum/lrDen) as ONE exact
+      // integer division; both branches keep operands non-negative so
+      // floor (DuckDB //) and truncate (Spark div) agree
+      def delta(j: Int) = expr(
+        s"case when g$j >= 0 then (2 * g$j * $lrNum + gn * $lrDen) div (2 * gn * $lrDen) " +
+          s"else -((2 * (-g$j) * $lrNum + gn * $lrDen) div (2 * gn * $lrDen)) end")
+      emb = emb.join(grads, Seq("node"), "left")
+        .na.fill(0L, js.map(j => s"g$j") :+ "gn")
+        .select(col("node") +: js.map(j =>
+          when(col("gn") === 0L, col(s"e$j"))
+            .otherwise(col(s"e$j") - delta(j)).as(s"e$j")): _*)
+      emb = checkpointFresh(emb)
+    }
+    emb.select(col("node") +: js.map(j =>
+      (col(s"e$j").cast(DoubleType) / 1000000.0).as(s"e$j")): _*)
+  }
+
   /** The assortativity formula — ONE literal string both engines parse
     * (the bm25Formula discipline): Pearson correlation of endpoint
     * degrees over the DIRECTED (symmetrized) edge list, computed from
@@ -1426,6 +1536,54 @@ object Graphs {
        |  UNION ALL
        |  SELECT start_node, walk, step, node FROM walk)""".stripMargin
 
+  /** The d163 oracle: the d158 pair corpus with the ln(1+n) target,
+    * the md5-seeded fixed-point init, and `iters` unrolled gradient
+    * iterations — every per-row double expression in the same
+    * association order as the operator, every reduction and update in
+    * exact integer arithmetic (long sums of the 1e-6-quantized terms,
+    * half-away-from-zero integer division folding the rational
+    * learning rate). The final select divides the long state back to
+    * doubles, the operator's output shape. */
+  private def embeddingSql(walksPerNode: Int, steps: Int, window: Int,
+      dim: Int, iters: Int, lrNum: Int, lrDen: Int): String = {
+    val js = 0 until dim
+    val init = js.map(j =>
+      s"(CAST(('0x' || substring(md5(concat_ws('|', node, $j)), 1, 15)) AS BIGINT) " +
+        s"% 2001 - 1000) * 100 AS e$j").mkString(",\n       ")
+    def cd(side: String, j: Int) = s"(CAST($side.e$j AS DOUBLE) / 1000000.0)"
+    val dot = js.map(j => s"${cd("c", j)} * ${cd("x", j)}").mkString(" + ")
+    val chain = (1 to iters).map { i =>
+      val gsel = (js.map(j =>
+        s"sum(CAST(round(2.0 * ($dot - p.s) * ${cd("x", j)} * 1000000.0, 0) AS BIGINT)) AS g$j") :+
+        "count(*) AS gn").mkString(",\n       ")
+      val usel = js.map(j =>
+        s"CASE WHEN g.gn IS NULL THEN u.e$j " +
+          s"WHEN g.g$j >= 0 THEN u.e$j - ((2 * g.g$j * $lrNum + g.gn * $lrDen) // (2 * g.gn * $lrDen)) " +
+          s"ELSE u.e$j + ((2 * (-g.g$j) * $lrNum + g.gn * $lrDen) // (2 * g.gn * $lrDen)) END AS e$j")
+        .mkString(",\n       ")
+      s"""g$i AS (
+         |  SELECT p.center AS node, $gsel
+         |  FROM pairs p JOIN u${i - 1} c ON c.node = p.center
+         |               JOIN u${i - 1} x ON x.node = p.context
+         |  GROUP BY 1),
+         |u$i AS (
+         |  SELECT u.node, $usel
+         |  FROM u${i - 1} u LEFT JOIN g$i g USING (node))""".stripMargin
+    }.mkString(",\n")
+    walkSql(walksPerNode, steps) + ",\n" +
+      s"""pairs AS MATERIALIZED (
+         |  SELECT a.node AS center, b.node AS context,
+         |         round(ln(1.0 + count(*)), 6) AS s
+         |  FROM walk a JOIN walk b
+         |    ON a.start_node = b.start_node AND a.walk = b.walk
+         |   AND a.step <> b.step AND abs(a.step - b.step) <= $window
+         |  GROUP BY 1, 2),
+         |u0 AS MATERIALIZED (
+         |  SELECT node, $init
+         |  FROM (SELECT DISTINCT center AS node FROM pairs)),
+         |$chain""".stripMargin
+  }
+
   /** The d147 oracle: the identical weighted iteration unrolled as
     * chained CTEs over the symmetrized weighted co-purchase graph. The
     * symmetrized graph has no dangling nodes, but the dangling CTEs stay
@@ -1839,6 +1997,22 @@ object Graphs {
           |  ON a.start_node = b.start_node AND a.walk = b.walk
           | AND a.step <> b.step AND abs(a.step - b.step) <= 2
           |GROUP BY 1, 2""".stripMargin)),
+
+    // d163: 4-dimensional graph embeddings trained for 2 full-batch GD
+    // iterations over the d158 skip-gram corpus — md5-seeded init,
+    // 6-decimal-rounded descent; the oracle rebuilds the pairs and
+    // unrolls the identical iterations.
+    Q("d163_graph_embedding",
+      (s, d) => walkEmbeddings(
+        walkSkipGrams(
+          randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+          window = 2),
+        dim = 4, iters = 2, lrNum = 1, lrDen = 10),
+      Some(embeddingSql(2, 3, 2, 4, 2, 1, 10) +
+        ("\nSELECT node" +
+          (0 until 4).map(j =>
+            s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
+          " FROM u2"))),
 
     // d155: per-node triangle counts + local clustering coefficient in
     // exact integer ppm — the oracle replays the identical

@@ -729,6 +729,40 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got._4 != 1L) // never backtracks to the start
   }
 
+  test("walkEmbeddings: descent reduces loss; planted communities separate") {
+    import spark.implicits._
+    // two K4 cliques bridged by one edge — walks mostly stay inside a
+    // clique, so intra-clique pairs dominate the skip-gram corpus
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cliqueB = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val es = edgesDf(cliqueA ++ cliqueB :+ ((4L, 5L)))
+    val pairs = Graphs.walkSkipGrams(
+      Graphs.randomWalks(es, walksPerNode = 6, steps = 4), window = 2)
+      .localCheckpoint()
+    def embMap(iters: Int): Map[Long, Array[Double]] =
+      Graphs.walkEmbeddings(pairs, dim = 4, iters = iters, lrNum = 1, lrDen = 10)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 4).map(r.getDouble).toArray).toMap
+    def loss(u: Map[Long, Array[Double]]): Double =
+      pairs.as[(Long, Long, Long)].collect().map { case (c, x, n) =>
+        val dot = u(c).zip(u(x)).map { case (a, b) => a * b }.sum
+        val s = math.log(1.0 + n)
+        (dot - s) * (dot - s)
+      }.sum
+    val u0 = embMap(0)
+    val u = embMap(40)
+    assert(loss(u) < loss(u0), "descent must reduce the squared loss")
+    // separation: mean intra-community dot exceeds mean inter dot
+    val a = (1L to 4L).toSeq; val b = (5L to 8L).toSeq
+    def dot(p: Long, q: Long) =
+      u(p).zip(u(q)).map { case (m, n) => m * n }.sum
+    val intra = (for { p <- a; q <- a if p < q } yield dot(p, q)) ++
+      (for { p <- b; q <- b if p < q } yield dot(p, q))
+    val inter = for { p <- a; q <- b } yield dot(p, q)
+    assert(intra.sum / intra.size > inter.sum / inter.size,
+      s"intra ${intra.sum / intra.size} should exceed inter ${inter.sum / inter.size}")
+  }
+
   test("modularity: hand-computed two-triangle fixture; singleton fallback") {
     import spark.implicits._
     // two unit-weight triangles bridged by one edge
