@@ -428,6 +428,15 @@ object Graft {
   def walkSkipGrams(walks: DataFrame, window: Int = 2): DataFrame =
     graft.ops.Graphs.walkSkipGrams(walks, window)
 
+  /** Train shallow graph embeddings over a skip-gram pair corpus:
+    * squared-loss factorization of ln(1+n_pairs) by full-batch GD with
+    * fixed-point-long parameters (engine-exact descent). Out:
+    * (node, e0..e{dim-1}) doubles. Reads: center, context, n_pairs —
+    * the [[walkSkipGrams]] shape. */
+  def walkEmbeddings(pairs: DataFrame, dim: Int = 4, iters: Int = 2,
+                     lrNum: Int = 1, lrDen: Int = 10): DataFrame =
+    graft.ops.Graphs.walkEmbeddings(pairs, dim, iters, lrNum, lrDen)
+
   /** Effective diameter at `qPpm` (default 90%) via HyperBall — the
     * radius covering that share of all reachable pairs. One summary
     * row. Reads: src, dst. */
@@ -455,6 +464,18 @@ object Graft {
     * basket_id, item_id. */
   def basketRules(baskets: DataFrame, minSupport: Long = 2L): DataFrame =
     graft.ops.Graphs.basketRules(baskets, minSupport)
+
+  /** [[relatedItems]] served from a PRECOMPUTED (or [[edgeIndexEdges]]
+    * -served) co-purchase edge frame — one edge build can feed every
+    * recommendation consumer. `bi` must be distinct (basket_id,
+    * item_id) rows. */
+  def relatedItemsFrom(bi: DataFrame, pairs: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.Graphs.relatedItemsFrom(bi, pairs, k)
+
+  /** [[basketRules]] served from a PRECOMPUTED co-purchase edge frame;
+    * same contract as [[relatedItemsFrom]]. */
+  def basketRulesFrom(bi: DataFrame, pairs: DataFrame): DataFrame =
+    graft.ops.Graphs.basketRulesFrom(bi, pairs)
 
   /** Triangle census of an undirected edge set (degree-oriented, each
     * triangle counted once). Out: one row (n_nodes, n_edges,

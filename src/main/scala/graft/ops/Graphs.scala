@@ -1005,12 +1005,25 @@ object Graphs {
     * #baskets·1e6 — inside Long to 9e12 baskets. */
   def relatedItems(baskets: DataFrame, k: Int = 10,
                    minSupport: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bi = baskets.toDF("basket_id", "item_id").distinct()
-    val sizes = bi.groupBy(col("item_id")).agg(count(lit(1)).as("n"))
-    val pairs = copurchaseEdges(bi, minSupport)
-    val sym = pairs.select(col("src").as("item_id"), col("dst").as("rel_id"), col("weight"))
-      .union(pairs.select(col("dst").as("item_id"), col("src").as("rel_id"), col("weight")))
+    relatedItemsFrom(bi, copurchaseEdges(bi, minSupport), k)
+  }
+
+  /** [[relatedItems]] over a PRECOMPUTED co-purchase edge frame — the
+    * `...From` twin (the lexical family's bm25From discipline) that
+    * lets one materialized (or [[EdgeIndex]]-served) edge set feed the
+    * whole recommendation stage without re-running the basket
+    * self-join; the d164 composed pipeline is gated through it. `bi`
+    * supplies the per-item basket counts the Jaccard needs and must be
+    * DISTINCT (basket_id, item_id) rows — the shape [[relatedItems]]
+    * derives before delegating. */
+  def relatedItemsFrom(bi: DataFrame, pairs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = bi.toDF("basket_id", "item_id")
+      .groupBy(col("item_id")).agg(count(lit(1)).as("n"))
+    val p = pairs.toDF("src", "dst", "weight")
+    val sym = p.select(col("src").as("item_id"), col("dst").as("rel_id"), col("weight"))
+      .union(p.select(col("dst").as("item_id"), col("src").as("rel_id"), col("weight")))
     sym
       .join(sizes.select(col("item_id"), col("n").as("na")), Seq("item_id"))
       .join(sizes.select(col("item_id").as("rel_id"), col("n").as("nb")), Seq("rel_id"))
@@ -1279,9 +1292,17 @@ object Graphs {
     * inside Long to 9e12 baskets. */
   def basketRules(baskets: DataFrame, minSupport: Long = 2L): DataFrame = {
     val bi = baskets.toDF("basket_id", "item_id").distinct()
+    basketRulesFrom(bi, copurchaseEdges(bi, minSupport))
+  }
+
+  /** [[basketRules]] over a PRECOMPUTED co-purchase edge frame — the
+    * `...From` twin; see [[relatedItemsFrom]] (same DISTINCT `bi`
+    * contract). */
+  def basketRulesFrom(bi0: DataFrame, pairs0: DataFrame): DataFrame = {
+    val bi = bi0.toDF("basket_id", "item_id")
     val sizes = bi.groupBy(col("item_id")).agg(count(lit(1)).as("n"))
     val nB = bi.select(countDistinct(col("basket_id")).as("n_baskets"))
-    val pairs = copurchaseEdges(bi, minSupport)
+    val pairs = pairs0.toDF("src", "dst", "weight")
     val sym = pairs.select(col("src").as("antecedent"), col("dst").as("consequent"), col("weight"))
       .union(pairs.select(col("dst").as("antecedent"), col("src").as("consequent"), col("weight")))
     sym
@@ -2090,6 +2111,80 @@ object Graphs {
               |tsq AS (SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS sum_tot_sq FROM tot)
               |SELECT m2, sum_in, sum_tot_sq, $modularityFormula AS modularity
               |FROM m2t CROSS JOIN ins CROSS JOIN tsq""".stripMargin)),
+
+    // d164: the composed graph pipeline as ONE gated query (the
+    // d54/d91/d100 pattern applied to graphs): baskets -> capped
+    // support-pruned edges (materialized ONCE) -> CC communities ->
+    // rank-1 related item -> that pair's rule stats, joined into a
+    // per-item recommendation row. The oracle chains the stages'
+    // replayed SQL — adjudicating the WIRING (one shared edge frame
+    // feeding three consumers), not just the stages, which d132/d133/
+    // d134 already gate individually.
+    Q("d164_graph_pipeline",
+      (s, d) => {
+        val bi = orderBaskets(s, d).toDF("basket_id", "item_id").distinct()
+          .localCheckpoint()
+        val p = copurchaseEdges(bi).localCheckpoint()
+        val comm = Similarity.connectedComponents(s,
+            p.select(col("src").as("a"), col("dst").as("b")))
+          .select(col("v").as("item_id"), col("lbl").as("community_id"),
+            col("cluster_size").as("community_size"))
+        val rel1 = relatedItemsFrom(bi, p).where(col("rank") === 1)
+          .select(col("item_id"), col("rel_id").as("top_rel_id"),
+            col("jaccard_ppm").as("top_jaccard_ppm"))
+        val rules = basketRulesFrom(bi, p)
+          .select(col("antecedent").as("item_id"),
+            col("consequent").as("top_rel_id"),
+            col("conf_ppm").as("top_conf_ppm"),
+            col("lift_ppm").as("top_lift_ppm"))
+        comm.join(rel1, Seq("item_id"))
+          .join(rules, Seq("item_id", "top_rel_id"))
+          .select(col("item_id"), col("community_id"), col("community_size"),
+            col("top_rel_id"), col("top_jaccard_ppm"),
+            col("top_conf_ppm"), col("top_lift_ppm"))
+      },
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
+              |op AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+              |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+              |nb AS (SELECT CAST(count(DISTINCT basket_id) AS BIGINT) AS n_baskets FROM op),
+              |edges AS MATERIALIZED (
+              |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+              |nodes AS (SELECT DISTINCT a AS v FROM edges),
+              |reach AS (
+              |  SELECT v, v AS l FROM nodes
+              |  UNION
+              |  SELECT r.v, ed.b AS l FROM reach r JOIN edges ed ON ed.a = r.l),
+              |lab AS (SELECT v AS item_id, min(l) AS community_id FROM reach GROUP BY 1),
+              |csz AS (SELECT community_id, CAST(count(*) AS BIGINT) AS community_size
+              |        FROM lab GROUP BY 1),
+              |sym AS (
+              |  SELECT src AS item_id, dst AS rel_id, weight FROM e
+              |  UNION ALL SELECT dst, src, weight FROM e),
+              |scored AS (
+              |  SELECT s.item_id, s.rel_id, s.weight,
+              |         s.weight * 1000000 // (a.n + b.n - s.weight) AS jaccard_ppm
+              |  FROM sym s JOIN sz a ON a.item_id = s.item_id
+              |             JOIN sz b ON b.item_id = s.rel_id),
+              |rel1 AS (
+              |  SELECT item_id, rel_id AS top_rel_id, jaccard_ppm AS top_jaccard_ppm
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY item_id ORDER BY jaccard_ppm DESC, rel_id) AS rn
+              |        FROM scored)
+              |  WHERE rn = 1),
+              |rules AS (
+              |  SELECT s.item_id, s.rel_id,
+              |         s.weight * 1000000 // a.n AS conf_ppm,
+              |         (s.weight * 1000000 // a.n) * nb.n_baskets // b.n AS lift_ppm
+              |  FROM sym s JOIN sz a ON a.item_id = s.item_id
+              |             JOIN sz b ON b.item_id = s.rel_id
+              |             CROSS JOIN nb)
+              |SELECT lab.item_id, lab.community_id, csz.community_size,
+              |       r1.top_rel_id, r1.top_jaccard_ppm,
+              |       ru.conf_ppm AS top_conf_ppm, ru.lift_ppm AS top_lift_ppm
+              |FROM lab JOIN csz USING (community_id)
+              |         JOIN rel1 r1 ON r1.item_id = lab.item_id
+              |         JOIN rules ru ON ru.item_id = lab.item_id
+              |                      AND ru.rel_id = r1.top_rel_id""".stripMargin)),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.
