@@ -93,6 +93,7 @@ object Bench {
       graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
+      graft.ops.EdgeIndex.queries ++
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++

@@ -41,12 +41,10 @@ import Tables._
   *    pair-keyed shuffle over INDEX rows (already one row per distinct
   *    pair per batch), never the raw corpus — then prunes to
   *    minSupport;
-  *  - compaction is the default restamp: per-original-batch pairfacts
-  *    rows stay additive (the read path sums anyway), so only the
-  *    partition layout collapses — no re-aggregation, no corpus
-  *    re-read. A semantic merge (summing weights per pair into one
-  *    generation) would be a further compaction; the restamp keeps the
-  *    default crash-safety story with zero family-specific code.
+  *  - compaction is a semantic MERGE (see [[compactTo]]): weights sum
+  *    into one row per pair, so a compacted generation serves its
+  *    aggregation over one row per distinct pair instead of one per
+  *    pair per batch.
   */
 object EdgeIndex extends PersistedIndex {
 
@@ -84,6 +82,31 @@ object EdgeIndex extends PersistedIndex {
       .agg(sum(col("weight")).cast("long").as("weight"))
       .where(col("weight") >= minSupport)
   }
+
+  /** Compaction is a semantic MERGE (the [[LmIndex]] precedent):
+    * per-batch pair counts SUM into one row per (src, dst) — correct
+    * because addition is associative, and strictly smaller than
+    * restamping (the serve-time aggregation then reads one row per
+    * pair instead of one per pair per batch). basketids restamp
+    * unchanged — the disjointness contract must keep seeing every
+    * indexed basket id. Crash-safe by the marker protocol: an
+    * interrupted compaction leaves `dst` unmarked (readers fail
+    * closed) and `src` untouched. */
+  override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    compactGuarded(spark, src, dst) {
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/pairfacts")
+            .groupBy(col("src"), col("dst"))
+            .agg(sum(col("weight")).cast("long").as("weight")), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/pairfacts")
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketids")
+    }
 
   // ---- driver binding --------------------------------------------------
 
@@ -124,7 +147,8 @@ object EdgeIndex extends PersistedIndex {
     }
   }
 
-  val MemoizedQueries: Set[String] = Set("d160_edge_index")
+  val MemoizedQueries: Set[String] =
+    Set("d160_edge_index", "d165_related_indexed")
 
   def queries: Seq[Q] = Seq(
     // d160: d127 served from the persisted additive edge index — save
@@ -135,5 +159,18 @@ object EdgeIndex extends PersistedIndex {
     // direct single-pass computation exactly.
     Q("d160_edge_index",
       (s, d) => edgesOf(s, savedDir(s, d)),
-      Some(Graphs.copurchaseSql)))
+      Some(Graphs.copurchaseSql)),
+
+    // d165: a CONSUMER served from the index — related items over the
+    // split-ingested edge facts, hash-gated by d133's oracle VERBATIM
+    // (the d39/d97 discipline applied downstream: the index is proven
+    // not just to reproduce the edge set, but to feed the
+    // recommendation stage identically to the direct build).
+    Q("d165_related_indexed",
+      (s, d) => {
+        val bi = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .toDF("basket_id", "item_id").distinct()
+        Graphs.relatedItemsFrom(bi, edgesOf(s, savedDir(s, d)))
+      },
+      Some(Graphs.RelatedItemsOracle)))
 }

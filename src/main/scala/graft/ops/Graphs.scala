@@ -1645,6 +1645,27 @@ object Graphs {
       s"SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg FROM a$rounds GROUP BY 1"
   }
 
+  /** The d133 oracle — shared verbatim with d165 ([[EdgeIndex]]'s
+    * index-served related items), the d38/d39 twin-gate discipline. */
+  private[graft] val RelatedItemsOracle: String =
+    s"""WITH e AS ($copurchaseSql),
+       |op AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+       |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+       |sym AS (
+       |  SELECT src AS item_id, dst AS rel_id, weight FROM e
+       |  UNION ALL SELECT dst, src, weight FROM e),
+       |scored AS (
+       |  SELECT s.item_id, s.rel_id, s.weight,
+       |         s.weight * 1000000 // (a.n + b.n - s.weight) AS jaccard_ppm
+       |  FROM sym s JOIN sz a ON a.item_id = s.item_id
+       |             JOIN sz b ON b.item_id = s.rel_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY item_id ORDER BY jaccard_ppm DESC, rel_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT item_id, rel_id, weight AS n_shared, jaccard_ppm, rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   def queries: Seq[Q] = Seq(
 
     // d145: 2-iteration HITS on the directed customer→supplier graph
@@ -1699,23 +1720,7 @@ object Graphs {
     // identical window.
     Q("d133_related_items",
       (s, d) => relatedItems(orderBaskets(s, d)),
-      Some(s"""WITH e AS ($copurchaseSql),
-              |op AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
-              |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
-              |sym AS (
-              |  SELECT src AS item_id, dst AS rel_id, weight FROM e
-              |  UNION ALL SELECT dst, src, weight FROM e),
-              |scored AS (
-              |  SELECT s.item_id, s.rel_id, s.weight,
-              |         s.weight * 1000000 // (a.n + b.n - s.weight) AS jaccard_ppm
-              |  FROM sym s JOIN sz a ON a.item_id = s.item_id
-              |             JOIN sz b ON b.item_id = s.rel_id),
-              |ranked AS (
-              |  SELECT *, CAST(row_number() OVER (
-              |    PARTITION BY item_id ORDER BY jaccard_ppm DESC, rel_id) AS BIGINT) AS rank
-              |  FROM scored)
-              |SELECT item_id, rel_id, weight AS n_shared, jaccard_ppm, rank
-              |FROM ranked WHERE rank <= 10""".stripMargin)),
+      Some(RelatedItemsOracle)),
 
     // d134: association rules with exact-ppm support/confidence/lift —
     // both directions of every support-pruned pair.
@@ -2185,6 +2190,55 @@ object Graphs {
               |         JOIN rel1 r1 ON r1.item_id = lab.item_id
               |         JOIN rules ru ON ru.item_id = lab.item_id
               |                      AND ru.rel_id = r1.top_rel_id""".stripMargin)),
+
+    // d166: Newman modularity of the LPA assignment over the SAME
+    // weighted co-purchase graph d161 scores the CC assignment on —
+    // together they give the pipeline the numeric basis to CHOOSE an
+    // assignment (LPA's density communities vs CC's connectivity
+    // islands); the oracle replays the three LPA rounds and the
+    // identical modularity sums.
+    Q("d166_lpa_modularity",
+      (s, d) => {
+        val p = copurchaseEdges(orderBaskets(s, d)).localCheckpoint()
+        val assign = labelPropagation(p.select(col("src"), col("dst")),
+            iterations = 3, checkpointEvery = 1)
+          .select(col("node"), col("label").as("community"))
+        modularity(p, assign)
+      },
+      Some(s"""WITH e AS MATERIALIZED ($copurchaseSql),
+              |sym AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+              |symw AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v, weight FROM e
+              |  UNION ALL SELECT dst, src, weight FROM e),
+              |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+              |c1 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+              |l1 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+              |       WHERE rn = 1),
+              |c2 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+              |l2 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+              |       WHERE rn = 1),
+              |c3 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+              |       FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+              |l3 AS (SELECT node, label FROM (
+              |         SELECT node, label, row_number() OVER (
+              |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
+              |       WHERE rn = 1),
+              |deg AS (SELECT u, CAST(sum(weight) AS BIGINT) AS k FROM symw GROUP BY 1),
+              |lbl AS (SELECT deg.u, deg.k, l3.label AS c FROM deg JOIN l3 ON l3.node = deg.u),
+              |tot AS (SELECT c, sum(k) AS tot FROM lbl GROUP BY 1),
+              |m2t AS (SELECT CAST(sum(weight) AS BIGINT) AS m2 FROM symw),
+              |ins AS (SELECT CAST(coalesce(sum(CASE WHEN lu.c = lv.c THEN s.weight END), 0) AS BIGINT) AS sum_in
+              |        FROM symw s JOIN lbl lu ON lu.u = s.u JOIN lbl lv ON lv.u = s.v),
+              |tsq AS (SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS sum_tot_sq FROM tot)
+              |SELECT m2, sum_in, sum_tot_sq, $modularityFormula AS modularity
+              |FROM m2t CROSS JOIN ins CROSS JOIN tsq""".stripMargin)),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.

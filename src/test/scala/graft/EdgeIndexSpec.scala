@@ -72,6 +72,43 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction merges weights and serves identically") {
+    val dir = tmp(); val dst = tmp()
+    EdgeIndex.save(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    EdgeIndex.append(baskets(Seq((2L, 1L), (2L, 2L))), dir)
+    EdgeIndex.compactTo(spark, dir, dst)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dst)) ==
+      edgeSet(EdgeIndex.edgesOf(spark, dir)))
+    // semantic merge: ONE fact row per distinct pair in the new
+    // generation (two batch rows collapsed), still under batch -1
+    assert(spark.read.parquet(s"$dst/pairfacts").count() == 1L)
+  }
+
+  test("streaming ingest accumulates the same edges as batch saves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),   // (1,2) x2
+      (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L))   // (5,6) x2
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-ing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-edge-ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = EdgeIndex.ingest(in.toDF().toDF("basket_id", "item_id"), dir, ckpt)
+    try {
+      in.addData(all.take(4): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = java.nio.file.Files.createTempDirectory("graft-edge-b").toString
+    EdgeIndex.save(baskets(all), batch)
+    val a = EdgeIndex.edgesOf(spark, dir)
+    val b = EdgeIndex.edgesOf(spark, batch)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(edgeSet(a) == Set((1L, 2L, 2L), (5L, 6L, 2L)))
+  }
+
   test("the per-batch cap gates a planted runaway basket at write time") {
     // one basket larger than the cap contributes NO pairs; the fact
     // table (not just the pruned read) must already exclude it

@@ -71,7 +71,10 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Fam("phrase", PhraseIndex, "postings"),
     Fam("simhash", SimHashIndex, "signatures"),
     Fam("edge", EdgeIndex, "pairfacts",
-      inA = () => basketsA, inB = () => basketsB))
+      inA = () => basketsA, inB = () => basketsB,
+      normalize = df => df.groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("w"))
+        .collect().map(_.mkString("|")).toSet))
 
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"pidx_$tag").toString
