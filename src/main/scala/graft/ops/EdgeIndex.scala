@@ -129,8 +129,8 @@ object EdgeIndex extends PersistedIndex {
       // probe selects `basket_id` from the arriving batch itself
       val baskets = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .toDF("basket_id", "item_id")
-      save(baskets.where(col("l_orderkey") % 2 === 0), dir)
-      append(baskets.where(col("l_orderkey") % 2 === 1), dir,
+      save(baskets.where(col("basket_id") % 2 === 0), dir)
+      append(baskets.where(col("basket_id") % 2 === 1), dir,
         checkDisjoint = true)
       val prev = dirMemo.putIfAbsent(k, dir)
       if (prev != null) { Corpus.deleteRecursively(dir); prev }
@@ -148,7 +148,7 @@ object EdgeIndex extends PersistedIndex {
   }
 
   val MemoizedQueries: Set[String] =
-    Set("d160_edge_index", "d165_related_indexed")
+    Set("d160_edge_index", "d165_related_indexed", "d167_pagerank_indexed")
 
   def queries: Seq[Q] = Seq(
     // d160: d127 served from the persisted additive edge index — save
@@ -172,5 +172,19 @@ object EdgeIndex extends PersistedIndex {
           .toDF("basket_id", "item_id").distinct()
         Graphs.relatedItemsFrom(bi, edgesOf(s, savedDir(s, d)))
       },
-      Some(Graphs.RelatedItemsOracle)))
+      Some(Graphs.RelatedItemsOracle)),
+
+    // d167: the ITERATIVE family fed from the index — 3-iteration
+    // weighted PageRank over the index-served symmetrized edge set,
+    // hash-gated by d147's oracle VERBATIM. With d165 this closes the
+    // loop the index exists for: both one-shot (recommendation) and
+    // fixed-point (centrality) consumers provably see the same graph
+    // the direct basket scan builds.
+    Q("d167_pagerank_indexed",
+      (s, d) => {
+        val p = edgesOf(s, savedDir(s, d)).localCheckpoint()
+        val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
+        Graphs.weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
+      },
+      Some(Graphs.weightedPrSql(3))))
 }

@@ -1609,8 +1609,10 @@ object Graphs {
     * chained CTEs over the symmetrized weighted co-purchase graph. The
     * symmetrized graph has no dangling nodes, but the dangling CTEs stay
     * so the oracle replays the operator's full formula, not a
-    * simplification of it. */
-  private def weightedPrSql(iterations: Int): String = {
+    * simplification of it. Shared verbatim with d167 ([[EdgeIndex]]'s
+    * index-served weighted PageRank — the consumer-gate discipline
+    * applied to the ITERATIVE family). */
+  private[graft] def weightedPrSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>
       s"i$i AS (SELECT e.dst AS node, CAST(sum((r.rank * e.weight) // r.wout) AS BIGINT) AS inbound\n" +
         s"     FROM e JOIN r${i - 1} r ON r.node = e.src AND r.wout > 0 GROUP BY 1),\n" +

@@ -752,6 +752,76 @@ object ScaleSmoke {
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+
+    // --- d162 node2vec wedge-volume probe: second-order walks carry
+    // (prev, cur)-conditional transition state whose row count is the
+    // WEDGE volume Σ deg² — the published alias-table bound the
+    // biasedWalks scaladoc declares as the scale limit. The probe
+    // measures it directly: a planted 2k-spoke hub on a uniform graph
+    // adds ~deg_hub² ≈ 4M wedges, dominating the uniform corpus's own
+    // volume — the number that says "cap or k-core hub graphs FIRST",
+    // exactly as the doc instructs. The walk step itself stays
+    // frontier-proportional (equi-join on (prev, cur) + range filter).
+    // Measured (2026-08, driver round 13): uniform 100k edges = 2.40M
+    // wedges, 3-step walks in 5.5 s; +2k-spoke hub = 6.44M wedges
+    // (the hub alone ≈ deg² = 4M), 8.8 s — time tracks wedge volume
+    // ~linearly, confirming the transition-table build (not the walk
+    // steps) is the scale term, and that it is LINEAR in wedges, not
+    // worse. Same walk-row count both ways (#walks-proportional).
+    {
+      val base = spark.range(100000).select(
+        pmod(xxhash64(col("id")), lit(20000L)).as("src"),
+        pmod(xxhash64(col("id") + 7), lit(20000L)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val hub = spark.range(2000).select(
+        lit(9999999L).as("src"), col("id").as("dst"))
+      Seq(("uniform", base), ("with-hub", base.unionByName(hub))).foreach {
+        case (tag, g) =>
+          val e = g.localCheckpoint()
+          val sym = e.select(col("src").as("u"), col("dst").as("v"))
+            .union(e.select(col("dst").as("u"), col("src").as("v")))
+            .distinct().localCheckpoint()
+          val wedges = sym.toDF("p", "c")
+            .join(sym.toDF("c", "n"), Seq("c")).count()
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Graphs.biasedWalks(e, walksPerNode = 1,
+            steps = 3, wReturn = 1, wIn = 2, wOut = 2).count()
+          println(f"[scale] node2vec $tag%-9s wedges=$wedges%10d rows=$rows%9d " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    // --- EdgeIndex incremental-append probe: an append must cost the
+    // ARRIVING batch (its own capped self-join + pair count), not the
+    // indexed corpus — the claim that makes the index worth existing
+    // at 100 TB. The probe saves a large basket corpus, then appends a
+    // 5% batch and compares times; serve-time edgesOf aggregates index
+    // rows only. Measured (2026-08, driver round 13): save 3.0 s
+    // (100k baskets), append of a 5% batch 1.4 s (the gap to 5%-of-
+    // save is fixed job overhead at toy scale — the append never
+    // touches the indexed partitions, its cost is the batch's own
+    // two-table write), serve 0.76 s over 21k summed edges.
+    {
+      val big = spark.range(500000).select(
+        (col("id") / 5).cast("long").as("basket_id"),
+        pmod(xxhash64(col("id")), lit(30000L)).as("item_id"))
+      val small = spark.range(25000).select(
+        (lit(200000L) + col("id") / 5).cast("long").as("basket_id"),
+        pmod(xxhash64(col("id") + 13), lit(30000L)).as("item_id"))
+      val dir = java.nio.file.Files.createTempDirectory("scale-edgeidx").toString
+      try {
+        val t0 = System.nanoTime()
+        graft.ops.EdgeIndex.save(big, dir)
+        val tSave = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.ops.EdgeIndex.append(small, dir)
+        val tApp = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val edges = graft.ops.EdgeIndex.edgesOf(spark, dir).count()
+        println(f"[scale] edge_index save $tSave%.2f s, append(5%%) $tApp%.2f s, " +
+          f"serve ${(System.nanoTime() - t2) / 1e9}%.2f s ($edges edges)")
+      } finally graft.ops.Corpus.deleteRecursively(dir)
+    }
     spark.stop()
   }
 }

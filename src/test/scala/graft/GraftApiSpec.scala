@@ -284,6 +284,39 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Corpus.deleteRecursively(dir)
   }
 
+  test("driver-round-13 facades: edge index, modularity, walks, embeddings") {
+    import spark.implicits._
+    val baskets = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 2L),
+      (300L, 4L), (300L, 5L), (400L, 4L), (400L, 5L))
+      .toDF("basket_id", "item_id")
+    // edge index lifecycle + served consumers through the facade
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-edge").toString
+    try {
+      Graft.edgeIndexSave(baskets.where(col("basket_id") <= 200L), dir)
+      Graft.edgeIndexAppend(baskets.where(col("basket_id") > 200L), dir,
+        checkDisjoint = true)
+      val served = Graft.edgeIndexEdges(spark, dir)
+      assert(served.as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 2L, 2L), (4L, 5L, 2L)))
+      assert(Graft.relatedItemsFrom(baskets.distinct(), served).count() == 4L)
+      assert(Graft.basketRulesFrom(baskets.distinct(), served).count() == 4L)
+    } finally graft.ops.Corpus.deleteRecursively(dir)
+    // dropped-basket observability
+    val drop = Graft.copurchaseDropped(baskets, maxBasketItems = 1024).head()
+    assert(drop.getAs[Long]("n_dropped_baskets") == 0L)
+    // modularity: the two-pair split is denser than chance
+    val edges = Seq((1L, 2L, 2L), (4L, 5L, 2L)).toDF("src", "dst", "weight")
+    val assign = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)).toDF("node", "community")
+    assert(Graft.modularity(edges, assign).head().getAs[Double]("modularity") > 0)
+    // biased walks + embeddings over the walk corpus
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val walks = Graft.biasedWalks(tri, walksPerNode = 2, steps = 3,
+      wReturn = 1, wIn = 2, wOut = 2)
+    assert(walks.where(col("step") === 3L).count() == 8L) // no dead ends
+    val emb = Graft.walkEmbeddings(Graft.walkSkipGrams(walks), dim = 2, iters = 1)
+    assert(emb.columns.toSeq == Seq("node", "e0", "e1") && emb.count() == 4L)
+  }
+
   test("trainingShards: every curation stage applies, survivors are packed") {
     import spark.implicits._
     val corpus = Seq(
