@@ -1566,6 +1566,14 @@ object Graphs {
     * learning rate). The final select divides the long state back to
     * doubles, the operator's output shape. */
   private def embeddingSql(walksPerNode: Int, steps: Int, window: Int,
+      dim: Int, iters: Int, lrNum: Int, lrDen: Int): String =
+    walkSql(walksPerNode, steps) + ",\n" +
+      embeddingTrainSql("walk", window, dim, iters, lrNum, lrDen)
+
+  /** The pair-extraction + unrolled-GD CTE chain over ANY walk-corpus
+    * CTE (d157's `walk` for d163, d162's `corpus` for d168) — appended
+    * to the corpus SQL, ends at CTE u{iters}. */
+  private def embeddingTrainSql(corpusCte: String, window: Int,
       dim: Int, iters: Int, lrNum: Int, lrDen: Int): String = {
     val js = 0 until dim
     val init = js.map(j =>
@@ -1591,18 +1599,17 @@ object Graphs {
          |  SELECT u.node, $usel
          |  FROM u${i - 1} u LEFT JOIN g$i g USING (node))""".stripMargin
     }.mkString(",\n")
-    walkSql(walksPerNode, steps) + ",\n" +
-      s"""pairs AS MATERIALIZED (
-         |  SELECT a.node AS center, b.node AS context,
-         |         round(ln(1.0 + count(*)), 6) AS s
-         |  FROM walk a JOIN walk b
-         |    ON a.start_node = b.start_node AND a.walk = b.walk
-         |   AND a.step <> b.step AND abs(a.step - b.step) <= $window
-         |  GROUP BY 1, 2),
-         |u0 AS MATERIALIZED (
-         |  SELECT node, $init
-         |  FROM (SELECT DISTINCT center AS node FROM pairs)),
-         |$chain""".stripMargin
+    s"""pairs AS MATERIALIZED (
+       |  SELECT a.node AS center, b.node AS context,
+       |         round(ln(1.0 + count(*)), 6) AS s
+       |  FROM $corpusCte a JOIN $corpusCte b
+       |    ON a.start_node = b.start_node AND a.walk = b.walk
+       |   AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |  GROUP BY 1, 2),
+       |u0 AS MATERIALIZED (
+       |  SELECT node, $init
+       |  FROM (SELECT DISTINCT center AS node FROM pairs)),
+       |$chain""".stripMargin
   }
 
   /** The d147 oracle: the identical weighted iteration unrolled as
@@ -2037,6 +2044,25 @@ object Graphs {
           window = 2),
         dim = 4, iters = 2, lrNum = 1, lrDen = 10),
       Some(embeddingSql(2, 3, 2, 4, 2, 1, 10) +
+        ("\nSELECT node" +
+          (0 until 4).map(j =>
+            s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
+          " FROM u2"))),
+
+    // d168: the node2vec composition end-to-end — embeddings trained
+    // over the BIASED-walk skip-gram corpus (d162 -> d158 machinery ->
+    // d163 trainer as one chained query); the oracle chains the
+    // wedge-table walk replay, the pair extraction, and the unrolled
+    // GD — adjudicating the full second-order pipeline's wiring.
+    Q("d168_node2vec_embedding",
+      (s, d) => walkEmbeddings(
+        walkSkipGrams(
+          biasedWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3,
+            wReturn = 1, wIn = 4, wOut = 2),
+          window = 2),
+        dim = 4, iters = 2, lrNum = 1, lrDen = 10),
+      Some(biasedWalkSql(2, 3, 1, 4, 2) + ",\n" +
+        embeddingTrainSql("corpus", 2, 4, 2, 1, 10) +
         ("\nSELECT node" +
           (0 until 4).map(j =>
             s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
