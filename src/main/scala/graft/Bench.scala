@@ -207,6 +207,36 @@ object Bench {
     q.name -> Seq.fill(TriageRuns.getOrElse(q.name, 2))(once())
   }
 
+  /** One canary sample: a FIXED, sfDir-independent workload (2M
+    * synthetic rows through two shuffles and an order-by, noop-written —
+    * codegen + exchange + sort, the machinery every extended query
+    * uses) timed in the extended JVM, plus the two mechanical aging
+    * gauges (persistent-RDD block count — every localCheckpoint parks
+    * blocks in the BlockManager for the session's lifetime — and used
+    * heap). The r13 verdict's ask #2: the carried extended queries
+    * crept ~1.28× over two rounds on a QUIET host while the
+    * fresh-JVM headline stayed flat; interleaving this canary through
+    * the extended run makes JVM aging directly measurable — a canary
+    * that inflates in step with the carried queries attributes the
+    * creep to the shared JVM (GC/code-cache/block-manager growth), a
+    * flat canary pushes it back onto the operators. */
+  private def canarySample(spark: org.apache.spark.sql.SparkSession,
+      afterN: Int): String = {
+    val t0 = System.nanoTime()
+    try spark.range(0, 2000000L, 1, 8)
+      .selectExpr("id % 1000 AS k", "id")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+      .orderBy("k")
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] canary failed: ${e.getMessage}") }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rdds = spark.sparkContext.getPersistentRDDs.size
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    f"""{"after_n":$afterN,"sec":${"%.3f".formatLocal(Locale.ROOT, sec)},"persistent_rdds":$rdds,"heap_mb":$heapMb}"""
+  }
+
   /** Child-JVM entry: time ONLY the headline set in this fresh process and
     * write a line-oriented result file (tab-separated `name r1 r2`, plus
     * `#loadavg_pre`/`#loadavg_post` comment lines) for the parent to merge.
@@ -334,7 +364,18 @@ object Bench {
         !carry.contains(q.name) || inRotation(q.name, round))
 
     val loadExtPre = loadavg()
-    val extTimed = time(spark, sfDir, timedExtQs)
+    // the canary brackets the extended run and samples every 25 queries
+    // (see canarySample) — warmed once first so its own one-time codegen
+    // doesn't masquerade as a baseline reading
+    canarySample(spark, -1)
+    val canarySamples = scala.collection.mutable.ListBuffer.empty[String]
+    canarySamples += canarySample(spark, 0)
+    val extTimed = timedExtQs.grouped(25).zipWithIndex.flatMap {
+      case (grp, gi) =>
+        val rs = time(spark, sfDir, grp)
+        canarySamples += canarySample(spark, math.min((gi + 1) * 25, timedExtQs.size))
+        rs
+    }.toSeq
     val loadExtPost = loadavg()
     // merged per-query runs in registration order: fresh where timed,
     // last-measured where carried
@@ -520,6 +561,8 @@ object Bench {
       s""""tiers":{"mode":"${if (fullRun) "full" else "rotating_third"}","round":$round,""" +
         s""""timed_extended":${timedExtQs.size},"carried":${carriedQs.size},""" +
         s""""stale_rounds":$stale},"""
+    val canaryJson =
+      s""""canary":{"workload":"range(2e6) -> groupBy(1000 keys) sum -> orderBy, noop write; sfDir-independent","samples":[${canarySamples.mkString(",")}]},"""
     // adjudication notes riding in the artifact (the r09 verdict asked
     // for in-artifact run-level evidence on q08)
     val notes =
@@ -549,7 +592,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
         s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
-        s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality$tiers$notes""" +
+        s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality$tiers$canaryJson$notes""" +
         s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null); extended totals include carried values (see tiers)",""" +
         s""""runs":${runsObj(base ++ extTimed)},"warm":${warmObj(base ++ extTimed)},""" +
         s""""memoized":$memo,$phases$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +

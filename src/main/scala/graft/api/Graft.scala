@@ -360,6 +360,16 @@ object Graft {
                        checkpointEvery: Int = 0): DataFrame =
     graft.ops.Graphs.weightedPageRank(edges, iterations, checkpointEvery)
 
+  /** [[weightedPageRank]] warm-started from a previous rank vector —
+    * after an [[edgeIndexAppend]] extends the graph, resume the
+    * fixed-point update from the prior generation's ranks (new nodes
+    * at uniform) instead of from scratch; same fixed point, fewer
+    * rounds. Out: (node, rank). Reads: src, dst, weight; init: node,
+    * rank. */
+  def weightedPageRankFrom(edges: DataFrame, init: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.weightedPageRankFrom(edges, init, iterations, checkpointEvery)
+
   /** Rounds-bounded weighted shortest paths (Bellman–Ford frontier
     * iteration) from a source set over an undirected weighted edge set.
     * Out: (node, dist). Reads: src, dst, cost; sources: node. */
@@ -402,10 +412,22 @@ object Graft {
     * undirected edge set — the partition-quality score that chooses
     * between assignments (CC vs LPA). Out: one row (m2, sum_in,
     * sum_tot_sq, modularity; NULL on an empty edge set). Reads: src,
-    * dst, weight; assign: node, community (unassigned edge-incident
-    * nodes count as singletons). */
+    * dst, weight — EXACTLY ONE ROW PER UNORDERED PAIR (orientation is
+    * irrelevant, but pre-symmetrized or duplicated rows silently
+    * inflate Q; pre-sum parallel edges — see the operator contract);
+    * assign: node, community (unassigned edge-incident nodes count as
+    * singletons). */
   def modularity(edges: DataFrame, assign: DataFrame): DataFrame =
     graft.ops.Graphs.modularity(edges, assign)
+
+  /** Louvain-style local-move refinement: improve a community
+    * assignment by parity-gated synchronous sweeps of the
+    * modularity-gain argmax move (exact long arithmetic) — the
+    * improver on top of the [[modularity]] scorer. Same edge contract
+    * as [[modularity]]. Out: (node, community). */
+  def refineCommunities(edges: DataFrame, assign: DataFrame,
+                        rounds: Int = 2): DataFrame =
+    graft.ops.Graphs.refineCommunities(edges, assign, rounds)
 
   /** Deterministic DeepWalk corpus: hash-addressed random walks from
     * every node — reproducible graph-embedding training sentences.
@@ -416,8 +438,10 @@ object Graft {
 
   /** node2vec biased walks: second-order transitions weighted by
     * wReturn (backtrack, 1/p), wIn (neighbor of prev), wOut (explore,
-    * 1/q); wReturn = wIn = wOut reproduces [[randomWalks]] exactly.
-    * Out: (start_node, walk, step, node). Reads: src, dst. */
+    * 1/q). The triple is reduced by its gcd (only the ratio matters),
+    * so ANY wReturn = wIn = wOut reproduces [[randomWalks]]
+    * bit-for-bit. Out: (start_node, walk, step, node). Reads: src,
+    * dst. */
   def biasedWalks(edges: DataFrame, walksPerNode: Int = 1, steps: Int = 3,
                   wReturn: Int = 1, wIn: Int = 1, wOut: Int = 1): DataFrame =
     graft.ops.Graphs.biasedWalks(edges, walksPerNode, steps, wReturn, wIn, wOut)
@@ -430,12 +454,23 @@ object Graft {
 
   /** Train shallow graph embeddings over a skip-gram pair corpus:
     * squared-loss factorization of ln(1+n_pairs) by full-batch GD with
-    * fixed-point-long parameters (engine-exact descent). Out:
+    * fixed-point-long parameters (engine-exact descent). The learning
+    * rate lrNum/lrDen must be < 1 — GD on this loss diverges at
+    * lr >= 1 (rejected, not silently saturated). Out:
     * (node, e0..e{dim-1}) doubles. Reads: center, context, n_pairs —
     * the [[walkSkipGrams]] shape. */
   def walkEmbeddings(pairs: DataFrame, dim: Int = 4, iters: Int = 2,
                      lrNum: Int = 1, lrDen: Int = 10): DataFrame =
     graft.ops.Graphs.walkEmbeddings(pairs, dim, iters, lrNum, lrDen)
+
+  /** Cosine top-k related items over trained node embeddings — the
+    * retrieval consumer of [[walkEmbeddings]] (learned similarity
+    * beyond direct co-occurrence). Exact-integer dot/norms on the
+    * trainer's 1e-6 grid; brute-force baseline (the ANN family is the
+    * scale path). Out: (node, rel_id, cosine, rank). Reads: the
+    * [[walkEmbeddings]] output shape. */
+  def embeddingRelated(emb: DataFrame, k: Int = 5): DataFrame =
+    graft.ops.Graphs.embeddingRelated(emb, k)
 
   /** Effective diameter at `qPpm` (default 90%) via HyperBall — the
     * radius covering that share of all reachable pairs. One summary
@@ -631,15 +666,32 @@ object Graft {
     graft.ops.EdgeIndex.append(baskets, dir, checkDisjoint)
 
   /** Continuously count a streaming (basket_id, item_id) frame into the
-    * edge index (exactly-once per micro-batch). */
+    * edge index (exactly-once per micro-batch). CONTRACT: each
+    * micro-batch must contain COMPLETE baskets — pairs are counted
+    * within a batch, so a basket split across the time-sliced
+    * micro-batch boundary would miss its cross-fragment pairs.
+    * Sessionize/buffer upstream; every micro-batch is probed against
+    * the already-indexed basket ids and a straddling basket FAILS the
+    * stream loudly rather than corrupting weights silently. */
   def edgeIndexIngest(baskets: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.ops.EdgeIndex.ingest(baskets, dir, checkpoint)
 
   /** Compact a fragmented edge index into a fresh single-generation
-    * snapshot directory (source untouched; see IndexCommit.compactTo). */
+    * snapshot directory (source untouched; see IndexCommit.compactTo).
+    * The completed compaction marks the source superseded — retire it
+    * with [[indexRetire]] once readers are cut over. */
   def edgeIndexCompactTo(spark: SparkSession, src: String, dst: String): Unit =
     graft.ops.EdgeIndex.compactTo(spark, src, dst)
+
+  /** Retire (delete) a superseded index generation of ANY persisted
+    * family — the GC step of the compact-then-cutover serving model.
+    * Fail-closed twice: refuses a directory no completed compaction
+    * marked superseded, and refuses while the recorded successor is
+    * uncommitted (it may be mid-rewrite, making this directory the only
+    * good copy). */
+  def indexRetire(spark: SparkSession, dir: String): Unit =
+    graft.ops.IndexCommit.retire(spark, dir)
 
   /** The full co-purchase edge set served from a persisted edge index —
     * summed across batches, support-pruned after the sum; equals
@@ -648,6 +700,14 @@ object Graft {
   def edgeIndexEdges(spark: SparkSession, dir: String,
       minSupport: Long = 2L): DataFrame =
     graft.ops.EdgeIndex.edgesOf(spark, dir, minSupport)
+
+  /** [[edgeIndexEdges]] restricted to ingest batches ≤ `maxBatch` — the
+    * historical-generation read (partition-pruned) that pairs with
+    * [[weightedPageRankFrom]] for incremental rank maintenance across
+    * appends. */
+  def edgeIndexEdgesUpTo(spark: SparkSession, dir: String, maxBatch: Long,
+      minSupport: Long = 2L): DataFrame =
+    graft.ops.EdgeIndex.edgesUpTo(spark, dir, maxBatch, minSupport)
 
   // ---- similarity search ---------------------------------------------------
 

@@ -222,38 +222,117 @@ object Graphs {
                        checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val (e, nodes, nNodes) = wprUniverse(edges, checkpointEvery > 0)
+    val r0 = nodes.select(col("node"), col("wout"), lit(Scale).as("rank"))
+    wprIterate(e, nNodes, r0, iterations, checkpointEvery)
+  }
+
+  /** [[weightedPageRank]] WARM-STARTED from a previous rank vector
+    * (d172, r13 verdict ask #5) — the incremental-serving companion of
+    * the [[EdgeIndex]]: after an append extends the edge set, re-run
+    * the SAME fixed-point update from the ranks the previous generation
+    * converged to instead of from uniform. The iteration's fixed point
+    * does not depend on the starting vector — only the path there does
+    * — so a warm start from a nearby vector (an append usually perturbs
+    * the graph locally) reaches it in FEWER rounds, published as the
+    * standard incremental-PageRank warm-start (e.g. Langville & Meyer's
+    * updating chapter); GraphsSpec measures the round savings on a
+    * planted append, and the d172 gate replays warm(3) ≡ oracle.
+    *
+    * In: edges as in [[weightedPageRank]]; init (node, rank) — nodes of
+    * the NEW universe absent from init (the appended batch's new nodes)
+    * start at the uniform Scale, init rows for departed nodes are
+    * ignored. Same plan shape, same exact-long arithmetic, same
+    * overflow envelope as the cold operator. */
+  def weightedPageRankFrom(edges: DataFrame, init: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val (e, nodes, nNodes) = wprUniverse(edges, checkpointEvery > 0)
+    val r0 = nodes
+      .join(init.toDF("node", "rank0"), Seq("node"), "left")
+      .select(col("node"), col("wout"),
+        coalesce(col("rank0"), lit(Scale)).as("rank"))
+    wprIterate(e, nNodes, r0, iterations, checkpointEvery)
+  }
+
+  /** The shared edge/node/degree universe of the weighted-PR family. */
+  private def wprUniverse(edges: DataFrame,
+      materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val e0 = edges.toDF("src", "dst", "weight")
-    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
+    val e = if (materialize) e0.localCheckpoint() else e0
     val wout = e.groupBy(col("src").as("node")).agg(sum(col("weight")).as("wout"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(wout, Seq("node"), "left")
       .na.fill(0L, Seq("wout"))
-    val nNodes = nodes.select(count(lit(1)).as("n_nodes"))
+    (e, nodes, nodes.select(count(lit(1)).as("n_nodes")))
+  }
 
-    var ranks = nodes.select(col("node"), col("wout"), lit(Scale).as("rank"))
+  /** ONE weighted-PR update: ranks (node, wout, rank) → next ranks. */
+  private def wprStep(e: DataFrame, nNodes: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = e.join(
+        ranks.where(col("wout") > 0)
+          .select(col("node").as("src"), col("rank"), col("wout")), Seq("src"))
+      .select(col("dst"), expr("(rank * weight) div wout").as("contrib"))
+    val inbound = contrib
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("inbound"))
+    val dangling = ranks.select(
+      sum(when(col("wout") === 0, col("rank")).otherwise(lit(0L))).as("dangling"))
+    ranks.select(col("node"), col("wout"))
+      .join(inbound, Seq("node"), "left")
+      .na.fill(0L, Seq("inbound"))
+      .crossJoin(broadcast(dangling))
+      .crossJoin(broadcast(nNodes))
+      .select(col("node"), col("wout"),
+        (lit(15L * Scale / 100L) +
+          expr("85 * (inbound + dangling div n_nodes) div 100")).as("rank"))
+  }
+
+  private def wprIterate(e: DataFrame, nNodes: DataFrame, ranks0: DataFrame,
+      iterations: Int, checkpointEvery: Int): DataFrame = {
+    var ranks = ranks0
     for (it <- 1 to iterations) {
-      val contrib = e.join(
-          ranks.where(col("wout") > 0)
-            .select(col("node").as("src"), col("rank"), col("wout")), Seq("src"))
-        .select(col("dst"), expr("(rank * weight) div wout").as("contrib"))
-      val inbound = contrib
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("inbound"))
-      val dangling = ranks.select(
-        sum(when(col("wout") === 0, col("rank")).otherwise(lit(0L))).as("dangling"))
-      ranks = ranks.select(col("node"), col("wout"))
-        .join(inbound, Seq("node"), "left")
-        .na.fill(0L, Seq("inbound"))
-        .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nNodes))
-        .select(col("node"), col("wout"),
-          (lit(15L * Scale / 100L) +
-            expr("85 * (inbound + dangling div n_nodes) div 100")).as("rank"))
+      ranks = wprStep(e, nNodes, ranks)
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** Iterate the weighted-PR update to its exact integer FIXED POINT
+    * (bounded by `maxIters`), counting executed rounds — the
+    * convergence instrument behind the d172 warm-start claim: the spec
+    * measures rounds-to-fixed-point warm vs cold on a planted append.
+    * Returns (ranks, rounds) where `rounds` INCLUDES the confirming
+    * no-change round; the fixed point is detected exactly (long
+    * equality on every node — pure integer arithmetic has a genuine
+    * fixed point to reach, no epsilon). Per round one comparison count
+    * over just-checkpointed frames (the kCore early-exit precedent). */
+  private[graft] def weightedPageRankConverged(edges: DataFrame,
+      init: Option[DataFrame], maxIters: Int = 50): (DataFrame, Int) = {
+    require(maxIters >= 1, "need maxIters >= 1")
+    val (e, nodes, nNodes) = wprUniverse(edges, materialize = true)
+    var ranks = (init match {
+      case Some(r) => nodes
+        .join(r.toDF("node", "rank0"), Seq("node"), "left")
+        .select(col("node"), col("wout"),
+          coalesce(col("rank0"), lit(Scale)).as("rank"))
+      case None => nodes.select(col("node"), col("wout"), lit(Scale).as("rank"))
+    }).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = wprStep(e, nNodes, ranks).localCheckpoint()
+      converged = next
+        .join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .where(col("rank") =!= col("prev")).isEmpty
+      ranks = next
+      it += 1
+    }
+    (ranks.select(col("node"), col("rank")), it)
   }
 
   /** Personalized PageRank (d139): random walk with restart — the
@@ -591,11 +670,18 @@ object Graphs {
     * prev (distance 1 — BFS-ish, stay local), `wOut` otherwise
     * (distance 2, node2vec's 1/q — DFS-ish, explore). Integer weights
     * (the published 1/p, 1, 1/q as a ratio) keep the cumulative-range
-    * selection pure integer arithmetic. The first step has no prev and
-    * is uniform first-order — the paper's convention — and with
-    * wReturn = wIn = wOut the cumulative ranges collapse to unit slots,
+    * selection pure integer arithmetic; the triple is REDUCED BY ITS
+    * GCD before the ranges are built (the walk distribution depends
+    * only on the ratio, and only the reduced form makes the claim
+    * below exact — with unreduced equal weights w > 1 each slot is
+    * [k·w, (k+1)·w) and `floor((h mod deg·w)/w)` differs from
+    * `h mod deg` for the same md5 value; r13 advice). The first step
+    * has no prev and is uniform first-order — the paper's convention —
+    * and with wReturn = wIn = wOut (ANY common value: gcd reduction
+    * maps it to 1,1,1) the cumulative ranges collapse to unit slots,
     * so EVERY transition reduces to d157's `h mod deg` pick exactly:
-    * p = q = 1 reproduces [[randomWalks]] bit-for-bit (spec-pinned).
+    * p = q reproduces [[randomWalks]] bit-for-bit (spec-pinned at
+    * 1,1,1 and 3,3,3).
     *
     * Determinism is d157's: the same 60-bit md5 of (start, walk, step,
     * current) addresses a position in the (prev, cur)-conditional
@@ -614,6 +700,15 @@ object Graphs {
     * heavy-hub graphs, cap or k-core the edge set first (the d127 cap
     * precedent); the wedge volume, not the walk count, is the scale
     * limit. */
+  /** The (wReturn, wIn, wOut) triple reduced by its gcd — shared by
+    * [[biasedWalks]] and its oracle generator so both engines build the
+    * SAME transition ranges for any ratio-equivalent input. */
+  private def reducedWeights(wReturn: Int, wIn: Int, wOut: Int): (Int, Int, Int) = {
+    @annotation.tailrec def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val g = gcd(gcd(wReturn, wIn), wOut)
+    (wReturn / g, wIn / g, wOut / g)
+  }
+
   def biasedWalks(edges: DataFrame, walksPerNode: Int = 1, steps: Int = 3,
                   wReturn: Int = 1, wIn: Int = 1, wOut: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -621,6 +716,7 @@ object Graphs {
     require(steps >= 0, "need steps >= 0")
     require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
       "transition weights must be >= 1 (a zero class could dead-end a walk)")
+    val (wr, wi, wo) = reducedWeights(wReturn, wIn, wOut)
     val e0 = edges.toDF("src", "dst")
     val sym = e0.union(e0.select(col("dst"), col("src"))).toDF("u", "v")
       .distinct().localCheckpoint()
@@ -639,9 +735,9 @@ object Graphs {
         lit(1).as("adj_pn")), Seq("tprev", "nbr"), "left")
     val w = Window.partitionBy(col("tprev"), col("tcur")).orderBy(col("nbr"))
     val trans = marked.select(col("tprev"), col("tcur"), col("nbr"),
-        when(col("nbr") === col("tprev"), lit(wReturn.toLong))
-          .when(col("adj_pn").isNotNull, lit(wIn.toLong))
-          .otherwise(lit(wOut.toLong)).as("tweight"))
+        when(col("nbr") === col("tprev"), lit(wr.toLong))
+          .when(col("adj_pn").isNotNull, lit(wi.toLong))
+          .otherwise(lit(wo.toLong)).as("tweight"))
       .withColumn("hi", sum(col("tweight")).over(w))
       .withColumn("lo", col("hi") - col("tweight"))
       .withColumn("tw", sum(col("tweight")).over(
@@ -743,8 +839,11 @@ object Graphs {
     * aggregation of longs), and applies the update in one node-keyed
     * join. In: (center, context, n_pairs) — the [[walkSkipGrams]]
     * shape, both directions present. The learning rate is the rational
-    * lrNum/lrDen (default 1/10), applied as one exact integer division
-    * per update: delta = round_half_away(avg_term · lrNum / lrDen).
+    * lrNum/lrDen (default 1/10; REQUIRED < 1 — full-batch GD on this
+    * loss diverges at lr >= 1, where the quantization would saturate
+    * engine-specifically instead of erroring), applied as one exact
+    * integer division per update:
+    * delta = round_half_away(avg_term · lrNum / lrDen).
     * Out: (node, e0..e{dim-1}) as doubles — each the single exact
     * division units/1e6 of the final long state.
     *
@@ -760,7 +859,16 @@ object Graphs {
                      lrNum: Int = 1, lrDen: Int = 10): DataFrame = {
     require(dim >= 1 && dim <= 16, "dim in 1..16 (wide-column layout)")
     require(iters >= 0, "need iters >= 0")
-    require(lrNum >= 1 && lrDen >= 1, "learning rate is a positive rational")
+    // lr < 1 strictly: full-batch GD on the squared loss DIVERGES at
+    // lr >= 1 (the per-pair double terms blow up geometrically to
+    // ±Infinity and the round(...).cast(Long) quantization saturates
+    // silently at Long.{Min,Max}Value — an engine-specific value that
+    // would break the engine-exact guarantee instead of erroring);
+    // r13 advice.
+    require(lrNum >= 1 && lrDen >= 1 && lrNum < lrDen,
+      "learning rate must be a positive rational < 1 (lrNum < lrDen) — " +
+        "full-batch GD diverges at lr >= 1 and the fixed-point " +
+        "quantization would saturate silently instead of failing")
     // checkpoint AND reset size statistics: localCheckpoint PRESERVES
     // the origin plan's sizeInBytes, and the size-only stats visitor
     // MULTIPLIES child sizes at every join — so an iterated
@@ -819,6 +927,69 @@ object Graphs {
     }
     emb.select(col("node") +: js.map(j =>
       (col(s"e$j").cast(DoubleType) / 1000000.0).as(s"e$j")): _*)
+  }
+
+  /** Cosine top-k related items over NODE EMBEDDINGS (d171) — the
+    * retrieval consumer the d163/d168 trainers exist for (r13 verdict
+    * ask #4): rank every node's neighbors by embedding cosine, the
+    * learned-similarity counterpart of d133's co-occurrence Jaccard
+    * (embeddings generalize past direct co-occurrence — two items never
+    * sharing a basket still score high when their walk contexts agree).
+    * In: (node, e0..e{dim-1}) — the [[walkEmbeddings]] output shape,
+    * doubles that are exact multiples of 1e-6 (each the single division
+    * units/1e6 of the trainer's long state). Out: (node, rel_id,
+    * cosine, rank 1..k) per node of nonzero norm; zero-norm nodes are
+    * excluded from both sides (their cosine is undefined — documented,
+    * deterministic, and unreachable from the md5-seeded trainer).
+    *
+    * Determinism (hash-gateable, stronger than a float dot chain): the
+    * 1e-6 grid is EXACTLY invertible — round(e·1e6) recovers the
+    * trainer's long units (relative double error ~1e-16 never reaches
+    * the 0.5 rounding threshold at unit magnitudes « 2^52) — so the
+    * dot product and both squared norms are computed as EXACT LONG
+    * sums (association-order-free). The only float steps are cast,
+    * sqrt, one multiply, one divide, and the 6-decimal round — every
+    * one IEEE-pinned given equal inputs, so both engines produce the
+    * identical rounded cosine (the unit-scale factors cancel exactly
+    * in the ratio). Ties break to the lower rel_id.
+    *
+    * Scale: this is the EXACT brute-force baseline — the d07
+    * discipline: one self-join scoring N·(N−1) pairs, a per-node top-k
+    * window (sorts each node's candidate list, never global). The
+    * scale path at 1e8+ nodes is the similarity family's ANN machinery
+    * (d08 LSH / d17 IVF over the same vectors, array-typed via the
+    * facade bridge) with this operator as its recall adjudicator.
+    * Overflow: |units| ≤ ~2^20 from the trainer's bounded descent ⇒
+    * dot ≤ dim·2^40 — inside Long to dim 16 with 3 orders to spare. */
+  def embeddingRelated(emb: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    val cols = emb.columns
+    require(cols.length >= 2, "need (node, e0..e{dim-1})")
+    val dims = cols.tail
+    // exact unit recovery + integer squared norm, one narrow frame
+    val u = emb.select(
+      (col(cols.head).as("node") +:
+        dims.zipWithIndex.map { case (c, j) =>
+          round(col(c) * 1000000.0, 0).cast(LongType).as(s"u$j") }) :+
+        dims.indices.map(j =>
+          round(col(dims(j)) * 1000000.0, 0).cast(LongType) *
+            round(col(dims(j)) * 1000000.0, 0).cast(LongType))
+          .reduce(_ + _).as("norm2"): _*)
+      .where(col("norm2") > 0L)
+      .localCheckpoint() // referenced by both sides of the self-join
+    val a = u.toDF(("node" +: dims.indices.map(j => s"a$j")) :+ "qa": _*)
+    val b = u.toDF(("rel_id" +: dims.indices.map(j => s"b$j")) :+ "qb": _*)
+    val dot = dims.indices.map(j => col(s"a$j") * col(s"b$j")).reduce(_ + _)
+    a.join(b, col("node") =!= col("rel_id"))
+      .select(col("node"), col("rel_id"),
+        round(dot.cast(DoubleType) /
+          (sqrt(col("qa").cast(DoubleType)) * sqrt(col("qb").cast(DoubleType))),
+          6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("cosine").desc, col("rel_id"))).cast(LongType))
+      .where(col("rank") <= k)
   }
 
   /** The assortativity formula — ONE literal string both engines parse
@@ -889,8 +1060,22 @@ object Graphs {
     * what lets a pipeline CHOOSE between assignments (d132's CC vs
     * d140's LPA) instead of emitting both unscored.
     *
-    * In: edges (src, dst, weight) — one row per unordered pair, the
-    * d127 shape — and assign (node, community). Nodes incident to an
+    * In: edges (src, dst, weight) — EXACTLY ONE ROW PER UNORDERED
+    * PAIR, the d127 shape — and assign (node, community). INPUT
+    * CONTRACT (the triangle family's normalizedUndirected warning,
+    * restated for the weighted case where it cannot be enforced):
+    * row ORIENTATION is irrelevant — the symmetrize union below makes
+    * (hi, lo) and (lo, hi) rows identical — but row MULTIPLICITY is
+    * load-bearing: a pre-symmetrized input (both orientations present)
+    * or duplicated rows silently double m2/sum_in and quadruple
+    * sum_tot_sq, shifting Q with no error. A blind distinct() cannot
+    * close this (two genuine parallel edges of equal weight are
+    * indistinguishable from one duplicated row, and summing duplicates
+    * into one row would double a pre-symmetrized input's weights
+    * instead); callers holding multigraph data should pre-sum parallel
+    * edges per unordered pair, and callers with orientation-unknown
+    * unweighted data should canonicalize via the d127 build or
+    * normalizedUndirected first. Nodes incident to an
     * edge but absent from `assign` are treated as singleton communities
     * labeled by their own node id (the d132 convention — community ids
     * there ARE min-member node ids — makes this the natural embedding;
@@ -931,6 +1116,100 @@ object Graphs {
         expr(modularityFormula).as("modularity"))
   }
 
+  /** Louvain-style local-move refinement (d170, Blondel et al.'s phase
+    * one as a bounded synchronous sweep): improve a community
+    * assignment by moving each node to the neighboring community with
+    * the highest modularity gain — the step that turns d161/d166 from
+    * SCORERS into an IMPROVER the pipeline can iterate (score CC and
+    * LPA, take the better, refine it). In: edges (src, dst, weight) —
+    * the [[modularity]] contract VERBATIM, one row per unordered pair —
+    * and assign (node, community), unassigned edge-incident nodes
+    * defaulting to singletons. Out: (node, community) after `rounds`
+    * sweeps.
+    *
+    * Semantics (pure long arithmetic, engine-exact): with k_i the
+    * weighted degree, tot_c the current community degree totals and
+    * k_{i,c} node i's weight into community c, the standard gain of
+    * moving i into c reduces (common factors dropped) to
+    * G(c) = m2·k_{i,c} − k_i·tot'_c, where tot'_c excludes i itself
+    * when c is i's own community. Each sweep computes every node's
+    * argmax over its neighbor communities plus staying put (ties:
+    * G desc, community asc) and applies the move only when STRICTLY
+    * better than staying. Sweeps are synchronous (a pure function of
+    * the previous assignment — oracle-replayable), which classically
+    * risks oscillation (two adjacent nodes swapping into each other's
+    * community forever); moves are therefore PARITY-GATED — round r
+    * moves only nodes with node ≡ r (mod 2) — the published
+    * graph-coloring mitigation collapsed to two classes. Refinement is
+    * heuristic (as is Louvain itself): each gated move strictly
+    * increases Q in isolation, concurrent same-parity moves can
+    * interact, so the spec pins improvement on planted fixtures and
+    * the d161/d166 scorers remain the arbiter a pipeline should check.
+    *
+    * Scale: per sweep one community-keyed degree total, one edge-keyed
+    * label attach + (node, community) partial-aggregated sum (the
+    * k_{i,c} frame, ≤ 2·|E| rows), a per-node top-1 window (sorts each
+    * node's candidate set, never global), and one node-keyed update
+    * join — the d128 plan family; assignment localCheckpointed per
+    * sweep. Overflow: m2·k_{i,c} ≤ m2² — the d161 envelope (good to
+    * m2 ≈ 3e9 total directed weight; pre-scale heavier weights). */
+  def refineCommunities(edges: DataFrame, assign: DataFrame,
+                        rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "need rounds >= 1")
+    val e = edges.toDF("src", "dst", "weight")
+    val sym = e.select(col("src").as("u"), col("dst").as("v"), col("weight"))
+      .union(e.select(col("dst").as("u"), col("src").as("v"), col("weight")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(sum(col("weight")).cast(LongType).as("k"))
+    val m2 = sym.agg(coalesce(sum(col("weight")), lit(0L))
+      .cast(LongType).as("m2"))
+    var a = deg.join(assign.toDF("node", "community"), Seq("node"), "left")
+      .select(col("node"), col("k"),
+        coalesce(col("community"), col("node")).as("c"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val tot = a.groupBy(col("c").as("cand"))
+        .agg(sum(col("k")).cast(LongType).as("tot"))
+      val kic = sym
+        .join(a.select(col("node").as("v"), col("c").as("cand")), Seq("v"))
+        .groupBy(col("u").as("node"), col("cand"))
+        .agg(sum(col("weight")).cast(LongType).as("kic"))
+      // staying put is always a candidate — with kic 0 when no neighbor
+      // shares the community; union DISTINCT dedupes the already-present
+      // case (identical (node, cand, kic) row)
+      val own = a.alias("a")
+        .join(kic.alias("ki"),
+          col("a.node") === col("ki.node") && col("a.c") === col("ki.cand"), "left")
+        .select(col("a.node").as("node"), col("a.c").as("cand"),
+          coalesce(col("ki.kic"), lit(0L)).as("kic"))
+      val cand = kic.union(own).distinct()
+      val gains = cand
+        .join(a.select(col("node"), col("k"), col("c").as("own")), Seq("node"))
+        .join(tot, Seq("cand"))
+        .crossJoin(broadcast(m2))
+        .select(col("node"), col("cand"), col("own"),
+          (col("m2") * col("kic") - col("k") *
+            (col("tot") - when(col("cand") === col("own"), col("k"))
+              .otherwise(lit(0L)))).as("g"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("g").desc, col("cand"))
+      val best = gains.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("cand").as("best"), col("g").as("gbest"))
+      val gOwn = gains.where(col("cand") === col("own"))
+        .select(col("node"), col("g").as("gown"))
+      a = a.join(best, Seq("node")).join(gOwn, Seq("node"))
+        .select(col("node"), col("k"),
+          when(pmod(col("node"), lit(2L)) === lit((r % 2).toLong) &&
+              col("gbest") > col("gown"),
+            col("best")).otherwise(col("c")).as("c"))
+        .localCheckpoint()
+    }
+    a.select(col("node"), col("c").as("community"))
+  }
+
   // ---- registered queries --------------------------------------------------
 
   /** Distinct (order, part) pairs — the basket frame for d127/d129. */
@@ -966,15 +1245,23 @@ object Graphs {
     * gate never fires on the registered data — but the oracle must
     * encode the operator's full contract, not a coincidence of the
     * gated corpus). */
-  private[graft] val copurchaseSql =
-    """WITH op0 AS (
-      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+  private def copurchaseSqlFor(src: String): String =
+    s"""WITH op0 AS (
+      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM $src),
       |op AS (
       |  SELECT basket_id, item_id FROM op0
       |  QUALIFY count(*) OVER (PARTITION BY basket_id) <= 1024)
       |SELECT a.item_id AS src, b.item_id AS dst, CAST(count(*) AS BIGINT) AS weight
       |FROM op a JOIN op b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  private[graft] val copurchaseSql = copurchaseSqlFor("lineitem")
+
+  /** The d127 gate replayed over the EVEN-orderkey basket half — the
+    * [[EdgeIndex]] driver binding's FIRST generation (save before the
+    * odd-half append), used by d172's warm-start oracle. */
+  private[graft] val copurchaseEvenSql =
+    copurchaseSqlFor("(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)")
 
   /** Item communities (d132): connected components of the co-purchase
     * graph — the "related-item clusters" the d127 scaladoc names as the
@@ -1005,7 +1292,11 @@ object Graphs {
     * #baskets·1e6 — inside Long to 9e12 baskets. */
   def relatedItems(baskets: DataFrame, k: Int = 10,
                    minSupport: Long = 2L): DataFrame = {
-    val bi = baskets.toDF("basket_id", "item_id").distinct()
+    // bi feeds BOTH the per-item size aggregation and the edge build —
+    // materialize it once so the raw basket source (at corpus scale, a
+    // 100 TB lineitem scan) is read once, not once per consumer (r13
+    // verdict ask #1's no-double-scan rule)
+    val bi = baskets.toDF("basket_id", "item_id").distinct().localCheckpoint()
     relatedItemsFrom(bi, copurchaseEdges(bi, minSupport), k)
   }
 
@@ -1291,7 +1582,9 @@ object Graphs {
     * joins and a 1-row broadcast total. Overflow: conf_ppm·N ≤ 1e6·N —
     * inside Long to 9e12 baskets. */
   def basketRules(baskets: DataFrame, minSupport: Long = 2L): DataFrame = {
-    val bi = baskets.toDF("basket_id", "item_id").distinct()
+    // materialized once for the same reason as [[relatedItems]]: sizes,
+    // the basket total, and the edge build all read bi
+    val bi = baskets.toDF("basket_id", "item_id").distinct().localCheckpoint()
     basketRulesFrom(bi, copurchaseEdges(bi, minSupport))
   }
 
@@ -1514,7 +1807,10 @@ object Graphs {
     * recursion (the recursive term may reference the CTE only once, and
     * steps >= 2 need prev in the recursion state). */
   private def biasedWalkSql(walksPerNode: Int, steps: Int,
-      wReturn: Int, wIn: Int, wOut: Int): String =
+      wReturn0: Int, wIn0: Int, wOut0: Int): String = {
+    // the operator reduces the weight triple by its gcd before building
+    // ranges — the oracle must address the SAME ranges
+    val (wReturn, wIn, wOut) = reducedWeights(wReturn0, wIn0, wOut0)
     s"""WITH RECURSIVE e AS MATERIALIZED ($copurchaseSql),
        |sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
        |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
@@ -1556,6 +1852,7 @@ object Graphs {
        |  SELECT start_node, walk, CAST(0 AS BIGINT) AS step, start_node AS node FROM starts
        |  UNION ALL
        |  SELECT start_node, walk, step, node FROM walk)""".stripMargin
+  }
 
   /** The d163 oracle: the d158 pair corpus with the ln(1+n) target,
     * the md5-seeded fixed-point init, and `iters` unrolled gradient
@@ -1569,6 +1866,19 @@ object Graphs {
       dim: Int, iters: Int, lrNum: Int, lrDen: Int): String =
     walkSql(walksPerNode, steps) + ",\n" +
       embeddingTrainSql("walk", window, dim, iters, lrNum, lrDen)
+
+  /** The full d168 oracle at the registered knobs — the biased-walk
+    * replay chained into the pair extraction and the unrolled GD.
+    * Shared VERBATIM with d169 ([[EdgeIndex]]'s index-served node2vec
+    * chain — the d160/d165/d167 consumer-gate discipline extended to
+    * the walk→embedding family, r13 verdict ask #1). */
+  private[graft] def node2vecEmbeddingOracle: String =
+    biasedWalkSql(2, 3, 1, 4, 2) + ",\n" +
+      embeddingTrainSql("corpus", 2, 4, 2, 1, 10) +
+      ("\nSELECT node" +
+        (0 until 4).map(j =>
+          s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
+        " FROM u2")
 
   /** The pair-extraction + unrolled-GD CTE chain over ANY walk-corpus
     * CTE (d157's `walk` for d163, d162's `corpus` for d168) — appended
@@ -1612,6 +1922,89 @@ object Graphs {
        |$chain""".stripMargin
   }
 
+  /** The d171 tail: exact-integer dot/norms over the u{iters} long
+    * state, the IEEE-pinned cosine, the per-node top-k window —
+    * appended after [[embeddingSql]]'s CTE chain. */
+  private def embeddingRelatedSql(dim: Int, iters: Int, k: Int): String = {
+    val js = 0 until dim
+    def q(side: String) = js.map(j => s"$side.e$j * $side.e$j").mkString(" + ")
+    val dot = js.map(j => s"a.e$j * b.e$j").mkString(" + ")
+    s"""vecs AS MATERIALIZED (
+       |  SELECT node, ${js.map(j => s"e$j").mkString(", ")},
+       |         ${js.map(j => s"e$j * e$j").mkString(" + ")} AS norm2
+       |  FROM u$iters
+       |  WHERE ${js.map(j => s"e$j * e$j").mkString(" + ")} > 0),
+       |scored AS (
+       |  SELECT a.node, b.node AS rel_id,
+       |         round(CAST($dot AS DOUBLE) /
+       |               (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cosine
+       |  FROM vecs a JOIN vecs b ON a.node <> b.node),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY node ORDER BY cosine DESC, rel_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT node, rel_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** The d170 oracle: the d166 LPA replay chained into `rounds`
+    * unrolled local-move sweeps — identical gain arithmetic
+    * (m2·k_{i,c} − k_i·tot'_c, exact longs), identical (g desc, cand
+    * asc) argmax, identical parity gating and strict-improvement rule. */
+  private def louvainRefineSql(rounds: Int): String = {
+    val sweeps = (1 to rounds).map { r =>
+      val par = r % 2
+      s"""tot$r AS (SELECT c AS cand, CAST(sum(k) AS BIGINT) AS tot FROM a${r - 1} GROUP BY 1),
+         |kic$r AS (SELECT s.u AS node, a.c AS cand, CAST(sum(s.weight) AS BIGINT) AS kic
+         |          FROM symw s JOIN a${r - 1} a ON a.node = s.v GROUP BY 1, 2),
+         |own$r AS (SELECT a.node, a.c AS cand, CAST(coalesce(k.kic, 0) AS BIGINT) AS kic
+         |          FROM a${r - 1} a LEFT JOIN kic$r k ON k.node = a.node AND k.cand = a.c),
+         |cand$r AS (SELECT node, cand, kic FROM kic$r UNION SELECT node, cand, kic FROM own$r),
+         |gain$r AS (SELECT c.node, c.cand, a.c AS own,
+         |            m2t.m2 * c.kic - a.k * (t.tot - CASE WHEN c.cand = a.c THEN a.k ELSE 0 END) AS g
+         |           FROM cand$r c JOIN a${r - 1} a ON a.node = c.node
+         |           JOIN tot$r t ON t.cand = c.cand CROSS JOIN m2t),
+         |best$r AS (SELECT node, cand AS best, g AS gbest FROM (
+         |            SELECT node, cand, g, row_number() OVER (PARTITION BY node ORDER BY g DESC, cand) AS rn
+         |            FROM gain$r) WHERE rn = 1),
+         |gown$r AS (SELECT node, g AS gown FROM gain$r WHERE cand = own),
+         |a$r AS (SELECT a.node, a.k,
+         |          CASE WHEN a.node % 2 = $par AND b.gbest > o.gown THEN b.best ELSE a.c END AS c
+         |        FROM a${r - 1} a JOIN best$r b ON b.node = a.node
+         |        JOIN gown$r o ON o.node = a.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($copurchaseSql),
+       |sym AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+       |symw AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v, weight FROM e
+       |  UNION ALL SELECT dst, src, weight FROM e),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |c1 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+       |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+       |l1 AS (SELECT node, label FROM (
+       |         SELECT node, label, row_number() OVER (
+       |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+       |       WHERE rn = 1),
+       |c2 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+       |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+       |l2 AS (SELECT node, label FROM (
+       |         SELECT node, label, row_number() OVER (
+       |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+       |       WHERE rn = 1),
+       |c3 AS (SELECT s.u AS node, l.label, count(*) AS cnt
+       |       FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+       |l3 AS (SELECT node, label FROM (
+       |         SELECT node, label, row_number() OVER (
+       |           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
+       |       WHERE rn = 1),
+       |deg AS (SELECT u AS node, CAST(sum(weight) AS BIGINT) AS k FROM symw GROUP BY 1),
+       |m2t AS (SELECT CAST(sum(weight) AS BIGINT) AS m2 FROM symw),
+       |a0 AS (SELECT deg.node, deg.k, coalesce(l3.label, deg.node) AS c
+       |       FROM deg LEFT JOIN l3 ON l3.node = deg.node),
+       |$sweeps
+       |SELECT node, c AS community FROM a$rounds""".stripMargin
+  }
+
   /** The d147 oracle: the identical weighted iteration unrolled as
     * chained CTEs over the symmetrized weighted co-purchase graph. The
     * symmetrized graph has no dangling nodes, but the dangling CTEs stay
@@ -1639,6 +2032,45 @@ object Graphs {
       s"r0 AS (SELECT node, wout, CAST($Scale AS BIGINT) AS rank FROM nodes),\n" +
       steps + "\n" +
       s"SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations"
+  }
+
+  /** The d172 oracle: TWO chained weighted-PR phases — `itersOld`
+    * uniform-start iterations over the even-half co-purchase graph (the
+    * EdgeIndex driver binding's first generation), then `itersWarm`
+    * iterations over the FULL graph initialized from phase 1's final
+    * ranks (new nodes at Scale) — the identical truncating arithmetic
+    * of [[weightedPrSql]], tagged per phase. */
+  private[graft] def warmStartPrSql(itersOld: Int, itersWarm: Int): String = {
+    def steps(tag: String, iterations: Int): String = (1 to iterations).map { i =>
+      s"i$tag$i AS (SELECT e.dst AS node, CAST(sum((r.rank * e.weight) // r.wout) AS BIGINT) AS inbound\n" +
+        s"     FROM e$tag e JOIN r$tag${i - 1} r ON r.node = e.src AND r.wout > 0 GROUP BY 1),\n" +
+        s"g$tag$i AS (SELECT CAST(coalesce(sum(CASE WHEN wout = 0 THEN rank ELSE 0 END), 0) AS BIGINT) AS dangling FROM r$tag${i - 1}),\n" +
+        s"r$tag$i AS (SELECT n.node, n.wout,\n" +
+        s"       150000 + 85 * (coalesce(i.inbound, 0) + g.dangling // nn$tag.n_nodes) // 100 AS rank\n" +
+        s"     FROM nodes$tag n LEFT JOIN i$tag$i i USING (node) CROSS JOIN g$tag$i g CROSS JOIN nn$tag)"
+    }.mkString(",\n")
+    s"WITH e0a AS MATERIALIZED ($copurchaseEvenSql),\n" +
+      "ea AS MATERIALIZED (\n" +
+      "  SELECT src, dst, weight FROM e0a UNION ALL SELECT dst, src, weight FROM e0a),\n" +
+      "woa AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM ea GROUP BY 1),\n" +
+      "nodesa AS (\n" +
+      "  SELECT node, coalesce(wout, 0) AS wout\n" +
+      "  FROM (SELECT DISTINCT src AS node FROM ea) LEFT JOIN woa USING (node)),\n" +
+      "nna AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodesa),\n" +
+      s"ra0 AS (SELECT node, wout, CAST($Scale AS BIGINT) AS rank FROM nodesa),\n" +
+      steps("a", itersOld) + ",\n" +
+      s"e0b AS MATERIALIZED ($copurchaseSql),\n" +
+      "eb AS MATERIALIZED (\n" +
+      "  SELECT src, dst, weight FROM e0b UNION ALL SELECT dst, src, weight FROM e0b),\n" +
+      "wob AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM eb GROUP BY 1),\n" +
+      "nodesb AS (\n" +
+      "  SELECT node, coalesce(wout, 0) AS wout\n" +
+      "  FROM (SELECT DISTINCT src AS node FROM eb) LEFT JOIN wob USING (node)),\n" +
+      "nnb AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodesb),\n" +
+      s"rb0 AS (SELECT n.node, n.wout, CAST(coalesce(w.rank, $Scale) AS BIGINT) AS rank\n" +
+      s"       FROM nodesb n LEFT JOIN ra$itersOld w ON w.node = n.node),\n" +
+      steps("b", itersWarm) + "\n" +
+      s"SELECT node, CAST(rank AS BIGINT) AS rank FROM rb$itersWarm"
   }
 
   /** The d144 oracle: the identical peel unrolled as chained CTEs. */
@@ -1823,9 +2255,13 @@ object Graphs {
       (s, d) => {
         val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val l = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+        // materialized: the seed derivation AND the rank iteration both
+        // read the directed frame — without this the orders⋈lineitem
+        // join runs twice (the no-double-scan rule)
         val directed = o.join(l, Seq("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
+          .localCheckpoint()
         val seeds = directed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("node")).limit(5).select(col("node"))
         personalizedPageRank(directed, seeds, iterations = 3, checkpointEvery = 1)
@@ -2049,6 +2485,22 @@ object Graphs {
             s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
           " FROM u2"))),
 
+    // d171: cosine top-5 related items over the d163 node embeddings
+    // (r13 verdict ask #4) — the retrieval consumer adjudicating the
+    // embeddings as a product surface; exact long dot/norms, IEEE
+    // -pinned cosine, the oracle chains the trainer replay into the
+    // identical scoring.
+    Q("d171_embedding_related",
+      (s, d) => embeddingRelated(
+        walkEmbeddings(
+          walkSkipGrams(
+            randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+            window = 2),
+          dim = 4, iters = 2, lrNum = 1, lrDen = 10),
+        k = 5),
+      Some(embeddingSql(2, 3, 2, 4, 2, 1, 10) + ",\n" +
+        embeddingRelatedSql(4, 2, 5))),
+
     // d168: the node2vec composition end-to-end — embeddings trained
     // over the BIASED-walk skip-gram corpus (d162 -> d158 machinery ->
     // d163 trainer as one chained query); the oracle chains the
@@ -2061,12 +2513,7 @@ object Graphs {
             wReturn = 1, wIn = 4, wOut = 2),
           window = 2),
         dim = 4, iters = 2, lrNum = 1, lrDen = 10),
-      Some(biasedWalkSql(2, 3, 1, 4, 2) + ",\n" +
-        embeddingTrainSql("corpus", 2, 4, 2, 1, 10) +
-        ("\nSELECT node" +
-          (0 until 4).map(j =>
-            s", CAST(e$j AS DOUBLE) / 1000000.0 AS e$j").mkString +
-          " FROM u2"))),
+      Some(node2vecEmbeddingOracle)),
 
     // d155: per-node triangle counts + local clustering coefficient in
     // exact integer ppm — the oracle replays the identical
@@ -2267,6 +2714,23 @@ object Graphs {
               |tsq AS (SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS sum_tot_sq FROM tot)
               |SELECT m2, sum_in, sum_tot_sq, $modularityFormula AS modularity
               |FROM m2t CROSS JOIN ins CROSS JOIN tsq""".stripMargin)),
+
+    // d170: Louvain-style local-move refinement of the LPA assignment
+    // over the weighted co-purchase graph (r13 verdict ask #3) — the
+    // step that turns the d161/d166 scorers into an improver; 2
+    // parity-gated synchronous sweeps in exact long gain arithmetic;
+    // the oracle replays the LPA rounds and the identical sweeps.
+    Q("d170_louvain_refine",
+      (s, d) => {
+        // one materialized weighted edge frame feeds the LPA seed AND
+        // the refinement (the d161/d166 precedent)
+        val p = copurchaseEdges(orderBaskets(s, d)).localCheckpoint()
+        val lpa = labelPropagation(p.select(col("src"), col("dst")),
+            iterations = 3, checkpointEvery = 1)
+          .select(col("node"), col("label").as("community"))
+        refineCommunities(p, lpa, rounds = 2)
+      },
+      Some(louvainRefineSql(2))),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.

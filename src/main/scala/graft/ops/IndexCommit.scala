@@ -29,6 +29,12 @@ private[graft] object IndexCommit {
   /** The batch partition column every index table carries. */
   val BatchCol = "ingest_batch"
 
+  /** Marker a completed [[compactTo]] leaves in the SOURCE generation,
+    * naming the successor directory — the precondition [[retire]]
+    * checks, so GC can only ever remove a generation that provably has
+    * a completed replacement. */
+  val SupersededMarker = "_graft_superseded_by"
+
   /** Writer option value: full rebuilds replace the table, incremental
     * batches replace only their own partitions. */
   def overwriteMode(overwriteAll: Boolean): String =
@@ -96,6 +102,69 @@ private[graft] object IndexCommit {
   def stamped(df: DataFrame, batchId: Long): DataFrame =
     df.withColumn(BatchCol, lit(batchId))
 
+  /** Record in `src` that a COMMITTED successor generation lives at
+    * `dst` — called by the compaction paths after the successor's
+    * marker lands, never before (an interrupted compaction must leave
+    * `src` looking current, because it IS the only good copy). The
+    * marker body is the successor's qualified path so [[retire]] can
+    * re-verify the successor at delete time, not just at compact
+    * time. */
+  def markSuperseded(spark: SparkSession, src: String, dst: String): Unit = {
+    requireCommitted(spark, dst, "markSuperseded")
+    val p = new org.apache.hadoop.fs.Path(src, SupersededMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(fs.makeQualified(new org.apache.hadoop.fs.Path(dst))
+      .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The successor path recorded by [[markSuperseded]], if any. */
+  def supersededBy(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, SupersededMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Delete a SUPERSEDED index generation (r13 verdict ask #7: compactTo
+    * builds generation N+1 but nothing retired N, so long-lived indexes
+    * accumulated every generation ever written). Guarded twice, both
+    * fail-closed:
+    *  - `dir` must carry the [[SupersededMarker]] a completed compaction
+    *    wrote — retire refuses to touch a current (or never-compacted)
+    *    generation;
+    *  - the recorded successor must be COMMITTED right now — a successor
+    *    that lost its `_graft_commit` marker (interrupted rewrite over
+    *    it) means `dir` may again be the only good copy, so retire
+    *    refuses until the successor is restored.
+    * Readers of the retired path fail closed by construction (the
+    * directory is gone ⇒ no commit marker). Retire is the caller's
+    * EXPLICIT leisure step — the serving cutover ("point readers at
+    * dst") must already have happened. */
+  def retire(spark: SparkSession, dir: String): Unit = {
+    val dst = supersededBy(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"retire: $dir carries no $SupersededMarker marker — only a generation " +
+        "replaced by a COMPLETED compactTo may be retired; retiring a current " +
+        "generation would destroy live data"))
+    require(isCommitted(spark, dst),
+      s"retire: successor $dst is not committed (missing/interrupted " +
+        s"_graft_commit) — $dir may be the only complete copy; restore the " +
+        "successor before retiring this generation")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** One table of a compacted index: its directory name, the partition
     * columns UNDER the batch level, and whether it carries the batch
     * column at all (an unstamped table — e.g. IVF centroids — is copied
@@ -146,5 +215,9 @@ private[graft] object IndexCommit {
           .parquet(s"$dst/${t.name}")
       }
     }
+    // only after dst's commit marker landed: record the supersession in
+    // src so [[retire]] can GC it — an interrupted compaction reaches
+    // neither this line nor the marker, leaving src looking current
+    markSuperseded(spark, src, dst)
   }
 }

@@ -81,7 +81,10 @@ trait PersistedIndex {
   }
 
   /** Continuously index a streaming frame; a replayed micro-batch
-    * overwrites its own partitions (exactly-once per batch). */
+    * overwrites its own partitions (exactly-once per batch). Each
+    * micro-batch passes [[ingestGuard]] first — families whose facts
+    * are only correct over COMPLETE per-id groups (EdgeIndex baskets)
+    * fail the stream loudly there instead of silently corrupting. */
   def ingest(docs: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -89,9 +92,18 @@ trait PersistedIndex {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        if (!batch.isEmpty) writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+        if (!batch.isEmpty) {
+          ingestGuard(batch.toDF(), dir, id)
+          writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+        }
       }
       .start()
+
+  /** Per-micro-batch admission check run before [[ingest]]'s write —
+    * no-op by default. A throw fails the streaming query loudly (the
+    * batch is NOT written; fixing the input and restarting from the
+    * checkpoint replays the same batch id through the guard again). */
+  protected def ingestGuard(batch: DataFrame, dir: String, batchId: Long): Unit = ()
 
   /** One write batch under the [[IndexCommit]] protocol. */
   private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
@@ -127,7 +139,9 @@ trait PersistedIndex {
 
   /** Shared bracket for compactTo overrides that MERGE instead of
     * restamp: committed-source check, qualified-path src != dst guard,
-    * marker guard around `body`'s writes into `dst`. */
+    * marker guard around `body`'s writes into `dst`, then the
+    * supersession mark on `src` (AFTER dst's commit marker lands) so
+    * [[retire]] can GC the old generation. */
   protected final def compactGuarded(spark: SparkSession, src: String,
       dst: String)(body: => Unit): Unit = {
     IndexCommit.requireCommitted(spark, src, "compactTo")
@@ -138,5 +152,14 @@ trait PersistedIndex {
       "compactTo: dst must be a DIFFERENT directory — an in-place rewrite " +
       "would overwrite the files it is reading")
     IndexCommit.withGuard(spark, dst)(body)
+    IndexCommit.markSuperseded(spark, src, dst)
   }
+
+  /** Delete a generation a completed [[compactTo]] superseded — refuses
+    * un-superseded directories and refuses while the recorded successor
+    * is uncommitted (see [[IndexCommit.retire]]). The GC step of the
+    * snapshot-generation serving model: compact N→N+1, cut readers
+    * over, retire N at leisure. */
+  def retire(spark: SparkSession, dir: String): Unit =
+    IndexCommit.retire(spark, dir)
 }

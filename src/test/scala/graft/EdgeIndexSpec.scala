@@ -109,6 +109,34 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edgeSet(a) == Set((1L, 2L, 2L), (5L, 6L, 2L)))
   }
 
+  test("streaming ingest fails loudly on a basket straddling micro-batches") {
+    // r13 advice: micro-batch boundaries are time-sliced — basket 3's
+    // rows arriving across TWO addData calls would miss the (5,6) pair
+    // silently; the ingest guard must fail the stream instead
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-edge-sck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = EdgeIndex.ingest(in.toDF().toDF("basket_id", "item_id"), dir, ckpt)
+    try {
+      in.addData((1L, 1L), (1L, 2L), (3L, 5L)) // basket 3 starts here...
+      q.processAllAvailable()
+      in.addData((3L, 6L), (4L, 7L))           // ...and straddles into batch 2
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("split a") ||
+        Option(e.getCause).exists(_.getMessage.contains("split a")))
+      // the offending batch was NOT written: the index still serves
+      // exactly the first batch's facts and stays committed
+      assert(spark.read.parquet(s"$dir/basketids")
+        .select(col("basket_id")).distinct().count() == 2L)
+      assert(IndexCommit.isCommitted(spark, dir))
+    } finally q.stop()
+  }
+
   test("the per-batch cap gates a planted runaway basket at write time") {
     // one basket larger than the cap contributes NO pairs; the fact
     // table (not just the pruned read) must already exclude it

@@ -315,6 +315,50 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(walks.where(col("step") === 3L).count() == 8L) // no dead ends
     val emb = Graft.walkEmbeddings(Graft.walkSkipGrams(walks), dim = 2, iters = 1)
     assert(emb.columns.toSeq == Seq("node", "e0", "e1") && emb.count() == 4L)
+    // embedding retrieval consumer: every node gets k ranked neighbors
+    val rel = Graft.embeddingRelated(emb, k = 2)
+    assert(rel.columns.toSeq == Seq("node", "rel_id", "cosine", "rank"))
+    assert(rel.count() == 8L)
+    // local-move refinement: an optimal split is a fixed point
+    val refined = Graft.refineCommunities(edges, assign, rounds = 2)
+    assert(refined.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    // warm-start PR from its own output is bit-stable on a fixed point
+    val symE = edges.union(edges.select(col("dst"), col("src"), col("weight")))
+      .toDF("src", "dst", "weight")
+    val cold = Graft.weightedPageRank(symE, iterations = 8, checkpointEvery = 1)
+      .localCheckpoint()
+    val warm = Graft.weightedPageRankFrom(symE, cold, iterations = 1)
+    // two disjoint symmetric pairs: uniform is the exact fixed point,
+    // so cold(8) == warm(1 more) == uniform
+    assert(warm.as[(Long, Long)].collect().toMap ==
+      cold.as[(Long, Long)].collect().toMap)
+  }
+
+  test("edgeIndexEdgesUpTo serves the pre-append generation; retire GCs a compacted one") {
+    import spark.implicits._
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 4L), (4L, 5L)).toDF("basket_id", "item_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-upto").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-api-uptoc").toString
+    try {
+      Graft.edgeIndexSave(baskets.where(col("basket_id") <= 2L), dir)   // batch -1
+      Graft.edgeIndexAppend(baskets.where(col("basket_id") > 2L), dir)  // batch 0
+      // historical read: only the first generation's pair
+      assert(Graft.edgeIndexEdgesUpTo(spark, dir, maxBatch = -1L)
+        .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 2L)))
+      assert(Graft.edgeIndexEdges(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 2L, 2L), (4L, 5L, 2L)))
+      // compact -> source is marked superseded -> retire removes it
+      Graft.edgeIndexCompactTo(spark, dir, dst)
+      Graft.indexRetire(spark, dir)
+      assert(!new java.io.File(dir).exists())
+      assert(Graft.edgeIndexEdges(spark, dst).count() == 2L)
+    } finally {
+      graft.ops.Corpus.deleteRecursively(dst)
+      if (new java.io.File(dir).exists()) graft.ops.Corpus.deleteRecursively(dir)
+    }
   }
 
   test("trainingShards: every curation stage applies, survivors are packed") {

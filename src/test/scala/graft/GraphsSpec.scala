@@ -705,6 +705,33 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bia = Graphs.biasedWalks(edgesDf(es), walksPerNode = 2, steps = 4,
       wReturn = 1, wIn = 1, wOut = 1).collect().toSet
     assert(bia == uni)
+    // r13 advice: the claim must hold for ANY equal triple, not just
+    // 1,1,1 — the gcd reduction maps (3,3,3) to unit slots, so the
+    // same md5 values address the same picks ((3,3,3) WITHOUT the
+    // reduction would pick floor((h mod 3*deg)/3) != h mod deg)
+    val bia3 = Graphs.biasedWalks(edgesDf(es), walksPerNode = 2, steps = 4,
+      wReturn = 3, wIn = 3, wOut = 3).collect().toSet
+    assert(bia3 == uni)
+    // ratio-equivalence generally: (2,8,4) walks are (1,4,2) walks
+    val w142 = Graphs.biasedWalks(edgesDf(es), walksPerNode = 2, steps = 4,
+      wReturn = 1, wIn = 4, wOut = 2).collect().toSet
+    val w284 = Graphs.biasedWalks(edgesDf(es), walksPerNode = 2, steps = 4,
+      wReturn = 2, wIn = 8, wOut = 4).collect().toSet
+    assert(w284 == w142)
+  }
+
+  test("walkEmbeddings: a divergent learning rate is rejected, not saturated") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("center", "context", "n_pairs")
+    // lr >= 1 diverges (terms blow up geometrically and the 1e-6 long
+    // quantization would saturate engine-specifically) — refused up front
+    val e = intercept[IllegalArgumentException] {
+      Graphs.walkEmbeddings(pairs, dim = 2, iters = 1, lrNum = 10, lrDen = 1)
+    }
+    assert(e.getMessage.contains("lrNum < lrDen"))
+    assertThrows[IllegalArgumentException] {
+      Graphs.walkEmbeddings(pairs, dim = 2, iters = 1, lrNum = 1, lrDen = 1)
+    }
   }
 
   test("biasedWalks: extreme weights steer the second step as published") {
@@ -761,6 +788,115 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inter = for { p <- a; q <- b } yield dot(p, q)
     assert(intra.sum / intra.size > inter.sum / inter.size,
       s"intra ${intra.sum / intra.size} should exceed inter ${inter.sum / inter.size}")
+  }
+
+  test("warm-start weighted PageRank: same fixed point, fewer rounds after an append") {
+    import spark.implicits._
+    // a skewed weighted fixture whose truncating iteration reaches an
+    // EXACT integer fixed point (not every small graph does — floor
+    // interactions can 2-cycle; this one was searched offline to
+    // converge in all three phases): cold-before 42 rounds, cold-after
+    // 47, warm-after 43
+    val before = Seq((2L, 3L, 3L), (1L, 3L, 7L), (3L, 4L, 9L), (1L, 4L, 2L))
+      .toDF("src", "dst", "weight")
+    def sym(e: org.apache.spark.sql.DataFrame) =
+      e.union(e.select(col("dst"), col("src"), col("weight")))
+        .toDF("src", "dst", "weight")
+    val (r0, rounds0) = Graphs.weightedPageRankConverged(sym(before), None, 80)
+    assert(rounds0 < 80, "phase 1 must reach its exact integer fixed point")
+    val r0c = r0.localCheckpoint()
+
+    // append a modest local perturbation (one new node, one new edge)
+    val after = before.union(Seq((3L, 5L, 1L)).toDF("src", "dst", "weight"))
+    val (cold, roundsCold) =
+      Graphs.weightedPageRankConverged(sym(after), None, 80)
+    val (warm, roundsWarm) =
+      Graphs.weightedPageRankConverged(sym(after), Some(r0c), 80)
+    assert(roundsCold < 80 && roundsWarm < 80)
+    // identical fixed point — warm-start changes the path, not the answer
+    val coldM = cold.as[(Long, Long)].collect().toMap
+    val warmM = warm.as[(Long, Long)].collect().toMap
+    assert(warmM == coldM, s"warm $warmM vs cold $coldM")
+    // and it gets there in strictly fewer rounds
+    assert(roundsWarm < roundsCold,
+      s"warm $roundsWarm rounds must beat cold $roundsCold")
+
+    // the bounded-iteration operator agrees with itself: N warm
+    // iterations from the fixed point ARE the fixed point
+    val again = Graphs.weightedPageRankFrom(sym(after), warm.localCheckpoint(),
+      iterations = 3, checkpointEvery = 1)
+    assert(again.as[(Long, Long)].collect().toMap == warmM)
+  }
+
+  test("embeddingRelated: planted same-community nodes dominate the top-k") {
+    import spark.implicits._
+    // the walkEmbeddings separation fixture: two K4 cliques, one bridge
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cliqueB = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val es = edgesDf(cliqueA ++ cliqueB :+ ((4L, 5L)))
+    val emb = Graphs.walkEmbeddings(
+      Graphs.walkSkipGrams(
+        Graphs.randomWalks(es, walksPerNode = 6, steps = 4), window = 2),
+      dim = 4, iters = 40, lrNum = 1, lrDen = 10).localCheckpoint()
+    val top3 = Graphs.embeddingRelated(emb, k = 3)
+      .select(col("node"), col("rel_id"))
+      .as[(Long, Long)].collect()
+    assert(top3.length == 8 * 3)
+    def community(n: Long) = if (n <= 4L) 0 else 1
+    val same = top3.count { case (n, r) => community(n) == community(r) }
+    val cross = top3.length - same
+    // each node has 3 same-community and 4 cross-community candidates:
+    // random embeddings would put ~1.7 cross in every top-3; trained
+    // ones must let same-community dominate overall AND per node
+    assert(same > cross, s"same=$same cross=$cross")
+    val perNode = top3.groupBy(_._1).map { case (n, rs) =>
+      rs.count { case (_, r) => community(r) == community(n) } }
+    assert(perNode.forall(_ >= 2),
+      s"every node's top-3 must be majority same-community: $perNode")
+    // the cosine column is on the 1e-6-rounded grid (hash-gate shape)
+    val cosines = Graphs.embeddingRelated(emb, k = 3)
+      .select(col("cosine")).as[Double].collect()
+    assert(cosines.forall(c => c >= -1.0000005 && c <= 1.0000005))
+    assert(cosines.forall(c => (math.rint(c * 1e6) - c * 1e6).abs < 1e-6))
+  }
+
+  test("refineCommunities: fixes a planted mislabel; never scores below LPA on the fixture") {
+    import spark.implicits._
+    // two unit-weight triangles bridged by one edge (the d161 fixture)
+    val es = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    def q(assign: org.apache.spark.sql.DataFrame): Double =
+      Graphs.modularity(es, assign).collect()(0).getDouble(3)
+
+    // planted NOISY split: node 3 mislabeled into the right triangle's
+    // community — hand-check: G(move to A) = m2·k3A − k3·totA
+    // = 14·2 − 3·4 = 16 > G(stay) = 14·1 − 3·(10−3) = −7, node 3 is odd
+    // so round 1 (parity 1) moves it; Q must STRICTLY improve
+    val noisy = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val refined = Graphs.refineCommunities(es, noisy, rounds = 2)
+    val got = refined.as[(Long, Long)].collect().toMap
+    assert(got(3L) == 1L, s"node 3 must move back to the left triangle: $got")
+    assert(q(refined) > q(noisy), "refinement must strictly improve the planted split")
+    // and it lands ON the known-optimal natural split (Q = 0.357143)
+    assert(q(refined) == 0.357143)
+
+    // seeded from LPA (the registered d170 composition): never worse
+    val lpa = Graphs.labelPropagation(es.select(col("src"), col("dst")),
+        iterations = 3, checkpointEvery = 1)
+      .select(col("node"), col("label").as("community")).localCheckpoint()
+    val refinedLpa = Graphs.refineCommunities(es, lpa, rounds = 2)
+    assert(q(refinedLpa) >= q(lpa),
+      s"Q(refined)=${q(refinedLpa)} must be >= Q(LPA)=${q(lpa)}")
+
+    // an already-optimal assignment is a fixed point (no zero-gain churn:
+    // moves require STRICT improvement)
+    val optimal = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    assert(Graphs.refineCommunities(es, optimal, rounds = 2)
+      .as[(Long, Long)].collect().toMap ==
+      optimal.as[(Long, Long)].collect().toMap)
   }
 
   test("modularity: hand-computed two-triangle fixture; singleton fallback") {

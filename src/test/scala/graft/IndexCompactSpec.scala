@@ -100,4 +100,55 @@ class IndexCompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(uncommitted.getMessage.contains("_graft_commit"))
   }
+
+  test("retire removes only marked-superseded generations, refuses while dst unmarked") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val src = tmp("graft-ret-src"); val dst = tmp("graft-ret-dst")
+    LexIndex.save(docs, src)
+
+    // a CURRENT (never-compacted) generation must refuse retire — there
+    // is no successor, deleting it would destroy live data
+    val current = intercept[IllegalArgumentException] {
+      graft.api.Graft.indexRetire(spark, src)
+    }
+    assert(current.getMessage.contains(IndexCommit.SupersededMarker))
+    assert(new java.io.File(src, "_graft_commit").exists())
+
+    // completed compaction marks src superseded (pointing at dst)
+    LexIndex.compactTo(spark, src, dst)
+    assert(IndexCommit.supersededBy(spark, src).exists(_.endsWith(
+      new java.io.File(dst).getName)))
+
+    // while the successor is UNMARKED (interrupted rewrite over dst),
+    // retire refuses — src may again be the only complete copy
+    val dstMarker = new java.io.File(dst, "_graft_commit")
+    assert(dstMarker.delete())
+    val unmarked = intercept[IllegalArgumentException] {
+      graft.api.Graft.indexRetire(spark, src)
+    }
+    assert(unmarked.getMessage.contains("not committed"))
+    assert(new java.io.File(src, "_graft_commit").exists()) // src untouched
+
+    // successor restored -> retire removes the superseded generation
+    // and ONLY it (dst keeps serving)
+    dstMarker.createNewFile()
+    graft.api.Graft.indexRetire(spark, src)
+    assert(!new java.io.File(src).exists())
+    assert(LexIndex.searchBm25(spark, dst, Corpus.Bm25Query).count() > 0)
+  }
+
+  test("merge-compaction families (edge index) also mark supersession; retire GCs them") {
+    import spark.implicits._
+    val src = tmp("graft-rete-src"); val dst = tmp("graft-rete-dst")
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("basket_id", "item_id")
+    graft.ops.EdgeIndex.save(baskets, src)
+    graft.ops.EdgeIndex.compactTo(spark, src, dst)
+    val served = graft.ops.EdgeIndex.edgesOf(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.EdgeIndex.retire(spark, src)
+    assert(!new java.io.File(src).exists())
+    assert(graft.ops.EdgeIndex.edgesOf(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == served)
+  }
 }
