@@ -353,6 +353,16 @@ object Graft {
                         maxBasketItems: Int = 1024): DataFrame =
     graft.ops.Graphs.copurchaseDropped(baskets, maxBasketItems)
 
+  /** Time-decayed co-purchase edges: each witnessing basket contributes
+    * 1e6 div 2^shift ppm by its age bucket (shift = age div half-life,
+    * caller-computed) instead of a flat count — the temporal edge build
+    * behind "trending related items". Out: (src, dst, weight_ppm),
+    * src < dst. Reads: basket_id, item_id; shifts: basket_id, shift. */
+  def decayedCopurchase(baskets: DataFrame, shifts: DataFrame,
+                        minWeightPpm: Long = 1000000L,
+                        maxBasketItems: Int = 1024): DataFrame =
+    graft.ops.Graphs.decayedCopurchase(baskets, shifts, minWeightPpm, maxBasketItems)
+
   /** Weighted PageRank: rank mass flows proportionally to edge weight
     * (contrib = rank·w div Σw_out), fixed-point longs. Out: (node,
     * rank). Reads: src, dst, weight. */
@@ -539,6 +549,16 @@ object Graft {
       checkpointEvery: Int = 0): DataFrame =
     graft.ops.Graphs.labelPropagation(edges, iterations, checkpointEvery)
 
+  /** [[labelPropagation]] warm-started from a previous labeling —
+    * after an [[edgeIndexAppend]] extends the graph, resume the
+    * synchronous sweeps from the prior generation's labels (new nodes
+    * as their own singletons); stable labelings are genuine fixed
+    * points, so a warm start reaches one in fewer sweeps. Out: (node,
+    * label, label_size). Reads: src, dst; init: node, label. */
+  def labelPropagationFrom(edges: DataFrame, init: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.labelPropagationFrom(edges, init, iterations, checkpointEvery)
+
   /** HITS hubs and authorities on a directed edge list — integer
     * -normalized exact longs in [0, 1e6]. Out: (node, hub, authority).
     * Reads: src, dst. */
@@ -558,6 +578,21 @@ object Graft {
   def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 6,
             checkpointEvery: Int = 1): DataFrame =
     graft.ops.Graphs.kCore(edges, k, rounds, checkpointEvery)
+
+  /** Rounds-bounded k-truss: survivors of iteratively deleting edges
+    * in fewer than k−2 triangles — the edge-level cohesion dual of
+    * [[kCore]] ("strong ties only"). Out: (src, dst, support),
+    * src < dst. Reads: src, dst (any orientation convention). */
+  def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
+    graft.ops.Graphs.kTruss(edges, k, rounds)
+
+  /** Exact harmonic centrality from `nSources` md5-sampled sources
+    * (Eppstein–Wang), per-source BFS bounded to `maxHops` — the exact
+    * adjudicator of [[hyperBallCloseness]]'s sketch. Out: (node,
+    * harmonic_ppm, n_reached). Reads: src, dst. */
+  def harmonicCentrality(edges: DataFrame, nSources: Int = 8,
+                         maxHops: Int = 3): DataFrame =
+    graft.ops.Graphs.harmonicCentrality(edges, nSources, maxHops)
 
   /** Fuzzy record linkage: per record, the best Levenshtein match
     * under `maxDist` among banded/capped block candidates. Out:

@@ -202,7 +202,7 @@ object EdgeIndex extends PersistedIndex {
 
   val MemoizedQueries: Set[String] =
     Set("d160_edge_index", "d165_related_indexed", "d167_pagerank_indexed",
-      "d169_node2vec_indexed", "d172_pagerank_warm")
+      "d169_node2vec_indexed", "d172_pagerank_warm", "d175_lpa_warm")
 
   def queries: Seq[Q] = Seq(
     // d160: d127 served from the persisted additive edge index — save
@@ -290,5 +290,26 @@ object EdgeIndex extends PersistedIndex {
         Graphs.weightedPageRankFrom(sym1, r0, iterations = 3,
           checkpointEvery = 1)
       },
-      Some(Graphs.warmStartPrSql(3, 3))))
+      Some(Graphs.warmStartPrSql(3, 3))),
+
+    // d175: WARM-START label propagation over the same append story —
+    // the d172 two-phase pattern applied to COMMUNITIES: settle labels
+    // on the pre-append generation (batch −1, partition-pruned read),
+    // then resume the synchronous sweeps over the full post-append edge
+    // set from those labels (new nodes as their own singletons).
+    // Hash-gated by the two-phase oracle replaying BOTH sweep chains;
+    // the fewer-sweeps-to-stability claim is measured in GraphsSpec via
+    // labelPropagationConverged.
+    Q("d175_lpa_warm",
+      (s, d) => {
+        val dir = savedDir(s, d)
+        val l0 = Graphs.labelPropagation(
+            edgesUpTo(s, dir, maxBatch = -1L).select(col("src"), col("dst")),
+            iterations = 2, checkpointEvery = 1)
+          .select(col("node"), col("label")).localCheckpoint()
+        Graphs.labelPropagationFrom(
+          edgesOf(s, dir).select(col("src"), col("dst")), l0,
+          iterations = 2, checkpointEvery = 1)
+      },
+      Some(Graphs.warmLpaSql(2, 2))))
 }

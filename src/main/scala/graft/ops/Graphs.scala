@@ -111,6 +111,56 @@ object Graphs {
         lit(maxBasketItems.toLong).as("max_basket_items"))
   }
 
+  /** Time-decayed co-purchase edges (d174): [[copurchaseEdges]] where
+    * each witnessing basket contributes exponentially-decayed weight by
+    * its AGE instead of a flat 1 — the temporal-graph construction
+    * behind "trending related items" (a pair co-bought twice last month
+    * should outrank one co-bought twice three years ago; the flat d127
+    * count can't tell them apart). Decay is the standard half-life
+    * form, made engine-exact by bucketing: the caller supplies each
+    * basket's integer `shift` = age div half-life, and the basket
+    * contributes 1000000 div 2^shift ppm (floor division on exact
+    * longs — a fresh basket adds 1e6, one half-life old 5e5, …; shifts
+    * are clamped to [0, 62] so the power-of-two stays a single long
+    * shift with no wraparound). In: baskets (basket_id, item_id), any
+    * dup multiplicity; shifts (basket_id, shift), one row per basket
+    * (duplicates collapse to the smallest shift = freshest claim; a
+    * basket with no shift row contributes nothing — an inner join, so
+    * stale-unknown data is excluded rather than silently treated as
+    * fresh). Out: (src, dst, weight_ppm) with src < dst, pruned to
+    * weight_ppm >= minWeightPpm (default 1e6 ≈ "at least one fresh
+    * basket's worth of evidence").
+    *
+    * Scale: exactly the d127 shape — the runaway-basket window gate,
+    * the per-basket self-join (never an item×item cartesian), then one
+    * pair-keyed sum; the shift attach is one basket-keyed join onto
+    * the PRE-fan-out side (a distinct-items frame, not the quadratic
+    * pair stream). Overflow: each basket adds ≤ 1e6, so a pair needs
+    * 9e12 witnessing baskets to overflow Long. */
+  def decayedCopurchase(baskets: DataFrame, shifts: DataFrame,
+                        minWeightPpm: Long = 1000000L,
+                        maxBasketItems: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBasketItems >= 2, "a co-occurrence basket needs >= 2 items")
+    require(minWeightPpm >= 0, "minWeightPpm must be >= 0")
+    val bi0 = baskets.toDF("basket_id", "item_id").distinct()
+    val bi = bi0
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("basket_id"))))
+      .where(col("__n") <= maxBasketItems)
+      .select(col("basket_id"), col("item_id"))
+    val sh = shifts.toDF("basket_id", "shift")
+      .groupBy(col("basket_id"))
+      .agg(least(greatest(min(col("shift")), lit(0)), lit(62)).as("shift"))
+    val a = bi.toDF("basket_id", "src").join(sh, Seq("basket_id"))
+    val b = bi.toDF("basket_id", "dst")
+    a.join(b, Seq("basket_id"))
+      .where(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(expr("1000000 div shiftleft(cast(1 as bigint), shift)"))
+        .as("weight_ppm"))
+      .where(col("weight_ppm") >= minWeightPpm)
+  }
+
   /** PageRank (d128), fixed iteration count, fixed-point integer
     * arithmetic. In: directed edges (src, dst) — pass both directions
     * for an undirected graph. Out: (node, rank) for every node incident
@@ -427,8 +477,34 @@ object Graphs {
     * window partitioned BY NODE — the sort is each node's distinct
     * neighbor-label set, never global. `checkpointEvery` as in d128. */
   def labelPropagation(edges: DataFrame, iterations: Int = 3,
-      checkpointEvery: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      checkpointEvery: Int = 0): DataFrame =
+    lpaIterate(edges, None, iterations, checkpointEvery)
+
+  /** [[labelPropagation]] WARM-STARTED from a previous labeling (d175)
+    * — the communities companion of [[weightedPageRankFrom]] (d172) in
+    * the [[EdgeIndex]] incremental-serving story: after an append
+    * extends the edge set, resume the synchronous sweeps from the
+    * labels the previous generation settled on instead of from the
+    * all-singleton start. LPA's sweep is a pure function of the current
+    * labeling, so a stable labeling (every node already holding its
+    * neighborhood argmax) is a genuine fixed point regardless of how it
+    * was reached — warm-starting near one reaches stability in FEWER
+    * sweeps (Raghavan et al.'s convergence argument applied to a
+    * perturbed start; GraphsSpec measures the saving on a planted
+    * append via [[labelPropagationConverged]]).
+    *
+    * In: edges as in [[labelPropagation]]; init (node, label) — nodes
+    * of the NEW universe absent from init (the appended batch's new
+    * nodes) start as their own singleton label, init rows for departed
+    * nodes are ignored (the d172 contract). Same plan shape, same
+    * deterministic (count desc, label asc) argmax. Out: (node, label,
+    * label_size) after `iterations` sweeps. */
+  def labelPropagationFrom(edges: DataFrame, init: DataFrame,
+      iterations: Int = 3, checkpointEvery: Int = 0): DataFrame =
+    lpaIterate(edges, Some(init), iterations, checkpointEvery)
+
+  private def lpaIterate(edges: DataFrame, init: Option[DataFrame],
+      iterations: Int, checkpointEvery: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     // d128's measured rule: checkpointEvery > 0 materializes the
@@ -436,23 +512,71 @@ object Graphs {
     val e = edges.toDF("src", "dst").distinct()
     val sym0 = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
     val sym = if (checkpointEvery > 0) sym0.localCheckpoint() else sym0
-    var lbls = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lbls = init match {
+      case Some(w) => nodes
+        .join(w.toDF("node", "label0"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("label0"), col("node")).as("label"))
+      case None => nodes.select(col("node"), col("node").as("label"))
+    }
     for (it <- 1 to iterations) {
-      lbls = sym
-        .join(lbls.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node"))
-            .orderBy(col("cnt").desc, col("label"))))
-        .where(col("rn") === 1)
-        .select(col("node"), col("label"))
+      lbls = lpaSweep(sym, lbls)
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
         lbls = lbls.localCheckpoint()
     }
     val sizes = lbls.groupBy(col("label")).agg(count(lit(1)).as("label_size"))
     lbls.join(sizes, Seq("label")).select(col("node"), col("label"), col("label_size"))
+  }
+
+  /** One synchronous LPA sweep: every node takes the (count desc, label
+    * asc) argmax label over its neighbors' current labels. */
+  private def lpaSweep(sym: DataFrame, lbls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sym
+      .join(lbls.select(col("node").as("v"), col("label")), Seq("v"))
+      .groupBy(col("u").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("cnt").desc, col("label"))))
+      .where(col("rn") === 1)
+      .select(col("node"), col("label"))
+  }
+
+  /** Sweep LPA to a STABLE labeling (bounded by `maxIters`), counting
+    * executed sweeps — the convergence instrument behind the d175
+    * warm-start claim (the [[weightedPageRankConverged]] pattern): the
+    * spec measures sweeps-to-stability warm vs cold on a planted
+    * append. Returns (labels, sweeps) where `sweeps` INCLUDES the
+    * confirming no-change sweep; stability is detected exactly (long
+    * equality of every node's label — synchronous LPA over a fixed
+    * graph has genuine fixed points to reach; an input that instead
+    * falls into a synchronous 2-cycle, possible on bipartite-ish
+    * structure, simply exhausts maxIters and returns the last sweep). */
+  private[graft] def labelPropagationConverged(edges: DataFrame,
+      init: Option[DataFrame], maxIters: Int = 50): (DataFrame, Int) = {
+    require(maxIters >= 1, "need maxIters >= 1")
+    val e = edges.toDF("src", "dst").distinct()
+    val sym = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lbls = (init match {
+      case Some(w) => nodes
+        .join(w.toDF("node", "label0"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("label0"), col("node")).as("label"))
+      case None => nodes.select(col("node"), col("node").as("label"))
+    }).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = lpaSweep(sym, lbls).localCheckpoint()
+      converged = next
+        .join(lbls.select(col("node"), col("label").as("prev")), Seq("node"))
+        .where(col("label") =!= col("prev")).isEmpty
+      lbls = next
+      it += 1
+    }
+    (lbls, it)
   }
 
   /** Triangle census (d129): the number of triangles in an undirected
@@ -1383,6 +1507,72 @@ object Graphs {
     settled
   }
 
+  /** Sampled-source harmonic centrality (d176, the Eppstein–Wang
+    * pivot-sampling estimator applied to Boldi & Vigna's harmonic
+    * centrality): for every node, Σ over sampled sources s of
+    * 1/dist(s, node) — the centrality that handles disconnected graphs
+    * gracefully (unreachable pairs contribute 0, no infinite-distance
+    * special case), computed EXACTLY from `nSources` deterministically
+    * sampled sources with per-source BFS bounded to `maxHops`. This is
+    * the hash-gateable exact adjudicator of [[hyperBallCloseness]]'s
+    * sketched estimate, the same role [[neighborhoodExact]] plays for
+    * [[hyperBall]]: the sketch serves at 1e9 nodes, this pins its
+    * ordering on gated corpora.
+    *
+    * Sampling is the d157 md5-addressing trick: the nSources nodes
+    * smallest by md5(node-as-decimal-string) — a pure function of the
+    * node set both engines order identically (node id breaks the
+    * astronomically-unlikely hex tie). Distances are exact BFS levels;
+    * the per-source reciprocals are summed in integer ppm
+    * (1000000 div hops — floor division, engine-exact). Out: (node,
+    * harmonic_ppm, n_reached) for EVERY node of the graph, 0s when no
+    * sampled source reaches it; a source reached by other sources
+    * contributes/collects like any node (dist ≥ 1 terms only).
+    *
+    * Scale: [[hopDistance]]'s frontier iteration on (source, node)
+    * composite keys — per hop one edge-keyed equi-join of the live
+    * frontier, a distinct, an anti-join against the settled set; state
+    * is ≤ nSources·|V| rows by construction (the estimator's published
+    * trade: error ~ 1/√nSources, cost linear in nSources), frontier
+    * localCheckpointed per hop, early exit on exhaustion. The global
+    * sort behind the seed pick is a TakeOrderedAndProject of nSources
+    * rows, never a materialized full sort. */
+  def harmonicCentrality(edges: DataFrame, nSources: Int = 8,
+                         maxHops: Int = 3): DataFrame = {
+    require(nSources >= 1, "need nSources >= 1")
+    require(maxHops >= 1, "need maxHops >= 1")
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val seeds = nodes
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nSources)
+    var settled = seeds
+      .select(col("node").as("source"), col("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .select(col("source"), col("dst").as("node")).distinct()
+        .join(settled.select(col("source"), col("node")),
+          Seq("source", "node"), "left_anti")
+        .select(col("source"), col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      settled = settled.union(next)
+      frontier = next
+      h += 1
+    }
+    val sums = settled.where(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 div hops")).as("harmonic_ppm"),
+        count(lit(1)).as("n_reached"))
+    nodes.join(sums, Seq("node"), "left")
+      .na.fill(0L, Seq("harmonic_ppm", "n_reached"))
+  }
+
   /** Single-source (or multi-source) weighted shortest paths (d151):
     * minimum total integer cost from any source, over paths of at most
     * `maxRounds` edges — Bellman–Ford's rounds-bounded form as a
@@ -1690,6 +1880,75 @@ object Graphs {
       it += 1
     }
     (adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg")), executed)
+  }
+
+  /** Rounds-bounded k-truss (d173, Cohen 2008): the maximal subgraph
+    * in which every EDGE sits in at least k−2 triangles — the
+    * edge-level cohesion dual of [[kCore]]'s node-level peel, and the
+    * standard "strong ties only" filter for community scaffolding (a
+    * k-core can be held together by one hub; a k-truss edge needs
+    * k−2 independent witnesses). In: undirected edges in any
+    * orientation/duplication convention (canonicalized by
+    * [[normalizedUndirected]], the triangle family's contract). Out:
+    * (src, dst, support) for the edges surviving `rounds` prune
+    * rounds, src < dst — support = the edge's triangle count measured
+    * on the PREVIOUS round's survivor subgraph (the value the final
+    * prune was decided on, so the output is a pure function of the
+    * input both engines replay). Pruning is monotone (edges only
+    * leave), so once a round deletes nothing every later round is a
+    * no-op and the bounded unroll equals the true k-truss.
+    *
+    * Scale: each round is ONE per-edge triangle-support pass built
+    * from the [[triangleStats]] degree-oriented enumeration (each
+    * triangle materializes exactly once, wedge fan-out O(m^1.5)
+    * hub-safe — NOT the naive Σ deg² common-neighbor join), one 3-way
+    * explode of the triangle frame, an edge-keyed count, and an
+    * edge-keyed prune filter; no driver state, no adjacency lists.
+    * The survivor frame is localCheckpointed per round (consumed by
+    * the support pass's five references next round). */
+  def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
+    require(k >= 3, "a truss needs k >= 3 (k-2 >= 1 triangle witnesses)")
+    require(rounds >= 1, "need rounds >= 1")
+    var e = normalizedUndirected(edges).localCheckpoint()
+    var out = e.select(col("src"), col("dst"), lit(0L).as("support"))
+    for (_ <- 1 to rounds) {
+      out = edgeSupport(e).where(col("support") >= k - 2).localCheckpoint()
+      e = out.select(col("src"), col("dst"))
+    }
+    out
+  }
+
+  /** Per-edge triangle support over a canonical (src < dst, distinct)
+    * edge list: the [[localClustering]] enumeration keeping all three
+    * corners, exploded to the triangle's three canonical edges and
+    * counted edge-keyed. Edges in no triangle are absent (support 0). */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
+    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
+    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
+    val oriented = ed.select(
+      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
+      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
+      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
+    val w1 = oriented.select(col("a"), col("b").as("x"), col("bk").as("xk"))
+    val w2 = oriented.select(col("a"), col("b").as("y"), col("bk").as("yk"))
+    val closed = w1.join(w2, Seq("a")).where(col("xk") < col("yk"))
+      .select(col("a"), col("x"), col("y"),
+        least(col("x"), col("y")).as("src"), greatest(col("x"), col("y")).as("dst"))
+      .join(e, Seq("src", "dst"))
+    closed.select(explode(array(
+        struct(least(col("a"), col("x")).as("src"),
+          greatest(col("a"), col("x")).as("dst")),
+        struct(least(col("a"), col("y")).as("src"),
+          greatest(col("a"), col("y")).as("dst")),
+        struct(col("src"), col("dst")))).as("edge"))
+      .select(col("edge.src").as("src"), col("edge.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("support"))
   }
 
   /** HITS hubs and authorities (d145, Kleinberg): on a directed graph,
@@ -2011,8 +2270,11 @@ object Graphs {
     * so the oracle replays the operator's full formula, not a
     * simplification of it. Shared verbatim with d167 ([[EdgeIndex]]'s
     * index-served weighted PageRank — the consumer-gate discipline
-    * applied to the ITERATIVE family). */
-  private[graft] def weightedPrSql(iterations: Int): String = {
+    * applied to the ITERATIVE family). `edgeSql` swaps the weighted
+    * edge source (default the d127 build; d177 passes the decayed
+    * build) — the iteration arithmetic is byte-identical either way. */
+  private[graft] def weightedPrSql(iterations: Int,
+      edgeSql: String = copurchaseSql): String = {
     val steps = (1 to iterations).map { i =>
       s"i$i AS (SELECT e.dst AS node, CAST(sum((r.rank * e.weight) // r.wout) AS BIGINT) AS inbound\n" +
         s"     FROM e JOIN r${i - 1} r ON r.node = e.src AND r.wout > 0 GROUP BY 1),\n" +
@@ -2021,7 +2283,7 @@ object Graphs {
         s"       150000 + 85 * (coalesce(i.inbound, 0) + g.dangling // nn.n_nodes) // 100 AS rank\n" +
         s"     FROM nodes n LEFT JOIN i$i i USING (node) CROSS JOIN g$i g CROSS JOIN nn)"
     }.mkString(",\n")
-    s"WITH e0 AS MATERIALIZED ($copurchaseSql),\n" +
+    s"WITH e0 AS MATERIALIZED ($edgeSql),\n" +
       "e AS MATERIALIZED (\n" +
       "  SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0),\n" +
       "wo AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM e GROUP BY 1),\n" +
@@ -2072,6 +2334,112 @@ object Graphs {
       steps("b", itersWarm) + "\n" +
       s"SELECT node, CAST(rank AS BIGINT) AS rank FROM rb$itersWarm"
   }
+
+  /** The d175 oracle: TWO chained LPA phases — `itersOld` singleton
+    * -start sweeps over the even-half co-purchase graph (the EdgeIndex
+    * driver binding's first generation), then `itersWarm` sweeps over
+    * the FULL graph initialized from phase 1's final labels (new nodes
+    * as their own singletons) — the d172 two-phase pattern applied to
+    * the d140 sweep. */
+  private[graft] def warmLpaSql(itersOld: Int, itersWarm: Int): String = {
+    def rounds(tag: String, n: Int): String = (1 to n).map { i =>
+      s"c$tag$i AS (SELECT s.u AS node, l.label, count(*) AS cnt\n" +
+        s"       FROM sym$tag s JOIN l$tag${i - 1} l ON l.node = s.v GROUP BY 1, 2),\n" +
+        s"l$tag$i AS (SELECT node, label FROM (\n" +
+        s"         SELECT node, label, row_number() OVER (\n" +
+        s"           PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c$tag$i)\n" +
+        s"       WHERE rn = 1)"
+    }.mkString(",\n")
+    s"WITH ea AS MATERIALIZED ($copurchaseEvenSql),\n" +
+      "syma AS MATERIALIZED (\n" +
+      "  SELECT src AS u, dst AS v FROM ea UNION ALL SELECT dst, src FROM ea),\n" +
+      "la0 AS (SELECT DISTINCT u AS node, u AS label FROM syma),\n" +
+      rounds("a", itersOld) + ",\n" +
+      s"eb AS MATERIALIZED ($copurchaseSql),\n" +
+      "symb AS MATERIALIZED (\n" +
+      "  SELECT src AS u, dst AS v FROM eb UNION ALL SELECT dst, src FROM eb),\n" +
+      "nodesb AS (SELECT DISTINCT u AS node FROM symb),\n" +
+      s"lb0 AS (SELECT n.node, coalesce(w.label, n.node) AS label\n" +
+      s"       FROM nodesb n LEFT JOIN la$itersOld w ON w.node = n.node),\n" +
+      rounds("b", itersWarm) + ",\n" +
+      s"sz AS (SELECT label, CAST(count(*) AS BIGINT) AS label_size\n" +
+      s"     FROM lb$itersWarm GROUP BY 1)\n" +
+      s"SELECT node, label, label_size FROM lb$itersWarm JOIN sz USING (label)"
+  }
+
+  /** The d173 oracle: the identical truss prune unrolled as chained
+    * CTEs. Per-edge support is counted here as common neighbors over
+    * the current survivor adjacency — semantically equal to the
+    * operator's oriented once-per-triangle enumeration (both count the
+    * triangles containing the edge), just without the hub-safety the
+    * adjudicating engine doesn't need at gate scale. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"y${i - 1} AS (SELECT src AS u, dst AS v FROM e${i - 1} " +
+        s"UNION ALL SELECT dst, src FROM e${i - 1}),\n" +
+        s"s$i AS (SELECT t.src, t.dst, CAST(count(*) AS BIGINT) AS support\n" +
+        s"     FROM e${i - 1} t JOIN y${i - 1} a ON a.u = t.src\n" +
+        s"     JOIN y${i - 1} b ON b.u = t.dst AND b.v = a.v GROUP BY 1, 2),\n" +
+        s"e$i AS (SELECT src, dst FROM s$i WHERE support >= ${k - 2})"
+    }.mkString(",\n")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "e0 AS (SELECT src, dst FROM e),\n" +
+      chain + "\n" +
+      s"SELECT src, dst, support FROM s$rounds WHERE support >= ${k - 2}"
+  }
+
+  /** The d176 oracle: the sampled-source BFS unrolled as chained
+    * frontier/settled CTEs (the d135 shape on (source, node) keys),
+    * seeds picked by the d157 md5 order, reciprocals summed in floor
+    * -division ppm. */
+  private def harmonicSql(nSources: Int, maxHops: Int): String = {
+    val chain = (1 to maxHops).map { i =>
+      s"f$i AS (SELECT DISTINCT f.source, y.v AS node, CAST($i AS BIGINT) AS hops\n" +
+        s"     FROM f${i - 1} f JOIN sym y ON y.u = f.node\n" +
+        s"     WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} s\n" +
+        s"       WHERE s.source = f.source AND s.node = y.v)),\n" +
+        s"s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM f$i)"
+    }.mkString(",\n")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "sym AS MATERIALIZED (\n" +
+      "  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),\n" +
+      "nodes AS (SELECT DISTINCT u AS node FROM sym),\n" +
+      s"seeds AS (SELECT node FROM nodes\n" +
+      s"        ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT $nSources),\n" +
+      "s0 AS (SELECT node AS source, node, CAST(0 AS BIGINT) AS hops FROM seeds),\n" +
+      "f0 AS (SELECT * FROM s0),\n" +
+      chain + ",\n" +
+      s"h AS (SELECT node, CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_ppm,\n" +
+      s"       CAST(count(*) AS BIGINT) AS n_reached\n" +
+      s"     FROM s$maxHops WHERE hops > 0 GROUP BY 1)\n" +
+      "SELECT n.node, CAST(coalesce(h.harmonic_ppm, 0) AS BIGINT) AS harmonic_ppm,\n" +
+      "       CAST(coalesce(h.n_reached, 0) AS BIGINT) AS n_reached\n" +
+      "FROM nodes n LEFT JOIN h USING (node)"
+  }
+
+  /** The d174 oracle: the decayed edge build — per-basket half-life
+    * shifts from the order-date age (clamped like the operator), the
+    * d127 cap/self-join, and the floor-division ppm sum. Wrapped by
+    * d177's [[weightedPrSql]] as its edge source (alias weight_ppm →
+    * weight there). */
+  private[graft] val decayedCopurchaseSql: String =
+    """WITH anchor AS (
+      |  SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+      |sh AS (
+      |  SELECT o_orderkey AS basket_id,
+      |         least(greatest(date_diff('day', CAST(o_orderdate AS DATE), mx) // 180, 0), 30) AS shift
+      |  FROM orders CROSS JOIN anchor),
+      |op0 AS (
+      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+      |op AS (
+      |  SELECT basket_id, item_id FROM op0
+      |  QUALIFY count(*) OVER (PARTITION BY basket_id) <= 1024)
+      |SELECT a.item_id AS src, b.item_id AS dst,
+      |       CAST(sum(1000000 // (CAST(1 AS BIGINT) << s.shift)) AS BIGINT) AS weight_ppm
+      |FROM op a JOIN op b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
+      |JOIN sh s ON s.basket_id = a.basket_id
+      |GROUP BY 1, 2
+      |HAVING sum(1000000 // (CAST(1 AS BIGINT) << s.shift)) >= 1000000""".stripMargin
 
   /** The d144 oracle: the identical peel unrolled as chained CTEs. */
   private def kcoreSql(k: Int, rounds: Int): String = {
@@ -2731,6 +3099,57 @@ object Graphs {
         refineCommunities(p, lpa, rounds = 2)
       },
       Some(louvainRefineSql(2))),
+
+    // d173: 3-round 3-truss of the co-purchase graph — every surviving
+    // edge sits in >= 1 triangle of the survivor subgraph; exact
+    // integer support; the oracle unrolls the identical prune rounds.
+    Q("d173_ktruss",
+      (s, d) => kTruss(copurchaseFrame(s, d), k = 3, rounds = 3),
+      Some(ktrussSql(k = 3, rounds = 3))),
+
+    // d174: time-decayed co-purchase edges — 180-day half-life on the
+    // order date, weights in exact floor-division ppm; the oracle
+    // replays the identical clamp/decay/prune.
+    Q("d174_decayed_edges",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey").as("basket_id"),
+          col("o_orderdate").cast("date").as("odate"))
+        val mx = o.agg(max(col("odate")).as("mx"))
+        val shifts = o.crossJoin(broadcast(mx))
+          .select(col("basket_id"),
+            least(expr("datediff(mx, odate) div 180"), lit(30)).as("shift"))
+        decayedCopurchase(orderBaskets(s, d), shifts)
+      },
+      Some(decayedCopurchaseSql)),
+
+    // d177: 3-iteration weighted PageRank over the symmetrized DECAYED
+    // edge set — the temporal graph's ranking consumer ("what matters
+    // now"): recency-weighted centrality from the same fixed-point
+    // arithmetic as d147, adjudicated by the same oracle with the
+    // decayed build swapped in as the edge source.
+    Q("d177_decayed_pagerank",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey").as("basket_id"),
+          col("o_orderdate").cast("date").as("odate"))
+        val mx = o.agg(max(col("odate")).as("mx"))
+        val shifts = o.crossJoin(broadcast(mx))
+          .select(col("basket_id"),
+            least(expr("datediff(mx, odate) div 180"), lit(30)).as("shift"))
+        val p = decayedCopurchase(orderBaskets(s, d), shifts)
+          .toDF("src", "dst", "weight").localCheckpoint()
+        val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
+        weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
+      },
+      Some(weightedPrSql(3,
+        s"SELECT src, dst, weight_ppm AS weight FROM ($decayedCopurchaseSql)"))),
+
+    // d176: exact harmonic centrality from 8 md5-sampled sources, BFS
+    // to 3 hops — the hash-green adjudicator of hyperBallCloseness's
+    // sketched estimate; the oracle replays seeds, frontiers, ppm sums.
+    Q("d176_harmonic_sampled",
+      (s, d) => harmonicCentrality(copurchaseFrame(s, d),
+        nSources = 8, maxHops = 3),
+      Some(harmonicSql(nSources = 8, maxHops = 3))),
 
     // d129: triangle census of the support->=2 co-purchase graph —
     // one exact-integer summary row.

@@ -966,4 +966,161 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxBasketItems = 4).collect()
     assert(edges.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("kTruss: clique survives, pendant triangle pruned, hostile input canonicalized") {
+    import spark.implicits._
+    // K4 on 1..4 (every edge in 2 triangles) + a pendant triangle
+    // (4,5,6) hanging off node 4 (each of its edges in exactly 1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = Graphs.kTruss(edgesDf(k4 ++ pendant), k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // 4-truss (support >= 2): the K4 edges, each with support 2 on the
+    // survivor subgraph; the pendant edges die in round 1
+    assert(got == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+    // hostile orientation/duplication: same answer (normalizedUndirected)
+    val hostile = (k4 ++ pendant).map { case (a, b) => (b, a) } ++ k4
+    val got2 = Graphs.kTruss(edgesDf(hostile ++ pendant), k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+  }
+
+  test("kTruss: pruning cascades — a triangle strip needs the second round") {
+    import spark.implicits._
+    // strip of 3 triangles: (1,2,3), (2,3,4), (3,4,5). Shared edges
+    // (2,3) and (3,4) have support 2; the rest 1. k=4 prunes the
+    // support-1 edges in round 1, which starves the survivors: round 2
+    // must empty the graph — a 1-round unroll would wrongly keep them.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    val r1 = Graphs.kTruss(edgesDf(strip), k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((2L, 3L, 2L), (3L, 4L, 2L)))
+    assert(Graphs.kTruss(edgesDf(strip), k = 4, rounds = 2).isEmpty)
+    // monotone convergence: once stable, more rounds change nothing
+    val stable = Graphs.kTruss(edgesDf(strip), k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Graphs.kTruss(edgesDf(strip), k = 3, rounds = 5)
+      .as[(Long, Long, Long)].collect().toSet == stable)
+    // k=3 keeps every edge (each sits in >= 1 triangle of the strip)
+    assert(stable.map(e => (e._1, e._2)) == strip.toSet)
+  }
+
+  test("decayedCopurchase: half-life ppm weights, clamping, missing-shift exclusion") {
+    import spark.implicits._
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L),            // fresh basket: shift 0
+      (11L, 1L), (11L, 2L), (11L, 3L), // one half-life old: shift 1
+      (12L, 1L), (12L, 3L),            // ancient: shift 100 (clamps, div -> 0)
+      (13L, 2L), (13L, 3L),            // negative shift (clamps to 0)
+      (14L, 1L), (14L, 4L)             // no shift row: excluded entirely
+    ).toDF("basket_id", "item_id")
+    val shifts = Seq((10L, 0), (11L, 1), (12L, 100), (13L, -5))
+      .toDF("basket_id", "shift")
+    val all = Graphs.decayedCopurchase(baskets, shifts, minWeightPpm = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2): 1e6 (b10) + 5e5 (b11) = 1.5e6; (1,3): 5e5 + 0 (b12 clamped
+    // to shift 62, floor 0); (2,3): 5e5 (b11) + 1e6 (b13 clamped to 0)
+    assert(all == Set((1L, 2L, 1500000L), (1L, 3L, 500000L), (2L, 3L, 1500000L)))
+    // default prune keeps only >= 1e6, and (1,4) never appears
+    val pruned = Graphs.decayedCopurchase(baskets, shifts)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 2L, 1500000L), (2L, 3L, 1500000L)))
+  }
+
+  test("labelPropagationFrom: singleton init equals the cold operator; stable labels are a fixed point") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge
+    def clique(ns: Seq[Long]) = for {
+      a <- ns; b <- ns if a < b
+    } yield (a, b)
+    val es = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))
+    val cold = Graphs.labelPropagation(edgesDf(es), iterations = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val singletons = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, n)).toDF("node", "label")
+    val warmSame = Graphs.labelPropagationFrom(edgesDf(es), singletons,
+        iterations = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(warmSame == cold)
+    // feed a STABLE labeling back in: one sweep must reproduce it
+    val (stable, _) = Graphs.labelPropagationConverged(edgesDf(es), None, 50)
+    val stableSet = stable.as[(Long, Long)].collect().toSet
+    val again = Graphs.labelPropagationFrom(edgesDf(es),
+        stable.localCheckpoint(), iterations = 1)
+      .select(col("node"), col("label")).as[(Long, Long)].collect().toSet
+    assert(again == stableSet)
+  }
+
+  test("labelPropagationConverged: warm start after an append stabilizes in fewer sweeps") {
+    import spark.implicits._
+    def clique(ns: Seq[Long]) = for {
+      a <- ns; b <- ns if a < b
+    } yield (a, b)
+    val before = clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(11L, 12L, 13L, 14L, 15L)) ++ Seq((5L, 11L))
+    val (l0, r0) = Graphs.labelPropagationConverged(edgesDf(before), None, 50)
+    assert(r0 < 50, "phase 1 must stabilize")
+    val l0c = l0.localCheckpoint()
+    // append: two new leaf nodes onto clique A
+    val after = before ++ Seq((1L, 21L), (2L, 22L))
+    val (cold, roundsCold) =
+      Graphs.labelPropagationConverged(edgesDf(after), None, 50)
+    val (warm, roundsWarm) =
+      Graphs.labelPropagationConverged(edgesDf(after), Some(l0c), 50)
+    assert(roundsCold < 50 && roundsWarm < 50)
+    assert(roundsWarm < roundsCold,
+      s"warm $roundsWarm sweeps must beat cold $roundsCold")
+    // both are genuine fixed points: one more sweep changes nothing
+    for (fp <- Seq(cold, warm)) {
+      val fpc = fp.localCheckpoint()
+      val next = Graphs.labelPropagationFrom(edgesDf(after), fpc, iterations = 1)
+        .select(col("node"), col("label"))
+      assert(next.as[(Long, Long)].collect().toSet ==
+        fpc.as[(Long, Long)].collect().toSet)
+    }
+  }
+
+  test("harmonicCentrality: exact ppm sums on a path; unreached nodes get zeros") {
+    import spark.implicits._
+    // path 1-2-3-4 with all 4 nodes sampled (nSources >= |V|), plus an
+    // isolated edge (100, 101) beyond maxHops of the path
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (100L, 101L))
+    val got = Graphs.harmonicCentrality(edgesDf(es), nSources = 6, maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, r) => n -> ((h, r)) }.toMap
+    // node 2: 1/1 (from 1) + 1/1 (from 3) + 1/2 (from 4) = 2.5e6, 3 reached
+    assert(got(2L) == (2500000L, 3L))
+    assert(got(3L) == (2500000L, 3L))
+    // node 1: 1 + 1/2 + 1/3 (floor 333333) = 1833333
+    assert(got(1L) == (1833333L, 3L))
+    assert(got(4L) == (1833333L, 3L))
+    // the isolated pair only sees each other
+    assert(got(100L) == (1000000L, 1L))
+    assert(got(101L) == (1000000L, 1L))
+  }
+
+  test("harmonicCentrality: seed sampling is the md5 order and hop-bounded") {
+    import spark.implicits._
+    // path 1-2-3-4-5; one source; maxHops 2 — exactly the md5-smallest
+    // node seeds, and nodes beyond 2 hops of it score 0
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val seed = nodes.map(n => n ->
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(n.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      .minBy(_._2)._1
+    val got = Graphs.harmonicCentrality(edgesDf(es), nSources = 1, maxHops = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, r) => n -> ((h, r)) }.toMap
+    val dist = nodes.map(n => n -> math.abs(n - seed)).toMap
+    for (n <- nodes) {
+      val expected =
+        if (n == seed || dist(n) > 2) (0L, 0L)
+        else (1000000L / dist(n), 1L)
+      assert(got(n) == expected, s"node $n (seed $seed)")
+    }
+  }
 }
