@@ -594,6 +594,22 @@ object Graft {
                          maxHops: Int = 3): DataFrame =
     graft.ops.Graphs.harmonicCentrality(edges, nSources, maxHops)
 
+  /** Sampled-source betweenness centrality (Brandes/Brandes–Pich):
+    * shortest-path brokerage from md5-sampled sources, δ quantized to
+    * ppm by per-term floor division, paths bounded to `maxHops`. Out:
+    * (node, betweenness_ppm). Reads: src, dst (any orientation
+    * convention). */
+  def betweennessCentrality(edges: DataFrame, nSources: Int = 8,
+                            maxHops: Int = 3): DataFrame =
+    graft.ops.Graphs.betweennessCentrality(edges, nSources, maxHops)
+
+  /** Trending related items: per-item top-k neighbors by decayed
+    * co-purchase weight — the recommendation consumer of
+    * [[decayedCopurchase]]. Out: (item_id, rel_id, weight_ppm, rank).
+    * Reads: src, dst, weight_ppm. */
+  def trendingRelated(pairs: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.Graphs.trendingRelated(pairs, k)
+
   /** Fuzzy record linkage: per record, the best Levenshtein match
     * under `maxDist` among banded/capped block candidates. Out:
     * (rec_id, name, best_id, best_name, best_dist). Reads: first two

@@ -1340,6 +1340,19 @@ object Graphs {
   private def orderBaskets(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
 
+  /** Per-order half-life shifts for the temporal family (d174/d177/
+    * d179): age in days from the corpus' newest order date, bucketed
+    * by the 180-day half-life, capped at 30 (the in-operator [0, 62]
+    * clamp then never moves a registered value). */
+  private def orderShifts(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey").as("basket_id"),
+      col("o_orderdate").cast("date").as("odate"))
+    val mx = o.agg(max(col("odate")).as("mx"))
+    o.crossJoin(broadcast(mx))
+      .select(col("basket_id"),
+        least(expr("datediff(mx, odate) div 180"), lit(30)).as("shift"))
+  }
+
   /** The co-purchase (src, dst) edge frame, MATERIALIZED — every graph
     * query below references its edge input at least twice (symmetrize
     * unions, degree + prune passes; triangleStats five times), and an
@@ -1449,6 +1462,36 @@ object Graphs {
       .where(col("rank") <= k)
       .select(col("item_id"), col("rel_id"), col("weight").as("n_shared"),
         col("jaccard_ppm"), col("rank"))
+  }
+
+  /** Trending related items (d179): per-item top-k neighbors by
+    * DECAYED co-purchase weight — the recommendation consumer of
+    * [[decayedCopurchase]], completing the temporal family the way
+    * d133 consumes d127: where [[relatedItems]] ranks by all-time
+    * Jaccard, this ranks by recency-weighted evidence, so an item
+    * pair co-bought heavily last month outranks a historically
+    * stronger but stale pair. In: (src, dst, weight_ppm) — the d174
+    * shape (weights from ANY scoring work; only the ranking reads
+    * them). Out: (item_id, rel_id, weight_ppm, rank 1..k) per item
+    * incident to a surviving pair; ties to the lower rel_id (the d133
+    * convention — the ranking is a pure function of the input).
+    *
+    * Scale: one symmetrize union and a per-item top-k window (sorts
+    * each item's candidate list, never global) — strictly lighter
+    * than d133 (no basket-count joins; the decay already priced the
+    * evidence). */
+  def trendingRelated(pairs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    val p = pairs.toDF("src", "dst", "weight_ppm")
+    val sym = p.select(col("src").as("item_id"), col("dst").as("rel_id"),
+        col("weight_ppm"))
+      .union(p.select(col("dst"), col("src"), col("weight_ppm")))
+    sym
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item_id"))
+          .orderBy(col("weight_ppm").desc, col("rel_id"))).cast(LongType))
+      .where(col("rank") <= k)
   }
 
   /** Multi-source BFS hop distance (d135): minimum number of edges from
@@ -1571,6 +1614,107 @@ object Graphs {
         count(lit(1)).as("n_reached"))
     nodes.join(sums, Seq("node"), "left")
       .na.fill(0L, Seq("harmonic_ppm", "n_reached"))
+  }
+
+  /** Sampled-source betweenness centrality (d178, Brandes 2001 with
+    * the Brandes–Pich 2007 source sampling): how much shortest-path
+    * traffic flows THROUGH each node — the brokerage complement of
+    * [[harmonicCentrality]]'s proximity (a bridge node scores high
+    * betweenness with mediocre closeness). Sources are the same
+    * md5-ordered sample as d176; per source one forward BFS counts
+    * shortest paths (σ) level-by-level, then Brandes' backward
+    * accumulation folds each node's pair-dependency δ from the leaves
+    * inward: δ(v) = Σ_{w succ of v} σ(v)·(1 + δ(w))/σ(w), summed over
+    * sources for v ≠ s.
+    *
+    * Engine-exactness: σ is an exact long count (level-synchronous sums
+    * over predecessor frontiers). δ's division is made deterministic by
+    * QUANTIZING to ppm with floor division per (v, w) term —
+    * δ'(v) = Σ (σ(v)·(1000000 + δ'(w))) div σ(w) — a documented
+    * truncation of < 1e-6 per term relative to real-valued Brandes
+    * (the d128 dangling-truncation discipline: bit-exact in any engine
+    * beats a float reduction order nobody replays). Paths are bounded
+    * to `maxHops` edges (the published @k-betweenness cut — distant
+    * pairs contribute little and cost the most). Out: (node,
+    * betweenness_ppm) for every node, 0 when no sampled shortest path
+    * crosses it.
+    *
+    * Scale: forward = [[harmonicCentrality]]'s (source, node)-keyed
+    * frontier BFS carrying σ (state ≤ nSources·|V|); backward = one
+    * level-keyed join per hop against the settled level above plus a
+    * (source, node)-keyed sum — maxHops + maxHops joins total, no
+    * driver state. Overflow envelope: σ ≤ deg^maxHops path counts and
+    * each δ term ≤ σ(v)·(1e6 + δ(w)) must stay inside Long — holds to
+    * ~9e9 descendant paths per node at ppm scale; heavier graphs
+    * should lower maxHops (the published trade) before σ, like
+    * modularity, would need pre-scaled weights. */
+  def betweennessCentrality(edges: DataFrame, nSources: Int = 8,
+                            maxHops: Int = 3): DataFrame = {
+    require(nSources >= 1, "need nSources >= 1")
+    require(maxHops >= 1, "need maxHops >= 1")
+    // canonicalized (the triangle family's contract): a duplicated or
+    // pre-symmetrized input would double σ and skew every δ silently
+    val e0 = normalizedUndirected(edges)
+    val sym = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val seeds = nodes
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nSources)
+    // forward: level-synchronous BFS carrying the shortest-path count.
+    // levels(i) = the dist-i slice (source, node, sigma), each
+    // localCheckpointed (consumed by the settled anti-join, the next
+    // level's expansion, AND the backward pass)
+    var settledKeys = seeds
+      .select(col("node").as("source"), col("node")).localCheckpoint()
+    val level0 = seeds
+      .select(col("node").as("source"), col("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector(level0)
+    var h = 1
+    while (h <= maxHops && !levels.last.isEmpty) {
+      val next = levels.last
+        .join(sym, levels.last("node") === sym("src"))
+        .select(col("source"), col("dst").as("node"), col("sigma"))
+        .join(settledKeys, Seq("source", "node"), "left_anti")
+        .groupBy(col("source"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      settledKeys = settledKeys
+        .union(next.select(col("source"), col("node"))).localCheckpoint()
+      levels = levels :+ next
+      h += 1
+    }
+    // backward: deepest level's delta = 0; each level folds its
+    // successors' (sigma, delta) through the quantized recurrence
+    val deepest = levels.last
+    var deltas = Vector(deepest
+      .select(col("source"), col("node"), lit(0L).as("delta")))
+    for (i <- levels.size - 2 to 1 by -1) {
+      val child = levels(i + 1)
+        .join(deltas.head, Seq("source", "node"))
+        .select(col("source"), col("node").as("w"),
+          col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = levels(i)
+        .join(sym, levels(i)("node") === sym("src"))
+        .select(col("source"), col("node"), col("sigma"),
+          col("dst").as("w"))
+        .join(child, Seq("source", "w"))
+        .groupBy(col("source"), col("node"))
+        .agg(sum(expr("(sigma * (1000000 + dw)) div sw")).as("delta"))
+      val full = levels(i)
+        .join(contrib, Seq("source", "node"), "left")
+        .select(col("source"), col("node"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deltas = full +: deltas
+    }
+    val bc = deltas.map(_.select(col("node"), col("delta")))
+      .reduce(_ union _)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("betweenness_ppm"))
+    nodes.join(bc, Seq("node"), "left")
+      .na.fill(0L, Seq("betweenness_ppm"))
   }
 
   /** Single-source (or multi-source) weighted shortest paths (d151):
@@ -2441,6 +2585,62 @@ object Graphs {
       |GROUP BY 1, 2
       |HAVING sum(1000000 // (CAST(1 AS BIGINT) << s.shift)) >= 1000000""".stripMargin
 
+  /** The d178 oracle: forward σ-counting BFS levels and Brandes'
+    * backward δ accumulation unrolled as chained CTEs — the identical
+    * quantized recurrence, level slices matched by construction. */
+  private def betweennessSql(nSources: Int, maxHops: Int): String = {
+    val fwd = (1 to maxHops).map { i =>
+      s"n$i AS (SELECT f.source, y.v AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma\n" +
+        s"     FROM n${i - 1} f JOIN sym y ON y.u = f.node\n" +
+        s"     WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} s\n" +
+        s"       WHERE s.source = f.source AND s.node = y.v)\n" +
+        s"     GROUP BY 1, 2),\n" +
+        s"s$i AS (SELECT source, node FROM s${i - 1}\n" +
+        s"     UNION ALL SELECT source, node FROM n$i)"
+    }.mkString(",\n")
+    val bwd = (maxHops - 1 to 1 by -1).map { i =>
+      s"c$i AS (SELECT v.source, v.node,\n" +
+        s"       CAST(sum((v.sigma * (1000000 + d.delta)) // w.sigma) AS BIGINT) AS delta\n" +
+        s"     FROM n$i v JOIN sym y ON y.u = v.node\n" +
+        s"     JOIN n${i + 1} w ON w.source = v.source AND w.node = y.v\n" +
+        s"     JOIN d${i + 1} d ON d.source = w.source AND d.node = w.node\n" +
+        s"     GROUP BY 1, 2),\n" +
+        s"d$i AS (SELECT n.source, n.node, CAST(coalesce(c.delta, 0) AS BIGINT) AS delta\n" +
+        s"     FROM n$i n LEFT JOIN c$i c ON c.source = n.source AND c.node = n.node)"
+    }.mkString(",\n")
+    val bwdPart = if (maxHops >= 2) bwd + ",\n" else ""
+    val allDeltas = (1 to maxHops)
+      .map(i => s"SELECT node, delta FROM d$i").mkString(" UNION ALL ")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "sym AS MATERIALIZED (\n" +
+      "  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),\n" +
+      "nodes AS (SELECT DISTINCT u AS node FROM sym),\n" +
+      s"seeds AS (SELECT node FROM nodes\n" +
+      s"        ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT $nSources),\n" +
+      "n0 AS (SELECT node AS source, node, CAST(1 AS BIGINT) AS sigma FROM seeds),\n" +
+      "s0 AS (SELECT source, node FROM n0),\n" +
+      fwd + ",\n" +
+      s"d$maxHops AS (SELECT source, node, CAST(0 AS BIGINT) AS delta FROM n$maxHops),\n" +
+      bwdPart +
+      s"bc AS (SELECT node, CAST(sum(delta) AS BIGINT) AS betweenness_ppm\n" +
+      s"     FROM ($allDeltas) GROUP BY 1)\n" +
+      "SELECT n.node, CAST(coalesce(b.betweenness_ppm, 0) AS BIGINT) AS betweenness_ppm\n" +
+      "FROM nodes n LEFT JOIN bc b USING (node)"
+  }
+
+  /** The d179 oracle: the decayed edge build fed through the d133
+    * ranking shape (weight-ppm order, lower-rel_id ties, top 10). */
+  private[graft] val trendingRelatedSql: String =
+    s"""WITH e AS ($decayedCopurchaseSql),
+       |sym AS (
+       |  SELECT src AS item_id, dst AS rel_id, weight_ppm FROM e
+       |  UNION ALL SELECT dst, src, weight_ppm FROM e),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY item_id ORDER BY weight_ppm DESC, rel_id) AS BIGINT) AS rank
+       |  FROM sym)
+       |SELECT item_id, rel_id, weight_ppm, rank FROM ranked WHERE rank <= 10""".stripMargin
+
   /** The d144 oracle: the identical peel unrolled as chained CTEs. */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val chain = (1 to rounds).map { i =>
@@ -3111,15 +3311,7 @@ object Graphs {
     // order date, weights in exact floor-division ppm; the oracle
     // replays the identical clamp/decay/prune.
     Q("d174_decayed_edges",
-      (s, d) => {
-        val o = orders(s, d).select(col("o_orderkey").as("basket_id"),
-          col("o_orderdate").cast("date").as("odate"))
-        val mx = o.agg(max(col("odate")).as("mx"))
-        val shifts = o.crossJoin(broadcast(mx))
-          .select(col("basket_id"),
-            least(expr("datediff(mx, odate) div 180"), lit(30)).as("shift"))
-        decayedCopurchase(orderBaskets(s, d), shifts)
-      },
+      (s, d) => decayedCopurchase(orderBaskets(s, d), orderShifts(s, d)),
       Some(decayedCopurchaseSql)),
 
     // d177: 3-iteration weighted PageRank over the symmetrized DECAYED
@@ -3129,19 +3321,29 @@ object Graphs {
     // decayed build swapped in as the edge source.
     Q("d177_decayed_pagerank",
       (s, d) => {
-        val o = orders(s, d).select(col("o_orderkey").as("basket_id"),
-          col("o_orderdate").cast("date").as("odate"))
-        val mx = o.agg(max(col("odate")).as("mx"))
-        val shifts = o.crossJoin(broadcast(mx))
-          .select(col("basket_id"),
-            least(expr("datediff(mx, odate) div 180"), lit(30)).as("shift"))
-        val p = decayedCopurchase(orderBaskets(s, d), shifts)
+        val p = decayedCopurchase(orderBaskets(s, d), orderShifts(s, d))
           .toDF("src", "dst", "weight").localCheckpoint()
         val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
         weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
       },
       Some(weightedPrSql(3,
         s"SELECT src, dst, weight_ppm AS weight FROM ($decayedCopurchaseSql)"))),
+
+    // d179: trending related items — per-item top-10 by decayed weight,
+    // the recommendation consumer completing the temporal family
+    // (d174 build → d177 centrality → d179 recommendation).
+    Q("d179_trending_related",
+      (s, d) => trendingRelated(
+        decayedCopurchase(orderBaskets(s, d), orderShifts(s, d))),
+      Some(trendingRelatedSql)),
+
+    // d178: sampled-source betweenness centrality — Brandes' forward
+    // σ / backward δ from the d176 seed sample, δ quantized to ppm by
+    // per-term floor division; the oracle unrolls both sweeps.
+    Q("d178_betweenness_sampled",
+      (s, d) => betweennessCentrality(copurchaseFrame(s, d),
+        nSources = 8, maxHops = 3),
+      Some(betweennessSql(nSources = 8, maxHops = 3))),
 
     // d176: exact harmonic centrality from 8 md5-sampled sources, BFS
     // to 3 hops — the hash-green adjudicator of hyperBallCloseness's

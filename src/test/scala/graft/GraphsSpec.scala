@@ -1101,6 +1101,60 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(101L) == (1000000L, 1L))
   }
 
+  test("betweennessCentrality: path and star hand-counts; hostile input canonicalized") {
+    import spark.implicits._
+    // path 1-2-3, every node sampled: only the middle carries traffic
+    // (delta = 1e6 from each endpoint source)
+    val path = Seq((1L, 2L), (2L, 3L))
+    val gotPath = Graphs.betweennessCentrality(edgesDf(path),
+        nSources = 3, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPath == Map(1L -> 0L, 2L -> 2000000L, 3L -> 0L))
+    // star: center brokers all (n-1)(n-2) ordered leaf pairs
+    val star = (1L to 4L).map(l => (0L, l))
+    val gotStar = Graphs.betweennessCentrality(edgesDf(star),
+        nSources = 5, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotStar(0L) == 12000000L)
+    assert((1L to 4L).forall(l => gotStar(l) == 0L))
+    // duplicated/reversed rows must not inflate sigma
+    val hostile = star ++ star.map { case (a, b) => (b, a) }
+    assert(Graphs.betweennessCentrality(edgesDf(hostile),
+        nSources = 5, maxHops = 3)
+      .as[(Long, Long)].collect().toMap == gotStar)
+  }
+
+  test("betweennessCentrality: multiple shortest paths split delta by the quantized recurrence") {
+    import spark.implicits._
+    // 4-cycle: every (opposite-corner) pair has TWO shortest paths, so
+    // each middle earns sigma_v/sigma_w = 1/2 per direction -> exactly
+    // 1e6 ppm per node (the floor division is exact here)
+    val c4 = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graphs.betweennessCentrality(edgesDf(c4),
+        nSources = 4, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L))
+    // hop bound: maxHops = 1 sees no 2-hop pairs at all
+    assert(Graphs.betweennessCentrality(edgesDf(c4),
+        nSources = 4, maxHops = 1)
+      .as[(Long, Long)].collect().toMap.values.forall(_ == 0L))
+  }
+
+  test("trendingRelated: ranks by decayed weight, ties to the lower rel_id, top-k cut") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 1500000L), (1L, 3L, 2000000L), (1L, 4L, 1500000L),
+      (2L, 3L, 500000L)).toDF("src", "dst", "weight_ppm")
+    val got = Graphs.trendingRelated(pairs, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2000000L, 1L), (1L, 2L, 1500000L, 2L), // tie 2 vs 4 -> 2 wins
+      (2L, 1L, 1500000L, 1L), (2L, 3L, 500000L, 2L),
+      (3L, 1L, 2000000L, 1L), (3L, 2L, 500000L, 2L),
+      (4L, 1L, 1500000L, 1L)))
+  }
+
   test("harmonicCentrality: seed sampling is the md5 order and hop-bounded") {
     import spark.implicits._
     // path 1-2-3-4-5; one source; maxHops 2 — exactly the md5-smallest
