@@ -586,6 +586,22 @@ object Graft {
   def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
     graft.ops.Graphs.kTruss(edges, k, rounds)
 
+  /** Core decomposition: every node's coreness (largest k whose k-core
+    * peel it survives), bounded to kMax — the per-node engagement
+    * depth [[kCore]] answers only at one k. Out: (node, coreness).
+    * Reads: src, dst. */
+  def coreness(edges: DataFrame, kMax: Int = 4, rounds: Int = 6): DataFrame =
+    graft.ops.Graphs.coreness(edges, kMax, rounds)
+
+  /** SALSA hubs and authorities on a directed edge list — HITS'
+    * random-walk cousin: mass splits evenly over links before summing,
+    * so in-degree breadth beats one strong endorser (the TKC fix).
+    * Exact longs, no float normalization. Out: (node, hub, authority).
+    * Reads: src, dst. */
+  def salsa(edges: DataFrame, iterations: Int = 2,
+            checkpointEvery: Int = 0): DataFrame =
+    graft.ops.Graphs.salsa(edges, iterations, checkpointEvery)
+
   /** Exact harmonic centrality from `nSources` md5-sampled sources
     * (Eppstein–Wang), per-source BFS bounded to `maxHops` — the exact
     * adjudicator of [[hyperBallCloseness]]'s sketch. Out: (node,

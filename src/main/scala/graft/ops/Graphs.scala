@@ -2062,6 +2062,70 @@ object Graphs {
     out
   }
 
+  /** Core decomposition (d180): every node's CORENESS — the largest k
+    * for which it survives the k-core peel — bounded to `kMax` (the
+    * full decomposition on gated corpora; at true corpus scale pick
+    * the kMax the downstream consumer reads, coreness is capped there
+    * anyway). Where [[kCore]] answers "who is in THE k-core", this
+    * answers "how deep does each node sit" — the standard engagement/
+    * robustness score (graph degeneracy ordering, Seidman 1983; the
+    * Batagelj–Zaveršnik sequential algorithm's answer, computed here
+    * as nested bounded peels, which a distributed engine prefers: the
+    * (k+1)-core is a subgraph of the k-core, so each peel starts from
+    * the previous survivor adjacency — total work Σ_k peel(k) over
+    * SHRINKING frames, not kMax independent full peels).
+    *
+    * In: undirected edges (src, dst), one row per unordered pair. Out:
+    * (node, coreness) for every node incident to an edge; coreness =
+    * the largest k ≤ kMax whose `rounds`-bounded peel the node
+    * survived (with the kCore convergence rule: a peel round deleting
+    * nothing makes every later round a no-op, so `rounds` is a bound,
+    * not a target — GraphsSpec pins the chain fixture). Out rows are
+    * exact longs both engines replay.
+    *
+    * Scale: [[kCorePeeled]]'s per-round plan (one degree aggregation +
+    * two semi-join prunes) iterated per k over monotonically shrinking
+    * adjacency; every frame localCheckpointed (each is consumed by the
+    * next round's three references and the early-exit count, which
+    * doubles as the convergence probe — the d135 precedent). */
+  def coreness(edges: DataFrame, kMax: Int = 4, rounds: Int = 6): DataFrame = {
+    require(kMax >= 1, "need kMax >= 1")
+    require(rounds >= 1, "need rounds >= 1")
+    val e0 = edges.toDF("src", "dst")
+    var adj = e0.union(e0.select(col("dst"), col("src"))).toDF("src", "dst")
+      .distinct().localCheckpoint()
+    var result = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(0L).as("coreness")).localCheckpoint()
+    var k = 1
+    var live = !adj.isEmpty
+    while (k <= kMax && live) {
+      var prev = adj.count()
+      var it = 1
+      var converged = false
+      while (it <= rounds && !converged) {
+        val keep = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("node"))
+        adj = adj
+          .join(keep.select(col("node").as("src")), Seq("src"))
+          .join(keep.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint()
+        val n = adj.count()
+        if (n == prev) converged = true
+        prev = n
+        it += 1
+      }
+      val survivors = adj.select(col("src").as("node")).distinct()
+        .withColumn("k", lit(k.toLong))
+      result = result.join(survivors, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("k"), col("coreness")).as("coreness"))
+        .localCheckpoint()
+      live = prev > 0
+      k += 1
+    }
+    result
+  }
+
   /** Per-edge triangle support over a canonical (src < dst, distinct)
     * edge list: the [[localClustering]] enumeration keeping all three
     * corners, exploded to the triangle's three canonical edges and
@@ -2156,6 +2220,64 @@ object Graphs {
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
 
+  /** SALSA hubs and authorities (d181, Lempel & Moran 2001) — the
+    * random-walk cousin of [[hits]], completing the link-analysis
+    * quartet (PageRank / personalized PR / HITS / SALSA): where HITS
+    * sums raw neighbor scores (so one mega-hub dominates every
+    * authority it touches — the TKC effect SALSA was published to
+    * fix), SALSA splits each node's mass EVENLY over its links before
+    * summing: a(n) = Σ_{m→n} h(m)/outdeg(m), h(n) = Σ_{n→m}
+    * a(m)/indeg(m) — the stationary walk on the bipartite hub/
+    * authority chain, which weights authorities toward in-degree
+    * instead of toward the strongest single endorser.
+    *
+    * Semantics (bit-exact in any engine, the d128 discipline):
+    * h_0(n) = Scale; per iteration the two mass-splitting sums with
+    * the per-edge contribution floored ONCE — h div outdeg, a div
+    * indeg — pure long arithmetic, a deterministic truncation of at
+    * most 1e-6 per link per round; no float normalization anywhere
+    * (the walk conserves mass up to the documented truncation, so no
+    * rescale is needed — scores stay in [0, N·Scale]). Out: (node,
+    * hub, authority), exact longs; dst-only nodes keep hub 0,
+    * src-only nodes authority 0.
+    *
+    * Scale: the d145 plan — per iteration two edge-keyed equi-joins
+    * with degree attaches and two node-keyed partial-aggregated sums;
+    * `checkpointEvery` as in d128. Overflow: sums bounded by total
+    * mass N·Scale ≈ 1e15 at N = 1e9 — inside Long with headroom at
+    * any iteration count (mass never grows). */
+  def salsa(edges: DataFrame, iterations: Int = 2,
+            checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val e0 = edges.toDF("src", "dst").distinct()
+    val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hubs = nodes.select(col("node"), lit(Scale).as("h"))
+    var auths = nodes.select(col("node"), lit(0L).as("a"))
+    for (it <- 1 to iterations) {
+      val araw = e.join(outdeg, Seq("src"))
+        .join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("h div od")).as("a"))
+      auths = nodes.join(araw, Seq("node"), "left").na.fill(0L, Seq("a"))
+      val hraw = e.join(indeg, Seq("dst"))
+        .join(auths.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(expr("a div ind")).as("h"))
+      hubs = nodes.join(hraw, Seq("node"), "left").na.fill(0L, Seq("h"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations) {
+        hubs = hubs.localCheckpoint()
+        auths = auths.localCheckpoint()
+      }
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** The d145 oracle: the identical iteration unrolled as chained CTEs
     * over the directed customer→supplier graph. */
   private def hitsSql(iterations: Int): String = {
@@ -2180,6 +2302,68 @@ object Graphs {
       steps + "\n" +
       s"SELECT h$iterations.node, h$iterations.h AS hub, a$iterations.a AS authority\n" +
       s"FROM h$iterations JOIN a$iterations USING (node)"
+  }
+
+  /** The d181 oracle: the identical SALSA mass-splitting iteration
+    * unrolled as chained CTEs over the directed customer→supplier
+    * graph (the d145 prologue; no normalization CTEs — the walk
+    * conserves mass). */
+  private def salsaSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"ar$i AS (SELECT e.dst AS node, CAST(sum(h.h // d.od) AS BIGINT) AS s\n" +
+        s"     FROM el e JOIN od d ON d.src = e.src\n" +
+        s"     JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),\n" +
+        s"a$i AS (SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS a\n" +
+        s"     FROM n LEFT JOIN ar$i r USING (node)),\n" +
+        s"hr$i AS (SELECT e.src AS node, CAST(sum(a.a // d.ind) AS BIGINT) AS s\n" +
+        s"     FROM el e JOIN ind d ON d.dst = e.dst\n" +
+        s"     JOIN a$i a ON a.node = e.dst GROUP BY 1),\n" +
+        s"h$i AS (SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS h\n" +
+        s"     FROM n LEFT JOIN hr$i r USING (node))"
+    }.mkString(",\n")
+    "WITH el AS MATERIALIZED (\n" +
+      "SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst\n" +
+      "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),\n" +
+      "od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM el GROUP BY 1),\n" +
+      "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM el GROUP BY 1),\n" +
+      "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM el UNION ALL SELECT dst FROM el)),\n" +
+      s"h0 AS (SELECT node, CAST($Scale AS BIGINT) AS h FROM n),\n" +
+      steps + "\n" +
+      s"SELECT h$iterations.node, h$iterations.h AS hub, a$iterations.a AS authority\n" +
+      s"FROM h$iterations JOIN a$iterations USING (node)"
+  }
+
+  /** The d180 oracle: the nested bounded peels unrolled as chained
+    * CTEs — per k the identical `rounds` kCore rounds starting from
+    * the previous k's final adjacency, coreness = the largest k whose
+    * final adjacency still holds the node. */
+  private def corenessSql(kMax: Int, rounds: Int): String = {
+    def adjName(k: Int, r: Int): String =
+      if (k == 1 && r == 0) "b0" else if (r == 0) s"a${k - 1}r$rounds"
+      else s"a${k}r$r"
+    // every adjacency CTE is MATERIALIZED: each is referenced three
+    // times by the next round (degree filter + two semi-joins), and an
+    // inlining engine would otherwise re-evaluate the chain per
+    // reference — 3^(kMax·rounds) blowup on a 24-deep unroll
+    val chains = (1 to kMax).flatMap { k =>
+      (1 to rounds).map { r =>
+        val p = adjName(k, r - 1)
+        s"k${k}r$r AS (SELECT u FROM $p GROUP BY u HAVING count(*) >= $k),\n" +
+          s"a${k}r$r AS MATERIALIZED (SELECT a.u, a.v FROM $p a " +
+          s"JOIN k${k}r$r x ON x.u = a.u JOIN k${k}r$r y ON y.u = a.v)"
+      }
+    }.mkString(",\n")
+    val surv = (1 to kMax)
+      .map(k => s"SELECT $k AS k, u FROM a${k}r$rounds")
+      .mkString(" UNION ALL ")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "b0 AS MATERIALIZED (\n" +
+      "  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),\n" +
+      chains + ",\n" +
+      s"surv AS (SELECT DISTINCT k, u FROM ($surv)),\n" +
+      "nodes AS (SELECT DISTINCT u AS node FROM b0)\n" +
+      "SELECT n.node, CAST(coalesce(max(s.k), 0) AS BIGINT) AS coreness\n" +
+      "FROM nodes n LEFT JOIN surv s ON s.u = n.node GROUP BY 1"
   }
 
   /** The shared d157/d158 walk corpus as a recursive CTE: the identical
@@ -3344,6 +3528,28 @@ object Graphs {
       (s, d) => betweennessCentrality(copurchaseFrame(s, d),
         nSources = 8, maxHops = 3),
       Some(betweennessSql(nSources = 8, maxHops = 3))),
+
+    // d180: core decomposition of the co-purchase graph — coreness to
+    // kMax 4 via nested 6-round peels; the oracle unrolls every peel.
+    Q("d180_coreness",
+      (s, d) => coreness(copurchaseFrame(s, d), kMax = 4, rounds = 6),
+      Some(corenessSql(kMax = 4, rounds = 6))),
+
+    // d181: 2-iteration SALSA on the directed customer→supplier graph
+    // — mass-splitting link analysis beside d145's raw-sum HITS; the
+    // oracle unrolls the identical truncating walk.
+    Q("d181_salsa",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+        val directed = o.join(l, Seq("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        salsa(directed, iterations = 2, checkpointEvery = 1)
+      },
+      Some(salsaSql(2))),
 
     // d176: exact harmonic centrality from 8 md5-sampled sources, BFS
     // to 3 hops — the hash-green adjudicator of hyperBallCloseness's

@@ -1155,6 +1155,47 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 1L, 1500000L, 1L)))
   }
 
+  test("coreness: K4 + pendant triangle + tail chain by hand; kMax caps") {
+    import spark.implicits._
+    // K4 on 1..4 (3-core), triangle (4,8,9) (2-core), chain 4-5-6 (1-core)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 8L), (4L, 9L), (8L, 9L), (4L, 5L), (5L, 6L))
+    val got = Graphs.coreness(edgesDf(es), kMax = 4, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      8L -> 2L, 9L -> 2L, 5L -> 1L, 6L -> 1L))
+    // kMax caps the answer, it doesn't change lower shells
+    val capped = Graphs.coreness(edgesDf(es), kMax = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == got.view.mapValues(v => math.min(v, 2L)).toMap)
+    // coreness at kMax=k agrees with the k-core membership operator
+    val core3 = Graphs.kCore(edgesDf(es), k = 3, rounds = 6)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(got.filter(_._2 >= 3L).keySet == core3)
+  }
+
+  test("salsa: hand-computed mass-splitting fixture — breadth beats the strong endorser") {
+    import spark.implicits._
+    // customers 1,2,3 -> supplier 11; customer 1 also -> supplier 12
+    val es = Seq((1L, 11L), (2L, 11L), (3L, 11L), (1L, 12L))
+    val got = Graphs.salsa(edgesDf(es), iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    // iter1: a(11) = 5e5 + 1e6 + 1e6; a(12) = 5e5
+    //        h(1) = a(11) div 3 + a(12) = 1333333; h(2) = h(3) = 833333
+    // iter2: a(11) = 666666 + 833333 + 833333 = 2333332; a(12) = 666666
+    //        h(1) = 777777 + 666666 = 1444443; h(2) = h(3) = 777777
+    assert(got(1L) == (1444443L, 0L))
+    assert(got(2L) == (777777L, 0L))
+    assert(got(3L) == (777777L, 0L))
+    assert(got(11L) == (0L, 2333332L))
+    assert(got(12L) == (0L, 666666L))
+    // duplicate input rows are collapsed, not double-counted
+    assert(Graphs.salsa(edgesDf(es ++ es), iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap == got)
+  }
+
   test("harmonicCentrality: seed sampling is the md5 order and hop-bounded") {
     import spark.implicits._
     // path 1-2-3-4-5; one source; maxHops 2 — exactly the md5-smallest
