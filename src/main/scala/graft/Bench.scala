@@ -410,6 +410,7 @@ object Bench {
         graft.ops.HashIndex.MemoizedQueries ++
         graft.ops.LineIndex.MemoizedQueries ++
         graft.ops.EdgeIndex.MemoizedQueries ++
+        graft.ops.TemporalEdgeIndex.MemoizedQueries ++
         graft.ops.GramIndex.MemoizedQueries ++
         graft.ops.PhraseIndex.MemoizedQueries ++
         graft.ops.SimHashIndex.MemoizedQueries ++

@@ -20,6 +20,7 @@ object SparkEntry {
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
       graft.ops.EdgeIndex.queries ++
+      graft.ops.TemporalEdgeIndex.queries ++
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++

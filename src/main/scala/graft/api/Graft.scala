@@ -776,6 +776,44 @@ object Graft {
       minSupport: Long = 2L): DataFrame =
     graft.ops.EdgeIndex.edgesUpTo(spark, dir, maxBatch, minSupport)
 
+  /** Persist a TEMPORAL co-purchase edge index: per-(pair, basket-date)
+    * witness counts — additive facts with the exponential decay applied
+    * at read time, so one index serves every anchor and half-life.
+    * Reads: basket_id, item_id, bday (DATE). */
+  def temporalEdgeIndexSave(baskets: DataFrame, dir: String): Unit =
+    graft.ops.TemporalEdgeIndex.save(baskets, dir)
+
+  /** Incrementally count additional dated baskets into a saved temporal
+    * edge index (batches must be basket-disjoint, as
+    * [[edgeIndexAppend]]). */
+  def temporalEdgeIndexAppend(baskets: DataFrame, dir: String,
+      checkDisjoint: Boolean = false): Unit =
+    graft.ops.TemporalEdgeIndex.append(baskets, dir, checkDisjoint)
+
+  /** Continuously count a streaming (basket_id, item_id, bday) frame
+    * into the temporal edge index — the [[edgeIndexIngest]] contract
+    * (complete baskets per micro-batch, straddles fail loudly). */
+  def temporalEdgeIndexIngest(baskets: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.TemporalEdgeIndex.ingest(baskets, dir, checkpoint)
+
+  /** Compact a fragmented temporal edge index (per-key count merge into
+    * a fresh generation; decay is read-time, so merging loses nothing
+    * at any future anchor). */
+  def temporalEdgeIndexCompactTo(spark: SparkSession, src: String,
+      dst: String): Unit =
+    graft.ops.TemporalEdgeIndex.compactTo(spark, src, dst)
+
+  /** The decayed edge set served from a temporal edge index, relative
+    * to the 1-row `anchor` date frame (the caller's "now") — equals
+    * [[decayedCopurchase]] on the indexed corpus at the same anchor.
+    * Out: (src, dst, weight_ppm). */
+  def temporalEdgeIndexEdges(spark: SparkSession, dir: String,
+      anchor: DataFrame, halflifeDays: Int = 180, maxShift: Int = 30,
+      minWeightPpm: Long = 1000000L): DataFrame =
+    graft.ops.TemporalEdgeIndex.decayedEdgesOf(spark, dir, anchor,
+      halflifeDays, maxShift, minWeightPpm)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).

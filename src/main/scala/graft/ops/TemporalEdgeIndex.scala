@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Persisted TEMPORAL co-occurrence edge index — the incremental
+  * serving form of d174's decayed co-purchase graph (the twelfth
+  * [[IndexCommit]] family), the way [[EdgeIndex]] serves d127's flat
+  * one. The key design point: exponential decay depends on the
+  * query-time anchor ("now"), so decayed weights are NOT additive
+  * facts — but per-(pair, basket-date) witness COUNTS are. The index
+  * therefore persists (src, dst, bday, n) — n baskets dated `bday`
+  * witnessing the pair in this batch — and applies the decay AT READ
+  * TIME against a caller-supplied anchor: weight_ppm(src, dst) =
+  * Σ_rows n · (1e6 div 2^shift(anchor, bday)). Counts sum across
+  * basket-disjoint batches exactly like EdgeIndex's flat weights, so
+  * appends stay incremental, compaction stays a semantic merge, and
+  * ONE index serves every anchor and half-life — yesterday's
+  * "trending" and today's differ only in the anchor frame.
+  *
+  * Row-count envelope: at most one fact row per (pair, date) per
+  * batch — bounded by the pair-witness count EdgeIndex already
+  * stores (each witnessing basket has one date), so the temporal
+  * refinement costs at most the date column, never a blowup.
+  *
+  * On-disk layout (parquet):
+  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, bday DATE, n BIGINT)
+  *   <dir>/basketids/ingest_batch=B/ (basket_id)
+  * Disjointness, the per-batch runaway-basket cap, the streaming
+  * straddle guard, and the crash-safe marker protocol are all
+  * [[EdgeIndex]]'s, restated over the 3-column basket input
+  * (basket_id, item_id, bday). The d182 gate proves the split-ingest
+  * round trip reproduces [[Graphs.decayedCopurchase]] on the same
+  * corpus under d174's oracle VERBATIM; d183 proves a consumer
+  * ([[Graphs.trendingRelated]]) fed from the index under d179's.
+  */
+object TemporalEdgeIndex extends PersistedIndex {
+
+  /** [[EdgeIndex.MaxBasketItems]] — fixed at write time so every
+    * batch is gated identically. */
+  val MaxBasketItems: Int = EdgeIndex.MaxBasketItems
+
+  protected def batchTables: Seq[BatchTable] = Seq(
+    BatchTable(IndexCommit.TableSpec("pairfacts"), (docs, _, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = docs.toDF("basket_id", "item_id", "bday")
+      // one date per basket — duplicates collapse to the NEWEST claim
+      // (max bday = smallest shift), the decayedCopurchase convention
+      val days = b.groupBy(col("basket_id")).agg(max(col("bday")).as("bday"))
+      val bi0 = b.select(col("basket_id"), col("item_id")).distinct()
+      val bi = bi0
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("basket_id"))))
+        .where(col("__n") <= MaxBasketItems)
+        .select(col("basket_id"), col("item_id"))
+      // the date attaches PRE-fan-out (the decayedCopurchase shift
+      // discipline): one basket-keyed join on the distinct-items frame,
+      // not on the quadratic pair stream
+      val a = bi.toDF("basket_id", "src").join(days, Seq("basket_id"))
+      val c = bi.toDF("basket_id", "dst")
+      a.join(c, Seq("basket_id"))
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst"), col("bday"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    BatchTable(IndexCommit.TableSpec("basketids"), (docs, _, _) =>
+      docs.toDF("basket_id", "item_id", "bday")
+        .select(col("basket_id")).distinct()))
+
+  override protected def disjointIdCol: Option[String] = Some("basket_id")
+  override protected def disjointTable: String = "basketids"
+
+  /** [[EdgeIndex.ingestGuard]]'s straddle probe over the 3-column
+    * basket input: a micro-batch boundary splitting a basket would
+    * silently miss cross-fragment pairs — fail the stream instead. */
+  override protected def ingestGuard(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ids = new org.apache.hadoop.fs.Path(s"$dir/basketids")
+    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ids)) return // first batch of a fresh index
+    val prior = spark.read.parquet(s"$dir/basketids")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col("basket_id"))
+    val overlap = batch.toDF("basket_id", "item_id", "bday")
+      .select(col("basket_id")).distinct()
+      .join(prior, Seq("basket_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      "temporal-edge-index ingest: micro-batch contains basket_id values " +
+        "already indexed by an EARLIER batch — the micro-batch boundary " +
+        "split a basket. Deliver complete baskets per micro-batch.")
+  }
+
+  /** The decayed edge set across all indexed batches, relative to the
+    * 1-row `anchor` frame (one DATE column — the caller's "now";
+    * broadcast, never collected): (src, dst, weight_ppm) with
+    * src < dst, weight_ppm = Σ n · (1e6 div 2^shift), shift =
+    * least(datediff(anchor, bday) div halflifeDays, maxShift) clamped
+    * to [0, 62], pruned to minWeightPpm. When the indexed batches
+    * partition the corpus and the anchor matches, this EQUALS
+    * [[Graphs.decayedCopurchase]] over [[Graphs]]' orderShifts — the
+    * d182 gate. Serving cost: one pair-keyed sum over INDEX rows
+    * (≤ one per pair per date per batch), never the raw corpus. */
+  def decayedEdgesOf(spark: SparkSession, dir: String, anchor: DataFrame,
+      halflifeDays: Int = 180, maxShift: Int = 30,
+      minWeightPpm: Long = 1000000L): DataFrame = {
+    require(halflifeDays >= 1, "need halflifeDays >= 1")
+    require(maxShift >= 0, "need maxShift >= 0")
+    IndexCommit.requireCommitted(spark, dir, "decayedEdgesOf")
+    val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
+      s" $maxShift), 0), 62)"
+    spark.read.parquet(s"$dir/pairfacts")
+      .crossJoin(broadcast(anchor.toDF("mx")))
+      .select(col("src"), col("dst"),
+        (col("n") *
+          expr(s"1000000 div shiftleft(cast(1 as bigint), $shift)")).as("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("weight_ppm"))
+      .where(col("weight_ppm") >= minWeightPpm)
+  }
+
+  /** Compaction is a semantic MERGE (the [[EdgeIndex]] precedent): the
+    * per-batch (src, dst, bday) counts SUM into one row per key —
+    * addition is associative, and the decay is read-time, so merging
+    * loses nothing at any future anchor. basketids restamp unchanged. */
+  override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
+    compactGuarded(spark, src, dst) {
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/pairfacts")
+            .groupBy(col("src"), col("dst"), col("bday"))
+            .agg(sum(col("n")).cast("long").as("n")), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/pairfacts")
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketids")
+    }
+
+  // ---- driver binding --------------------------------------------------
+
+  /** Per-(session, sfDir) saved index over the dated lineitem basket
+    * frame, built incrementally (save even orderkeys, append odd with
+    * checkDisjoint — the EdgeIndex split-ingest discipline). */
+  private val dirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def savedDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = dirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tedgeidx-q").toString
+      val baskets = lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
+        .join(orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("bday")), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("basket_id"),
+          col("l_partkey").as("item_id"), col("bday"))
+      save(baskets.where(col("basket_id") % 2 === 0), dir)
+      append(baskets.where(col("basket_id") % 2 === 1), dir,
+        checkDisjoint = true)
+      val prev = dirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "temporal-edgeindex-dirs") { () =>
+          val it = dirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) {
+              Corpus.deleteRecursively(e.getValue); it.remove()
+            }
+          }
+        }
+        dir
+      }
+    }
+  }
+
+  /** The d174 anchor — max order date over the WHOLE orders table
+    * (single-item and capped baskets included: the anchor is a corpus
+    * property, not an index one), as a 1-row broadcastable frame. */
+  private def anchorOf(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(max(col("o_orderdate").cast("date")).as("mx"))
+
+  val MemoizedQueries: Set[String] =
+    Set("d182_decayed_indexed", "d183_trending_indexed")
+
+  def queries: Seq[Q] = Seq(
+    // d182: d174 served from the persisted temporal index — save the
+    // even-orderkey half, append the odd half, read with the corpus
+    // anchor; hash-gated by d174's oracle VERBATIM (the d160
+    // discipline for the TEMPORAL edge build: per-date additive facts
+    // + read-time decay reproduce the direct computation exactly).
+    Q("d182_decayed_indexed",
+      (s, d) => decayedEdgesOf(s, savedDir(s, d), anchorOf(s, d)),
+      Some(Graphs.decayedCopurchaseSql)),
+
+    // d183: a CONSUMER served from the temporal index — trending
+    // related items over the index-served decayed edges, hash-gated by
+    // d179's oracle VERBATIM (the d165 consumer-gate discipline).
+    Q("d183_trending_indexed",
+      (s, d) => Graphs.trendingRelated(
+        decayedEdgesOf(s, savedDir(s, d), anchorOf(s, d))),
+      Some(Graphs.trendingRelatedSql)))
+}

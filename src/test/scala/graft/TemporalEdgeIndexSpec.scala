@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Graphs, TemporalEdgeIndex}
+
+/** Serving-path coverage for the persisted TEMPORAL edge index (d182):
+  * a split save+append must reproduce the direct decayed build at the
+  * same anchor exactly — in particular the read-time decay must apply
+  * per (pair, date) fact BEFORE the cross-batch sum (a pair witnessed
+  * fresh in one batch and stale in another weighs the sum of the two
+  * decayed contributions), the ppm prune must follow the sum, and a
+  * LATER anchor must re-weight the same persisted facts without any
+  * rewrite — the property the per-date layout exists for. Lifecycle
+  * (commit marker, idempotent replays, disjointness, compaction
+  * refusals) is gated family-generically in [[PersistedIndexSpec]].
+  */
+class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Sessions.build("temporal-edge-index-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def baskets(rows: Seq[(Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("basket_id", "item_id", "bday")
+      .withColumn("bday", col("bday").cast("date"))
+  }
+
+  private def anchor(day: String): DataFrame = {
+    import spark.implicits._
+    Seq(day).toDF("mx").select(col("mx").cast("date"))
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("tedgeidx").toString
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    df.as[(Long, Long, Long)].collect().toSet
+  }
+
+  // two baskets of {1,2}: one fresh (anchor day), one a half-life old;
+  // one stale-only basket of {3,4}
+  private val all = Seq(
+    (2L, 1L, "2024-12-31"), (2L, 2L, "2024-12-31"),  // even: fresh
+    (1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),  // odd: 183 days old
+    (3L, 3L, "2024-07-01"), (3L, 4L, "2024-07-01"))  // odd: stale only
+
+  test("split save+append equals the direct decayed build at the same anchor") {
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(all.filter(_._1 % 2 == 0)), dir)
+    TemporalEdgeIndex.append(baskets(all.filter(_._1 % 2 == 1)), dir,
+      checkDisjoint = true)
+    val a = anchor("2024-12-31")
+    val served = edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+      minWeightPpm = 0L))
+    // direct: decayedCopurchase over the same shifts
+    val shifts = baskets(all).groupBy(col("basket_id"))
+      .agg(max(col("bday")).as("bday"))
+      .crossJoin(broadcast(a))
+      .select(col("basket_id"),
+        least(expr("datediff(mx, bday) div 180"), lit(30)).as("shift"))
+    val direct = edgeSet(Graphs.decayedCopurchase(
+      baskets(all).select(col("basket_id"), col("item_id")), shifts,
+      minWeightPpm = 0L))
+    assert(served == direct)
+    // hand arithmetic: (1,2) = 1e6 (fresh) + 5e5 (one half-life) —
+    // decay per fact BEFORE the cross-batch sum; (3,4) = 5e5
+    assert(served == Set((1L, 2L, 1500000L), (3L, 4L, 500000L)))
+    // the default 1e6 prune drops the stale-only pair AFTER the sum
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a)) ==
+      Set((1L, 2L, 1500000L)))
+  }
+
+  test("a later anchor re-weights the SAME persisted facts — no rewrite") {
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(all), dir)
+    // 183 days later everything aged one more half-life
+    val later = edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir,
+      anchor("2025-07-02"), minWeightPpm = 0L))
+    assert(later == Set((1L, 2L, 750000L), (3L, 4L, 250000L)))
+  }
+
+  test("compaction merges per-(pair, date) counts and serves identically") {
+    val dir = tmp(); val dst = tmp()
+    TemporalEdgeIndex.save(baskets(all.filter(_._1 % 2 == 0)), dir)
+    TemporalEdgeIndex.append(baskets(all.filter(_._1 % 2 == 1)), dir)
+    TemporalEdgeIndex.compactTo(spark, dir, dst)
+    val a = anchor("2024-12-31")
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dst, a,
+        minWeightPpm = 0L)) ==
+      edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+        minWeightPpm = 0L)))
+    // merged: one pairfacts row per (pair, date) across the generations
+    val rows = spark.read.parquet(s"$dst/pairfacts")
+      .groupBy(col("src"), col("dst"), col("bday")).count()
+      .where(col("count") > 1).count()
+    assert(rows == 0L)
+  }
+
+  test("streaming ingest fails loudly on a basket straddling micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(Seq((1L, 1L, "2024-01-01"),
+      (1L, 2L, "2024-01-01"))), dir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingest(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp())
+    try {
+      // basket 1 already indexed — the arriving fragment must kill the
+      // stream before it corrupts the per-date counts
+      mem.addData((1L, 3L, "2024-01-01"))
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("split a basket") ||
+        Option(err.getCause).exists(_.getMessage.contains("split a basket")))
+    } finally q.stop()
+    // and the index still serves its committed state
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir,
+        anchor("2024-01-01"), minWeightPpm = 0L)) ==
+      Set((1L, 2L, 1000000L)))
+  }
+}
