@@ -2812,6 +2812,13 @@ object Graphs {
       "FROM nodes n LEFT JOIN bc b USING (node)"
   }
 
+  /** The d177 oracle — [[weightedPrSql]] with the decayed build as its
+    * edge source. Shared VERBATIM with d184 ([[TemporalEdgeIndex]]'s
+    * index-served decayed PageRank — the d167 fixed-point consumer
+    * discipline applied to the temporal family). */
+  private[graft] val decayedPrSql: String = weightedPrSql(3,
+    s"SELECT src, dst, weight_ppm AS weight FROM ($decayedCopurchaseSql)")
+
   /** The d179 oracle: the decayed edge build fed through the d133
     * ranking shape (weight-ppm order, lower-rel_id ties, top 10). */
   private[graft] val trendingRelatedSql: String =
@@ -3510,8 +3517,7 @@ object Graphs {
         val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
         weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
       },
-      Some(weightedPrSql(3,
-        s"SELECT src, dst, weight_ppm AS weight FROM ($decayedCopurchaseSql)"))),
+      Some(decayedPrSql)),
 
     // d179: trending related items — per-item top-10 by decayed weight,
     // the recommendation consumer completing the temporal family

@@ -189,7 +189,8 @@ object TemporalEdgeIndex extends PersistedIndex {
     orders(s, d).agg(max(col("o_orderdate").cast("date")).as("mx"))
 
   val MemoizedQueries: Set[String] =
-    Set("d182_decayed_indexed", "d183_trending_indexed")
+    Set("d182_decayed_indexed", "d183_trending_indexed",
+      "d184_decayed_pagerank_indexed")
 
   def queries: Seq[Q] = Seq(
     // d182: d174 served from the persisted temporal index — save the
@@ -207,5 +208,19 @@ object TemporalEdgeIndex extends PersistedIndex {
     Q("d183_trending_indexed",
       (s, d) => Graphs.trendingRelated(
         decayedEdgesOf(s, savedDir(s, d), anchorOf(s, d))),
-      Some(Graphs.trendingRelatedSql)))
+      Some(Graphs.trendingRelatedSql)),
+
+    // d184: the FIXED-POINT consumer served from the temporal index —
+    // 3-iteration weighted PageRank over the index-served decayed edge
+    // set, hash-gated by d177's oracle VERBATIM (the d167 discipline).
+    // With d183 both consumer shapes the temporal family has are
+    // proven index-fed.
+    Q("d184_decayed_pagerank_indexed",
+      (s, d) => {
+        val p = decayedEdgesOf(s, savedDir(s, d), anchorOf(s, d))
+          .toDF("src", "dst", "weight").localCheckpoint()
+        val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
+        Graphs.weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
+      },
+      Some(Graphs.decayedPrSql)))
 }

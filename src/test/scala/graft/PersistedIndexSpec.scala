@@ -74,6 +74,12 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       inA = () => basketsA, inB = () => basketsB,
       normalize = df => df.groupBy(col("src"), col("dst"))
         .agg(sum(col("weight")).as("w"))
+        .collect().map(_.mkString("|")).toSet),
+    Fam("temporal_edge", TemporalEdgeIndex, "pairfacts",
+      inA = () => basketsA.withColumn("bday", lit("2024-01-01").cast("date")),
+      inB = () => basketsB.withColumn("bday", lit("2024-06-01").cast("date")),
+      normalize = df => df.groupBy(col("src"), col("dst"), col("bday"))
+        .agg(sum(col("n")).as("n"))
         .collect().map(_.mkString("|")).toSet))
 
   private def tmp(tag: String): String =

@@ -100,6 +100,32 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == 0L)
   }
 
+  test("streaming ingest equals the batch save at every anchor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingest(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp())
+    try {
+      mem.addData(all.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      mem.addData(all.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = tmp()
+    TemporalEdgeIndex.save(baskets(all), batch)
+    for (day <- Seq("2024-12-31", "2025-07-02")) {
+      assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir,
+          anchor(day), minWeightPpm = 0L)) ==
+        edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, batch,
+          anchor(day), minWeightPpm = 0L)), s"anchor $day")
+    }
+  }
+
   test("streaming ingest fails loudly on a basket straddling micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
