@@ -109,6 +109,13 @@ object TemporalEdgeIndex extends PersistedIndex {
     require(halflifeDays >= 1, "need halflifeDays >= 1")
     require(maxShift >= 0, "need maxShift >= 0")
     IndexCommit.requireCommitted(spark, dir, "decayedEdgesOf")
+    // the anchor attaches by cross join: a multi-row frame would
+    // silently MULTIPLY every fact (and an empty one erase them), so
+    // the 1-row contract is enforced, not assumed — the count is one
+    // action over a frame the caller built to be tiny
+    require(anchor.count() == 1L,
+      "decayedEdgesOf: the anchor frame must contain exactly one row " +
+        "(one DATE column — the query-time 'now')")
     val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
       s" $maxShift), 0), 62)"
     spark.read.parquet(s"$dir/pairfacts")

@@ -822,6 +822,65 @@ object ScaleSmoke {
           f"serve ${(System.nanoTime() - t2) / 1e9}%.2f s ($edges edges)")
       } finally graft.ops.Corpus.deleteRecursively(dir)
     }
+
+    // --- d176/d178 sampled-centrality probe: the published trade is
+    // state (and time) at most LINEAR in the source sample — (source,
+    // node) BFS keys bound the state at nSources·|V|, so doubling the
+    // sample must at worst double the cost, never square it (a
+    // shared-frontier bug would show superlinear growth here).
+    // Measured (2026-08, driver round 14) on a uniform 200k-edge /
+    // ~40k-node graph: sources 4/8/16 → betweenness 3.1/2.2/2.1 s,
+    // harmonic 1.6/1.5/1.5 s — FLAT at this scale (fixed per-hop join
+    // overhead dominates; the source multiplicity rides inside the
+    // same joins), comfortably inside the linear envelope.
+    {
+      val e = spark.range(200000).select(
+        pmod(xxhash64(col("id")), lit(40000L)).as("src"),
+        pmod(xxhash64(col("id") + 7), lit(40000L)).as("dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint()
+      Seq(4, 8, 16).foreach { s =>
+        val t0 = System.nanoTime()
+        val rows = graft.ops.Graphs
+          .betweennessCentrality(e, nSources = s, maxHops = 3).count()
+        val t1 = System.nanoTime()
+        val hrows = graft.ops.Graphs
+          .harmonicCentrality(e, nSources = s, maxHops = 3).count()
+        println(f"[scale] centrality sources=$s%3d betweenness " +
+          f"${(t1 - t0) / 1e9}%.2f s ($rows rows), harmonic " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s ($hrows rows)")
+      }
+    }
+
+    // --- d173 k-truss hub-safety probe: per-round support uses the
+    // degree-oriented once-per-triangle enumeration. The planted
+    // 50k-spoke hub is adjacent to EVERY base node, so it closes a
+    // triangle over every base edge (~200k triangles through one
+    // vertex) — the worst case for a naive common-neighbor self-join,
+    // which would fan deg² = 2.5e9 wedge rows at the hub. Orientation
+    // sends every hub edge INTO the hub (max degree), so the hub
+    // generates no wedges; its triangles are enumerated from their
+    // low-degree corners (the d129 argument, load-bearing inside an
+    // iterated prune). Measured (2026-08, driver round 14): uniform
+    // 1.9 s (666 survivors), with-hub 2.9 s (239,642 survivors — the
+    // hub legitimately trussifies nearly every edge) — +25% edges and
+    // +200k triangles for +50% time, nothing quadratic.
+    {
+      val base = spark.range(200000).select(
+        pmod(xxhash64(col("id")), lit(40000L)).as("src"),
+        pmod(xxhash64(col("id") + 7), lit(40000L)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val hub = spark.range(50000).select(
+        lit(9999999L).as("src"), col("id").as("dst"))
+      Seq(("uniform", base), ("with-hub", base.unionByName(hub))).foreach {
+        case (tag, g) =>
+          val e = g.localCheckpoint()
+          val nE = e.count()
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Graphs.kTruss(e, k = 3, rounds = 2).count()
+          println(f"[scale] ktruss $tag%-9s edges=$nE%8d survivors=$rows%8d " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,20 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, 2L, 1500000L)))
   }
 
+  test("a malformed anchor frame is refused, not silently multiplied") {
+    import spark.implicits._
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(all), dir)
+    val two = Seq("2024-12-31", "2025-01-01").toDF("mx")
+      .select(col("mx").cast("date"))
+    assertThrows[IllegalArgumentException] {
+      TemporalEdgeIndex.decayedEdgesOf(spark, dir, two)
+    }
+    assertThrows[IllegalArgumentException] {
+      TemporalEdgeIndex.decayedEdgesOf(spark, dir, two.limit(0))
+    }
+  }
+
   test("a later anchor re-weights the SAME persisted facts — no rewrite") {
     val dir = tmp()
     TemporalEdgeIndex.save(baskets(all), dir)
