@@ -626,6 +626,16 @@ object Graft {
   def trendingRelated(pairs: DataFrame, k: Int = 10): DataFrame =
     graft.ops.Graphs.trendingRelated(pairs, k)
 
+  /** Link prediction by the integer-exact resource-allocation index:
+    * per node, the top-k not-yet-connected 2-hop candidates scored by
+    * Σ 1e6 div deg(common neighbor), wedge centers over
+    * `maxCenterDegree` dropped before the quadratic fan-out. Out:
+    * (node, cand_id, n_common, score_ppm, rank). Reads: src, dst (any
+    * orientation convention). */
+  def linkPrediction(edges: DataFrame, k: Int = 10,
+                     maxCenterDegree: Int = 1024): DataFrame =
+    graft.ops.Graphs.linkPrediction(edges, k, maxCenterDegree)
+
   /** Fuzzy record linkage: per record, the best Levenshtein match
     * under `maxDist` among banded/capped block candidates. Out:
     * (rec_id, name, best_id, best_name, best_dist). Reads: first two

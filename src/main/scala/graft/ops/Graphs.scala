@@ -1494,6 +1494,67 @@ object Graphs {
       .where(col("rank") <= k)
   }
 
+  /** Link prediction by the resource-allocation index (d185, Zhou,
+    * Lü & Zhang 2009 — the integer-exact member of the common-
+    * neighbor family: Adamic–Adar with 1/deg in place of 1/log deg,
+    * consistently its equal-or-better in the published benchmarks):
+    * for every 2-hop pair (u, v) NOT already an edge, score_ppm =
+    * Σ over common neighbors w of 1e6 div deg(w) — "which items will
+    * be co-bought next", the complement of [[relatedItems]]' ranking
+    * of pairs that already co-occur. Out: (node, cand_id, n_common,
+    * score_ppm, rank 1..k) per node with at least one candidate; ties
+    * to the lower cand_id (the d133 convention).
+    *
+    * Scale: candidates are enumerated AT THE WEDGE CENTER (each
+    * common neighbor w contributes its neighbor pairs), which is
+    * Σ deg² — quadratic at hubs BY THE PROBLEM'S NATURE (a hub
+    * genuinely witnesses deg² candidate pairs). The published
+    * mitigation is principled truncation, applied here as the
+    * `maxCenterDegree` gate BEFORE the quadratic fan-out (the d127
+    * runaway-basket-cap discipline): centers above the cap are
+    * DROPPED, a documented bias that is also the scoring's own
+    * asymptote — a deg-10⁶ center contributes 1e6 div 1e6 = 1 ppm
+    * per pair, so high-degree centers are precisely the ones whose
+    * evidence the RA index already discounts to nothing. The top-k
+    * window partitions BY NODE (per-neighborhood sort, never
+    * global). Self-pairs cannot arise (a wedge's endpoints differ
+    * from its center and x < y excludes x = y); existing edges are
+    * removed by one canonical anti-join. */
+  def linkPrediction(edges: DataFrame, k: Int = 10,
+                     maxCenterDegree: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    require(maxCenterDegree >= 2, "a wedge center needs degree >= 2")
+    val e = normalizedUndirected(edges).localCheckpoint()
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    // the degree gate rides the same window-cap shape as the basket
+    // cap: one center-keyed exchange, applied before the self-join
+    val adj = sym
+      .withColumn("__d", count(lit(1)).over(Window.partitionBy(col("u"))))
+      .where(col("__d") <= maxCenterDegree)
+      .select(col("u"), col("v"), col("__d").as("d"))
+    val a = adj.toDF("w", "x", "d")
+    val b = adj.select(col("u").as("w"), col("v").as("y"))
+    val scored = a.join(b, Seq("w"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("src"), col("y").as("dst"),
+        expr("1000000 div d").as("contrib"))
+      .join(e, Seq("src", "dst"), "left_anti")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_common"), sum(col("contrib")).as("score_ppm"))
+      .localCheckpoint() // consumed by both directions of the union
+    val bidir = scored.select(col("src").as("node"), col("dst").as("cand_id"),
+        col("n_common"), col("score_ppm"))
+      .union(scored.select(col("dst"), col("src"),
+        col("n_common"), col("score_ppm")))
+    bidir
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("score_ppm").desc, col("cand_id"))).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
   /** Multi-source BFS hop distance (d135): minimum number of edges from
     * any source node, bounded to `maxHops` — reachability tiers
     * ("how close is every item to the catalog's anchor set"),
@@ -2819,6 +2880,34 @@ object Graphs {
   private[graft] val decayedPrSql: String = weightedPrSql(3,
     s"SELECT src, dst, weight_ppm AS weight FROM ($decayedCopurchaseSql)")
 
+  /** The d185 oracle: wedge-center candidate enumeration under the
+    * same degree gate, RA contributions in floor-division ppm,
+    * existing edges anti-joined, the d133 ranking shape. */
+  private def linkPredictionSql(k: Int, maxCenterDegree: Int): String =
+    s"""WITH e AS MATERIALIZED ($copurchaseSql),
+       |ec AS (SELECT src, dst FROM e),
+       |sym AS (SELECT src AS u, dst AS v FROM ec UNION ALL SELECT dst, src FROM ec),
+       |adj AS MATERIALIZED (SELECT u, v, d FROM (
+       |  SELECT u, v, count(*) OVER (PARTITION BY u) AS d FROM sym)
+       |  WHERE d <= $maxCenterDegree),
+       |sc AS (
+       |  SELECT a.x AS src, b.y AS dst, CAST(count(*) AS BIGINT) AS n_common,
+       |         CAST(sum(1000000 // a.d) AS BIGINT) AS score_ppm
+       |  FROM (SELECT u AS w, v AS x, d FROM adj) a
+       |  JOIN (SELECT u AS w, v AS y FROM adj) b USING (w)
+       |  WHERE a.x < b.y
+       |    AND NOT EXISTS (SELECT 1 FROM ec WHERE ec.src = a.x AND ec.dst = b.y)
+       |  GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT src AS node, dst AS cand_id, n_common, score_ppm FROM sc
+       |  UNION ALL SELECT dst, src, n_common, score_ppm FROM sc),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY node ORDER BY score_ppm DESC, cand_id) AS BIGINT) AS rank
+       |  FROM bidir)
+       |SELECT node, cand_id, n_common, score_ppm, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** The d179 oracle: the decayed edge build fed through the d133
     * ranking shape (weight-ppm order, lower-rel_id ties, top 10). */
   private[graft] val trendingRelatedSql: String =
@@ -3534,6 +3623,14 @@ object Graphs {
       (s, d) => betweennessCentrality(copurchaseFrame(s, d),
         nSources = 8, maxHops = 3),
       Some(betweennessSql(nSources = 8, maxHops = 3))),
+
+    // d185: resource-allocation link prediction on the co-purchase
+    // graph — top-10 not-yet-connected 2-hop pairs per node, scored by
+    // integer RA ppm under the wedge-center degree gate; the oracle
+    // replays the identical enumeration, gate, and ranking.
+    Q("d185_link_prediction",
+      (s, d) => linkPrediction(copurchaseFrame(s, d)),
+      Some(linkPredictionSql(k = 10, maxCenterDegree = 1024))),
 
     // d180: core decomposition of the co-purchase graph — coreness to
     // kMax 4 via nested 6-round peels; the oracle unrolls every peel.

@@ -1196,6 +1196,32 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (n, h, a) => n -> ((h, a)) }.toMap == got)
   }
 
+  test("linkPrediction: RA scores by hand; existing edges excluded; center cap gates") {
+    import spark.implicits._
+    // 4-cycle 1-2-4, 1-3-4: candidates are the two diagonals, each
+    // witnessed by two degree-2 centers -> score 1e6, n_common 2
+    val c4 = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graphs.linkPrediction(edgesDf(c4))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (2L, 3L, 2L, 1000000L, 1L), (3L, 2L, 2L, 1000000L, 1L),
+      (1L, 4L, 2L, 1000000L, 1L), (4L, 1L, 2L, 1000000L, 1L)))
+    // close one diagonal: it leaves the candidates, the other stays
+    val closed = Graphs.linkPrediction(edgesDf(c4 :+ (1L, 4L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(!closed.exists(r => Set(r._1, r._2) == Set(1L, 4L)))
+    assert(closed.exists(r => Set(r._1, r._2) == Set(2L, 3L)))
+    // hub above the cap contributes no candidates (hub center dropped
+    // BEFORE fan-out); leaf pairs through the small center survive
+    val star = (1L to 5L).map(l => (100L, l)) ++ Seq((1L, 2L), (2L, 3L))
+    val capped = Graphs.linkPrediction(edgesDf(star), maxCenterDegree = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // center 100 (deg 5) is gated; center 2 (deg 3) witnesses (1,3):
+    // score = 1e6 div 3 = 333333
+    assert(capped.map(r => (r._1, r._2, r._4)) ==
+      Set((1L, 3L, 333333L), (3L, 1L, 333333L)))
+  }
+
   test("harmonicCentrality: seed sampling is the md5 order and hop-bounded") {
     import spark.implicits._
     // path 1-2-3-4-5; one source; maxHops 2 — exactly the md5-smallest
