@@ -85,25 +85,9 @@ object EdgeIndex extends PersistedIndex {
     * batch-sized semi-join against the narrow basketids table per
     * micro-batch — the same scan append's checkDisjoint pays. */
   override protected def ingestGuard(batch: DataFrame, dir: String,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val ids = new org.apache.hadoop.fs.Path(s"$dir/basketids")
-    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ids)) return // first batch of a fresh index
-    val prior = spark.read.parquet(s"$dir/basketids")
-      .where(col(IndexCommit.BatchCol) =!= batchId)
-      .select(col("basket_id"))
-    val overlap = batch.toDF("basket_id", "item_id")
-      .select(col("basket_id")).distinct()
-      .join(prior, Seq("basket_id"), "left_semi")
-      .limit(1).count()
-    require(overlap == 0L,
-      "edge-index ingest: micro-batch contains basket_id values already " +
-        "indexed by an EARLIER batch — the micro-batch boundary split a " +
-        "basket (its cross-fragment pairs would be missed and duplicate " +
-        "rows double-counted). Deliver complete baskets per micro-batch: " +
-        "sessionize/buffer upstream so a basket's rows arrive together.")
-  }
+      batchId: Long): Unit =
+    requireNoStraddle(batch.toDF("basket_id", "item_id")
+      .select(col("basket_id")), dir, batchId, "basket")
 
   /** The full co-purchase edge set across all indexed batches —
     * (src, dst, weight) with src < dst, weight = #distinct baskets

@@ -512,13 +512,7 @@ object Graphs {
     val e = edges.toDF("src", "dst").distinct()
     val sym0 = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
     val sym = if (checkpointEvery > 0) sym0.localCheckpoint() else sym0
-    val nodes = sym.select(col("u").as("node")).distinct()
-    var lbls = init match {
-      case Some(w) => nodes
-        .join(w.toDF("node", "label0"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("label0"), col("node")).as("label"))
-      case None => nodes.select(col("node"), col("node").as("label"))
-    }
+    var lbls = lpaInit(sym, init)
     for (it <- 1 to iterations) {
       lbls = lpaSweep(sym, lbls)
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iterations)
@@ -526,6 +520,25 @@ object Graphs {
     }
     val sizes = lbls.groupBy(col("label")).agg(count(lit(1)).as("label_size"))
     lbls.join(sizes, Seq("label")).select(col("node"), col("label"), col("label_size"))
+  }
+
+  /** The shared warm/cold starting labels over `sym`'s node universe:
+    * init rows for foreign nodes are ignored, absent nodes become
+    * their own singleton, and DUPLICATE init rows for one node
+    * collapse to the smallest label (the decayedCopurchase dedup
+    * discipline — a left join against a dup-keyed frame would
+    * otherwise fan the node into multiple label rows and every
+    * neighbor would count its vote once per duplicate, silently). */
+  private def lpaInit(sym: DataFrame, init: Option[DataFrame]): DataFrame = {
+    val nodes = sym.select(col("u").as("node")).distinct()
+    init match {
+      case Some(w) => nodes
+        .join(w.toDF("node", "label0")
+            .groupBy(col("node")).agg(min(col("label0")).as("label0")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("label0"), col("node")).as("label"))
+      case None => nodes.select(col("node"), col("node").as("label"))
+    }
   }
 
   /** One synchronous LPA sweep: every node takes the (count desc, label
@@ -559,13 +572,7 @@ object Graphs {
     val e = edges.toDF("src", "dst").distinct()
     val sym = e.union(e.select(col("dst"), col("src"))).toDF("u", "v")
       .localCheckpoint()
-    val nodes = sym.select(col("u").as("node")).distinct()
-    var lbls = (init match {
-      case Some(w) => nodes
-        .join(w.toDF("node", "label0"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("label0"), col("node")).as("label"))
-      case None => nodes.select(col("node"), col("node").as("label"))
-    }).localCheckpoint()
+    var lbls = lpaInit(sym, init).localCheckpoint()
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -615,22 +622,7 @@ object Graphs {
 
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = normalizedUndirected(edges)
-    val sym = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // orient: (deg, id)-lexicographic low -> high; carry the high end's
-    // order key so the wedge join can order its two far endpoints
-    val ed = e
-      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
-      .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
-    // both order keys share one field shape (d, n) so the when() branches
-    // and the xk < yk comparison are type-identical
-    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
-    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
-    val oriented = ed.select(
-      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
-      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
-      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
+    val (deg, oriented) = degreeOriented(e)
     // wedges at the low vertex: unordered far-endpoint pairs via the
     // (degree, id) order, closed against the undirected edge set keyed
     // by (min, max) id — the closing edge's stored orientation
@@ -642,6 +634,32 @@ object Graphs {
     val nNodes = deg.select(count(lit(1)).as("n_nodes"))
     val nEdges = e.select(count(lit(1)).as("n_edges"))
     broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+  }
+
+  /** Degree-lexicographic orientation of a canonical edge list — the
+    * shared core of the triangle family's hub-safe enumeration
+    * (triangleStats / localClustering / kTruss's edgeSupport): every
+    * edge oriented from its lower (degree, id) endpoint, carrying the
+    * high end's order key, so wedges enumerate at LOW vertices only
+    * and the oriented out-degree is O(√m) — a celebrity node's edges
+    * all orient inward and it produces no wedges at itself. Both
+    * order keys share one field shape (d, n) so the when() branches
+    * and downstream xk < yk comparisons are type-identical. Returns
+    * (symmetrized degree frame, oriented (a, b, bk) frame). */
+  private def degreeOriented(e: DataFrame): (DataFrame, DataFrame) = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
+    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
+    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
+    val oriented = ed.select(
+      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
+      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
+      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
+    (deg, oriented)
   }
 
   /** Per-node triangle participation and local clustering coefficient
@@ -666,18 +684,7 @@ object Graphs {
     * partial-aggregated count — nothing new shuffles at corpus width. */
   def localClustering(edges: DataFrame): DataFrame = {
     val e = normalizedUndirected(edges)
-    val sym = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val ed = e
-      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
-      .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
-    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
-    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
-    val oriented = ed.select(
-      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
-      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
-      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
+    val (deg, oriented) = degreeOriented(e)
     val w1 = oriented.select(col("a"), col("b").as("x"), col("bk").as("xk"))
     val w2 = oriented.select(col("a"), col("b").as("y"), col("bk").as("yk"))
     // keep the wedge center through the close so every triangle knows
@@ -1367,12 +1374,19 @@ object Graphs {
     * spaces disambiguated by even/odd node ids (cust → 2k, supp → 2k+1)
     * — the d128 input. */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val directed = tradeDirected(s, d)
+    directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The DIRECTED customer→supplier half of [[tradeEdges]] — the d145/
+    * d181 input (HITS/SALSA read direction; the even/odd node-id
+    * encoding lives HERE and only here). */
+  private def tradeDirected(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
-    val directed = o.join(l, Seq("o_orderkey"))
+    o.join(l, Seq("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** The d127 oracle — replays [[copurchaseEdges]] INCLUDING the
@@ -2115,10 +2129,10 @@ object Graphs {
     require(k >= 3, "a truss needs k >= 3 (k-2 >= 1 triangle witnesses)")
     require(rounds >= 1, "need rounds >= 1")
     var e = normalizedUndirected(edges).localCheckpoint()
-    var out = e.select(col("src"), col("dst"), lit(0L).as("support"))
-    for (_ <- 1 to rounds) {
-      out = edgeSupport(e).where(col("support") >= k - 2).localCheckpoint()
+    var out = edgeSupport(e).where(col("support") >= k - 2).localCheckpoint()
+    for (_ <- 2 to rounds) {
       e = out.select(col("src"), col("dst"))
+      out = edgeSupport(e).where(col("support") >= k - 2).localCheckpoint()
     }
     out
   }
@@ -2192,18 +2206,7 @@ object Graphs {
     * corners, exploded to the triangle's three canonical edges and
     * counted edge-keyed. Edges in no triangle are absent (support 0). */
   private def edgeSupport(e: DataFrame): DataFrame = {
-    val sym = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val ed = e
-      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
-      .join(deg.select(col("u").as("dst"), col("d").as("dd")), Seq("dst"))
-    val srcKey = struct(col("ds").as("d"), col("src").as("n"))
-    val dstKey = struct(col("dd").as("d"), col("dst").as("n"))
-    val oriented = ed.select(
-      when(srcKey < dstKey, col("src")).otherwise(col("dst")).as("a"),
-      when(srcKey < dstKey, col("dst")).otherwise(col("src")).as("b"),
-      when(srcKey < dstKey, dstKey).otherwise(srcKey).as("bk"))
+    val (_, oriented) = degreeOriented(e)
     val w1 = oriented.select(col("a"), col("b").as("x"), col("bk").as("xk"))
     val w2 = oriented.select(col("a"), col("b").as("y"), col("bk").as("yk"))
     val closed = w1.join(w2, Seq("a")).where(col("xk") < col("yk"))
@@ -2961,16 +2964,7 @@ object Graphs {
     // — integer normalization, exact longs; the oracle unrolls the
     // identical iterations.
     Q("d145_hits",
-      (s, d) => {
-        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        val l = lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
-        val directed = o.join(l, Seq("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        hits(directed, iterations = 2, checkpointEvery = 1)
-      },
+      (s, d) => hits(tradeDirected(s, d), iterations = 2, checkpointEvery = 1),
       Some(hitsSql(2))),
 
     // d144: 6-round 3-core peel of the co-purchase graph — exact
@@ -3642,16 +3636,7 @@ object Graphs {
     // — mass-splitting link analysis beside d145's raw-sum HITS; the
     // oracle unrolls the identical truncating walk.
     Q("d181_salsa",
-      (s, d) => {
-        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        val l = lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
-        val directed = o.join(l, Seq("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        salsa(directed, iterations = 2, checkpointEvery = 1)
-      },
+      (s, d) => salsa(tradeDirected(s, d), iterations = 2, checkpointEvery = 1),
       Some(salsaSql(2))),
 
     // d176: exact harmonic centrality from 8 md5-sampled sources, BFS

@@ -105,6 +105,39 @@ trait PersistedIndex {
     * checkpoint replays the same batch id through the guard again). */
   protected def ingestGuard(batch: DataFrame, dir: String, batchId: Long): Unit = ()
 
+  /** Shared straddle probe for group-keyed families (the edge
+    * families' baskets): micro-batch boundaries are TIME-sliced and
+    * can split one group's rows across batches — facts computed
+    * within a batch would then silently miss the cross-fragment part.
+    * Probes the arriving batch's `ids` (one column, named
+    * [[disjointIdCol]]) against the already-indexed [[disjointTable]];
+    * rows of the SAME batch id are excluded (a replayed micro-batch
+    * legitimately re-sees its own ids — dynamic overwrite replaces its
+    * partitions idempotently). Cost: one batch-sized semi-join against
+    * the narrow id table — the same scan append's checkDisjoint pays.
+    * `what` names the split unit in the error ("basket"). */
+  protected final def requireNoStraddle(ids: DataFrame, dir: String,
+      batchId: Long, what: String): Unit = {
+    val spark = ids.sparkSession
+    val idCol = disjointIdCol.getOrElse(
+      throw new IllegalStateException("requireNoStraddle needs disjointIdCol"))
+    val table = new org.apache.hadoop.fs.Path(s"$dir/$disjointTable")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) return // first batch of a fresh index
+    val prior = spark.read.parquet(s"$dir/$disjointTable")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col(idCol))
+    val overlap = ids.toDF(idCol).distinct()
+      .join(prior, Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"ingest: micro-batch contains $idCol values already indexed by an " +
+        s"EARLIER batch — the micro-batch boundary split a $what (its " +
+        s"cross-fragment facts would be missed and duplicate rows " +
+        s"double-counted). Deliver complete ${what}s per micro-batch: " +
+        s"sessionize/buffer upstream so a $what's rows arrive together.")
+  }
+
   /** One write batch under the [[IndexCommit]] protocol. */
   private[graft] def writeBatch(docs: DataFrame, dir: String, batchId: Long,
       overwriteAll: Boolean): Unit = {

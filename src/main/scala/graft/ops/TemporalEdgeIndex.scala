@@ -71,27 +71,14 @@ object TemporalEdgeIndex extends PersistedIndex {
   override protected def disjointIdCol: Option[String] = Some("basket_id")
   override protected def disjointTable: String = "basketids"
 
-  /** [[EdgeIndex.ingestGuard]]'s straddle probe over the 3-column
-    * basket input: a micro-batch boundary splitting a basket would
-    * silently miss cross-fragment pairs — fail the stream instead. */
+  /** [[EdgeIndex]]'s straddle probe (the shared
+    * [[PersistedIndex.requireNoStraddle]]) over the 3-column basket
+    * input: a micro-batch boundary splitting a basket would silently
+    * miss cross-fragment pairs — fail the stream instead. */
   override protected def ingestGuard(batch: DataFrame, dir: String,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val ids = new org.apache.hadoop.fs.Path(s"$dir/basketids")
-    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ids)) return // first batch of a fresh index
-    val prior = spark.read.parquet(s"$dir/basketids")
-      .where(col(IndexCommit.BatchCol) =!= batchId)
-      .select(col("basket_id"))
-    val overlap = batch.toDF("basket_id", "item_id", "bday")
-      .select(col("basket_id")).distinct()
-      .join(prior, Seq("basket_id"), "left_semi")
-      .limit(1).count()
-    require(overlap == 0L,
-      "temporal-edge-index ingest: micro-batch contains basket_id values " +
-        "already indexed by an EARLIER batch — the micro-batch boundary " +
-        "split a basket. Deliver complete baskets per micro-batch.")
-  }
+      batchId: Long): Unit =
+    requireNoStraddle(batch.toDF("basket_id", "item_id", "bday")
+      .select(col("basket_id")), dir, batchId, "basket")
 
   /** The decayed edge set across all indexed batches, relative to the
     * 1-row `anchor` frame (one DATE column — the caller's "now";
@@ -111,15 +98,20 @@ object TemporalEdgeIndex extends PersistedIndex {
     IndexCommit.requireCommitted(spark, dir, "decayedEdgesOf")
     // the anchor attaches by cross join: a multi-row frame would
     // silently MULTIPLY every fact (and an empty one erase them), so
-    // the 1-row contract is enforced, not assumed — the count is one
-    // action over a frame the caller built to be tiny
-    require(anchor.count() == 1L,
+    // the 1-row contract is enforced, not assumed. The frame is
+    // PINNED first (localCheckpoint — one evaluation of the caller's
+    // plan) so the row the check validated IS the row the join
+    // broadcasts: an anchor derived from live data could otherwise
+    // pass the count and then re-aggregate to a different "now", and
+    // even the benign case would pay the caller's aggregation twice.
+    val mx = anchor.toDF("mx").localCheckpoint()
+    require(mx.count() == 1L,
       "decayedEdgesOf: the anchor frame must contain exactly one row " +
         "(one DATE column — the query-time 'now')")
     val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
       s" $maxShift), 0), 62)"
     spark.read.parquet(s"$dir/pairfacts")
-      .crossJoin(broadcast(anchor.toDF("mx")))
+      .crossJoin(broadcast(mx))
       .select(col("src"), col("dst"),
         (col("n") *
           expr(s"1000000 div shiftleft(cast(1 as bigint), $shift)")).as("w"))

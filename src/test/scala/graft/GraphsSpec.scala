@@ -1051,6 +1051,20 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
         stable.localCheckpoint(), iterations = 1)
       .select(col("node"), col("label")).as[(Long, Long)].collect().toSet
     assert(again == stableSet)
+    // duplicate init rows collapse to the smallest label instead of
+    // fanning the node's vote (one row per node afterwards, and the
+    // min-label claim wins)
+    val dup = (singletons.as[(Long, Long)].collect().toSeq ++
+      Seq((4L, 99L), (4L, 1L))).toDF("node", "label")
+    val fromDup = Graphs.labelPropagationFrom(edgesDf(es), dup, iterations = 1)
+      .select(col("node"), col("label")).as[(Long, Long)].collect()
+    assert(fromDup.map(_._1).distinct.length == fromDup.length,
+      "one output row per node")
+    val clean = (singletons.as[(Long, Long)].collect().toSeq
+      .filterNot(_._1 == 4L) :+ ((4L, 1L))).toDF("node", "label")
+    assert(fromDup.toSet ==
+      Graphs.labelPropagationFrom(edgesDf(es), clean, iterations = 1)
+        .select(col("node"), col("label")).as[(Long, Long)].collect().toSet)
   }
 
   test("labelPropagationConverged: warm start after an append stabilizes in fewer sweeps") {

@@ -56,4 +56,6 @@ def main(old_path, new_path):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit(f"usage: {sys.argv[0]} OLD.json NEW.json")
     main(sys.argv[1], sys.argv[2])
