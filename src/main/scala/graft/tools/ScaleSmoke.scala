@@ -881,6 +881,30 @@ object ScaleSmoke {
             f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+
+    // --- d185 link-prediction center-cap probe: candidate enumeration
+    // is Σ deg² at the wedge center BY THE PROBLEM'S NATURE (a hub
+    // really witnesses deg² pairs), so the maxCenterDegree gate before
+    // the fan-out is the whole scale story — the same planted 50k-spoke
+    // hub must cost ~nothing under the default cap (the hub center is
+    // dropped; its 2.5e9 candidate pairs never materialize) and the
+    // capped answer on the uniform part must be unchanged.
+    {
+      val base = spark.range(200000).select(
+        pmod(xxhash64(col("id")), lit(40000L)).as("src"),
+        pmod(xxhash64(col("id") + 7), lit(40000L)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val hub = spark.range(50000).select(
+        lit(9999999L).as("src"), col("id").as("dst"))
+      Seq(("uniform", base), ("with-hub", base.unionByName(hub))).foreach {
+        case (tag, g) =>
+          val e = g.localCheckpoint()
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Graphs.linkPrediction(e, k = 5).count()
+          println(f"[scale] linkpred $tag%-9s rows=$rows%8d " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }

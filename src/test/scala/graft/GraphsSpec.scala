@@ -1210,6 +1210,72 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (n, h, a) => n -> ((h, a)) }.toMap == got)
   }
 
+  test("salsa: equals a sequential replay of the documented arithmetic on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    val es = (1 to 150).map(_ =>
+        (rnd.nextInt(15).toLong, 100L + rnd.nextInt(12).toLong)).distinct
+    val got = Graphs.salsa(edgesDf(es), iterations = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    // sequential replay: per-edge floored mass splits, exact longs
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val od = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ind = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      a = nodes.map(n => n ->
+        es.filter(_._2 == n).map(e => h(e._1) / od(e._1)).sum).toMap
+      h = nodes.map(n => n ->
+        es.filter(_._1 == n).map(e => a(e._2) / ind(e._2)).sum).toMap
+    }
+    assert(got == nodes.map(n => n -> ((h(n), a(n)))).toMap)
+  }
+
+  test("betweennessCentrality: equals a sequential replay of the quantized Brandes recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1107)
+    val es = (1 to 60).map(_ => (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val S = 5; val H = 3
+    val got = Graphs.betweennessCentrality(edgesDf(es), nSources = S, maxHops = H)
+      .as[(Long, Long)].collect().toMap
+    // sequential replay
+    val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    def md5hex(n: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(n.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = nodes.sortBy(n => (md5hex(n), n)).take(S)
+    val bc = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for (s <- seeds) {
+      // forward: level-synchronous sigma
+      var levels = Vector(Map(s -> 1L))
+      var seen = Set(s)
+      for (_ <- 1 to H) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        for ((v, sig) <- levels.last; w <- adj(v) if !seen.contains(w))
+          next(w) = next.getOrElse(w, 0L) + sig
+        seen ++= next.keySet
+        levels = levels :+ next.toMap
+      }
+      // backward: quantized delta, leaves at 0
+      var delta = levels.last.map { case (n, _) => n -> 0L }
+      for (i <- levels.size - 2 to 1 by -1) {
+        val child = levels(i + 1)
+        delta = levels(i).map { case (v, sig) =>
+          v -> adj(v).toSeq.filter(child.contains)
+            .map(w => sig * (1000000L + delta(w)) / child(w)).sum
+        }
+        delta.foreach { case (n, d) => bc(n) += d }
+      }
+      // deepest level contributes its zeros (nothing to add)
+    }
+    assert(got == nodes.map(n => n -> bc(n)).toMap)
+  }
+
   test("linkPrediction: RA scores by hand; existing edges excluded; center cap gates") {
     import spark.implicits._
     // 4-cycle 1-2-4, 1-3-4: candidates are the two diagonals, each
