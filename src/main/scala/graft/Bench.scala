@@ -83,10 +83,10 @@ object Bench {
   /** The frozen headline set — exactly the queries BENCH_r01's recorded
     * baseline measured. Binding registries: Relational (q01–q25) and
     * TextOps (d01–d05). */
-  private def baselineSet: Seq[Q] =
+  private[graft] def baselineSet: Seq[Q] =
     graft.ops.Relational.queries ++ graft.ops.TextOps.queries
 
-  private def extendedSet: Seq[Q] =
+  private[graft] def extendedSet: Seq[Q] =
     graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
       graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
       graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
@@ -94,6 +94,7 @@ object Bench {
       graft.ops.HashIndex.queries ++
       graft.ops.LineIndex.queries ++
       graft.ops.EdgeIndex.queries ++
+      graft.ops.TemporalEdgeIndex.queries ++
       graft.ops.GramIndex.queries ++
       graft.ops.PhraseIndex.queries ++
       graft.ops.SimHashIndex.queries ++

@@ -888,7 +888,10 @@ object ScaleSmoke {
     // the fan-out is the whole scale story — the same planted 50k-spoke
     // hub must cost ~nothing under the default cap (the hub center is
     // dropped; its 2.5e9 candidate pairs never materialize) and the
-    // capped answer on the uniform part must be unchanged.
+    // capped answer on the uniform part must be unchanged. Measured
+    // (2026-08, driver round 14): uniform 3.6 s, with-hub 2.8 s —
+    // IDENTICAL 198,453 candidate rows both ways (the hub contributes
+    // zero candidates and its spokes only new anti-join probes).
     {
       val base = spark.range(200000).select(
         pmod(xxhash64(col("id")), lit(40000L)).as("src"),
