@@ -824,6 +824,16 @@ object Graft {
     graft.ops.TemporalEdgeIndex.decayedEdgesOf(spark, dir, anchor,
       halflifeDays, maxShift, minWeightPpm)
 
+  /** [[temporalEdgeIndexEdges]] restricted to ingest batches ≤
+    * `maxBatch` (partition-pruned) — historical edges at the CURRENT
+    * anchor, the read that pairs with [[weightedPageRankFrom]] for
+    * incremental decayed-rank maintenance across appends. */
+  def temporalEdgeIndexEdgesUpTo(spark: SparkSession, dir: String,
+      maxBatch: Long, anchor: DataFrame, halflifeDays: Int = 180,
+      maxShift: Int = 30, minWeightPpm: Long = 1000000L): DataFrame =
+    graft.ops.TemporalEdgeIndex.decayedEdgesUpTo(spark, dir, maxBatch,
+      anchor, halflifeDays, maxShift, minWeightPpm)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Exact cosine top-k neighbors per vector (brute-force baseline).

@@ -2693,8 +2693,12 @@ object Graphs {
     * EdgeIndex driver binding's first generation), then `itersWarm`
     * iterations over the FULL graph initialized from phase 1's final
     * ranks (new nodes at Scale) — the identical truncating arithmetic
-    * of [[weightedPrSql]], tagged per phase. */
-  private[graft] def warmStartPrSql(itersOld: Int, itersWarm: Int): String = {
+    * of [[weightedPrSql]], tagged per phase. `edgeSqlA`/`edgeSqlB`
+    * swap the two phases' weighted edge sources (defaults replay the
+    * d172 flat-index story; d186 passes the decayed builds). */
+  private[graft] def warmStartPrSql(itersOld: Int, itersWarm: Int,
+      edgeSqlA: String = copurchaseEvenSql,
+      edgeSqlB: String = copurchaseSql): String = {
     def steps(tag: String, iterations: Int): String = (1 to iterations).map { i =>
       s"i$tag$i AS (SELECT e.dst AS node, CAST(sum((r.rank * e.weight) // r.wout) AS BIGINT) AS inbound\n" +
         s"     FROM e$tag e JOIN r$tag${i - 1} r ON r.node = e.src AND r.wout > 0 GROUP BY 1),\n" +
@@ -2703,7 +2707,7 @@ object Graphs {
         s"       150000 + 85 * (coalesce(i.inbound, 0) + g.dangling // nn$tag.n_nodes) // 100 AS rank\n" +
         s"     FROM nodes$tag n LEFT JOIN i$tag$i i USING (node) CROSS JOIN g$tag$i g CROSS JOIN nn$tag)"
     }.mkString(",\n")
-    s"WITH e0a AS MATERIALIZED ($copurchaseEvenSql),\n" +
+    s"WITH e0a AS MATERIALIZED ($edgeSqlA),\n" +
       "ea AS MATERIALIZED (\n" +
       "  SELECT src, dst, weight FROM e0a UNION ALL SELECT dst, src, weight FROM e0a),\n" +
       "woa AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM ea GROUP BY 1),\n" +
@@ -2713,7 +2717,7 @@ object Graphs {
       "nna AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodesa),\n" +
       s"ra0 AS (SELECT node, wout, CAST($Scale AS BIGINT) AS rank FROM nodesa),\n" +
       steps("a", itersOld) + ",\n" +
-      s"e0b AS MATERIALIZED ($copurchaseSql),\n" +
+      s"e0b AS MATERIALIZED ($edgeSqlB),\n" +
       "eb AS MATERIALIZED (\n" +
       "  SELECT src, dst, weight FROM e0b UNION ALL SELECT dst, src, weight FROM e0b),\n" +
       "wob AS (SELECT src AS node, CAST(sum(weight) AS BIGINT) AS wout FROM eb GROUP BY 1),\n" +
@@ -2812,17 +2816,20 @@ object Graphs {
   /** The d174 oracle: the decayed edge build — per-basket half-life
     * shifts from the order-date age (clamped like the operator), the
     * d127 cap/self-join, and the floor-division ppm sum. Wrapped by
-    * d177's [[weightedPrSql]] as its edge source (alias weight_ppm →
-    * weight there). */
-  private[graft] val decayedCopurchaseSql: String =
-    """WITH anchor AS (
+    * d177/d184's [[weightedPrSql]] as its edge source (alias
+    * weight_ppm → weight there). The ANCHOR is always the full orders
+    * table's max date — a corpus property, not a basket-subset one —
+    * so the even-half variant below decays its edges against the same
+    * "now" the full build uses (the d186 two-phase contract). */
+  private def decayedCopurchaseSqlFor(src: String): String =
+    s"""WITH anchor AS (
       |  SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
       |sh AS (
       |  SELECT o_orderkey AS basket_id,
       |         least(greatest(date_diff('day', CAST(o_orderdate AS DATE), mx) // 180, 0), 30) AS shift
       |  FROM orders CROSS JOIN anchor),
       |op0 AS (
-      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+      |  SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM $src),
       |op AS (
       |  SELECT basket_id, item_id FROM op0
       |  QUALIFY count(*) OVER (PARTITION BY basket_id) <= 1024)
@@ -2832,6 +2839,15 @@ object Graphs {
       |JOIN sh s ON s.basket_id = a.basket_id
       |GROUP BY 1, 2
       |HAVING sum(1000000 // (CAST(1 AS BIGINT) << s.shift)) >= 1000000""".stripMargin
+
+  private[graft] val decayedCopurchaseSql: String =
+    decayedCopurchaseSqlFor("lineitem")
+
+  /** The decayed build over the EVEN-orderkey basket half — the
+    * temporal index driver binding's first generation, d186's phase-A
+    * edge source. */
+  private[graft] val decayedCopurchaseEvenSql: String =
+    decayedCopurchaseSqlFor("(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)")
 
   /** The d178 oracle: forward σ-counting BFS levels and Brandes'
     * backward δ accumulation unrolled as chained CTEs — the identical

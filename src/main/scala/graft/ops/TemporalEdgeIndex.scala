@@ -120,6 +120,36 @@ object TemporalEdgeIndex extends PersistedIndex {
       .where(col("weight_ppm") >= minWeightPpm)
   }
 
+  /** [[decayedEdgesOf]] restricted to ingest batches ≤ `maxBatch` —
+    * the HISTORICAL-generation read behind d186's warm-start decayed
+    * PageRank (the [[EdgeIndex.edgesUpTo]] twin): the decayed edge set
+    * as it stood before later appends, AT THE GIVEN ANCHOR (the anchor
+    * stays the caller's "now" — historical edges, current clock; a
+    * full rebuild stamps batch −1, appends 0, 1, …). Partition-pruned
+    * on the ingest_batch column, never a full-scan post-filter. */
+  def decayedEdgesUpTo(spark: SparkSession, dir: String, maxBatch: Long,
+      anchor: DataFrame, halflifeDays: Int = 180, maxShift: Int = 30,
+      minWeightPpm: Long = 1000000L): DataFrame = {
+    require(halflifeDays >= 1, "need halflifeDays >= 1")
+    require(maxShift >= 0, "need maxShift >= 0")
+    IndexCommit.requireCommitted(spark, dir, "decayedEdgesUpTo")
+    val mx = anchor.toDF("mx").localCheckpoint()
+    require(mx.count() == 1L,
+      "decayedEdgesUpTo: the anchor frame must contain exactly one row " +
+        "(one DATE column — the query-time 'now')")
+    val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
+      s" $maxShift), 0), 62)"
+    spark.read.parquet(s"$dir/pairfacts")
+      .where(col(IndexCommit.BatchCol) <= maxBatch)
+      .crossJoin(broadcast(mx))
+      .select(col("src"), col("dst"),
+        (col("n") *
+          expr(s"1000000 div shiftleft(cast(1 as bigint), $shift)")).as("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("weight_ppm"))
+      .where(col("weight_ppm") >= minWeightPpm)
+  }
+
   /** Compaction is a semantic MERGE (the [[EdgeIndex]] precedent): the
     * per-batch (src, dst, bday) counts SUM into one row per key —
     * addition is associative, and the decay is read-time, so merging
@@ -189,7 +219,7 @@ object TemporalEdgeIndex extends PersistedIndex {
 
   val MemoizedQueries: Set[String] =
     Set("d182_decayed_indexed", "d183_trending_indexed",
-      "d184_decayed_pagerank_indexed")
+      "d184_decayed_pagerank_indexed", "d186_decayed_pagerank_warm")
 
   def queries: Seq[Q] = Seq(
     // d182: d174 served from the persisted temporal index — save the
@@ -221,5 +251,31 @@ object TemporalEdgeIndex extends PersistedIndex {
         val sym = p.union(p.select(col("dst"), col("src"), col("weight")))
         Graphs.weightedPageRank(sym, iterations = 3, checkpointEvery = 1)
       },
-      Some(Graphs.decayedPrSql)))
+      Some(Graphs.decayedPrSql)),
+
+    // d186: WARM-START decayed PageRank over the temporal index's
+    // append story (the d172 two-phase pattern on the TEMPORAL family):
+    // converge-ish on the pre-append generation's decayed edges
+    // (partition-pruned batch −1 read, same anchor), then after the
+    // append re-run the fixed-point update over the full decayed edge
+    // set from those ranks. Hash-gated by the two-phase oracle with the
+    // decayed builds swapped in as both phases' edge sources.
+    Q("d186_decayed_pagerank_warm",
+      (s, d) => {
+        val dir = savedDir(s, d)
+        val a = anchorOf(s, d)
+        val p0 = decayedEdgesUpTo(s, dir, maxBatch = -1L, a)
+          .toDF("src", "dst", "weight").localCheckpoint()
+        val sym0 = p0.union(p0.select(col("dst"), col("src"), col("weight")))
+        val r0 = Graphs.weightedPageRank(sym0, iterations = 3,
+          checkpointEvery = 1).localCheckpoint()
+        val p1 = decayedEdgesOf(s, dir, a)
+          .toDF("src", "dst", "weight").localCheckpoint()
+        val sym1 = p1.union(p1.select(col("dst"), col("src"), col("weight")))
+        Graphs.weightedPageRankFrom(sym1, r0, iterations = 3,
+          checkpointEvery = 1)
+      },
+      Some(Graphs.warmStartPrSql(3, 3,
+        edgeSqlA = s"SELECT src, dst, weight_ppm AS weight FROM (${Graphs.decayedCopurchaseEvenSql})",
+        edgeSqlB = s"SELECT src, dst, weight_ppm AS weight FROM (${Graphs.decayedCopurchaseSql})"))))
 }

@@ -97,6 +97,21 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(later == Set((1L, 2L, 750000L), (3L, 4L, 250000L)))
   }
 
+  test("decayedEdgesUpTo reads only the pre-append generation at the current anchor") {
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(all.filter(_._1 % 2 == 0)), dir)   // batch -1
+    TemporalEdgeIndex.append(baskets(all.filter(_._1 % 2 == 1)), dir) // batch 0
+    val a = anchor("2024-12-31")
+    // batch -1 holds only the fresh {1,2} basket
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesUpTo(spark, dir, -1L, a,
+      minWeightPpm = 0L)) == Set((1L, 2L, 1000000L)))
+    // up to batch 0 = the full set
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesUpTo(spark, dir, 0L, a,
+        minWeightPpm = 0L)) ==
+      edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+        minWeightPpm = 0L)))
+  }
+
   test("compaction merges per-(pair, date) counts and serves identically") {
     val dir = tmp(); val dst = tmp()
     TemporalEdgeIndex.save(baskets(all.filter(_._1 % 2 == 0)), dir)
