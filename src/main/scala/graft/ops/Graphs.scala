@@ -1085,15 +1085,23 @@ object Graphs {
     * in the ratio). Ties break to the lower rel_id.
     *
     * Scale: this is the EXACT brute-force baseline — the d07
-    * discipline: one self-join scoring N·(N−1) pairs, a per-node top-k
-    * window (sorts each node's candidate list, never global). The
-    * scale path at 1e8+ nodes is the similarity family's ANN machinery
-    * (d08 LSH / d17 IVF over the same vectors, array-typed via the
-    * facade bridge) with this operator as its recall adjudicator.
+    * discipline IN FULL: one self-join scoring N·(N−1) pairs that
+    * stream straight into the bounded [[TopKAgg]] aggregator (map-side
+    * k-buffers, so only k rows per node ever cross the shuffle — the
+    * N² pair stream is never window-sorted or materialized; r14
+    * verdict: the window variant cost 46 s of pure shuffle-sort at
+    * sf0.1). The scale path at 1e8+ nodes is the similarity family's
+    * ANN machinery over the same vectors — registered as the served
+    * sibling d187 ([[embeddingRelatedAnn]], the d28→d30 precedent)
+    * with this operator as its recall adjudicator.
     * Overflow: |units| ≤ ~2^20 from the trainer's bounded descent ⇒
-    * dot ≤ dim·2^40 — inside Long to dim 16 with 3 orders to spare. */
+    * dot ≤ dim·2^40 — inside Long to dim 16 with 3 orders to spare.
+    *
+    * −0.0 discipline: TopKAgg normalizes −0.0 → 0.0 at insert (a
+    * dot < 0 tiny against huge norms rounds to −0.0); the oracle
+    * applies the same `+ 0` normalization so both engines emit the
+    * identical +0.0 bits. */
   def embeddingRelated(emb: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "need k >= 1")
     val cols = emb.columns
     require(cols.length >= 2, "need (node, e0..e{dim-1})")
@@ -1112,15 +1120,44 @@ object Graphs {
     val a = u.toDF(("node" +: dims.indices.map(j => s"a$j")) :+ "qa": _*)
     val b = u.toDF(("rel_id" +: dims.indices.map(j => s"b$j")) :+ "qb": _*)
     val dot = dims.indices.map(j => col(s"a$j") * col(s"b$j")).reduce(_ + _)
+    val topk = udaf(new TopKAgg(k))
     a.join(b, col("node") =!= col("rel_id"))
       .select(col("node"), col("rel_id"),
         round(dot.cast(DoubleType) /
           (sqrt(col("qa").cast(DoubleType)) * sqrt(col("qb").cast(DoubleType))),
           6).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("node"))
-          .orderBy(col("cosine").desc, col("rel_id"))).cast(LongType))
-      .where(col("rank") <= k)
+      .groupBy(col("node"))
+      .agg(topk(col("cosine"), col("rel_id")).as("t"))
+      .select(col("node"),
+        posexplode(arrays_zip(col("t.sims"), col("t.ids"))).as(Seq("pos", "z")))
+      .select(col("node"), col("z.ids").as("rel_id"),
+        col("z.sims").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  /** The ANN-served production form of [[embeddingRelated]] (d187, the
+    * d28→d30 / d08→d35 precedent): the trained wide-format embeddings
+    * bridge to the similarity family's (vec_id, embedding ARRAY) shape
+    * and rank through [[Similarity.annTopK]] — md5-seeded multiprobe
+    * hyperplane buckets, exact-cosine candidate scoring, the same
+    * bounded TopKAgg — so related-item serving at 1e8+ nodes costs
+    * bucket-local candidate streams, never the N² self-join the exact
+    * baseline declares. Deterministic (fixed hyperplane seed) but
+    * engine-specific → rows-only gate; recall vs the exact d171
+    * baseline is bounded in GraphsSpec (the d08/d17 discipline). Out:
+    * (node, rel_id, rank) — the id/rank contract of the exact form
+    * minus the cosine (the ANN path's sims are approximate by
+    * candidate coverage, not by value; consumers wanting scores
+    * re-attach them id-keyed). */
+  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    val cols = emb.columns
+    require(cols.length >= 2, "need (node, e0..e{dim-1})")
+    val vecs = emb.select(col(cols.head).as("vec_id"),
+      array(cols.tail.map(c => col(c).cast(DoubleType)): _*).as("embedding"))
+    Similarity.annTopK(vecs, k, tables, bitsPerTable, probeFlips)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("rel_id"),
+        col("rank"))
   }
 
   /** The assortativity formula — ONE literal string both engines parse
@@ -2588,7 +2625,7 @@ object Graphs {
        |scored AS (
        |  SELECT a.node, b.node AS rel_id,
        |         round(CAST($dot AS DOUBLE) /
-       |               (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cosine
+       |               (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) + 0 AS cosine
        |  FROM vecs a JOIN vecs b ON a.node <> b.node),
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (
@@ -3358,6 +3395,23 @@ object Graphs {
         k = 5),
       Some(embeddingSql(2, 3, 2, 4, 2, 1, 10) + ",\n" +
         embeddingRelatedSql(4, 2, 5))),
+
+    // d187: the ANN-SERVED production sibling of d171 (r14 verdict ask
+    // #1 — the d28→d30 / d08→d35 precedent): the same trained
+    // embeddings ranked through annTopK's multiprobe hyperplane
+    // candidate stream instead of the N² exact self-join.
+    // Deterministic (fixed hyperplane seed) but engine-specific →
+    // rows-only check; rank recall vs the exact d171 baseline is
+    // bounded in GraphsSpec (the d08/d17 discipline).
+    Q("d187_embedding_related_ann",
+      (s, d) => embeddingRelatedAnn(
+        walkEmbeddings(
+          walkSkipGrams(
+            randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+            window = 2),
+          dim = 4, iters = 2, lrNum = 1, lrDen = 10),
+        k = 5),
+      None),
 
     // d168: the node2vec composition end-to-end — embeddings trained
     // over the BIASED-walk skip-gram corpus (d162 -> d158 machinery ->

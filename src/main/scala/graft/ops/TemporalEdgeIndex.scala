@@ -92,33 +92,9 @@ object TemporalEdgeIndex extends PersistedIndex {
     * (≤ one per pair per date per batch), never the raw corpus. */
   def decayedEdgesOf(spark: SparkSession, dir: String, anchor: DataFrame,
       halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L): DataFrame = {
-    require(halflifeDays >= 1, "need halflifeDays >= 1")
-    require(maxShift >= 0, "need maxShift >= 0")
-    IndexCommit.requireCommitted(spark, dir, "decayedEdgesOf")
-    // the anchor attaches by cross join: a multi-row frame would
-    // silently MULTIPLY every fact (and an empty one erase them), so
-    // the 1-row contract is enforced, not assumed. The frame is
-    // PINNED first (localCheckpoint — one evaluation of the caller's
-    // plan) so the row the check validated IS the row the join
-    // broadcasts: an anchor derived from live data could otherwise
-    // pass the count and then re-aggregate to a different "now", and
-    // even the benign case would pay the caller's aggregation twice.
-    val mx = anchor.toDF("mx").localCheckpoint()
-    require(mx.count() == 1L,
-      "decayedEdgesOf: the anchor frame must contain exactly one row " +
-        "(one DATE column — the query-time 'now')")
-    val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
-      s" $maxShift), 0), 62)"
-    spark.read.parquet(s"$dir/pairfacts")
-      .crossJoin(broadcast(mx))
-      .select(col("src"), col("dst"),
-        (col("n") *
-          expr(s"1000000 div shiftleft(cast(1 as bigint), $shift)")).as("w"))
-      .groupBy(col("src"), col("dst"))
-      .agg(sum(col("w")).as("weight_ppm"))
-      .where(col("weight_ppm") >= minWeightPpm)
-  }
+      minWeightPpm: Long = 1000000L): DataFrame =
+    servedDecayedEdges(spark, dir, maxBatch = None, anchor, halflifeDays,
+      maxShift, minWeightPpm, caller = "decayedEdgesOf")
 
   /** [[decayedEdgesOf]] restricted to ingest batches ≤ `maxBatch` —
     * the HISTORICAL-generation read behind d186's warm-start decayed
@@ -129,18 +105,39 @@ object TemporalEdgeIndex extends PersistedIndex {
     * on the ingest_batch column, never a full-scan post-filter. */
   def decayedEdgesUpTo(spark: SparkSession, dir: String, maxBatch: Long,
       anchor: DataFrame, halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L): DataFrame = {
+      minWeightPpm: Long = 1000000L): DataFrame =
+    servedDecayedEdges(spark, dir, Some(maxBatch), anchor, halflifeDays,
+      maxShift, minWeightPpm, caller = "decayedEdgesUpTo")
+
+  /** The ONE serving read both public forms delegate to (an arithmetic
+    * change lands in both by construction). The anchor attaches by
+    * cross join: a multi-row frame would silently MULTIPLY every fact
+    * (and an empty one erase them), so the 1-row contract is enforced,
+    * not assumed. The frame is PINNED first (localCheckpoint — one
+    * evaluation of the caller's plan) so the row the check validated IS
+    * the row the join broadcasts: an anchor derived from live data
+    * could otherwise pass the count and then re-aggregate to a
+    * different "now", and even the benign case would pay the caller's
+    * aggregation twice. `maxBatch` restricts to ingest batches ≤ it —
+    * a partition-pruned predicate on the ingest_batch column, never a
+    * full-scan post-filter. */
+  private def servedDecayedEdges(spark: SparkSession, dir: String,
+      maxBatch: Option[Long], anchor: DataFrame, halflifeDays: Int,
+      maxShift: Int, minWeightPpm: Long, caller: String): DataFrame = {
     require(halflifeDays >= 1, "need halflifeDays >= 1")
     require(maxShift >= 0, "need maxShift >= 0")
-    IndexCommit.requireCommitted(spark, dir, "decayedEdgesUpTo")
+    // parity with Graphs.decayedCopurchase: a negative floor would
+    // silently disable the prune instead of failing like the direct build
+    require(minWeightPpm >= 0, "need minWeightPpm >= 0")
+    IndexCommit.requireCommitted(spark, dir, caller)
     val mx = anchor.toDF("mx").localCheckpoint()
     require(mx.count() == 1L,
-      "decayedEdgesUpTo: the anchor frame must contain exactly one row " +
+      s"$caller: the anchor frame must contain exactly one row " +
         "(one DATE column — the query-time 'now')")
     val shift = s"least(greatest(least(datediff(mx, bday) div $halflifeDays," +
       s" $maxShift), 0), 62)"
-    spark.read.parquet(s"$dir/pairfacts")
-      .where(col(IndexCommit.BatchCol) <= maxBatch)
+    val facts = spark.read.parquet(s"$dir/pairfacts")
+    maxBatch.fold(facts)(b => facts.where(col(IndexCommit.BatchCol) <= b))
       .crossJoin(broadcast(mx))
       .select(col("src"), col("dst"),
         (col("n") *

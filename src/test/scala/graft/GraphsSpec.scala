@@ -858,6 +858,62 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("cosine")).as[Double].collect()
     assert(cosines.forall(c => c >= -1.0000005 && c <= 1.0000005))
     assert(cosines.forall(c => (math.rint(c * 1e6) - c * 1e6).abs < 1e-6))
+    // the TopKAgg path preserves the oracle's rank contract: per node,
+    // ranks are exactly 1..k, cosine non-increasing in rank, ties to
+    // the lower rel_id (what the window variant it replaced computed)
+    val ranked = Graphs.embeddingRelated(emb, k = 3)
+      .as[(Long, Long, Double, Long)].collect().groupBy(_._1)
+    ranked.foreach { case (n, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 3L), s"node $n ranks")
+      sorted.sliding(2).foreach {
+        case Array((_, idA, cosA, _), (_, idB, cosB, _)) =>
+          assert(cosA > cosB || (cosA == cosB && idA < idB),
+            s"node $n order violated: ($idA,$cosA) before ($idB,$cosB)")
+        case _ => ()
+      }
+    }
+  }
+
+  test("embeddingRelatedAnn: degenerate knobs recover the exact top-k; production knobs keep recall") {
+    import spark.implicits._
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cliqueB = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val es = edgesDf(cliqueA ++ cliqueB :+ ((4L, 5L)))
+    val emb = Graphs.walkEmbeddings(
+      Graphs.walkSkipGrams(
+        Graphs.randomWalks(es, walksPerNode = 6, steps = 4), window = 2),
+      dim = 4, iters = 40, lrNum = 1, lrDen = 10).localCheckpoint()
+    val exact = Graphs.embeddingRelated(emb, k = 3)
+      .select(col("node"), col("rel_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // degenerate geometry (1 table, 1 bit, 1 flip = every pair is a
+    // candidate, the d61/d123 convention): the ANN path must reproduce
+    // the exact neighbor SETS (order may differ only where the exact
+    // path's 1e-6 rounding ties raw cosines — compare sets, not ranks)
+    val degen = Graphs.embeddingRelatedAnn(emb, k = 3,
+        tables = 1, bitsPerTable = 1, probeFlips = 1)
+      .select(col("node"), col("rel_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(degen.keySet == exact.keySet)
+    // sum via iterator: .keys.map(...) would collapse equal per-node
+    // sizes into a Set before the sum
+    val agree = exact.keysIterator.map(n => (degen(n) & exact(n)).size).sum
+    val total = exact.valuesIterator.map(_.size).sum
+    assert(agree * 10 >= total * 9,
+      s"degenerate-knob recall $agree/$total must be >= 0.9")
+    // production knobs: bounded recall vs the exact baseline (the
+    // d08/d17 discipline — approximate by candidate coverage only)
+    val ann = Graphs.embeddingRelatedAnn(emb, k = 3)
+      .select(col("node"), col("rel_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val annAgree = exact.keysIterator
+      .map(n => (ann.getOrElse(n, Set.empty[Long]) & exact(n)).size).sum
+    assert(annAgree * 3 >= total * 2,
+      s"production-knob recall $annAgree/$total must be >= 2/3")
   }
 
   test("refineCommunities: fixes a planted mislabel; never scores below LPA on the fixture") {

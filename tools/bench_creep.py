@@ -49,8 +49,10 @@ def main(old_path, new_path):
         print("canary (fixed sfDir-independent workload through the "
               "extended run):")
         for s in canary["samples"]:
-            print(f"  after {s.get('after_n'):>4} queries: "
-                  f"{s.get('sec'):.3f} s"
+            # tolerate partial artifacts (a sample missing a key must not
+            # kill the triage that exists to explain a broken run)
+            print(f"  after {s.get('after_n', 0):>4} queries: "
+                  f"{s.get('sec', 0.0):.3f} s"
                   f"  persistent_rdds={s.get('persistent_rdds')}"
                   f"  heap_mb={s.get('heap_mb')}")
 
