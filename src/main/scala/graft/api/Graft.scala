@@ -593,6 +593,21 @@ object Graft {
   def coreness(edges: DataFrame, kMax: Int = 4, rounds: Int = 6): DataFrame =
     graft.ops.Graphs.coreness(edges, kMax, rounds)
 
+  /** Truss decomposition: every edge's trussness (largest k whose
+    * k-truss prune it survives, capped at kMax; 2 = in no triangle) —
+    * the cohesion depth [[kTruss]] answers only at one k. Out: (src,
+    * dst, trussness), src < dst. Reads: src, dst. */
+  def edgeTrussness(edges: DataFrame, kMax: Int = 4, rounds: Int = 3): DataFrame =
+    graft.ops.Graphs.edgeTrussness(edges, kMax, rounds)
+
+  /** ANN-served related items over trained node embeddings — the
+    * production form of [[embeddingRelated]] (multiprobe-LSH candidate
+    * buckets, never the N² self-join). Out: (node, rel_id, rank).
+    * Reads: the [[walkEmbeddings]] output shape. */
+  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
+    graft.ops.Graphs.embeddingRelatedAnn(emb, k, tables, bitsPerTable, probeFlips)
+
   /** SALSA hubs and authorities on a directed edge list — HITS'
     * random-walk cousin: mass splits evenly over links before summing,
     * so in-degree breadth beats one strong endorser (the TKC fix).

@@ -2238,6 +2238,66 @@ object Graphs {
     result
   }
 
+  /** Truss decomposition (d188): every edge's TRUSSNESS — the largest
+    * k ≤ kMax for which it survives the k-truss prune — the edge-level
+    * dual of [[coreness]] applied to [[kTruss]]'s prune (r14 verdict
+    * forward item #3). Where d173 answers "is this edge in THE
+    * k-truss" for one k, this scores every edge's cohesion depth in
+    * one call: trussness 2 = in no triangle (every edge is trivially
+    * a 2-truss member), 3 = survives the 3-truss prune, … — the
+    * standard strong-tie stratification (Cohen 2008) a pipeline reads
+    * to pick its community-scaffold threshold instead of guessing k.
+    *
+    * In: undirected edges in any orientation/duplication convention
+    * (canonicalized by [[normalizedUndirected]]). Out: (src, dst,
+    * trussness) for EVERY canonical input edge, src < dst, exact
+    * longs both engines replay. Per k the prune is `rounds`-bounded
+    * with the [[kCore]] convergence rule (pruning is monotone, so a
+    * round deleting nothing makes every later round a no-op — the
+    * bounded unroll equals the true decomposition once each level
+    * converges, and the early exit never changes the answer).
+    *
+    * Scale: the (k+1)-truss is a subgraph of the k-truss, so each
+    * level starts from the previous survivor frame — total work
+    * Σ_k prune(k) over SHRINKING frames, not kMax independent full
+    * prunes; each round is [[edgeSupport]]'s degree-oriented
+    * once-per-triangle enumeration (O(m^1.5) wedge fan-out,
+    * hub-safe) + one edge-keyed prune; survivor frames are
+    * localCheckpointed (consumed by the next round's references and
+    * the convergence count); the assembly join per level is
+    * edge-keyed equi-join, no window anywhere. */
+  def edgeTrussness(edges: DataFrame, kMax: Int = 4, rounds: Int = 3): DataFrame = {
+    require(kMax >= 2, "need kMax >= 2")
+    require(rounds >= 1, "need rounds >= 1")
+    val e0 = normalizedUndirected(edges).localCheckpoint()
+    var result = e0.select(col("src"), col("dst"), lit(2L).as("trussness"))
+      .localCheckpoint()
+    var surv = e0
+    var prev = surv.count()
+    var k = 3
+    var live = prev > 0
+    while (k <= kMax && live) {
+      var it = 1
+      var converged = false
+      while (it <= rounds && !converged) {
+        surv = edgeSupport(surv).where(col("support") >= k - 2)
+          .select(col("src"), col("dst")).localCheckpoint()
+        val n = surv.count()
+        if (n == prev) converged = true
+        prev = n
+        it += 1
+      }
+      val sk = surv.select(col("src"), col("dst"), lit(k.toLong).as("k"))
+      result = result.join(sk, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("k"), col("trussness")).as("trussness"))
+        .localCheckpoint()
+      live = prev > 0
+      k += 1
+    }
+    result
+  }
+
   /** Per-edge triangle support over a canonical (src < dst, distinct)
     * edge list: the [[localClustering]] enumeration keeping all three
     * corners, exploded to the triangle's three canonical edges and
@@ -2819,6 +2879,39 @@ object Graphs {
       "e0 AS (SELECT src, dst FROM e),\n" +
       chain + "\n" +
       s"SELECT src, dst, support FROM s$rounds WHERE support >= ${k - 2}"
+  }
+
+  /** The d188 oracle: the nested truss prunes unrolled as chained CTEs
+    * (the [[ktrussSql]] per-round pattern per level, levels chained the
+    * [[corenessSql]] way — level k starts from level k−1's survivors),
+    * assembled by left-joining each level's final survivor frame onto
+    * the canonical edge list: trussness = the highest surviving level,
+    * 2 when in no triangle. The bounded unroll equals the operator's
+    * early-exiting loop because pruning is monotone (a no-change round
+    * fixes every later round). */
+  private def edgeTrussnessSql(kMax: Int, rounds: Int): String = {
+    val blocks = (3 to kMax).map { k =>
+      (1 to rounds).map { i =>
+        val prev = if (i == 1) { if (k == 3) "e0" else s"k${k - 1}_r$rounds" }
+          else s"k${k}_r${i - 1}"
+        s"y_k${k}_$i AS (SELECT src AS u, dst AS v FROM $prev " +
+          s"UNION ALL SELECT dst, src FROM $prev),\n" +
+          s"s_k${k}_$i AS (SELECT t.src, t.dst, CAST(count(*) AS BIGINT) AS support\n" +
+          s"     FROM $prev t JOIN y_k${k}_$i a ON a.u = t.src\n" +
+          s"     JOIN y_k${k}_$i b ON b.u = t.dst AND b.v = a.v GROUP BY 1, 2),\n" +
+          s"k${k}_r$i AS (SELECT src, dst FROM s_k${k}_$i WHERE support >= ${k - 2})"
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val joins = (3 to kMax).map(k =>
+      s"LEFT JOIN k${k}_r$rounds t$k ON t$k.src = e0.src AND t$k.dst = e0.dst")
+      .mkString("\n")
+    val caseExpr = (kMax to 3 by -1).map(k =>
+      s"WHEN t$k.src IS NOT NULL THEN $k").mkString(" ")
+    s"WITH e AS MATERIALIZED ($copurchaseSql),\n" +
+      "e0 AS (SELECT src, dst FROM e),\n" +
+      blocks + "\n" +
+      s"SELECT e0.src, e0.dst, CAST(CASE $caseExpr ELSE 2 END AS BIGINT) AS trussness\n" +
+      s"FROM e0\n$joins"
   }
 
   /** The d176 oracle: the sampled-source BFS unrolled as chained
@@ -3701,6 +3794,14 @@ object Graphs {
     Q("d180_coreness",
       (s, d) => coreness(copurchaseFrame(s, d), kMax = 4, rounds = 6),
       Some(corenessSql(kMax = 4, rounds = 6))),
+
+    // d188: truss DECOMPOSITION of the co-purchase graph — every edge's
+    // maximal k (trussness 2..4), the d180 coreness pattern applied to
+    // d173's edge-level prune (r14 verdict forward item #3); the oracle
+    // unrolls the identical nested prunes and left-join assembly.
+    Q("d188_edge_trussness",
+      (s, d) => edgeTrussness(copurchaseFrame(s, d), kMax = 4, rounds = 3),
+      Some(edgeTrussnessSql(kMax = 4, rounds = 3))),
 
     // d181: 2-iteration SALSA on the directed customer→supplier graph
     // — mass-splitting link analysis beside d145's raw-sum HITS; the

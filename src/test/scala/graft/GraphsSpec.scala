@@ -1041,6 +1041,41 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == got)
   }
 
+  test("edgeTrussness: stratifies K5, pendant triangle and bridge by hand; agrees with kTruss levels") {
+    import spark.implicits._
+    // K5 on 1..5 (every edge in 3 triangles — a 5-truss, capped at
+    // kMax=4) + a separate triangle (6,7,8) (each edge in exactly 1 —
+    // trussness 3) + a bridge (5,6) in no triangle (trussness 2)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val tri = Seq((6L, 7L), (6L, 8L), (7L, 8L))
+    val bridge = Seq((5L, 6L))
+    val es = k5 ++ tri ++ bridge
+    val got = Graphs.edgeTrussness(edgesDf(es), kMax = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = k5.map { case (a, b) => (a, b, 4L) }.toSet ++
+      tri.map { case (a, b) => (a, b, 3L) } ++ Set((5L, 6L, 2L))
+    assert(got == want, s"got $got")
+    // hostile orientation/duplication canonicalizes to the same answer
+    val hostile = es.map { case (a, b) => (b, a) } ++ k5
+    assert(Graphs.edgeTrussness(edgesDf(hostile), kMax = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet == want)
+    // decomposition is consistent with the single-k operator: edges of
+    // trussness >= k are EXACTLY the k-truss survivor set, for every k
+    for (k <- 3 to 4) {
+      val fromDecomp = got.filter(_._3 >= k).map(e => (e._1, e._2))
+      val fromKTruss = Graphs.kTruss(edgesDf(es), k = k, rounds = 3)
+        .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+      assert(fromDecomp == fromKTruss, s"k=$k: $fromDecomp vs $fromKTruss")
+    }
+    // the cascade fixture: the strip's support-1 edges starve the
+    // shared edges, so nothing reaches trussness 4 — all end at 3
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    val stripGot = Graphs.edgeTrussness(edgesDf(strip), kMax = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stripGot == strip.map { case (a, b) => (a, b, 3L) }.toSet)
+  }
+
   test("kTruss: pruning cascades — a triangle strip needs the second round") {
     import spark.implicits._
     // strip of 3 triangles: (1,2,3), (2,3,4), (3,4,5). Shared edges
