@@ -518,12 +518,25 @@ object Bench {
           .where(col("predicted_label") <=> col("exact_label")).count()
         val a30 = if (ncls == 0) 0.0 else agreeCls / ncls
         exactCls.unpersist()
+        // d187 vs d171: recall of the ANN-served related-items path
+        // against the exact-embedding baseline (same trained vectors —
+        // approximate only by candidate coverage, the d08 story on the
+        // graph family's retrieval consumer)
+        val exactRel = qmap("d171_embedding_related")(spark, sfDir)
+          .select(col("node"), col("rel_id")).cache()
+        val nRel = exactRel.count().toDouble
+        val relHits = qmap("d187_embedding_related_ann")(spark, sfDir)
+          .select(col("node"), col("rel_id"))
+          .join(exactRel, Seq("node", "rel_id")).count()
+        val r187 = if (nRel == 0) 0.0 else relHits / nRel
+        exactRel.unpersist()
         // d17's knobs ride along so the recall/latency trade is auditable
         // from this artifact alone (recall rises with probes/k scanned)
         s""""quality":{"d08_recall":${f(r08)},"d08_recall_at3":${f(r08at3)},""" +
           s""""d08_recall_at10":${f(r08at10)},""" +
           s""""d08_cand_p50":${f(qs(0))},"d08_cand_p99":${f(qs(1))},""" +
           s""""d17_recall":${f(r17)},"d30_agreement":${f(a30)},""" +
+          s""""d187_recall":${f(r187)},""" +
           s""""pq_default_recall_at3":${f(pqRaw)},""" +
           s""""pq_refined_recall_at3":${f(pqRefined)},""" +
           s""""pq_default_m":${graft.ops.Pq.DefaultM},""" +

@@ -147,6 +147,46 @@ object TemporalEdgeIndex extends PersistedIndex {
       .where(col("weight_ppm") >= minWeightPpm)
   }
 
+  /** Streaming CONSUMER over the index (r14 verdict forward item #2 —
+    * the composed gate the temporal family was missing): each
+    * micro-batch passes the straddle guard, appends its (pair, date, n)
+    * facts exactly-once, and then REFRESHES the served trending-related
+    * snapshot — [[Graphs.trendingRelated]] over [[decayedEdgesOf]] at
+    * the caller's anchor — into `outDir` (overwrite: the snapshot is a
+    * pure function of the index state, so a replayed micro-batch
+    * rewrites the identical table; a crash between the append and the
+    * refresh just means the next batch's refresh catches up). The
+    * snapshot after batch B therefore EQUALS the one-shot batch
+    * computation over every basket ingested so far — the
+    * TemporalEdgeIndexSpec gate.
+    *
+    * Scale: the per-batch refresh reads INDEX rows (≤ one per pair per
+    * date per batch), never the raw basket history; the anchor is a
+    * parameter, not state — decay is read-time by design, so a
+    * deployment advances it with the processing-time clock (or derives
+    * it per refresh) without touching persisted facts. */
+  def ingestServingTrending(docs: DataFrame, dir: String, checkpoint: String,
+      anchorDay: java.sql.Date, outDir: String, k: Int = 10,
+      halflifeDays: Int = 180, maxShift: Int = 30,
+      minWeightPpm: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          ingestGuard(batch.toDF(), dir, id)
+          writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+          Graphs.trendingRelated(
+              decayedEdgesOf(s, dir, s.range(1).select(lit(anchorDay).as("mx")),
+                halflifeDays, maxShift, minWeightPpm), k)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        }
+      }
+      .start()
+
   /** Compaction is a semantic MERGE (the [[EdgeIndex]] precedent): the
     * per-batch (src, dst, bday) counts SUM into one row per key —
     * addition is associative, and the decay is read-time, so merging

@@ -36,7 +36,20 @@ object ScaleProbe {
     "d139_personalized_pagerank",
     "d160_edge_index",
     "d145_hits",
-    "d128_pagerank")
+    "d128_pagerank",
+    // the temporal family rung (r14 verdict forward item #4): d182
+    // pays the in-run index build (split save+append over the probe's
+    // 10× basket frame) plus the decayed serve; d186 then reuses the
+    // memoized index dir, so its number isolates the warm-start
+    // two-phase PageRank over the served edges.
+    "d182_decayed_indexed",
+    "d186_decayed_pagerank_warm",
+    // the ANN-served related-items path (d171's production sibling):
+    // the exact baseline is N² BY SEMANTICS (≈100× pairs at 10× nodes
+    // — deliberately NOT probed); this rung shows the served path the
+    // 100 TB story actually runs stays near-linear (trainer chain +
+    // bucket-bounded candidates).
+    "d187_embedding_related_ann")
 
   private val Letters = "etaoinshrd" // 10 common letters; rotation k per copy
 

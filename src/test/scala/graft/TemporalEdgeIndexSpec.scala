@@ -155,6 +155,58 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming trending consumer: snapshot after every micro-batch equals the batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp(); val out = tmp() + "/trending"
+    val day = java.sql.Date.valueOf("2024-12-31")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingestServingTrending(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp(), day, out, k = 10, minWeightPpm = 0L)
+    def snapshot(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(out)
+        .select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def direct(rows: Seq[(Long, Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val shifts = baskets(rows).groupBy(col("basket_id"))
+        .agg(max(col("bday")).as("bday"))
+        .crossJoin(broadcast(anchor("2024-12-31")))
+        .select(col("basket_id"),
+          least(expr("datediff(mx, bday) div 180"), lit(30)).as("shift"))
+      Graphs.trendingRelated(Graphs.decayedCopurchase(
+          baskets(rows).select(col("basket_id"), col("item_id")), shifts,
+          minWeightPpm = 0L), k = 10)
+        .select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    try {
+      // batch 1: the even baskets — the maintained snapshot must match
+      // the one-shot computation over exactly what has arrived
+      mem.addData(all.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      assert(snapshot() == direct(all.filter(_._1 % 2 == 0)))
+      // batch 2: the odd baskets append; the refreshed snapshot must
+      // now equal the recompute over the FULL ingested history (decayed
+      // cross-batch sums included — basket 1 re-weights pair (1,2))
+      mem.addData(all.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+      assert(snapshot() == direct(all))
+    } finally q.stop()
+    // and the gated serving read agrees with d183's composition
+    assert(snapshot() ==
+      edgeSet4(Graphs.trendingRelated(TemporalEdgeIndex.decayedEdgesOf(
+        spark, dir, anchor("2024-12-31"), minWeightPpm = 0L), k = 10)))
+  }
+
+  private def edgeSet4(df: DataFrame): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    df.select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
   test("streaming ingest fails loudly on a basket straddling micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
