@@ -601,12 +601,14 @@ object Graft {
     graft.ops.Graphs.edgeTrussness(edges, kMax, rounds)
 
   /** ANN-served related items over trained node embeddings — the
-    * production form of [[embeddingRelated]] (multiprobe-LSH candidate
-    * buckets, never the N² self-join). Out: (node, rel_id, rank).
-    * Reads: the [[walkEmbeddings]] output shape. */
-  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, tables: Int = 8,
-      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame =
-    graft.ops.Graphs.embeddingRelatedAnn(emb, k, tables, bitsPerTable, probeFlips)
+    * production form of [[embeddingRelated]] (IVF probed-cell
+    * candidates, never the N² self-join; IVF rather than hyperplane
+    * LSH because low-dim sign regions cap bucket resolution — see the
+    * operator scaladoc). kCells = 0 derives √N. Out: (node, rel_id,
+    * rank). Reads: the [[walkEmbeddings]] output shape. */
+  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, kCells: Int = 0,
+      probes: Int = 3): DataFrame =
+    graft.ops.Graphs.embeddingRelatedAnn(emb, k, kCells, probes)
 
   /** SALSA hubs and authorities on a directed edge list — HITS'
     * random-walk cousin: mass splits evenly over links before summing,

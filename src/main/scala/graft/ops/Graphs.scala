@@ -1137,25 +1137,52 @@ object Graphs {
 
   /** The ANN-served production form of [[embeddingRelated]] (d187, the
     * d28→d30 / d08→d35 precedent): the trained wide-format embeddings
-    * bridge to the similarity family's (vec_id, embedding ARRAY) shape
-    * and rank through [[Similarity.annTopK]] — md5-seeded multiprobe
-    * hyperplane buckets, exact-cosine candidate scoring, the same
-    * bounded TopKAgg — so related-item serving at 1e8+ nodes costs
-    * bucket-local candidate streams, never the N² self-join the exact
-    * baseline declares. Deterministic (fixed hyperplane seed) but
-    * engine-specific → rows-only gate; recall vs the exact d171
-    * baseline is bounded in GraphsSpec (the d08/d17 discipline). Out:
-    * (node, rel_id, rank) — the id/rank contract of the exact form
-    * minus the cosine (the ANN path's sims are approximate by
-    * candidate coverage, not by value; consumers wanting scores
-    * re-attach them id-keyed). */
-  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, tables: Int = 8,
-      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    * bridge to (vec_id, v ARRAY) and rank through the IVF family —
+    * [[IvfIndex.build]]'s √N-cell coarse quantizer, probed-cell
+    * exact-cosine scoring, the same bounded TopKAgg — so related-item
+    * serving at 1e8+ nodes costs probes·N/K candidates per query,
+    * never the N² self-join the exact baseline declares.
+    *
+    * Why IVF and not the hyperplane-LSH family here: trained WALK
+    * embeddings are LOW-DIMENSIONAL, and central-hyperplane LSH has a
+    * hard resolution ceiling there — b hyperplanes in R^d realize at
+    * most 2·Σ_{i<d} C(b−1, i) sign regions (the central-arrangement
+    * bound), ≈ 600 buckets for b = 13, d = 4 NO MATTER how many
+    * signature bits are declared, so occupancy grows like N/600 and
+    * the candidate stream silently re-quadratizes (measured on the 10×
+    * probe corpus: p50 candidates/query ≈ N; mean-centering and
+    * whitening the signature space — [[Similarity.annTopKWhitened]] —
+    * cannot lift a region-count ceiling). IVF's Voronoi cells
+    * partition SPACE, not sign patterns: K = √N cells exist at any
+    * dimension, candidates/query stay probes·√N, and the same
+    * quantizer family already serves d17/d33. Deterministic given the
+    * build's partition-order centroid folds but engine-specific →
+    * rows-only gate; recall vs the exact d171 baseline is bounded in
+    * GraphsSpec and emitted as bench-quality d187_recall. Out: (node,
+    * rel_id, rank) — the id/rank contract of the exact form minus the
+    * cosine (the ANN path's ranking is approximate by candidate
+    * coverage, not by score; consumers wanting scores re-attach them
+    * id-keyed). */
+  def embeddingRelatedAnn(emb: DataFrame, k: Int = 5, kCells: Int = 0,
+      probes: Int = 3): DataFrame = {
     val cols = emb.columns
     require(cols.length >= 2, "need (node, e0..e{dim-1})")
-    val vecs = emb.select(col(cols.head).as("vec_id"),
-      array(cols.tail.map(c => col(c).cast(DoubleType)): _*).as("embedding"))
-    Similarity.annTopK(vecs, k, tables, bitsPerTable, probeFlips)
+    val s = emb.sparkSession
+    // UNIT-SPHERE cells: Lloyd partitions by Euclidean distance while
+    // the ranking metric is cosine — on raw vectors a near-cosine
+    // neighbor with a different norm lands in a far cell and recall
+    // leaks (measured: 0.67@probes=3 raw vs ~0.9 normalized on the 10×
+    // corpus). Cosine is scale-invariant, so normalizing BEFORE the
+    // build changes cell locality to angular locality without touching
+    // the served ranking; zero-norm vectors drop exactly like the rest
+    // of the ANN family.
+    val e = Similarity.normalizedVecs(
+      emb.select(col(cols.head).as("vec_id"),
+        array(cols.tail.map(c => col(c).cast(DoubleType)): _*).as("embedding")))
+    val unit = e.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("v"))
+    val model = IvfIndex.build(s, unit, k = kCells, iters = 3)
+    IvfIndex.searchTopK(s, model, unit, k, probes)
       .select(col("vec_id").as("node"), col("neighbor_id").as("rel_id"),
         col("rank"))
   }
@@ -3491,11 +3518,12 @@ object Graphs {
 
     // d187: the ANN-SERVED production sibling of d171 (r14 verdict ask
     // #1 — the d28→d30 / d08→d35 precedent): the same trained
-    // embeddings ranked through annTopK's multiprobe hyperplane
-    // candidate stream instead of the N² exact self-join.
-    // Deterministic (fixed hyperplane seed) but engine-specific →
+    // embeddings ranked through the IVF coarse quantizer's probed-cell
+    // candidate stream instead of the N² exact self-join (IVF, not
+    // hyperplane LSH: low-dim sign-region ceiling — see the operator
+    // scaladoc). Deterministic per build but engine-specific →
     // rows-only check; rank recall vs the exact d171 baseline is
-    // bounded in GraphsSpec (the d08/d17 discipline).
+    // bounded in GraphsSpec and emitted as bench-quality d187_recall.
     Q("d187_embedding_related_ann",
       (s, d) => embeddingRelatedAnn(
         walkEmbeddings(

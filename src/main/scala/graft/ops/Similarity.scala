@@ -1168,6 +1168,117 @@ object Similarity {
     topKRanks(scoreCandidates(e, annCandidatePairs(e, tables, bits, probeFlips)), k)
   }
 
+  /** [[annTopK]] with WHITENED signature geometry — the
+    * clustered-corpus fix. Origin-through hyperplanes split vectors by
+    * DIRECTION; a corpus whose vectors all point into one narrow cone
+    * (trained low-dim embeddings after few iterations; any strongly
+    * anisotropic embedding space) lands in a handful of hot buckets
+    * and the candidate stream silently re-quadratizes — measured on
+    * the 10× probe corpus: p50 candidates/query ≈ N (LSH degenerated
+    * to all-pairs), and mean-centering alone still left p50 ≈ N/4 (the
+    * residual cloud is itself anisotropic). The hash space therefore
+    * moves to the STANDARDIZED residuals w = L⁻¹(v − μ), the classic
+    * whitening preprocessing of PQ/ITQ practice: μ and the covariance
+    * come from ONE bounded aggregation (d(d+3)/2 columns, one driver
+    * row — the 1-row-collect discipline; `require(d ≤ 64)` keeps the
+    * aggregation narrow, which is also the regime where clustering
+    * bites), L is the driver-side Cholesky factor of cov + εI, and w
+    * is a per-vector linear map in the same task-cached-UDF shape as
+    * the signature pass. In whitened space the cloud is isotropic BY
+    * CONSTRUCTION, so expected bucket occupancy actually matches the
+    * bits heuristic instead of silently collapsing. Within a tight
+    * cone, cos(v₁, v₂) ≈ 1 − |r₁ − r₂|²/(2|μ|²): residual geometry is
+    * exactly what discriminates neighbors there, so hashing w targets
+    * the right signal. Scoring and ranking are UNCHANGED — exact
+    * cosine on the ORIGINAL vectors into the bounded TopKAgg;
+    * whitening only decides who gets compared, so output quality
+    * degrades only by candidate coverage, exactly like every other ANN
+    * knob (recall vs the exact baseline is bounded in SimilaritySpec
+    * on a clustered fixture). On an already-isotropic corpus W ≈ I/σ
+    * and this is [[annTopK]] at one aggregation's extra cost.
+    *
+    * KNOW THE CEILING: no signature transform can beat the
+    * central-arrangement bound — b hyperplanes in R^d realize at most
+    * 2·Σ_{i<d} C(b−1, i) sign regions, so at VERY low dimension
+    * (d ≲ 8) declared bits beyond that are illusory and occupancy
+    * grows like N/regions regardless of whitening. There the right
+    * family is the IVF coarse quantizer ([[IvfIndex]] — Voronoi cells
+    * partition space, K = √N cells exist at any d), which is why
+    * d187's low-dim walk embeddings serve through IVF while this
+    * method targets MID-dim anisotropic corpora (d ~ 8–64, e.g.
+    * PCA/JL-projected encoder outputs) where regions are plentiful
+    * but raw hyperplanes waste them on the dominant axes. */
+  def annTopKWhitened(vecs: DataFrame, k: Int = 3, tables: Int = 8,
+      bitsPerTable: Int = 0, probeFlips: Int = 15): DataFrame = {
+    require(k > 0 && tables > 0 && bitsPerTable >= 0 && bitsPerTable <= 63 &&
+      probeFlips >= 0, "need k > 0, tables > 0, 0 <= bitsPerTable <= 63, probeFlips >= 0")
+    val e = normalizedVecs(vecs)
+    val bits = if (bitsPerTable > 0) bitsPerTable else annBitsFor(vecs.count())
+    topKRanks(scoreCandidates(e,
+      annCandidatePairs(whitened(e), tables, bits, probeFlips)), k)
+  }
+
+  /** (vec_id, v = L⁻¹(v − μ)) — the whitened projection behind
+    * [[annTopKWhitened]]. One bounded moment aggregation (means +
+    * upper-triangle second moments), driver-side Cholesky of
+    * cov + 1e-9·tr/d·I (the ridge keeps degenerate dimensions
+    * invertible), forward-substitution inverse, and a task-cached UDF
+    * applying the d×d map per vector. */
+  private[graft] def whitened(e: DataFrame): DataFrame = {
+    val dimRow = e.select(size(col("v"))).take(1)
+    if (dimRow.isEmpty) return e.select(col("vec_id"), col("v"))
+    val d = dimRow(0).getInt(0)
+    require(d >= 1 && d <= 64,
+      s"whitened signatures support 1 <= dim <= 64 (got $d) — high-dim " +
+        "spaces rarely cluster this way; use annTopK there")
+    val meanCols = (0 until d).map(a =>
+      avg(element_at(col("v"), a + 1)).as(s"m_$a"))
+    val momCols = for (a <- 0 until d; b <- a until d) yield
+      avg(element_at(col("v"), a + 1) * element_at(col("v"), b + 1)).as(s"c_${a}_$b")
+    val allCols = meanCols ++ momCols
+    val row = e.agg(allCols.head, allCols.tail: _*).collect()(0)
+    val mu = Array.tabulate(d)(a => row.getDouble(a))
+    val cov = Array.ofDim[Double](d, d)
+    var idx = d
+    for (a <- 0 until d; b <- a until d) {
+      val c = row.getDouble(idx) - mu(a) * mu(b)
+      cov(a)(b) = c; cov(b)(a) = c
+      idx += 1
+    }
+    val ridge = 1e-9 * math.max((0 until d).map(a => cov(a)(a)).sum / d,
+      java.lang.Double.MIN_NORMAL)
+    for (a <- 0 until d) cov(a)(a) += ridge
+    // Cholesky: cov = L Lᵀ (SPD after the ridge)
+    val l = Array.ofDim[Double](d, d)
+    for (a <- 0 until d; b <- 0 to a) {
+      var s = cov(a)(b)
+      for (c <- 0 until b) s -= l(a)(c) * l(b)(c)
+      if (a == b) l(a)(a) = math.sqrt(math.max(s, ridge))
+      else l(a)(b) = s / l(b)(b)
+    }
+    // W = L⁻¹ by forward substitution on the identity
+    val w = Array.ofDim[Double](d, d)
+    for (col0 <- 0 until d; a <- col0 until d) {
+      var s = if (a == col0) 1.0 else 0.0
+      for (c <- col0 until a) s -= l(a)(c) * w(c)(col0)
+      w(a)(col0) = s / l(a)(a)
+    }
+    val whitenUdf = udf((v: Seq[Double]) => {
+      val out = new Array[Double](d)
+      var a = 0
+      while (a < d) {
+        var s = 0.0
+        var b = 0
+        // L is lower-triangular, so W = L⁻¹ is too: b ≤ a suffices
+        while (b <= a) { s += w(a)(b) * (v(b) - mu(b)); b += 1 }
+        out(a) = s
+        a += 1
+      }
+      out.toSeq
+    })
+    e.select(col("vec_id"), whitenUdf(col("v")).as("v"))
+  }
+
   /** Exact-cosine scoring of an id-only candidate stream: re-attach both
     * endpoint vectors id-keyed (AQE broadcasts only a measured-small
     * side) and emit (vec_id, neighbor_id, sim) — the shared back half of

@@ -48,7 +48,7 @@ object ScaleProbe {
     // the exact baseline is N² BY SEMANTICS (≈100× pairs at 10× nodes
     // — deliberately NOT probed); this rung shows the served path the
     // 100 TB story actually runs stays near-linear (trainer chain +
-    // bucket-bounded candidates).
+    // IVF probed-cell candidates, probes·√N per query).
     "d187_embedding_related_ann")
 
   private val Letters = "etaoinshrd" // 10 common letters; rotation k per copy

@@ -888,12 +888,12 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("node"), col("rel_id"))
       .as[(Long, Long)].collect().groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap
-    // degenerate geometry (1 table, 1 bit, 1 flip = every pair is a
-    // candidate, the d61/d123 convention): the ANN path must reproduce
+    // degenerate geometry (probes >= cells = every vector is a
+    // candidate, the d33 convention): the ANN path must reproduce
     // the exact neighbor SETS (order may differ only where the exact
     // path's 1e-6 rounding ties raw cosines — compare sets, not ranks)
     val degen = Graphs.embeddingRelatedAnn(emb, k = 3,
-        tables = 1, bitsPerTable = 1, probeFlips = 1)
+        kCells = 2, probes = 2)
       .select(col("node"), col("rel_id"))
       .as[(Long, Long)].collect().groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap

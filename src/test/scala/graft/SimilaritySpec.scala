@@ -166,4 +166,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .where($"predicted_label" <=> $"exact_label").count()
     assert(agree.toDouble / n > 0.85, s"agreement = $agree/$n")
   }
+
+  test("annTopKWhitened: spreads an anisotropic cone raw hyperplanes collapse; recall holds") {
+    import spark.implicits._
+    // 400 vectors in dim 8, all pointing into one narrow cone (large
+    // common mean), residual variance dominated by axis 0 — the shape
+    // that defeats origin-through hyperplanes: every dot against every
+    // hyperplane is dominated by the shared mean, so raw signatures
+    // collapse into one bucket per table.
+    def h(i: Int, j: Int): Double = (((i * 31 + j * 17) % 97) / 97.0) - 0.5
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        10.0 + (if (j == 0) 2.0 else 0.08) * h(i, j)).toArray)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val e = graft.ops.Similarity.normalizedVecs(vecs).localCheckpoint()
+    val rawCands = graft.ops.Similarity
+      .annCandidatePairs(e, tables = 4, bits = 8, probeFlips = 3).count()
+    val whCands = graft.ops.Similarity
+      .annCandidatePairs(graft.ops.Similarity.whitened(e),
+        tables = 4, bits = 8, probeFlips = 3).count()
+    // the collapsed cone yields ~all-pairs per table x probe surfacing;
+    // whitened signatures must cut candidate volume by at least 3x
+    assert(whCands * 3 <= rawCands, s"whitened $whCands vs raw $rawCands")
+    // and the candidates that remain are the right ones: top-3 recall
+    // vs the exact baseline stays high (random top-3 of 399 ~ 0.008)
+    val exactTop = graft.ops.Similarity.cosineTopK(vecs, 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val whTop = graft.ops.Similarity
+      .annTopKWhitened(vecs, 3, tables = 4, bitsPerTable = 8, probeFlips = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (whTop & exactTop).size.toDouble / exactTop.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
 }
