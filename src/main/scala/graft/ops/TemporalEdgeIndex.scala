@@ -170,6 +170,31 @@ object TemporalEdgeIndex extends PersistedIndex {
       halflifeDays: Int = 180, maxShift: Int = 30,
       minWeightPpm: Long = 1000000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestServing(docs, dir, checkpoint, Some(anchorDay), outDir, k,
+      halflifeDays, maxShift, minWeightPpm)
+
+  /** [[ingestServingTrending]] with a SLIDING anchor: each refresh
+    * anchors the decay at the newest basket date across the ENTIRE
+    * ingested history (one partition-pruned max over the index's
+    * per-date facts — a corpus property, the d174 anchor convention),
+    * so "now" advances with the data and yesterday's trending table
+    * re-weights itself without any rewrite — the property the
+    * read-time-decay layout exists for. Decay is read-time, so the
+    * advancing anchor is a parameter change per refresh, never an
+    * index change; the gate proves each snapshot equals the one-shot
+    * recompute anchored at that batch's own corpus max. */
+  def ingestServingTrendingSliding(docs: DataFrame, dir: String,
+      checkpoint: String, outDir: String, k: Int = 10,
+      halflifeDays: Int = 180, maxShift: Int = 30,
+      minWeightPpm: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestServing(docs, dir, checkpoint, None, outDir, k,
+      halflifeDays, maxShift, minWeightPpm)
+
+  private def ingestServing(docs: DataFrame, dir: String, checkpoint: String,
+      anchorDay: Option[java.sql.Date], outDir: String, k: Int,
+      halflifeDays: Int, maxShift: Int, minWeightPpm: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -179,8 +204,14 @@ object TemporalEdgeIndex extends PersistedIndex {
           val s = batch.sparkSession
           ingestGuard(batch.toDF(), dir, id)
           writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+          val anchor = anchorDay match {
+            case Some(day) => s.range(1).select(lit(day).as("mx"))
+            // sliding: the newest basket date across ALL indexed facts
+            case None => s.read.parquet(s"$dir/pairfacts")
+              .agg(max(col("bday")).as("mx"))
+          }
           Graphs.trendingRelated(
-              decayedEdgesOf(s, dir, s.range(1).select(lit(anchorDay).as("mx")),
+              decayedEdgesOf(s, dir, anchor,
                 halflifeDays, maxShift, minWeightPpm), k)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
         }

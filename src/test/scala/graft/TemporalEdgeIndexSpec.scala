@@ -201,6 +201,45 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark, dir, anchor("2024-12-31"), minWeightPpm = 0L), k = 10)))
   }
 
+  test("sliding-anchor streaming trending: each snapshot anchors at its own corpus max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp(); val out = tmp() + "/trending"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingestServingTrendingSliding(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp(), out, k = 10, minWeightPpm = 0L)
+    def snapshot(): Set[(Long, Long, Long, Long)] =
+      edgeSet4(spark.read.parquet(out))
+    def direct(rows: Seq[(Long, Long, String)], day: String): Set[(Long, Long, Long, Long)] = {
+      val shifts = baskets(rows).groupBy(col("basket_id"))
+        .agg(max(col("bday")).as("bday"))
+        .crossJoin(broadcast(anchor(day)))
+        .select(col("basket_id"),
+          least(expr("datediff(mx, bday) div 180"), lit(30)).as("shift"))
+      edgeSet4(Graphs.trendingRelated(Graphs.decayedCopurchase(
+        baskets(rows).select(col("basket_id"), col("item_id")), shifts,
+        minWeightPpm = 0L), k = 10))
+    }
+    val odd = all.filter(_._1 % 2 == 1)
+    try {
+      // batch 1: only the stale-dated baskets — "now" is their own max
+      // (2024-07-01), so nothing has decayed yet and both pairs weigh
+      // a full 1e6
+      mem.addData(odd: _*)
+      q.processAllAvailable()
+      assert(snapshot() == direct(odd, "2024-07-01"))
+      // batch 2: the fresh baskets arrive and the anchor ADVANCES to
+      // 2024-12-31 — the same persisted facts re-weight (the July
+      // baskets now sit one half-life back) without any rewrite
+      mem.addData(all.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      assert(snapshot() == direct(all, "2024-12-31"))
+    } finally q.stop()
+  }
+
   private def edgeSet4(df: DataFrame): Set[(Long, Long, Long, Long)] = {
     import spark.implicits._
     df.select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
