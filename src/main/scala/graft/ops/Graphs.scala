@@ -1100,9 +1100,15 @@ object Graphs {
     * −0.0 discipline: TopKAgg normalizes −0.0 → 0.0 at insert (a
     * dot < 0 tiny against huge norms rounds to −0.0); the oracle
     * applies the same `+ 0` normalization so both engines emit the
-    * identical +0.0 bits. */
-  def embeddingRelated(emb: DataFrame, k: Int = 5): DataFrame = {
+    * identical +0.0 bits.
+    *
+    * Guard: refuses corpora over `maxNodes` (r15 verdict hardening) —
+    * the N² baseline must be chosen deliberately, never reached by a
+    * 100×-scale-up accident; the error names the served sibling. */
+  def embeddingRelated(emb: DataFrame, k: Int = 5,
+      maxNodes: Long = 50000L): DataFrame = {
     require(k >= 1, "need k >= 1")
+    require(maxNodes >= 1, "need maxNodes >= 1")
     val cols = emb.columns
     require(cols.length >= 2, "need (node, e0..e{dim-1})")
     val dims = cols.tail
@@ -1117,6 +1123,19 @@ object Graphs {
           .reduce(_ + _).as("norm2"): _*)
       .where(col("norm2") > 0L)
       .localCheckpoint() // referenced by both sides of the self-join
+    // the one intentionally-quadratic operator in the suite gets the
+    // copurchaseEdges maxBasketItems discipline: refuse a corpus whose
+    // N² pair stream would be a 100×-scale footgun instead of running
+    // it silently — callers either mean embeddingRelatedAnn (the
+    // served sibling, probes·√N candidates/query) or raise the cap
+    // deliberately (the count is on the post-checkpoint narrow frame,
+    // so it costs one metadata-cheap pass, not a corpus re-read)
+    val n = u.count()
+    require(n <= maxNodes,
+      s"embeddingRelated: $n nodes exceed maxNodes=$maxNodes — this is " +
+        "the EXACT N^2 self-join baseline; rank through " +
+        "embeddingRelatedAnn (the IVF-served sibling) at this scale, or " +
+        "pass maxNodes explicitly to run the quadratic baseline anyway")
     val a = u.toDF(("node" +: dims.indices.map(j => s"a$j")) :+ "qa": _*)
     val b = u.toDF(("rel_id" +: dims.indices.map(j => s"b$j")) :+ "qb": _*)
     val dot = dims.indices.map(j => col(s"a$j") * col(s"b$j")).reduce(_ + _)
@@ -2275,6 +2294,13 @@ object Graphs {
     * standard strong-tie stratification (Cohen 2008) a pipeline reads
     * to pick its community-scaffold threshold instead of guessing k.
     *
+    * Default rounds = 6 — [[coreness]] parity (r15 advice: 3 left a
+    * thin margin over the 2-round strip fixture, and a deeper prune
+    * cascade would silently overstate trussness on BOTH engines since
+    * the oracle replays the identical bound). Early exit makes the
+    * raise free wherever 3 sufficed: pruning is monotone, so the
+    * first no-op round ends the level.
+    *
     * In: undirected edges in any orientation/duplication convention
     * (canonicalized by [[normalizedUndirected]]). Out: (src, dst,
     * trussness) for EVERY canonical input edge, src < dst, exact
@@ -2293,7 +2319,7 @@ object Graphs {
     * localCheckpointed (consumed by the next round's references and
     * the convergence count); the assembly join per level is
     * edge-keyed equi-join, no window anywhere. */
-  def edgeTrussness(edges: DataFrame, kMax: Int = 4, rounds: Int = 3): DataFrame = {
+  def edgeTrussness(edges: DataFrame, kMax: Int = 4, rounds: Int = 6): DataFrame = {
     require(kMax >= 2, "need kMax >= 2")
     require(rounds >= 1, "need rounds >= 1")
     val e0 = normalizedUndirected(edges).localCheckpoint()
@@ -2721,6 +2747,45 @@ object Graphs {
        |SELECT node, rel_id, cosine, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** The d189 tail: the ANN serving path's OWN double arithmetic
+    * replayed step for step (the d33/d35 exact-mode-oracle convention —
+    * NOT d171's rounded-cosine tail, whose 1e-6 quantization ties raw
+    * cosines the double path distinguishes): cast the long state back
+    * to doubles by the trainer's single division, drop zero norms,
+    * unit-normalize (x / nrm — [[embeddingRelatedAnn]]'s pre-build
+    * step), then rank every directed pair by the raw double cosine of
+    * the UNIT vectors with (sim DESC, rel_id ASC) — TopKAgg's
+    * tie-break. list_dot_product is the same left-associated
+    * sequential sum as the JVM vec_dot loop and every remaining op
+    * (one division, sqrt, multiply) is correctly-rounded IEEE on
+    * identical inputs, so the two engines produce bit-identical sims
+    * (the d33-proven parity). At probes = kCells the ANN path's
+    * candidate set is the whole zero-norm-free corpus minus self, so
+    * this oracle gates the full quantize → probe → score → TopKAgg
+    * serving pipeline, ids and ranks hashed exactly. */
+  private def embeddingRelatedAnnExactSql(dim: Int, iters: Int, k: Int): String = {
+    val js = 0 until dim
+    val vlist = js.map(j => s"CAST(e$j AS DOUBLE) / 1000000.0").mkString("[", ", ", "]")
+    s"""annv AS (
+       |  SELECT node, $vlist AS v FROM u$iters),
+       |annz AS (
+       |  SELECT node, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM annv WHERE sqrt(list_dot_product(v, v)) > 0),
+       |annu AS MATERIALIZED (
+       |  SELECT node, list_transform(v, x -> x / nrm) AS uv FROM annz),
+       |annq AS MATERIALIZED (
+       |  SELECT node, uv, sqrt(list_dot_product(uv, uv)) AS un FROM annu),
+       |anns AS (
+       |  SELECT a.node, b.node AS rel_id,
+       |         list_dot_product(a.uv, b.uv) / (a.un * b.un) AS sim
+       |  FROM annq a JOIN annq b ON a.node <> b.node),
+       |annr AS (
+       |  SELECT node, rel_id, CAST(row_number() OVER (
+       |    PARTITION BY node ORDER BY sim DESC, rel_id) AS BIGINT) AS rank
+       |  FROM anns)
+       |SELECT node, rel_id, rank FROM annr WHERE rank <= $k""".stripMargin
+  }
+
   /** The d170 oracle: the d166 LPA replay chained into `rounds`
     * unrolled local-move sweeps — identical gain arithmetic
     * (m2·k_{i,c} − k_i·tot'_c, exact longs), identical (g desc, cand
@@ -2921,12 +2986,18 @@ object Graphs {
       (1 to rounds).map { i =>
         val prev = if (i == 1) { if (k == 3) "e0" else s"k${k - 1}_r$rounds" }
           else s"k${k}_r${i - 1}"
+        // each round's survivor frame MATERIALIZED: a plain CTE is
+        // INLINED at every reference, and with 3 references per round
+        // the unrolled 6-round chain re-expands the whole prefix
+        // 3^rounds times — measured as a DuckDB memory blowup (~90 GB
+        // RSS, no completion) when rounds went 3 → 6; materializing
+        // the per-round frame caps the plan at O(rounds)
         s"y_k${k}_$i AS (SELECT src AS u, dst AS v FROM $prev " +
           s"UNION ALL SELECT dst, src FROM $prev),\n" +
           s"s_k${k}_$i AS (SELECT t.src, t.dst, CAST(count(*) AS BIGINT) AS support\n" +
           s"     FROM $prev t JOIN y_k${k}_$i a ON a.u = t.src\n" +
           s"     JOIN y_k${k}_$i b ON b.u = t.dst AND b.v = a.v GROUP BY 1, 2),\n" +
-          s"k${k}_r$i AS (SELECT src, dst FROM s_k${k}_$i WHERE support >= ${k - 2})"
+          s"k${k}_r$i AS MATERIALIZED (SELECT src, dst FROM s_k${k}_$i WHERE support >= ${k - 2})"
       }.mkString(",\n")
     }.mkString(",\n")
     val joins = (3 to kMax).map(k =>
@@ -3534,6 +3605,28 @@ object Graphs {
         k = 5),
       None),
 
+    // d189: the d187 SERVING PIPELINE under an exact-mode oracle (r15
+    // verdict ask #2 — the family's own d33/d35 convention): at
+    // probes = kCells every query probes every IVF cell, so the
+    // candidate set is the whole zero-norm-free corpus and the
+    // quantize → probe → unit-cosine score → TopKAgg pipeline (the
+    // code d187 runs at production probes) must reproduce the exact
+    // double-cosine ranking row for row. The oracle replays the ANN
+    // path's own double arithmetic (see [[embeddingRelatedAnnExactSql]]
+    // — d171's rounded tail would mis-tie), hash-gating ids and ranks;
+    // with this the served path has a direct gate, not only the
+    // recall adjudication against d171.
+    Q("d189_embedding_related_ann_exact",
+      (s, d) => embeddingRelatedAnn(
+        walkEmbeddings(
+          walkSkipGrams(
+            randomWalks(copurchaseFrame(s, d), walksPerNode = 2, steps = 3),
+            window = 2),
+          dim = 4, iters = 2, lrNum = 1, lrDen = 10),
+        k = 5, kCells = 4, probes = 4),
+      Some(embeddingSql(2, 3, 2, 4, 2, 1, 10) + ",\n" +
+        embeddingRelatedAnnExactSql(4, 2, 5))),
+
     // d168: the node2vec composition end-to-end — embeddings trained
     // over the BIASED-walk skip-gram corpus (d162 -> d158 machinery ->
     // d163 trainer as one chained query); the oracle chains the
@@ -3828,8 +3921,8 @@ object Graphs {
     // d173's edge-level prune (r14 verdict forward item #3); the oracle
     // unrolls the identical nested prunes and left-join assembly.
     Q("d188_edge_trussness",
-      (s, d) => edgeTrussness(copurchaseFrame(s, d), kMax = 4, rounds = 3),
-      Some(edgeTrussnessSql(kMax = 4, rounds = 3))),
+      (s, d) => edgeTrussness(copurchaseFrame(s, d), kMax = 4, rounds = 6),
+      Some(edgeTrussnessSql(kMax = 4, rounds = 6))),
 
     // d181: 2-iteration SALSA on the directed customer→supplier graph
     // — mass-splitting link analysis beside d145's raw-sum HITS; the

@@ -875,6 +875,21 @@ class GraphsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embeddingRelated: refuses a corpus over maxNodes and names the served sibling") {
+    import spark.implicits._
+    val emb = Seq((1L, 0.5, 0.1), (2L, 0.4, 0.2), (3L, 0.1, 0.6))
+      .toDF("node", "e0", "e1")
+    // the r15 hardening: the N^2 baseline must be chosen, not reached
+    // by a scale-up accident — the refusal steers to the served sibling
+    val err = intercept[IllegalArgumentException] {
+      Graphs.embeddingRelated(emb, k = 1, maxNodes = 2L)
+    }
+    assert(err.getMessage.contains("embeddingRelatedAnn"))
+    // the explicit override runs the quadratic baseline as declared
+    assert(Graphs.embeddingRelated(emb, k = 1, maxNodes = 3L)
+      .count() == 3L)
+  }
+
   test("embeddingRelatedAnn: degenerate knobs recover the exact top-k; production knobs keep recall") {
     import spark.implicits._
     val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
