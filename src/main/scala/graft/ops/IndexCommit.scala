@@ -73,6 +73,87 @@ private[graft] object IndexCommit {
       "interrupted batch or rebuild with save().")
   }
 
+  /** Pointer file naming the live generation under a snapshot root —
+    * see [[publishSnapshot]]. */
+  val SnapshotPointer = "_graft_current"
+
+  /** Atomically publish `df` as the new serving snapshot under `root`
+    * (r15 advice: the streaming trending consumer refreshed its serving
+    * table with a plain SaveMode.Overwrite — Spark deletes the
+    * directory before rewriting, so a concurrent reader or a crash
+    * mid-refresh saw a missing/partial table until another batch
+    * arrived). Generation protocol instead:
+    *
+    *  1. the new generation lands in a FRESH `gen-<batchId>-<nonce>`
+    *     directory (never rewriting one a reader might be serving —
+    *     a replayed batch id publishes a new nonce);
+    *  2. the [[SnapshotPointer]] file swaps to it via temp-file +
+    *     rename with Options.Rename.OVERWRITE — atomic on HDFS and
+    *     POSIX, so [[currentSnapshotDir]] readers see the old complete
+    *     generation or the new complete one, never a partial;
+    *  3. generations other than the new one and the one it replaced
+    *     are deleted — the immediately-previous survives until the
+    *     NEXT publish so in-flight readers keep their files.
+    *
+    * A crash before step 2 leaves the pointer on the old complete
+    * generation (the fresh dir is GC'd by the replay's step 3); a
+    * crash after step 2 is a completed publish. Returns the new
+    * generation's path. */
+  def publishSnapshot(df: DataFrame, root: String, batchId: Long): String = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val gen = s"gen-$batchId-${java.lang.System.nanoTime()}"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen")
+    val prev = currentSnapshotName(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(rootPath, SnapshotPointer)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s"$SnapshotPointer.tmp")
+    val out = fs.create(tmp, true)
+    out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") && n != gen &&
+          !prev.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    s"$root/$gen"
+  }
+
+  /** The live generation name recorded under `root`, if a publish ever
+    * completed. */
+  def currentSnapshotName(spark: SparkSession, root: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, SnapshotPointer)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Resolve the live snapshot generation's path — fails closed (the
+    * [[requireCommitted]] discipline) when no publish ever completed. */
+  def currentSnapshotDir(spark: SparkSession, root: String): String = {
+    val gen = currentSnapshotName(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"currentSnapshotDir: $root has no $SnapshotPointer pointer — no " +
+          "snapshot publish ever completed (or the root is wrong); the " +
+          "serving table is not readable until the first publish lands"))
+    s"$root/$gen"
+  }
+
   /** Next free batch id for `tablePath`: one directory listing, bounded
     * by the number of PAST WRITES, not corpus size. */
   def nextBatchId(spark: SparkSession, tablePath: String): Long = {

@@ -70,13 +70,23 @@ trait PersistedIndex {
     writeBatch(docs, dir, batchId = -1L, overwriteAll = true)
 
   /** Incrementally index an additional batch under its own
-    * `ingest_batch` partitions. */
+    * `ingest_batch` partitions. Batch ids allocate from the DISJOINT
+    * table's partition listing, not the lead fact table's: a fact
+    * table can legitimately write ZERO rows for a non-empty batch
+    * (an edge family's all-singleton basket batch produces no pairs),
+    * which leaves no `ingest_batch=B` partition behind — allocating
+    * from it would then reuse B and dynamic overwrite would CLOBBER
+    * the id/claim partitions the earlier batch did write (found by
+    * TemporalEdgeIndexSpec's fragmentation property test). The
+    * disjoint table records >= 1 row for every non-empty batch by
+    * construction; for the doc-keyed families it IS the lead table,
+    * so nothing changes there. */
   def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
     if (checkDisjoint)
       disjointIdCol.foreach(c =>
         IndexCommit.requireDisjoint(docs, s"$dir/$disjointTable", c))
     writeBatch(docs, dir,
-      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/$leadTable"),
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/$disjointTable"),
       overwriteAll = false)
   }
 

@@ -25,12 +25,20 @@ import Tables._
   * refinement costs at most the date column, never a blowup.
   *
   * On-disk layout (parquet):
-  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, bday DATE, n BIGINT)
+  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, bday DATE, n BIGINT —
+  *     n may be NEGATIVE: [[appendLate]]'s retraction rows; per-key
+  *     nets stay >= 0 and readers/compaction net them out)
   *   <dir>/basketids/ingest_batch=B/ (basket_id)
+  *   <dir>/basketitems/ingest_batch=B/ (basket_id, item_id, bday —
+  *     the distinct raw claims; linear in the input, what late-data
+  *     reconciliation and the sliding anchor read)
   * Disjointness, the per-batch runaway-basket cap, the streaming
   * straddle guard, and the crash-safe marker protocol are all
   * [[EdgeIndex]]'s, restated over the 3-column basket input
-  * (basket_id, item_id, bday). The d182 gate proves the split-ingest
+  * (basket_id, item_id, bday); feeds that cannot deliver complete
+  * baskets per micro-batch use [[ingestLate]]/[[appendLate]], which
+  * reconcile stragglers as additive (possibly negative) fact deltas
+  * instead of aborting. The d182 gate proves the split-ingest
   * round trip reproduces [[Graphs.decayedCopurchase]] on the same
   * corpus under d174's oracle VERBATIM; d183 proves a consumer
   * ([[Graphs.trendingRelated]]) fed from the index under d179's.
@@ -41,32 +49,49 @@ object TemporalEdgeIndex extends PersistedIndex {
     * batch is gated identically. */
   val MaxBasketItems: Int = EdgeIndex.MaxBasketItems
 
+  /** The per-batch (src, dst, bday, n) fact build over a complete
+    * basket frame — shared verbatim by the normal write path and both
+    * sides of the late-data delta (so reconciliation retracts EXACTLY
+    * what an earlier application of the same function emitted). */
+  private def pairFactsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs.toDF("basket_id", "item_id", "bday")
+    // one date per basket — duplicates collapse to the NEWEST claim
+    // (max bday = smallest shift), the decayedCopurchase convention
+    val days = b.groupBy(col("basket_id")).agg(max(col("bday")).as("bday"))
+    val bi0 = b.select(col("basket_id"), col("item_id")).distinct()
+    val bi = bi0
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("basket_id"))))
+      .where(col("__n") <= MaxBasketItems)
+      .select(col("basket_id"), col("item_id"))
+    // the date attaches PRE-fan-out (the decayedCopurchase shift
+    // discipline): one basket-keyed join on the distinct-items frame,
+    // not on the quadratic pair stream
+    val a = bi.toDF("basket_id", "src").join(days, Seq("basket_id"))
+    val c = bi.toDF("basket_id", "dst")
+    a.join(c, Seq("basket_id"))
+      .where(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"), col("bday"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   protected def batchTables: Seq[BatchTable] = Seq(
-    BatchTable(IndexCommit.TableSpec("pairfacts"), (docs, _, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val b = docs.toDF("basket_id", "item_id", "bday")
-      // one date per basket — duplicates collapse to the NEWEST claim
-      // (max bday = smallest shift), the decayedCopurchase convention
-      val days = b.groupBy(col("basket_id")).agg(max(col("bday")).as("bday"))
-      val bi0 = b.select(col("basket_id"), col("item_id")).distinct()
-      val bi = bi0
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy(col("basket_id"))))
-        .where(col("__n") <= MaxBasketItems)
-        .select(col("basket_id"), col("item_id"))
-      // the date attaches PRE-fan-out (the decayedCopurchase shift
-      // discipline): one basket-keyed join on the distinct-items frame,
-      // not on the quadratic pair stream
-      val a = bi.toDF("basket_id", "src").join(days, Seq("basket_id"))
-      val c = bi.toDF("basket_id", "dst")
-      a.join(c, Seq("basket_id"))
-        .where(col("src") < col("dst"))
-        .groupBy(col("src"), col("dst"), col("bday"))
-        .agg(count(lit(1)).as("n"))
-    }),
+    BatchTable(IndexCommit.TableSpec("pairfacts"),
+      (docs, _, _) => pairFactsOf(docs)),
     BatchTable(IndexCommit.TableSpec("basketids"), (docs, _, _) =>
       docs.toDF("basket_id", "item_id", "bday")
-        .select(col("basket_id")).distinct()))
+        .select(col("basket_id")).distinct()),
+    // the raw distinct (basket, item, date) claims — what makes
+    // LATE-DATA reconciliation possible ([[appendLate]]/[[ingestLate]]
+    // recompute a straddling basket's prior facts from here) and what
+    // the sliding anchor reads (EVERY ingested basket's date lands
+    // here, singleton and over-cap baskets included — pairfacts only
+    // witnesses pairs). Footprint: one row per distinct claim — LINEAR
+    // in the input where pairfacts is quadratic per basket, so the
+    // index's row envelope is unchanged in order.
+    BatchTable(IndexCommit.TableSpec("basketitems"), (docs, _, _) =>
+      docs.toDF("basket_id", "item_id", "bday").distinct()))
 
   override protected def disjointIdCol: Option[String] = Some("basket_id")
   override protected def disjointTable: String = "basketids"
@@ -74,11 +99,130 @@ object TemporalEdgeIndex extends PersistedIndex {
   /** [[EdgeIndex]]'s straddle probe (the shared
     * [[PersistedIndex.requireNoStraddle]]) over the 3-column basket
     * input: a micro-batch boundary splitting a basket would silently
-    * miss cross-fragment pairs — fail the stream instead. */
+    * miss cross-fragment pairs — fail the stream instead. This guard
+    * is the DEFAULT contract ([[PersistedIndex.ingest]]); feeds that
+    * cannot deliver complete baskets per micro-batch run
+    * [[ingestLate]], which reconciles stragglers instead of aborting. */
   override protected def ingestGuard(batch: DataFrame, dir: String,
       batchId: Long): Unit =
     requireNoStraddle(batch.toDF("basket_id", "item_id", "bday")
       .select(col("basket_id")), dir, batchId, "basket")
+
+  // ---- late-data ingest (r15 verdict forward item #2) -------------------
+
+  /** The pair-fact DELTA a batch containing LATE fragments must append
+    * so the index nets to exactly the one-shot build over everything
+    * seen (the additive-fact reconciliation the read-time-decay layout
+    * makes possible — late facts really are just appends):
+    *
+    *  - baskets never seen before contribute their facts as usual;
+    *  - a STRADDLING basket (id already indexed by an earlier batch)
+    *    contributes `pairFactsOf(merged claims) − pairFactsOf(prior
+    *    claims)` — its prior claims re-read from the basketitems table,
+    *    the subtraction carried as NEGATIVE-n retraction rows. Since
+    *    [[pairFactsOf]] is a pure function of a basket's claim set and
+    *    earlier batches net-appended exactly `pairFactsOf(prior)` for
+    *    it (induction over batches), the index's per-(pair, date) net
+    *    equals the one-shot build's count after EVERY batch — at any
+    *    lateness, any fragment order, any number of re-deliveries of
+    *    the same claim, across date-advancing fragments (old-date rows
+    *    retract, new-date rows appear) and item-cap transitions (a
+    *    basket growing past MaxBasketItems retracts wholesale, exactly
+    *    like the one-shot build excludes it). Nets are >= 0
+    *    throughout; fully-cancelled rows are dropped at read time
+    *    ([[servedDecayedEdges]]'s net_n filter) and at compaction.
+    *
+    * No watermark horizon is needed: reconciliation is exact at ANY
+    * lateness, so there is nothing a buffer-and-seal mode would add
+    * except dropped stragglers. Cost per batch: one basketids probe
+    * (the straddle guard's own scan) and, only when stragglers exist,
+    * one semi-joined read of the straddlers' prior claims. Replay-safe:
+    * prior state is read with the arriving batch id EXCLUDED, so a
+    * replayed micro-batch recomputes the identical delta and dynamic
+    * overwrite replaces its own partitions idempotently. */
+  private def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
+    val spark = b.sparkSession
+    val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
+    val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idsPath)) return pairFactsOf(b)
+    val priorIds = spark.read.parquet(s"$dir/basketids")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col("basket_id"))
+    val straddleIds = b.select(col("basket_id")).distinct()
+      .join(priorIds, Seq("basket_id"), "left_semi")
+      .localCheckpoint()
+    if (straddleIds.isEmpty) return pairFactsOf(b)
+    val prior = spark.read.parquet(s"$dir/basketitems")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col("basket_id"), col("item_id"), col("bday"))
+      .join(straddleIds, Seq("basket_id"), "left_semi")
+      .distinct()
+      .localCheckpoint()
+    val fresh = b.join(straddleIds, Seq("basket_id"), "left_anti")
+    val merged = b.join(straddleIds, Seq("basket_id"), "left_semi")
+      .select(col("basket_id"), col("item_id"), col("bday"))
+      .union(prior).distinct()
+    pairFactsOf(fresh)
+      .unionByName(pairFactsOf(merged))
+      .unionByName(pairFactsOf(prior).withColumn("n", -col("n")))
+      .groupBy(col("src"), col("dst"), col("bday"))
+      .agg(sum(col("n")).as("n"))
+      .where(col("n") =!= 0L)
+  }
+
+  /** One late-tolerant write batch: the [[lateDelta]] pair facts plus
+    * the batch's id/claim rows, under the [[IndexCommit]] guard. The
+    * delta is MATERIALIZED before the guard opens so no read of the
+    * prior tables is in flight while their directories gain this
+    * batch's partitions. */
+  private def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val b = docs.toDF("basket_id", "item_id", "bday").localCheckpoint()
+    val delta = lateDelta(b, dir, batchId).localCheckpoint()
+    IndexCommit.withGuard(spark, dir) {
+      Seq(("pairfacts", delta),
+          ("basketids", b.select(col("basket_id")).distinct()),
+          ("basketitems", b.distinct()))
+        .foreach { case (name, df) =>
+          IndexCommit.stamped(df, batchId).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", IndexCommit.overwriteMode(false))
+            .partitionBy(IndexCommit.BatchCol)
+            .parquet(s"$dir/$name")
+        }
+    }
+  }
+
+  /** [[PersistedIndex.append]] for a batch that may contain LATE
+    * fragments of already-indexed baskets — reconciles instead of
+    * refusing (see [[lateDelta]]; `append(checkDisjoint = true)` stays
+    * the fail-fast form for feeds that promise complete baskets). */
+  def appendLate(docs: DataFrame, dir: String): Unit =
+    // ids allocate from basketids (>= 1 row per non-empty batch), never
+    // pairfacts: a late fragment's DELTA can be empty (all-singleton or
+    // nothing-new), which writes no pairfacts partition — see
+    // [[PersistedIndex.append]]'s allocation note
+    writeLateBatch(docs, dir,
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/basketids"))
+
+  /** Watermark-TOLERANT streaming ingest (r15 verdict ask #3): where
+    * [[PersistedIndex.ingest]] fails loudly on a basket straddling
+    * micro-batches, this mode reconciles stragglers by appending their
+    * [[lateDelta]] — the final index state equals the in-order batch
+    * build no matter how the stream fragments or reorders baskets
+    * (TemporalEdgeIndexSpec replays out-of-order fragments against the
+    * one-shot build). Exactly-once per batch id like every ingest:
+    * replays rewrite their own partitions with the identical delta. */
+  def ingestLate(docs: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) writeLateBatch(batch.toDF(), dir, id)
+      }
+      .start()
 
   /** The decayed edge set across all indexed batches, relative to the
     * 1-row `anchor` frame (one DATE column — the caller's "now";
@@ -139,26 +283,37 @@ object TemporalEdgeIndex extends PersistedIndex {
     val facts = spark.read.parquet(s"$dir/pairfacts")
     maxBatch.fold(facts)(b => facts.where(col(IndexCommit.BatchCol) <= b))
       .crossJoin(broadcast(mx))
-      .select(col("src"), col("dst"),
+      .select(col("src"), col("dst"), col("n"),
         (col("n") *
           expr(s"1000000 div shiftleft(cast(1 as bigint), $shift)")).as("w"))
       .groupBy(col("src"), col("dst"))
-      .agg(sum(col("w")).as("weight_ppm"))
-      .where(col("weight_ppm") >= minWeightPpm)
+      // net_n > 0 nets out [[appendLate]]'s retraction facts: a pair
+      // whose witnesses all cancelled (its basket grew past the item
+      // cap) must be ABSENT like the one-shot build's, not emitted at
+      // weight 0 — while a positive-witness pair whose dates all decay
+      // to 0 ppm stays emittable (at minWeightPpm = 0) exactly like the
+      // direct computation. Per-(pair, date) nets are >= 0 by the late
+      // -delta induction, so sum(n) > 0 iff some date still witnesses.
+      // Positive-only indexes are untouched (net_n > 0 trivially).
+      .agg(sum(col("w")).as("weight_ppm"), sum(col("n")).as("net_n"))
+      .where(col("net_n") > 0L && col("weight_ppm") >= minWeightPpm)
+      .select(col("src"), col("dst"), col("weight_ppm"))
   }
 
   /** Streaming CONSUMER over the index (r14 verdict forward item #2 —
     * the composed gate the temporal family was missing): each
     * micro-batch passes the straddle guard, appends its (pair, date, n)
-    * facts exactly-once, and then REFRESHES the served trending-related
+    * facts exactly-once, and then PUBLISHES the served trending-related
     * snapshot — [[Graphs.trendingRelated]] over [[decayedEdgesOf]] at
-    * the caller's anchor — into `outDir` (overwrite: the snapshot is a
-    * pure function of the index state, so a replayed micro-batch
-    * rewrites the identical table; a crash between the append and the
-    * refresh just means the next batch's refresh catches up). The
-    * snapshot after batch B therefore EQUALS the one-shot batch
+    * the caller's anchor — as a fresh generation under `outDir` via
+    * [[IndexCommit.publishSnapshot]] (atomic pointer swap; the snapshot
+    * is a pure function of the index state, so a replayed micro-batch
+    * publishes the identical table under a new generation; a crash
+    * between the append and the publish leaves the previous complete
+    * generation serving until the next batch's refresh catches up).
+    * The snapshot after batch B therefore EQUALS the one-shot batch
     * computation over every basket ingested so far — the
-    * TemporalEdgeIndexSpec gate.
+    * TemporalEdgeIndexSpec gate. Read it with [[trendingSnapshot]].
     *
     * Scale: the per-batch refresh reads INDEX rows (≤ one per pair per
     * date per batch), never the raw basket history; the anchor is a
@@ -168,32 +323,43 @@ object TemporalEdgeIndex extends PersistedIndex {
   def ingestServingTrending(docs: DataFrame, dir: String, checkpoint: String,
       anchorDay: java.sql.Date, outDir: String, k: Int = 10,
       halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L)
+      minWeightPpm: Long = 1000000L, late: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestServing(docs, dir, checkpoint, Some(anchorDay), outDir, k,
-      halflifeDays, maxShift, minWeightPpm)
+      halflifeDays, maxShift, minWeightPpm, late)
 
   /** [[ingestServingTrending]] with a SLIDING anchor: each refresh
     * anchors the decay at the newest basket date across the ENTIRE
-    * ingested history (one partition-pruned max over the index's
-    * per-date facts — a corpus property, the d174 anchor convention),
-    * so "now" advances with the data and yesterday's trending table
-    * re-weights itself without any rewrite — the property the
-    * read-time-decay layout exists for. Decay is read-time, so the
-    * advancing anchor is a parameter change per refresh, never an
-    * index change; the gate proves each snapshot equals the one-shot
-    * recompute anchored at that batch's own corpus max. */
+    * ingested history — one max over the narrow basketitems claims
+    * table, which records EVERY basket's date (singleton and over-cap
+    * baskets included — r15 advice: the previous pairfacts-side max
+    * only saw pair-witnessing baskets, so a newest batch of singleton
+    * baskets failed to advance "now"). A corpus property, the d174
+    * anchor convention: "now" advances with the data and yesterday's
+    * trending table re-weights itself without any rewrite — the
+    * property the read-time-decay layout exists for. Decay is
+    * read-time, so the advancing anchor is a parameter change per
+    * refresh, never an index change; the gate proves each snapshot
+    * equals the one-shot recompute anchored at that batch's own
+    * corpus max. */
   def ingestServingTrendingSliding(docs: DataFrame, dir: String,
       checkpoint: String, outDir: String, k: Int = 10,
       halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L)
+      minWeightPpm: Long = 1000000L, late: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestServing(docs, dir, checkpoint, None, outDir, k,
-      halflifeDays, maxShift, minWeightPpm)
+      halflifeDays, maxShift, minWeightPpm, late)
 
+  /** `late = true` swaps the fail-loudly straddle guard for the
+    * [[lateDelta]] reconciliation (the [[ingestLate]] write path), so a
+    * feed that fragments baskets across micro-batches still maintains a
+    * correct serving snapshot — the snapshot stays a pure function of
+    * everything ingested so far because the index nets to the one-shot
+    * build after every batch. */
   private def ingestServing(docs: DataFrame, dir: String, checkpoint: String,
       anchorDay: Option[java.sql.Date], outDir: String, k: Int,
-      halflifeDays: Int, maxShift: Int, minWeightPpm: Long)
+      halflifeDays: Int, maxShift: Int, minWeightPpm: Long,
+      late: Boolean)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -202,40 +368,71 @@ object TemporalEdgeIndex extends PersistedIndex {
           id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          ingestGuard(batch.toDF(), dir, id)
-          writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+          if (late) writeLateBatch(batch.toDF(), dir, id)
+          else {
+            ingestGuard(batch.toDF(), dir, id)
+            writeBatch(batch.toDF(), dir, id, overwriteAll = false)
+          }
           val anchor = anchorDay match {
             case Some(day) => s.range(1).select(lit(day).as("mx"))
-            // sliding: the newest basket date across ALL indexed facts
-            case None => s.read.parquet(s"$dir/pairfacts")
+            // sliding: the newest basket date across EVERY ingested
+            // claim — basketitems, not pairfacts, so singleton and
+            // over-cap baskets advance "now" too (r15 advice)
+            case None => s.read.parquet(s"$dir/basketitems")
               .agg(max(col("bday")).as("mx"))
           }
-          Graphs.trendingRelated(
+          // atomic generation publish (r15 advice: a plain overwrite
+          // deletes the served directory before rewriting — a reader
+          // racing the refresh, or a crash mid-write, saw a missing/
+          // partial table); readers resolve via [[trendingSnapshot]]
+          IndexCommit.publishSnapshot(
+            Graphs.trendingRelated(
               decayedEdgesOf(s, dir, anchor,
-                halflifeDays, maxShift, minWeightPpm), k)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+                halflifeDays, maxShift, minWeightPpm), k),
+            outDir, id)
+          ()
         }
       }
       .start()
 
+  /** The live trending snapshot the serving consumers publish — the
+    * [[IndexCommit.publishSnapshot]] generation the pointer names;
+    * fails closed before the first completed publish, and never
+    * observes a half-written generation (the pointer swap is an atomic
+    * rename and the previous generation outlives it by one publish). */
+  def trendingSnapshot(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(IndexCommit.currentSnapshotDir(spark, outDir))
+
   /** Compaction is a semantic MERGE (the [[EdgeIndex]] precedent): the
     * per-batch (src, dst, bday) counts SUM into one row per key —
     * addition is associative, and the decay is read-time, so merging
-    * loses nothing at any future anchor. basketids restamp unchanged. */
+    * loses nothing at any future anchor. Late-mode artifacts fold away
+    * here: retraction rows cancel into their targets (net-zero keys
+    * are dropped — the serving read's net_n filter, applied once and
+    * for all) and the id/claim tables DEDUPLICATE (a straddling basket
+    * legitimately appears in every batch that carried a fragment). */
   override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
     compactGuarded(spark, src, dst) {
       IndexCommit.stamped(
           spark.read.parquet(s"$src/pairfacts")
             .groupBy(col("src"), col("dst"), col("bday"))
-            .agg(sum(col("n")).cast("long").as("n")), -1L)
+            .agg(sum(col("n")).cast("long").as("n"))
+            .where(col("n") =!= 0L), -1L)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/pairfacts")
       IndexCommit.stamped(
-          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol), -1L)
+          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol)
+            .distinct(), -1L)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketids")
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/basketitems").drop(IndexCommit.BatchCol)
+            .distinct(), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketitems")
     }
 
   // ---- driver binding --------------------------------------------------

@@ -167,7 +167,7 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .withColumn("bday", col("bday").cast("date")),
       dir, tmp(), day, out, k = 10, minWeightPpm = 0L)
     def snapshot(): Set[(Long, Long, Long, Long)] =
-      spark.read.parquet(out)
+      TemporalEdgeIndex.trendingSnapshot(spark, out)
         .select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
         .as[(Long, Long, Long, Long)].collect().toSet
     def direct(rows: Seq[(Long, Long, String)]): Set[(Long, Long, Long, Long)] = {
@@ -194,6 +194,15 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       mem.addData(all.filter(_._1 % 2 == 1): _*)
       q.processAllAvailable()
       assert(snapshot() == direct(all))
+      // the publish protocol (r15 advice): an atomic pointer names the
+      // live generation; at most the immediately-previous one is
+      // retained for in-flight readers, older ones are GC'd
+      val root = new java.io.File(out)
+      assert(new java.io.File(root, "_graft_current").exists())
+      val gens = root.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("gen-"))
+      assert(gens.length >= 1 && gens.length <= 2,
+        s"expected current (+ previous) generations, got ${gens.length}")
     } finally q.stop()
     // and the gated serving read agrees with d183's composition
     assert(snapshot() ==
@@ -212,7 +221,7 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .withColumn("bday", col("bday").cast("date")),
       dir, tmp(), out, k = 10, minWeightPpm = 0L)
     def snapshot(): Set[(Long, Long, Long, Long)] =
-      edgeSet4(spark.read.parquet(out))
+      edgeSet4(TemporalEdgeIndex.trendingSnapshot(spark, out))
     def direct(rows: Seq[(Long, Long, String)], day: String): Set[(Long, Long, Long, Long)] = {
       val shifts = baskets(rows).groupBy(col("basket_id"))
         .agg(max(col("bday")).as("bday"))
@@ -237,6 +246,14 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       mem.addData(all.filter(_._1 % 2 == 0): _*)
       q.processAllAvailable()
       assert(snapshot() == direct(all, "2024-12-31"))
+      // batch 3: ONE singleton basket with a newer date — no new pairs,
+      // but the anchor must still advance (r15 advice: a pairfacts-side
+      // max never saw singleton/over-cap baskets; the anchor now reads
+      // basketitems, where EVERY claim lands) and the whole served
+      // table re-weights against the new "now"
+      mem.addData((9L, 9L, "2025-06-30"))
+      q.processAllAvailable()
+      assert(snapshot() == direct(all, "2025-06-30"))
     } finally q.stop()
   }
 
@@ -244,6 +261,160 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     df.select(col("item_id"), col("rel_id"), col("weight_ppm"), col("rank"))
       .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("late-data streaming ingest: out-of-order fragments reconcile to the in-order batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingestLate(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp())
+    // the corpus a well-behaved feed would have delivered in order:
+    // basket 1 = {1,2,3,4} dated 2024-12-31 (its LATEST claim — a late
+    // fragment advances the basket's date), basket 2 = {1,2} fresh,
+    // basket 3 = {3,4} stale
+    val merged = Seq(
+      (1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),
+      (1L, 3L, "2024-12-31"), (1L, 4L, "2024-12-31"),
+      (2L, 1L, "2024-12-31"), (2L, 2L, "2024-12-31"),
+      (3L, 3L, "2024-07-01"), (3L, 4L, "2024-07-01"))
+    try {
+      // batch 1: a FRAGMENT of basket 1 plus complete basket 3
+      mem.addData((1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),
+        (3L, 3L, "2024-07-01"), (3L, 4L, "2024-07-01"))
+      q.processAllAvailable()
+      // batch 2: complete basket 2 plus a LATE fragment of basket 1
+      // whose date ADVANCES the basket — the old-date pair (1,2) must
+      // retract and reappear at the new date
+      mem.addData((2L, 1L, "2024-12-31"), (2L, 2L, "2024-12-31"),
+        (1L, 3L, "2024-12-31"))
+      q.processAllAvailable()
+      // batch 3: a re-delivered claim (must be a no-op) plus one more
+      // late item for basket 1
+      mem.addData((1L, 2L, "2024-07-01"), (1L, 4L, "2024-12-31"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = tmp()
+    TemporalEdgeIndex.save(baskets(merged), batch)
+    for (day <- Seq("2024-12-31", "2025-07-02")) {
+      assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir,
+          anchor(day), minWeightPpm = 0L)) ==
+        edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, batch,
+          anchor(day), minWeightPpm = 0L)), s"anchor $day")
+    }
+    // compaction folds the retraction rows away: one row per surviving
+    // (pair, date), none net-zero, service unchanged
+    val dst = tmp()
+    TemporalEdgeIndex.compactTo(spark, dir, dst)
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dst,
+        anchor("2024-12-31"), minWeightPpm = 0L)) ==
+      edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, batch,
+        anchor("2024-12-31"), minWeightPpm = 0L)))
+    val facts = spark.read.parquet(s"$dst/pairfacts")
+    assert(facts.where(col("n") <= 0L).count() == 0L)
+    assert(facts.groupBy(col("src"), col("dst"), col("bday")).count()
+      .where(col("count") > 1).count() == 0L)
+  }
+
+  test("appendLate: a basket growing past the item cap retracts wholesale, like the one-shot build") {
+    val dir = tmp()
+    val capped = (1 to TemporalEdgeIndex.MaxBasketItems)
+      .map(i => (1L, i.toLong, "2024-01-01"))
+    // basket 1 sits exactly AT the cap (its pairs count), basket 2 is a
+    // two-item basket sharing the (1,2) pair
+    TemporalEdgeIndex.save(
+      baskets(capped ++ Seq((2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"))),
+      dir)
+    val a = anchor("2024-01-01")
+    val m = TemporalEdgeIndex.MaxBasketItems.toLong
+    assert(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a, minWeightPpm = 0L)
+      .count() == m * (m - 1) / 2)
+    // one late item pushes basket 1 OVER the cap: the one-shot build
+    // would exclude it entirely, so the delta retracts every basket-1
+    // pair — (1,2) keeps exactly basket 2's witness, every other pair
+    // nets to zero and must be ABSENT (not emitted at weight 0)
+    TemporalEdgeIndex.appendLate(
+      baskets(Seq((1L, (m + 1), "2024-01-01"))), dir)
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+      minWeightPpm = 0L)) == Set((1L, 2L, 1000000L)))
+  }
+
+  test("sliding-anchor trending with late = true: fragmented baskets still serve the one-shot answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp(); val out = tmp() + "/trending"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = TemporalEdgeIndex.ingestServingTrendingSliding(
+      mem.toDF().toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date")),
+      dir, tmp(), out, k = 10, minWeightPpm = 0L, late = true)
+    def direct(rows: Seq[(Long, Long, String)], day: String): Set[(Long, Long, Long, Long)] = {
+      val shifts = baskets(rows).groupBy(col("basket_id"))
+        .agg(max(col("bday")).as("bday"))
+        .crossJoin(broadcast(anchor(day)))
+        .select(col("basket_id"),
+          least(expr("datediff(mx, bday) div 180"), lit(30)).as("shift"))
+      edgeSet4(Graphs.trendingRelated(Graphs.decayedCopurchase(
+        baskets(rows).select(col("basket_id"), col("item_id")), shifts,
+        minWeightPpm = 0L), k = 10))
+    }
+    try {
+      // batch 1: a FRAGMENT of basket 1 plus complete basket 3
+      mem.addData((1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),
+        (3L, 3L, "2024-07-01"), (3L, 4L, "2024-07-01"))
+      q.processAllAvailable()
+      // batch 2: the late fragment ADVANCES basket 1's date — the
+      // default guard would have killed the stream here; late mode
+      // reconciles and the snapshot equals the one-shot recompute over
+      // the merged corpus at the advanced anchor
+      mem.addData((1L, 3L, "2024-12-31"))
+      q.processAllAvailable()
+      val merged = Seq(
+        (1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),
+        (1L, 3L, "2024-12-31"),
+        (3L, 3L, "2024-07-01"), (3L, 4L, "2024-07-01"))
+      assert(edgeSet4(TemporalEdgeIndex.trendingSnapshot(spark, out)) ==
+        direct(merged, "2024-12-31"))
+    } finally q.stop()
+  }
+
+  test("appendLate property: random fragmentation and reordering always nets to the one-shot build") {
+    val rnd = new scala.util.Random(42)
+    val days = Seq("2024-01-01", "2024-06-01", "2024-12-01")
+    for (trial <- 1 to 3) {
+      // random corpus: 8 baskets, 1-5 items each, mixed dates — then
+      // delivered as SHUFFLED fragments of random size (a fragment can
+      // re-deliver a claim, split a basket, or arrive before an older
+      // fragment of the same basket)
+      val rows = for {
+        b <- 1 to 8
+        i <- rnd.shuffle((1 to 12).toList).take(1 + rnd.nextInt(5))
+      } yield (b.toLong, i.toLong, days(rnd.nextInt(3)))
+      val frags = rnd.shuffle(rows.toList).grouped(1 + rnd.nextInt(4)).toList
+      val dir = tmp()
+      frags.foreach(f => TemporalEdgeIndex.appendLate(baskets(f), dir))
+      val batch = tmp()
+      TemporalEdgeIndex.save(baskets(rows), batch)
+      for (day <- Seq("2024-12-01", "2025-06-01")) {
+        assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir,
+            anchor(day), minWeightPpm = 0L)) ==
+          edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, batch,
+            anchor(day), minWeightPpm = 0L)),
+          s"trial $trial anchor $day (fragments: ${frags.map(_.size)})")
+      }
+      // the late-delta induction invariant: per-(pair, date) nets are
+      // never negative, and compaction equals the one-shot fact table
+      import spark.implicits._
+      val nets = spark.read.parquet(s"$dir/pairfacts")
+        .groupBy(col("src"), col("dst"), col("bday"))
+        .agg(sum(col("n")).as("net"))
+      assert(nets.where(col("net") < 0L).count() == 0L, s"trial $trial negative net")
+    }
   }
 
   test("streaming ingest fails loudly on a basket straddling micro-batches") {
