@@ -36,7 +36,12 @@ import graft.ops.Q
   * environment r01's baseline measured) before the parent creates its own
   * session for the extended set; "headline_jvm" records "fresh", or
   * "in_process" when forking isn't possible (classpath unavailable) and
-  * the old single-JVM path ran. "load_phases" records the 1-min loadavg
+  * the old single-JVM path ran. The EXTENDED timed tier gets the same
+  * treatment per FAMILY (r15 verdict ask #6): whole registries pack into
+  * child JVMs of <= ExtGroupMax timed queries ("ext_groups" records the
+  * boundaries and per-child loadavg; "extended_jvm" the regime), so one
+  * long-lived JVM can no longer age across the whole 190+-query suite.
+  * "load_phases" records the 1-min loadavg
   * around each timed phase so self-contention is visible per phase, not
   * just at process start.
   *
@@ -86,25 +91,42 @@ object Bench {
   private[graft] def baselineSet: Seq[Q] =
     graft.ops.Relational.queries ++ graft.ops.TextOps.queries
 
-  private[graft] def extendedSet: Seq[Q] =
-    graft.ops.Functions.queries ++ graft.ops.Similarity.queries ++
-      graft.ops.Corpus.queries ++ graft.ops.Curation.queries ++
-      graft.ops.ZOrder.queries ++ graft.ops.Quantize.queries ++
-      graft.ops.Pq.queries ++ graft.ops.Lexical.queries ++
-      graft.ops.HashIndex.queries ++
-      graft.ops.LineIndex.queries ++
-      graft.ops.EdgeIndex.queries ++
-      graft.ops.TemporalEdgeIndex.queries ++
-      graft.ops.GramIndex.queries ++
-      graft.ops.PhraseIndex.queries ++
-      graft.ops.SimHashIndex.queries ++
-      graft.ops.Events.queries ++
-      graft.ops.Graphs.queries ++
-      graft.ops.Linkage.queries ++
-      graft.ops.Diagnostics.queries ++
-      graft.ops.Retrieval.queries ++
-      graft.api.PipelineQueries.queries ++
-      graft.sources.TextSources.queries
+  /** The extended surface in registration order, tagged by FAMILY
+    * registry — the fresh-JVM grouping unit (r15 verdict ask #6:
+    * per-family JVM boundaries pre-empt suite-growth drift before the
+    * registry passes 200; registries are never split across JVMs, so
+    * every per-(session, dir) memo family stays inside one session
+    * exactly like the old single-JVM order). */
+  private[graft] def extendedRegistries: Seq[(String, Seq[Q])] = Seq(
+    "functions" -> graft.ops.Functions.queries,
+    "similarity" -> graft.ops.Similarity.queries,
+    "corpus" -> graft.ops.Corpus.queries,
+    "curation" -> graft.ops.Curation.queries,
+    "zorder" -> graft.ops.ZOrder.queries,
+    "quantize" -> graft.ops.Quantize.queries,
+    "pq" -> graft.ops.Pq.queries,
+    "lexical" -> graft.ops.Lexical.queries,
+    "hash_index" -> graft.ops.HashIndex.queries,
+    "line_index" -> graft.ops.LineIndex.queries,
+    "edge_index" -> graft.ops.EdgeIndex.queries,
+    "temporal_edge_index" -> graft.ops.TemporalEdgeIndex.queries,
+    "gram_index" -> graft.ops.GramIndex.queries,
+    "phrase_index" -> graft.ops.PhraseIndex.queries,
+    "simhash_index" -> graft.ops.SimHashIndex.queries,
+    "events" -> graft.ops.Events.queries,
+    "graphs" -> graft.ops.Graphs.queries,
+    "linkage" -> graft.ops.Linkage.queries,
+    "diagnostics" -> graft.ops.Diagnostics.queries,
+    "retrieval" -> graft.ops.Retrieval.queries,
+    "pipeline" -> graft.api.PipelineQueries.queries,
+    "sources" -> graft.sources.TextSources.queries)
+
+  private[graft] def extendedSet: Seq[Q] = extendedRegistries.flatMap(_._2)
+
+  /** Cap on timed queries per extended child JVM: consecutive (whole)
+    * registries pack together up to this size to amortize the ~10 s
+    * session startup; a registry larger than the cap gets its own JVM. */
+  private val ExtGroupMax = 40
 
   /** Queries timed MORE than the standard 2 runs this round — round-10
     * triage of the r09 q08 wobble (0.181 → 0.347 s): 4 runs give the
@@ -238,16 +260,25 @@ object Bench {
     f"""{"after_n":$afterN,"sec":${"%.3f".formatLocal(Locale.ROOT, sec)},"persistent_rdds":$rdds,"heap_mb":$heapMb}"""
   }
 
-  /** Child-JVM entry: time ONLY the headline set in this fresh process and
-    * write a line-oriented result file (tab-separated `name r1 r2`, plus
-    * `#loadavg_pre`/`#loadavg_post` comment lines) for the parent to merge.
-    * Exit 0 even when queries fail — the -1 markers carry the failures and
-    * the parent owns the error contract. */
+  /** Child-JVM entry: time ONE query set in this fresh process — the
+    * headline set by default, or the names in SPARK_GRAFT_BENCH_SET (an
+    * extended family group) — and write a line-oriented result file
+    * (tab-separated `name r1 r2`, plus `#loadavg_pre`/`#loadavg_post`
+    * comment lines) for the parent to merge. Exit 0 even when queries
+    * fail — the -1 markers carry the failures and the parent owns the
+    * error contract. */
   private def childMain(sfDir: String, outPath: String): Unit = {
-    val spark = Sessions.build("graft-bench-headline")
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SET")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    val qs = names match {
+      case None => baselineSet
+      case Some(ns) => (baselineSet ++ extendedSet).filter(q => ns(q.name))
+    }
+    val spark = Sessions.build(
+      if (names.isEmpty) "graft-bench-headline" else "graft-bench-family")
     val pre = loadavg()
     warm(spark, sfDir)
-    val rs = time(spark, sfDir, baselineSet)
+    val rs = time(spark, sfDir, qs)
     val post = loadavg()
     val sb = new StringBuilder
     sb.append(s"#loadavg_pre\t$pre\n").append(s"#loadavg_post\t$post\n")
@@ -256,13 +287,26 @@ object Bench {
     spark.stop()
   }
 
-  /** Fork a fresh JVM running [[childMain]] over the headline set: same
-    * java binary, same JVM args (the --add-opens set, -Xmx, system props —
-    * taken from this JVM's own input arguments), same classpath (real,
-    * because build.sbt forks `run`). Returns the headline timings plus the
-    * child's own phase loadavg samples, or None if forking isn't possible
-    * or the child failed — caller falls back to in-process timing. */
-  private def forkHeadline(sfDir: String): Option[(Seq[(String, Seq[Double])], Double, Double)] = {
+  /** Fork a fresh JVM running [[childMain]] over the headline set —
+    * see [[forkSet]]. */
+  private def forkHeadline(sfDir: String): Option[(Seq[(String, Seq[Double])], Double, Double)] =
+    forkSet(sfDir, None)
+
+  /** Fork a fresh JVM running [[childMain]] over an extended family
+    * group (r15 verdict ask #6) — see [[forkSet]]. */
+  private def forkFamily(sfDir: String, qs: Seq[Q]): Option[(Seq[(String, Seq[Double])], Double, Double)] =
+    forkSet(sfDir, Some(qs))
+
+  /** Fork a fresh JVM running [[childMain]] over a query set (None =
+    * the headline set): same java binary, same JVM args (the --add-opens
+    * set, -Xmx, system props — taken from this JVM's own input
+    * arguments), same classpath (real, because build.sbt forks `run`).
+    * Returns the set's timings plus the child's own phase loadavg
+    * samples, or None if forking isn't possible or the child failed —
+    * caller falls back to in-process timing. */
+  private def forkSet(sfDir: String,
+      setQs: Option[Seq[Q]]): Option[(Seq[(String, Seq[Double])], Double, Double)] = {
+    val expected = setQs.getOrElse(baselineSet)
     val cp = sys.props.getOrElse("java.class.path", "")
     // under a non-forked launcher the classpath is the launcher jar, not
     // the app — detect by our own classes' presence being impossible to
@@ -283,6 +327,8 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      setQs.foreach(qs => pb.environment()
+        .put("SPARK_GRAFT_BENCH_SET", qs.map(_.name).mkString(",")))
       // child stdout (Spark logs) must NOT pollute the parent's stdout —
       // the driver parses our stdout tail; send both streams to stderr
       pb.redirectErrorStream(true)
@@ -300,14 +346,14 @@ object Bench {
         else if (ps.length >= 3) rs += (ps(0) -> ps.drop(1).toSeq.map(_.toDouble))
       }
       Files.deleteIfExists(Paths.get(out))
-      // sanity: every headline query must be present, else fall back
-      if (rs.size == baselineSet.size) Some((rs.toList, pre, post)) else {
-        System.err.println(s"[bench] headline child returned ${rs.size}/${baselineSet.size} queries")
+      // sanity: every requested query must be present, else fall back
+      if (rs.size == expected.size) Some((rs.toList, pre, post)) else {
+        System.err.println(s"[bench] child returned ${rs.size}/${expected.size} queries")
         None
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] headline fork failed: ${e.getMessage}"); None
+        System.err.println(s"[bench] child fork failed: ${e.getMessage}"); None
     }
   }
 
@@ -353,9 +399,11 @@ object Bench {
         (rs, pre, loadavg())
     }
 
-    // Phase 2 — extended, in the parent JVM, TIERED (see the tiering
-    // block above): new/never-successfully-measured queries + a rotating
-    // third time fresh; the rest carry forward at last-measured values.
+    // Phase 2 — extended, TIERED (see the tiering block above):
+    // new/never-successfully-measured queries + a rotating third time
+    // fresh, the rest carried at last-measured values — with the timed
+    // tier split into per-FAMILY fresh child JVMs (packing below); the
+    // parent only merges, canaries, and runs the untimed quality block.
     val (carryRound, carry) = readCarry(sfDir)
     val round = carryRound + 1
     val fullRun = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1") || carry.isEmpty
@@ -365,18 +413,66 @@ object Bench {
         !carry.contains(q.name) || inRotation(q.name, round))
 
     val loadExtPre = loadavg()
-    // the canary brackets the extended run and samples every 25 queries
-    // (see canarySample) — warmed once first so its own one-time codegen
-    // doesn't masquerade as a baseline reading
+    def f2(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
+    // family-group packing (r15 verdict ask #6): consecutive WHOLE
+    // registries up to ExtGroupMax timed queries per fresh child JVM —
+    // a registry is never split, so per-(session, dir) memo families
+    // keep the old single-JVM cold/warm order inside their own session;
+    // suite growth can no longer age one long-lived JVM across 190+
+    // queries (the r13 carried-creep mechanism).
+    val timedNames = timedExtQs.map(_.name).toSet
+    val extGroups: Seq[(String, Seq[Q])] = {
+      val regs = extendedRegistries
+        .map { case (tag, qs) => tag -> qs.filter(q => timedNames(q.name)) }
+        .filter(_._2.nonEmpty)
+      val packed = scala.collection.mutable.ListBuffer.empty[(String, Seq[Q])]
+      var tags = List.empty[String]
+      var cur = Vector.empty[Q]
+      regs.foreach { case (tag, qs) =>
+        if (cur.nonEmpty && cur.size + qs.size > ExtGroupMax) {
+          packed += (tags.reverse.mkString("+") -> cur)
+          tags = Nil; cur = Vector.empty
+        }
+        tags = tag :: tags; cur = cur ++ qs
+      }
+      if (cur.nonEmpty) packed += (tags.reverse.mkString("+") -> cur)
+      packed.toList
+    }
+    // the canary brackets the extended phase in the PARENT JVM (idle
+    // while each family child runs): with per-family fresh JVMs the
+    // extended-JVM aging it used to expose is bounded by design, so the
+    // canary now tracks the remaining confounder — HOST drift between
+    // groups. Warmed once first so its own one-time codegen doesn't
+    // masquerade as a baseline reading.
     canarySample(spark, -1)
     val canarySamples = scala.collection.mutable.ListBuffer.empty[String]
     canarySamples += canarySample(spark, 0)
-    val extTimed = timedExtQs.grouped(25).zipWithIndex.flatMap {
-      case (grp, gi) =>
-        val rs = time(spark, sfDir, grp)
-        canarySamples += canarySample(spark, math.min((gi + 1) * 25, timedExtQs.size))
-        rs
-    }.toSeq
+    val extGroupMeta = scala.collection.mutable.ListBuffer.empty[String]
+    var extFresh = 0
+    var extDone = 0
+    val extTimed: Seq[(String, Seq[Double])] = extGroups.flatMap { case (tag, qs) =>
+      val rs = forkFamily(sfDir, qs) match {
+        case Some((r, pre, post)) =>
+          extFresh += 1
+          extGroupMeta += s"""{"tag":"$tag","n":${qs.size},"jvm":"fresh",""" +
+            s""""loadavg_pre":${f2(pre)},"loadavg_post":${f2(post)}}"""
+          r
+        case None =>
+          val pre = loadavg()
+          val r = time(spark, sfDir, qs)
+          extGroupMeta += s"""{"tag":"$tag","n":${qs.size},"jvm":"in_process",""" +
+            s""""loadavg_pre":${f2(pre)},"loadavg_post":${f2(loadavg())}}"""
+          r
+      }
+      extDone += qs.size
+      canarySamples += canarySample(spark, extDone)
+      rs
+    }
+    val extendedJvm =
+      if (extGroups.isEmpty) "none"
+      else if (extFresh == extGroups.size) "fresh_per_family"
+      else if (extFresh == 0) "in_process"
+      else "mixed"
     val loadExtPost = loadavg()
     // merged per-query runs in registration order: fresh where timed,
     // last-measured where carried
@@ -521,15 +617,25 @@ object Bench {
         // d187 vs d171: recall of the ANN-served related-items path
         // against the exact-embedding baseline (same trained vectors —
         // approximate only by candidate coverage, the d08 story on the
-        // graph family's retrieval consumer)
-        val exactRel = qmap("d171_embedding_related")(spark, sfDir)
+        // graph family's retrieval consumer). The denominator is the
+        // exact baseline RESTRICTED to the ANN path's served node
+        // universe on both pair sides (r15 advice): the ANN family
+        // excludes zero-norm failed encodes by design, so counting
+        // exact pairs it can never emit would conflate encode-coverage
+        // loss with genuine candidate-coverage loss.
+        val annRel = qmap("d187_embedding_related_ann")(spark, sfDir)
           .select(col("node"), col("rel_id")).cache()
-        val nRel = exactRel.count().toDouble
-        val relHits = qmap("d187_embedding_related_ann")(spark, sfDir)
+        val annNodes = annRel.select(col("node")).distinct().cache()
+        val exactRel = qmap("d171_embedding_related")(spark, sfDir)
           .select(col("node"), col("rel_id"))
-          .join(exactRel, Seq("node", "rel_id")).count()
+          .join(annNodes, Seq("node"), "left_semi")
+          .join(annNodes.withColumnRenamed("node", "rel_id"),
+            Seq("rel_id"), "left_semi")
+          .cache()
+        val nRel = exactRel.count().toDouble
+        val relHits = annRel.join(exactRel, Seq("node", "rel_id")).count()
         val r187 = if (nRel == 0) 0.0 else relHits / nRel
-        exactRel.unpersist()
+        annRel.unpersist(); annNodes.unpersist(); exactRel.unpersist()
         // d17's knobs ride along so the recall/latency trade is auditable
         // from this artifact alone (recall rises with probes/k scanned)
         s""""quality":{"d08_recall":${f(r08)},"d08_recall_at3":${f(r08at3)},""" +
@@ -588,9 +694,10 @@ object Bench {
       s""""load_gate":{"threshold":${f(LoadGateThreshold)},"attempts":$gateAttempts,""" +
         s""""met":$gateMet},"""
     val phases =
-      s""""headline_jvm":"$headlineJvm","load_phases":{""" +
+      s""""headline_jvm":"$headlineJvm","extended_jvm":"$extendedJvm","load_phases":{""" +
         s""""headline_pre":${f(loadHeadPre)},"headline_post":${f(loadHeadPost)},""" +
         s""""extended_pre":${f(loadExtPre)},"extended_post":${f(loadExtPost)}},"""
+    val extGroupsJson = s""""ext_groups":[${extGroupMeta.mkString(",")}],"""
 
     // compact summary — the driver-parsed stdout line
     val summary =
@@ -607,7 +714,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f(tot(base))},"unit":"sec","queries":${obj(base)},""" +
         s""""total_cold":${f(totCold(base))},"extended_total":${f(tot(ext))},""" +
-        s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality$tiers$canaryJson$notes""" +
+        s""""extended_total_cold":${f(totCold(ext))},"extended":${obj(ext)},$quality$tiers$canaryJson$extGroupsJson$notes""" +
         s""""timing":"min_of_2; memoized headline cold run 1; -1 = all runs failed (per-run arrays use null); extended totals include carried values (see tiers)",""" +
         s""""runs":${runsObj(base ++ extTimed)},"warm":${warmObj(base ++ extTimed)},""" +
         s""""memoized":$memo,$phases$gate"loadavg_pre":${f(loadPre)},"loadavg":${f(loadPost)},""" +

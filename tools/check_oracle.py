@@ -41,7 +41,23 @@ def canon(rows, cols):
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional: --json PATH writes a CORRECTNESS_r{N}-style per-query
+    # record (the sf0.1 cross-check artifact, r15 verdict ask #5)
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sfdir, outdir = args[0], args[1]
+    records = {}
+
+    def record(name, **kw):
+        r = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": None, "oracle_rows": None, "err": None}
+        r.update(kw)
+        records[name] = r
+
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -56,6 +72,7 @@ def main():
             exp_tbl = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e)[:200]}")
+            record(name, err=f"exec: {str(e)[:200]}")
             n_fail += 1
             continue
         def typemap(tbl):
@@ -69,6 +86,7 @@ def main():
         if gt != et and set(gt) == set(et):
             bad = {k: (gt[k], et[k]) for k in gt if gt[k] != et[k]}
             print(f"FAIL {name}: column types differ (spark vs duck): {bad}")
+            record(name, schema_match=False, err=f"types: {bad}")
             n_fail += 1
             continue
         got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
@@ -79,9 +97,13 @@ def main():
         _, e = canon(exp_rows, exp_cols)
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+            record(name, schema_match=False, spark_rows=len(g),
+                   oracle_rows=len(e))
             n_fail += 1
         elif g == e:
             print(f"PASS {name} ({len(g)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(g), oracle_rows=len(e))
             n_pass += 1
         else:
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
@@ -89,7 +111,13 @@ def main():
             diff_e = [r for r in e if r not in set(g)][:3]
             print(f"  only-spark: {diff_g}")
             print(f"  only-duck : {diff_e}")
+            record(name, rows_match=(len(g) == len(e)), schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(e))
             n_fail += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
