@@ -20,6 +20,25 @@ import graft.ops.{Q, Tables}
   * Lives in `graft.api` (not `graft.ops`) because the pipeline under
   * test IS the facade composition — registering it in an ops object
   * would invert the package dependency.
+  *
+  * ORACLE SHAPE LESSONS (both measured at sf0.1, where the un-fixed
+  * oracle spilled > 78 GB of DuckDB temp and never finished; 20 s
+  * after the fixes, row-for-row equal to the Spark output):
+  *  1. Every multiply-referenced CTE is MATERIALIZED — DuckDB inlines
+  *     plain CTEs per reference and this chain multiplies
+  *     (tr ×4 → dd ×4 → aq ×4 → ap ×3 …), the d188 unrolled-prune
+  *     lesson on a composed pipeline.
+  *  2. NO `LATERAL UNNEST(range(len(t)))` position fan-outs — DuckDB
+  *     decorrelates each one into a hash join keyed on EVERY
+  *     correlated column, here the full document text (`t IS NOT
+  *     DISTINCT FROM t` in the plan), so each fan-out materializes a
+  *     build side of (text × position) rows carrying the whole text
+  *     per row, and several of them schedule concurrently. The
+  *     n-gram/bigram expansions are written as
+  *     `unnest(list_transform(range(...), i -> ...))` projections
+  *     instead: same rows, zero joins, no correlation.
+  * Both rewrites are semantics-neutral (same rows, same hash); Spark
+  * is unaffected (the SQL is DuckDB-side only).
   */
 object PipelineQueries {
 
@@ -37,14 +56,15 @@ object PipelineQueries {
           dropPplTail = true)
       },
       Some(s"""WITH RECURSIVE
-          |tr AS (SELECT * FROM documents WHERE NOT ($EvalPred)),
+          |tr AS MATERIALIZED (SELECT * FROM documents WHERE NOT ($EvalPred)),
           |ev AS (SELECT * FROM documents WHERE $EvalPred),
           |ek AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
           |np AS MATERIALIZED (
           |  WITH sh AS (
-          |    SELECT DISTINCT doc_id, substring(t, i, 3) AS g
-          |    FROM (SELECT doc_id, lower(text) AS t FROM tr) dd,
-          |         LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+          |    SELECT DISTINCT doc_id,
+          |           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+          |                                 i -> substring(t, i, 3))) AS g
+          |    FROM (SELECT doc_id, lower(text) AS t FROM tr) dd
           |  ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           |  inter AS (
           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
@@ -64,12 +84,14 @@ object PipelineQueries {
           |  UNION
           |  SELECT r.v, e.b AS l FROM reach r JOIN edges e ON e.a = r.l),
           |lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
-          |dd AS (
+          |dd AS MATERIALIZED (
           |  SELECT tr.* FROM tr JOIN ek USING (doc_id)
           |  WHERE doc_id NOT IN (SELECT v FROM lab WHERE v <> cluster_id)),
-          |qw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM dd),
-          |qbi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
-          |        FROM qw, UNNEST(range(1, len(ws))) AS t(i)),
+          |qw AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM dd),
+          |qbi AS (SELECT doc_id,
+          |               unnest(list_transform(range(1, len(ws)),
+          |                                     i -> ws[i] || ' ' || ws[i+1])) AS bg
+          |        FROM qw),
           |qbc AS (SELECT doc_id, bg, count(*) AS c FROM qbi GROUP BY 1, 2),
           |qagg AS (SELECT doc_id, max(c) AS top_bigram_count,
           |                CAST(sum(c) AS BIGINT) AS n_bigrams
@@ -81,33 +103,35 @@ object PipelineQueries {
           |    AND (CASE WHEN coalesce(n_bigrams, 0) > 0
           |         THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
           |         ELSE 0.0 END) <= 0.5),
-          |aq AS (SELECT dd.* FROM dd JOIN keepq USING (doc_id)),
+          |aq AS MATERIALIZED (SELECT dd.* FROM dd JOIN keepq USING (doc_id)),
           |pw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM aq),
-          |ptok AS (SELECT doc_id, unnest(ws) AS token FROM pw),
+          |ptok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS token FROM pw),
           |pdt AS (SELECT doc_id, token, count(*) AS m FROM ptok GROUP BY 1, 2),
-          |pv AS (SELECT token, count(*) AS cnt FROM ptok GROUP BY 1),
+          |pv AS MATERIALIZED (SELECT token, count(*) AS cnt FROM ptok GROUP BY 1),
           |pt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
           |              CAST(count(*) AS DOUBLE) AS nv FROM pv),
-          |pp AS (
+          |pp AS MATERIALIZED (
           |  SELECT doc_id,
           |    round(exp(-sum(m * ln((cnt + 1) / (total + nv))) / sum(m)), 4) AS ppl
           |  FROM pdt JOIN pv USING (token), pt
           |  GROUP BY doc_id),
-          |pl AS (SELECT pp.doc_id, a.lang, pp.ppl
+          |pl AS MATERIALIZED (SELECT pp.doc_id, a.lang, pp.ppl
           |       FROM pp JOIN aq a ON pp.doc_id = a.doc_id),
           |pth AS (SELECT lang,
           |               round(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 4) AS t1,
           |               round(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 4) AS t2
           |        FROM pl GROUP BY lang),
-          |ap AS (SELECT aq.* FROM aq JOIN (
+          |ap AS MATERIALIZED (SELECT aq.* FROM aq JOIN (
           |         SELECT doc_id FROM pl JOIN pth USING (lang)
           |         WHERE NOT (ppl > t2)) USING (doc_id)),
-          |cg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM ap),
-          |            UNNEST(range(1, len(ws) - 1)) AS t(i)),
-          |eg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-          |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM ev),
-          |            UNNEST(range(1, len(ws) - 1)) AS t(i)),
+          |cg AS (SELECT DISTINCT doc_id,
+          |              unnest(list_transform(range(1, len(ws) - 1),
+          |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+          |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM ap)),
+          |eg AS (SELECT DISTINCT doc_id,
+          |              unnest(list_transform(range(1, len(ws) - 1),
+          |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+          |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM ev)),
           |cont AS (
           |  SELECT doc_id FROM (
           |    SELECT c.doc_id, e.doc_id AS bench_id, count(*) AS n_shared

@@ -2246,9 +2246,15 @@ object Curation {
       |  SELECT dt.doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
       |    round(sum(m * coalesce(ln((vt.cnt + 1) / (tt.total + tt.nv)),
       |                           ln(1 / (tt.total + tt.nv))))
-      |          - sum(m * ln((vr.cnt + 1) / (tr.total + tr.nv))), 4) AS log_ratio
+      |          - sum(m * ln((vr.cnt + 1) / (tr.total + tr.nv))), 4) + 0 AS log_ratio
       |  FROM dt JOIN vr USING (token) LEFT JOIN vt USING (token), tr, tt
       |  GROUP BY dt.doc_id)""".stripMargin
+  // ^ the `+ 0` after round: DuckDB's round PRESERVES a tiny negative's
+  // sign (-1e-7 -> -0.0) while Spark's BigDecimal HALF_UP never emits
+  // -0.0 — a doc whose target/raw log-sums differ by < 5e-5 therefore
+  // hash-mismatched at sf0.1 (first such doc appears only at that
+  // scale; every sf0.01 gate was green). -0.0 + 0 = +0.0 aligns the
+  // engines — the embeddingRelatedSql cosine convention.
 
   def queries: Seq[Q] = Seq(
 
@@ -2368,7 +2374,7 @@ object Curation {
           |  SELECT doc_id,
           |    round(log_ratio -
           |      ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-          |              + 0.5) / 4294967296.0)), 4) AS score
+          |              + 0.5) / 4294967296.0)), 4) + 0 AS score
           |  FROM lr)
           |SELECT doc_id, score, CAST(rn AS BIGINT) AS sel_rank FROM (
           |  SELECT doc_id, score,

@@ -310,7 +310,7 @@ object Events {
              |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0)) > 0
              |    THEN (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / base_n)
              |         / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0))
-             |    END, 4) AS z,
+             |    END, 4) + 0 AS z,
              |  coalesce(abs(CASE WHEN base_n >= 2 AND sqrt(greatest(
              |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_n) / (base_n - 1), 0.0)) > 0
              |    THEN (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / base_n)

@@ -1221,7 +1221,7 @@ object Graphs {
     "round((cast(m as double) * cast(sum_dxdy as double)" +
       " - cast(sum_dx as double) * cast(sum_dx as double))" +
       " / nullif(cast(m as double) * cast(sum_dx2 as double)" +
-      " - cast(sum_dx as double) * cast(sum_dx as double), 0.0), 4)"
+      " - cast(sum_dx as double) * cast(sum_dx as double), 0.0), 4) + 0"
 
   /** Degree assortativity (d156, Newman): do high-degree nodes attach
     * to high-degree nodes? r > 0 = assortative (social-network-like),
@@ -1264,7 +1264,7 @@ object Graphs {
   private val modularityFormula: String =
     "round(cast(sum_in as double) / nullif(cast(m2 as double), 0.0)" +
       " - cast(sum_tot_sq as double)" +
-      " / nullif(cast(m2 as double) * cast(m2 as double), 0.0), 6)"
+      " / nullif(cast(m2 as double) * cast(m2 as double), 0.0), 6) + 0"
 
   /** Newman modularity (d161) of a community assignment over a weighted
     * undirected graph — THE standard quality score for a partition
