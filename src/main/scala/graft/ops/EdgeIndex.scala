@@ -16,8 +16,13 @@ import Tables._
   * whole family reads pre-counted (src, dst, weight) facts.
   *
   * On-disk layout (parquet):
-  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, weight BIGINT)
+  *   <dir>/pairfacts/ingest_batch=B/ (src, dst, weight BIGINT — may be
+  *     NEGATIVE: [[appendLate]]'s retraction rows; per-pair nets stay
+  *     >= 0 and readers/compaction net them out)
   *   <dir>/basketids/ingest_batch=B/ (basket_id)
+  *   <dir>/basketitems/ingest_batch=B/ (basket_id, item_id — the
+  *     distinct raw claims late-data reconciliation reads; linear in
+  *     the input where pairfacts is quadratic per basket)
   * `pairfacts` carries each batch's PER-BATCH pair counts — weight =
   * #distinct baskets of THIS batch witnessing the pair, support-
   * UNPRUNED (pruning belongs to the read, where the cross-batch totals
@@ -54,17 +59,31 @@ object EdgeIndex extends PersistedIndex {
     * incomparable). */
   val MaxBasketItems: Int = 1024
 
+  /** The per-batch (src, dst, weight) fact build over a complete basket
+    * frame — shared verbatim by the normal write path and both sides of
+    * the late-data delta (the [[TemporalEdgeIndex.pairFactsOf]] twin,
+    * minus the date column), so reconciliation retracts EXACTLY what an
+    * earlier application of the same function emitted. */
+  private def pairFactsOf(baskets: DataFrame): DataFrame =
+    Graphs.copurchaseCandidates(baskets, MaxBasketItems)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+
   /** Lifecycle is [[PersistedIndex]]'s: per-batch basket-witnessed pair
-    * counts (additive across BASKET-disjoint batches) plus the basket
-    * ids enforcing that contract. */
+    * counts (additive across BASKET-disjoint batches), the basket ids
+    * enforcing that contract, and the raw distinct claims that make
+    * LATE-DATA reconciliation possible ([[appendLate]]/[[ingestLate]]
+    * recompute a straddling basket's prior facts from basketitems —
+    * linear rows where pairfacts is quadratic per basket, so the row
+    * envelope is unchanged in order). */
   protected def batchTables: Seq[BatchTable] = Seq(
     BatchTable(IndexCommit.TableSpec("pairfacts"),
-      (baskets, _, _) => Graphs.copurchaseCandidates(baskets, MaxBasketItems)
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("weight"))),
+      (baskets, _, _) => pairFactsOf(baskets)),
     BatchTable(IndexCommit.TableSpec("basketids"),
       (baskets, _, _) => baskets.toDF("basket_id", "item_id")
-        .select(col("basket_id")).distinct()))
+        .select(col("basket_id")).distinct()),
+    BatchTable(IndexCommit.TableSpec("basketitems"),
+      (baskets, _, _) => baskets.toDF("basket_id", "item_id").distinct()))
 
   override protected def disjointIdCol: Option[String] = Some("basket_id")
   override protected def disjointTable: String = "basketids"
@@ -93,14 +112,18 @@ object EdgeIndex extends PersistedIndex {
     * (src, dst, weight) with src < dst, weight = #distinct baskets
     * witnessing the pair corpus-wide, pruned to `minSupport`. When the
     * indexed batches partition exactly the corpus d127 reads, this
-    * EQUALS [[Graphs.copurchaseEdges]] on that corpus — the d160 gate. */
+    * EQUALS [[Graphs.copurchaseEdges]] on that corpus — the d160 gate.
+    * The weight > 0 conjunct nets out [[appendLate]]'s retraction
+    * facts: a pair whose witnesses all cancelled (its basket grew past
+    * the item cap) must be ABSENT like the one-shot build's even at
+    * minSupport <= 0; positive-only indexes are untouched. */
   def edgesOf(spark: SparkSession, dir: String,
       minSupport: Long = 2L): DataFrame = {
     IndexCommit.requireCommitted(spark, dir, "edgesOf")
     spark.read.parquet(s"$dir/pairfacts")
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).cast("long").as("weight"))
-      .where(col("weight") >= minSupport)
+      .where(col("weight") >= minSupport && col("weight") > 0L)
   }
 
   /** [[edgesOf]] restricted to ingest batches ≤ `maxBatch` — the
@@ -117,32 +140,138 @@ object EdgeIndex extends PersistedIndex {
       .where(col(IndexCommit.BatchCol) <= maxBatch)
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).cast("long").as("weight"))
-      .where(col("weight") >= minSupport)
+      .where(col("weight") >= minSupport && col("weight") > 0L)
   }
+
+  // ---- late-data ingest (the [[TemporalEdgeIndex]] machinery on the
+  // flat family — same induction, no date column) ------------------------
+
+  /** The pair-fact DELTA for a batch containing LATE fragments of
+    * already-indexed baskets: fresh baskets contribute their facts as
+    * usual; a straddling basket contributes `pairFactsOf(merged claims)
+    * − pairFactsOf(prior claims)` as negative-weight retraction rows,
+    * its prior claims re-read from basketitems. By induction the
+    * index's per-pair net equals the one-shot build's count after
+    * every batch — at any lateness, fragment order, or re-delivery,
+    * across item-cap transitions (a basket growing past MaxBasketItems
+    * retracts wholesale, exactly like the one-shot build excludes it).
+    * Nets stay >= 0; fully-cancelled pairs drop at read time
+    * ([[edgesOf]]'s weight > 0 conjunct) and at compaction. See
+    * [[TemporalEdgeIndex.lateDelta]] for the full design notes
+    * (replay safety, cost envelope, why no watermark horizon is
+    * needed). */
+  private def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
+    val spark = b.sparkSession
+    val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
+    val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idsPath)) return pairFactsOf(b)
+    val priorIds = spark.read.parquet(s"$dir/basketids")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col("basket_id"))
+    val straddleIds = b.select(col("basket_id")).distinct()
+      .join(priorIds, Seq("basket_id"), "left_semi")
+      .localCheckpoint()
+    if (straddleIds.isEmpty) return pairFactsOf(b)
+    val prior = spark.read.parquet(s"$dir/basketitems")
+      .where(col(IndexCommit.BatchCol) =!= batchId)
+      .select(col("basket_id"), col("item_id"))
+      .join(straddleIds, Seq("basket_id"), "left_semi")
+      .distinct()
+      .localCheckpoint()
+    val fresh = b.join(straddleIds, Seq("basket_id"), "left_anti")
+    val merged = b.join(straddleIds, Seq("basket_id"), "left_semi")
+      .select(col("basket_id"), col("item_id"))
+      .union(prior).distinct()
+    pairFactsOf(fresh)
+      .unionByName(pairFactsOf(merged))
+      .unionByName(pairFactsOf(prior).withColumn("weight", -col("weight")))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+      .where(col("weight") =!= 0L)
+  }
+
+  /** One late-tolerant write batch (the [[TemporalEdgeIndex]] twin):
+    * the [[lateDelta]] facts plus the batch's id/claim rows under the
+    * [[IndexCommit]] guard; the delta materializes BEFORE the guard
+    * opens. */
+  private def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val b = docs.toDF("basket_id", "item_id").localCheckpoint()
+    val delta = lateDelta(b, dir, batchId).localCheckpoint()
+    IndexCommit.withGuard(spark, dir) {
+      Seq(("pairfacts", delta),
+          ("basketids", b.select(col("basket_id")).distinct()),
+          ("basketitems", b.distinct()))
+        .foreach { case (name, df) =>
+          IndexCommit.stamped(df, batchId).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", IndexCommit.overwriteMode(false))
+            .partitionBy(IndexCommit.BatchCol)
+            .parquet(s"$dir/$name")
+        }
+    }
+  }
+
+  /** [[PersistedIndex.append]] for a batch that may contain LATE
+    * fragments of already-indexed baskets — reconciles instead of
+    * refusing. Ids allocate from basketids (>= 1 row per non-empty
+    * batch), never pairfacts (an all-singleton or nothing-new batch
+    * writes no pair rows — see [[PersistedIndex.append]]'s allocation
+    * note). */
+  def appendLate(docs: DataFrame, dir: String): Unit =
+    writeLateBatch(docs, dir,
+      IndexCommit.nextBatchId(docs.sparkSession, s"$dir/basketids"))
+
+  /** Watermark-TOLERANT streaming ingest: where [[PersistedIndex
+    * .ingest]] fails loudly on a basket straddling micro-batches, this
+    * mode reconciles stragglers via [[lateDelta]] — the final index
+    * state equals the in-order batch build no matter how the stream
+    * fragments or reorders baskets. Exactly-once per batch id like
+    * every ingest. */
+  def ingestLate(docs: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) writeLateBatch(batch.toDF(), dir, id)
+      }
+      .start()
 
   /** Compaction is a semantic MERGE (the [[LmIndex]] precedent):
     * per-batch pair counts SUM into one row per (src, dst) — correct
     * because addition is associative, and strictly smaller than
     * restamping (the serve-time aggregation then reads one row per
-    * pair instead of one per pair per batch). basketids restamp
-    * unchanged — the disjointness contract must keep seeing every
-    * indexed basket id. Crash-safe by the marker protocol: an
-    * interrupted compaction leaves `dst` unmarked (readers fail
-    * closed) and `src` untouched. */
+    * pair instead of one per pair per batch). Late-mode artifacts fold
+    * away: retraction rows cancel (net-zero pairs drop — the serving
+    * read's filter applied once and for all) and the id/claim tables
+    * DEDUPLICATE (a straddling basket legitimately appears in every
+    * batch that carried a fragment). Crash-safe by the marker
+    * protocol: an interrupted compaction leaves `dst` unmarked
+    * (readers fail closed) and `src` untouched. */
   override def compactTo(spark: SparkSession, src: String, dst: String): Unit =
     compactGuarded(spark, src, dst) {
       IndexCommit.stamped(
           spark.read.parquet(s"$src/pairfacts")
             .groupBy(col("src"), col("dst"))
-            .agg(sum(col("weight")).cast("long").as("weight")), -1L)
+            .agg(sum(col("weight")).cast("long").as("weight"))
+            .where(col("weight") =!= 0L), -1L)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/pairfacts")
       IndexCommit.stamped(
-          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol), -1L)
+          spark.read.parquet(s"$src/basketids").drop(IndexCommit.BatchCol)
+            .distinct(), -1L)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "static")
         .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketids")
+      IndexCommit.stamped(
+          spark.read.parquet(s"$src/basketitems").drop(IndexCommit.BatchCol)
+            .distinct(), -1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(IndexCommit.BatchCol).parquet(s"$dst/basketitems")
     }
 
   // ---- driver binding --------------------------------------------------
@@ -184,9 +313,44 @@ object EdgeIndex extends PersistedIndex {
     }
   }
 
+  /** Per-(session, sfDir) LATE-built index: every basket's items split
+    * by partkey parity across two [[appendLate]] batches, so every
+    * multi-parity basket STRADDLES the appends and batch 2 reconciles
+    * it via retraction deltas — the d190 gate proves the late path
+    * reproduces the one-shot d127 computation under its oracle. */
+  private val lateDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def lateSavedDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = lateDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-edgeidx-late-q").toString
+      val baskets = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .toDF("basket_id", "item_id")
+      appendLate(baskets.where(col("item_id") % 2 === 0), dir)
+      appendLate(baskets.where(col("item_id") % 2 === 1), dir)
+      val prev = lateDirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "edgeindex-late-dirs") { () =>
+          val it = lateDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) { Corpus.deleteRecursively(e.getValue); it.remove() }
+          }
+        }
+        dir
+      }
+    }
+  }
+
   val MemoizedQueries: Set[String] =
     Set("d160_edge_index", "d165_related_indexed", "d167_pagerank_indexed",
-      "d169_node2vec_indexed", "d172_pagerank_warm", "d175_lpa_warm")
+      "d169_node2vec_indexed", "d172_pagerank_warm", "d175_lpa_warm",
+      "d190_edge_index_late")
 
   def queries: Seq[Q] = Seq(
     // d160: d127 served from the persisted additive edge index — save
@@ -197,6 +361,19 @@ object EdgeIndex extends PersistedIndex {
     // direct single-pass computation exactly.
     Q("d160_edge_index",
       (s, d) => edgesOf(s, savedDir(s, d)),
+      Some(Graphs.copurchaseSql)),
+
+    // d190: the LATE-DATA write path under d127's oracle VERBATIM —
+    // the index is built by two appendLate batches that split every
+    // basket's items by partkey parity, so every mixed-parity basket
+    // STRADDLES the appends and batch 2 must reconcile it with
+    // retraction deltas against the basketitems claims. Serving the
+    // reconciled facts must reproduce the one-shot computation exactly
+    // (the same oracle d160 passes for the well-behaved split) —
+    // driver-adjudicating the reconciliation induction, not just
+    // spec-asserting it.
+    Q("d190_edge_index_late",
+      (s, d) => edgesOf(s, lateSavedDir(s, d)),
       Some(Graphs.copurchaseSql)),
 
     // d165: a CONSUMER served from the index — related items over the

@@ -482,9 +482,49 @@ object TemporalEdgeIndex extends PersistedIndex {
   private def anchorOf(s: SparkSession, d: String): DataFrame =
     orders(s, d).agg(max(col("o_orderdate").cast("date")).as("mx"))
 
+  /** Per-(session, sfDir) LATE-built temporal index (the d190 twin):
+    * every basket's items split by partkey parity across two
+    * [[appendLate]] batches — every mixed-parity basket straddles and
+    * batch 2 reconciles it via retraction deltas. */
+  private val lateDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def lateSavedDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = lateDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tedgeidx-late-q").toString
+      val baskets = lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
+        .join(orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("bday")), Seq("o_orderkey"))
+        .select(col("o_orderkey").as("basket_id"),
+          col("l_partkey").as("item_id"), col("bday"))
+      appendLate(baskets.where(col("item_id") % 2 === 0), dir)
+      appendLate(baskets.where(col("item_id") % 2 === 1), dir)
+      val prev = lateDirMemo.putIfAbsent(k, dir)
+      if (prev != null) { Corpus.deleteRecursively(dir); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "temporal-edgeindex-late-dirs") { () =>
+          val it = lateDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) {
+              Corpus.deleteRecursively(e.getValue); it.remove()
+            }
+          }
+        }
+        dir
+      }
+    }
+  }
+
   val MemoizedQueries: Set[String] =
     Set("d182_decayed_indexed", "d183_trending_indexed",
-      "d184_decayed_pagerank_indexed", "d186_decayed_pagerank_warm")
+      "d184_decayed_pagerank_indexed", "d186_decayed_pagerank_warm",
+      "d191_decayed_late_indexed")
 
   def queries: Seq[Q] = Seq(
     // d182: d174 served from the persisted temporal index — save the
@@ -494,6 +534,18 @@ object TemporalEdgeIndex extends PersistedIndex {
     // + read-time decay reproduce the direct computation exactly).
     Q("d182_decayed_indexed",
       (s, d) => decayedEdgesOf(s, savedDir(s, d), anchorOf(s, d)),
+      Some(Graphs.decayedCopurchaseSql)),
+
+    // d191: the LATE-DATA write path on the TEMPORAL family under
+    // d174's oracle VERBATIM (the d190 twin): the index is built by
+    // two appendLate batches splitting every basket's items by partkey
+    // parity, so batch 2 reconciles every mixed-parity basket with
+    // negative-n retraction facts; the decayed serve over the netted
+    // facts must reproduce the direct computation exactly — the
+    // reconciliation induction driver-adjudicated on per-(pair, date)
+    // counts, not just spec-asserted.
+    Q("d191_decayed_late_indexed",
+      (s, d) => decayedEdgesOf(s, lateSavedDir(s, d), anchorOf(s, d)),
       Some(Graphs.decayedCopurchaseSql)),
 
     // d183: a CONSUMER served from the temporal index — trending

@@ -109,6 +109,31 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edgeSet(a) == Set((1L, 2L, 2L), (5L, 6L, 2L)))
   }
 
+  test("appendLate: fragmented and re-delivered baskets net to the one-shot build") {
+    val dir = tmp()
+    // fragment 1: partial baskets (basket 1 missing item 3; basket 6 absent)
+    EdgeIndex.appendLate(baskets(Seq(
+      (1L, 1L), (1L, 2L), (3L, 4L), (3L, 5L))), dir)
+    // fragment 2: the late item for basket 1 (its (1,3)/(2,3) pairs must
+    // appear and nothing double-count), basket 6 fresh, plus a
+    // RE-DELIVERED claim (3,4) that must be a no-op
+    EdgeIndex.appendLate(baskets(Seq(
+      (1L, 3L), (6L, 2L), (6L, 3L), (3L, 4L))), dir)
+    // fragment 3: the second witnesses for (1,2)/(4,5)
+    EdgeIndex.appendLate(baskets(Seq(
+      (2L, 1L), (2L, 2L), (4L, 4L), (4L, 5L))), dir)
+    val merged = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L),
+      (6L, 2L), (6L, 3L), (2L, 1L), (2L, 2L), (4L, 4L), (4L, 5L))
+    val direct = edgeSet(Graphs.copurchaseEdges(baskets(merged), minSupport = 1))
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 1L)) == direct)
+    // and the batch build over the same merged corpus agrees too
+    val batch = tmp()
+    EdgeIndex.save(baskets(merged), batch)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 1L)) ==
+      edgeSet(EdgeIndex.edgesOf(spark, batch, minSupport = 1L)))
+  }
+
   test("streaming ingest fails loudly on a basket straddling micro-batches") {
     // r13 advice: micro-batch boundaries are time-sliced — basket 3's
     // rows arriving across TWO addData calls would miss the (5,6) pair
