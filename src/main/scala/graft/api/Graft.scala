@@ -771,6 +771,23 @@ object Graft {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.ops.EdgeIndex.ingest(baskets, dir, checkpoint)
 
+  /** [[edgeIndexAppend]] for a batch that may contain LATE fragments of
+    * already-indexed baskets — reconciles instead of refusing: a
+    * straddling basket's facts are corrected by additive retraction
+    * deltas recomputed from the index's own claims table, so the index
+    * nets to the one-shot build after every batch at ANY lateness,
+    * fragment order, or re-delivery (no watermark horizon needed;
+    * driver-gated by d190 under the direct build's oracle). */
+  def edgeIndexAppendLate(baskets: DataFrame, dir: String): Unit =
+    graft.ops.EdgeIndex.appendLate(baskets, dir)
+
+  /** Watermark-TOLERANT [[edgeIndexIngest]]: straddling/late basket
+    * fragments reconcile via the [[edgeIndexAppendLate]] delta instead
+    * of failing the stream. */
+  def edgeIndexIngestLate(baskets: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.EdgeIndex.ingestLate(baskets, dir, checkpoint)
+
   /** Compact a fragmented edge index into a fresh single-generation
     * snapshot directory (source untouched; see IndexCommit.compactTo).
     * The completed compaction marks the source superseded — retire it
@@ -823,6 +840,28 @@ object Graft {
   def temporalEdgeIndexIngest(baskets: DataFrame, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.ops.TemporalEdgeIndex.ingest(baskets, dir, checkpoint)
+
+  /** [[temporalEdgeIndexAppend]] for a batch that may contain LATE
+    * fragments of already-indexed baskets — the [[edgeIndexAppendLate]]
+    * reconciliation on the temporal facts (negative-n retraction rows
+    * per (pair, date); handles date-advancing fragments and item-cap
+    * transitions; driver-gated by d191 under the direct decayed build's
+    * oracle). */
+  def temporalEdgeIndexAppendLate(baskets: DataFrame, dir: String): Unit =
+    graft.ops.TemporalEdgeIndex.appendLate(baskets, dir)
+
+  /** Watermark-TOLERANT [[temporalEdgeIndexIngest]]: straddling/late
+    * basket fragments reconcile instead of failing the stream. */
+  def temporalEdgeIndexIngestLate(baskets: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ops.TemporalEdgeIndex.ingestLate(baskets, dir, checkpoint)
+
+  /** The live trending snapshot a streaming serving consumer publishes
+    * (see [[graft.ops.TemporalEdgeIndex.ingestServingTrending]]) —
+    * resolves the atomic generation pointer and never observes a
+    * half-written table; fails closed before the first publish. */
+  def trendingSnapshot(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.TemporalEdgeIndex.trendingSnapshot(spark, outDir)
 
   /** Compact a fragmented temporal edge index (per-key count merge into
     * a fresh generation; decay is read-time, so merging loses nothing

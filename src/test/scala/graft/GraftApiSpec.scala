@@ -284,6 +284,35 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Corpus.deleteRecursively(dir)
   }
 
+  test("driver-round-16 facades: late-data edge indexes reconcile fragmented baskets") {
+    import spark.implicits._
+    // basket 100 arrives SPLIT across the two late appends — the facade
+    // path must net to the one-shot build (delegation of d190/d191)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-late").toString
+    try {
+      Graft.edgeIndexAppendLate(
+        Seq((100L, 1L), (200L, 1L), (200L, 2L)).toDF("basket_id", "item_id"), dir)
+      Graft.edgeIndexAppendLate(
+        Seq((100L, 2L)).toDF("basket_id", "item_id"), dir)
+      assert(Graft.edgeIndexEdges(spark, dir).as[(Long, Long, Long)]
+        .collect().toSet == Set((1L, 2L, 2L)))
+    } finally graft.ops.Corpus.deleteRecursively(dir)
+    val tdir = java.nio.file.Files.createTempDirectory("graft-api-tlate").toString
+    try {
+      def b(rows: (Long, Long, String)*) = rows.toSeq
+        .toDF("basket_id", "item_id", "bday")
+        .withColumn("bday", col("bday").cast("date"))
+      Graft.temporalEdgeIndexAppendLate(
+        b((100L, 1L, "2024-12-31"), (200L, 1L, "2024-07-01"),
+          (200L, 2L, "2024-07-01")), tdir)
+      Graft.temporalEdgeIndexAppendLate(b((100L, 2L, "2024-12-31")), tdir)
+      val anchor = Seq("2024-12-31").toDF("mx").select(col("mx").cast("date"))
+      assert(Graft.temporalEdgeIndexEdges(spark, tdir, anchor,
+          minWeightPpm = 0L).as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 2L, 1500000L)))
+    } finally graft.ops.Corpus.deleteRecursively(tdir)
+  }
+
   test("driver-round-13 facades: edge index, modularity, walks, embeddings") {
     import spark.implicits._
     val baskets = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 2L),
