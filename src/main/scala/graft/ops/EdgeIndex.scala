@@ -165,6 +165,14 @@ object EdgeIndex extends PersistedIndex {
     val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
     val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idsPath)) return pairFactsOf(b)
+    // migration probe (r16 advice): a pre-late-data index never
+    // persisted its claims, so its straddlers CANNOT be reconciled —
+    // name the remedy instead of failing with a raw path error
+    IndexCommit.requireTable(spark, dir, "basketitems", "lateDelta",
+      "the index was written by a version that did not persist raw " +
+        "claims, so late fragments of its baskets cannot be reconciled; " +
+        "rebuild it with save()/append() under this version (compaction " +
+        "cannot recover claims that were never recorded)")
     val priorIds = spark.read.parquet(s"$dir/basketids")
       .where(col(IndexCommit.BatchCol) =!= batchId)
       .select(col("basket_id"))
@@ -193,9 +201,16 @@ object EdgeIndex extends PersistedIndex {
   /** One late-tolerant write batch (the [[TemporalEdgeIndex]] twin):
     * the [[lateDelta]] facts plus the batch's id/claim rows under the
     * [[IndexCommit]] guard; the delta materializes BEFORE the guard
-    * opens. */
-  private def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    * opens. Admission is [[IndexCommit.requireReplaySafe]] (r16 advice,
+    * medium): on an UNCOMMITTED directory only a replay of the torn
+    * batch's own id may proceed (its partial partitions are scrubbed
+    * first) — a new id would absorb the torn batch's partial claims
+    * into the delta arithmetic and then re-create the marker over
+    * them. Package-visible so the spec can drive same-id replays. */
+  private[graft] def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    IndexCommit.requireReplaySafe(spark, dir, batchId,
+      claimTables = Seq("basketids", "basketitems"), factTable = "pairfacts")
     val b = docs.toDF("basket_id", "item_id").localCheckpoint()
     val delta = lateDelta(b, dir, batchId).localCheckpoint()
     IndexCommit.withGuard(spark, dir) {

@@ -73,9 +73,101 @@ private[graft] object IndexCommit {
       "interrupted batch or rebuild with save().")
   }
 
+  /** Fail closed when a required index table is absent — the migration
+    * probe (r16 advice): an index written by an earlier format version
+    * may lack a table a newer read/write path depends on, and the raw
+    * AnalysisException ("path does not exist") names neither the cause
+    * nor the remedy. `hint` names the fix. */
+  def requireTable(spark: SparkSession, dir: String, table: String,
+      caller: String, hint: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"$caller: $dir has no $table table — $hint")
+  }
+
+  /** The batch ids `tablePath` has partitions for (empty when the table
+    * directory is absent) — one directory listing, bounded by past
+    * writes. */
+  private def batchIdsOf(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: org.apache.hadoop.fs.Path): Set[Long] =
+    if (!fs.exists(tablePath)) Set.empty
+    else fs.listStatus(tablePath).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(s"$BatchCol="))
+      .map(_.stripPrefix(s"$BatchCol=").toLong).toSet
+
+  /** Torn-write admission check for the late-data write paths (r16
+    * advice, medium): when `dir` already holds index tables but NO
+    * commit marker, an earlier multi-table write crashed between its
+    * table commits. Writing a NEW batch id on top would treat the torn
+    * batch's partial claim tables as committed prior state — the late
+    * delta would compute retractions from missing/partial claims,
+    * double-counting the orphaned facts — and then the write's own
+    * guard would RE-CREATE the marker, converting a fail-closed
+    * uncommitted state into silently-committed wrong data. Only a
+    * replay of the torn batch's OWN id is safe (its prior-state reads
+    * exclude that id and its writes replace that id's partitions), so:
+    *
+    *  - every batch id present in only SOME of the `claimTables` (a
+    *    completed batch writes all of them — they are per-batch
+    *    projections of the same non-empty input), and every
+    *    `factTable` id with no claim rows (the fact table is written
+    *    FIRST, so a fact partition without its claims is an orphan;
+    *    the reverse is legal — an empty delta writes no fact rows),
+    *    must BE `batchId` — anything else is a torn batch this write
+    *    cannot repair: fail closed naming it;
+    *  - `batchId`'s own partial partitions are then SCRUBBED so the
+    *    replay starts clean — dynamic overwrite only replaces
+    *    partitions the new write produces, so an empty replacement
+    *    table would otherwise leave the torn attempt's orphan behind.
+    *
+    * No-op when the marker is present or the directory is fresh. Cost:
+    * one directory listing per table, bounded by past writes. */
+  def requireReplaySafe(spark: SparkSession, dir: String, batchId: Long,
+      claimTables: Seq[String], factTable: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || isCommitted(spark, dir)) return
+    val claims = claimTables.map(t =>
+      t -> batchIdsOf(fs, new org.apache.hadoop.fs.Path(s"$dir/$t"))).toMap
+    val allClaims = claims.values.foldLeft(Set.empty[Long])(_ union _)
+    val partial = allClaims.filterNot(i => claims.values.forall(_.contains(i)))
+    val orphanFacts =
+      batchIdsOf(fs, new org.apache.hadoop.fs.Path(s"$dir/$factTable")) --
+        claims(claimTables.head)
+    val torn = (partial ++ orphanFacts) - batchId
+    require(torn.isEmpty,
+      s"write batch $batchId: $dir has no _graft_commit marker and batch" +
+        s"(es) ${torn.toSeq.sorted.mkString(", ")} left PARTIAL tables " +
+        "behind — an earlier write crashed between its table commits. " +
+        "Writing a new batch would absorb the torn batch's partial claims " +
+        "as committed prior state (wrong retraction deltas) and restore " +
+        "the marker over them. Replay the interrupted batch under its own " +
+        "id (streaming replays do this from the checkpoint) or rebuild " +
+        "with save().")
+    (factTable +: claimTables).foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t/$BatchCol=$batchId"),
+        true)
+    }
+  }
+
   /** Pointer file naming the live generation under a snapshot root —
     * see [[publishSnapshot]]. */
   val SnapshotPointer = "_graft_current"
+
+  /** Filesystems whose rename is ATOMIC — the property the
+    * [[publishSnapshot]] pointer swap requires (a reader must see the
+    * old complete pointer or the new complete one, never a partial).
+    * HDFS and POSIX rename are atomic; object stores (s3a, gs, wasb,
+    * oss, cos…) implement rename as copy+delete, so a racing reader
+    * can observe a missing or half-copied pointer. Publishing to such
+    * a store is REFUSED (r16 verdict ask #5) unless the session opts
+    * in via `spark.graft.snapshot.allowNonAtomicRename=true`,
+    * accepting that readers must retry on a missing pointer — or the
+    * deployment layers a rename-atomic service (HBOSS/S3Guard-style)
+    * over the store. */
+  val AtomicRenameSchemes: Set[String] = Set("file", "hdfs", "viewfs")
 
   /** Atomically publish `df` as the new serving snapshot under `root`
     * (r15 advice: the streaming trending consumer refreshed its serving
@@ -92,17 +184,43 @@ private[graft] object IndexCommit {
     *     POSIX, so [[currentSnapshotDir]] readers see the old complete
     *     generation or the new complete one, never a partial;
     *  3. generations other than the new one and the one it replaced
-    *     are deleted — the immediately-previous survives until the
-    *     NEXT publish so in-flight readers keep their files.
+    *     are deleted — the immediately-previous ALWAYS survives until
+    *     the NEXT publish so in-flight readers keep their files, and
+    *     `retainMillis > 0` additionally keeps any generation younger
+    *     than that age (r16 advice: with fast micro-batches and a slow
+    *     downstream scan, two publishes could complete inside one read
+    *     — the age floor bounds the reader-staleness window instead:
+    *     a reader that resolves the pointer and finishes its scan
+    *     within `retainMillis` never loses files).
+    *
+    * The pointer swap requires ATOMIC rename — enforced via
+    * [[AtomicRenameSchemes]]: object-store roots are refused unless
+    * the session sets `spark.graft.snapshot.allowNonAtomicRename=true`
+    * (readers there must tolerate a brief missing-pointer window by
+    * retrying [[currentSnapshotDir]]).
     *
     * A crash before step 2 leaves the pointer on the old complete
     * generation (the fresh dir is GC'd by the replay's step 3); a
     * crash after step 2 is a completed publish. Returns the new
     * generation's path. */
-  def publishSnapshot(df: DataFrame, root: String, batchId: Long): String = {
+  def publishSnapshot(df: DataFrame, root: String, batchId: Long,
+      retainMillis: Long = 0L): String = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
+    val scheme = Option(rootPath.toUri.getScheme).getOrElse(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
+    require(AtomicRenameSchemes.contains(scheme) ||
+      spark.conf.get("spark.graft.snapshot.allowNonAtomicRename", "false")
+        .toBoolean,
+      s"publishSnapshot: $root resolves to filesystem scheme '$scheme', " +
+        "whose rename is not atomic — the serving-pointer swap would let " +
+        "readers observe a missing or partial pointer. Publish to an " +
+        "atomic-rename store (" + AtomicRenameSchemes.toSeq.sorted
+          .mkString(", ") + "), layer a rename-atomic service over the " +
+        "object store, or opt in with " +
+        "spark.graft.snapshot.allowNonAtomicRename=true and make readers " +
+        "retry currentSnapshotDir on a missing pointer.")
     val fs = rootPath.getFileSystem(conf)
     val gen = s"gen-$batchId-${java.lang.System.nanoTime()}"
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -115,10 +233,12 @@ private[graft] object IndexCommit {
     out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val now = java.lang.System.currentTimeMillis()
     fs.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("gen-") && n != gen &&
-          !prev.contains(n))
+          !prev.contains(n) &&
+          (retainMillis <= 0L || now - st.getModificationTime >= retainMillis))
         fs.delete(st.getPath, true)
     }
     s"$root/$gen"

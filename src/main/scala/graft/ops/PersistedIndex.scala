@@ -82,6 +82,18 @@ trait PersistedIndex {
     * construction; for the doc-keyed families it IS the lead table,
     * so nothing changes there. */
   def append(docs: DataFrame, dir: String, checkDisjoint: Boolean = false): Unit = {
+    // torn-write admission (r16 advice, medium — the append side):
+    // an existing index with NO commit marker means an earlier write
+    // crashed between table commits; appending a NEW batch id on top
+    // would absorb the torn batch's partial tables and then re-create
+    // the marker over them. Only a same-id replay can repair that
+    // (streaming does, from its checkpoint) — batch-mode append always
+    // allocates a fresh id, so it must fail closed here.
+    val spark = docs.sparkSession
+    val lead = new org.apache.hadoop.fs.Path(s"$dir/$disjointTable")
+    if (lead.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(lead))
+      IndexCommit.requireCommitted(spark, dir, "append")
     if (checkDisjoint)
       disjointIdCol.foreach(c =>
         IndexCommit.requireDisjoint(docs, s"$dir/$disjointTable", c))

@@ -145,6 +145,14 @@ object TemporalEdgeIndex extends PersistedIndex {
     val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
     val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idsPath)) return pairFactsOf(b)
+    // migration probe (r16 advice): a pre-late-data index never
+    // persisted its claims, so its straddlers CANNOT be reconciled —
+    // name the remedy instead of failing with a raw path error
+    IndexCommit.requireTable(spark, dir, "basketitems", "lateDelta",
+      "the index was written by a version that did not persist raw " +
+        "claims, so late fragments of its baskets cannot be reconciled; " +
+        "rebuild it with save()/append() under this version (compaction " +
+        "cannot recover claims that were never recorded)")
     val priorIds = spark.read.parquet(s"$dir/basketids")
       .where(col(IndexCommit.BatchCol) =!= batchId)
       .select(col("basket_id"))
@@ -174,9 +182,17 @@ object TemporalEdgeIndex extends PersistedIndex {
     * the batch's id/claim rows, under the [[IndexCommit]] guard. The
     * delta is MATERIALIZED before the guard opens so no read of the
     * prior tables is in flight while their directories gain this
-    * batch's partitions. */
-  private def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    * batch's partitions. Admission is [[IndexCommit.requireReplaySafe]]
+    * (r16 advice, medium): on an UNCOMMITTED directory only a replay of
+    * the torn batch's own id may proceed (its partial partitions are
+    * scrubbed first) — a new id would absorb the torn batch's partial
+    * claims into the delta arithmetic and then re-create the marker
+    * over them. Package-visible so the spec can drive same-id
+    * replays. */
+  private[graft] def writeLateBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    IndexCommit.requireReplaySafe(spark, dir, batchId,
+      claimTables = Seq("basketids", "basketitems"), factTable = "pairfacts")
     val b = docs.toDF("basket_id", "item_id", "bday").localCheckpoint()
     val delta = lateDelta(b, dir, batchId).localCheckpoint()
     IndexCommit.withGuard(spark, dir) {
@@ -373,33 +389,62 @@ object TemporalEdgeIndex extends PersistedIndex {
             ingestGuard(batch.toDF(), dir, id)
             writeBatch(batch.toDF(), dir, id, overwriteAll = false)
           }
-          val anchor = anchorDay match {
-            case Some(day) => s.range(1).select(lit(day).as("mx"))
-            // sliding: the newest basket date across EVERY ingested
-            // claim — basketitems, not pairfacts, so singleton and
-            // over-cap baskets advance "now" too (r15 advice)
-            case None => s.read.parquet(s"$dir/basketitems")
-              .agg(max(col("bday")).as("mx"))
-          }
-          // atomic generation publish (r15 advice: a plain overwrite
-          // deletes the served directory before rewriting — a reader
-          // racing the refresh, or a crash mid-write, saw a missing/
-          // partial table); readers resolve via [[trendingSnapshot]]
-          IndexCommit.publishSnapshot(
-            Graphs.trendingRelated(
-              decayedEdgesOf(s, dir, anchor,
-                halflifeDays, maxShift, minWeightPpm), k),
-            outDir, id)
-          ()
+          refreshTrendingSnapshot(s, dir, anchorDay, outDir, k,
+            halflifeDays, maxShift, minWeightPpm, id)
         }
       }
       .start()
+
+  /** One serving refresh — the pure function of (index state, anchor)
+    * the streaming consumers publish after every micro-batch, factored
+    * out so the registered d192 gate drives the EXACT refresh path in
+    * batch form (sliding anchor read, decayed serve, trendingRelated,
+    * atomic publish). `retainMillis` is [[IndexCommit.publishSnapshot]]'s
+    * GC age floor — raise it when downstream scans of the snapshot can
+    * outlive two publish intervals. */
+  private[graft] def refreshTrendingSnapshot(s: SparkSession, dir: String,
+      anchorDay: Option[java.sql.Date], outDir: String, k: Int,
+      halflifeDays: Int, maxShift: Int, minWeightPpm: Long, batchId: Long,
+      retainMillis: Long = 0L): Unit = {
+    val anchor = anchorDay match {
+      case Some(day) => s.range(1).select(lit(day).as("mx"))
+      // sliding: the newest basket date across EVERY ingested
+      // claim — basketitems, not pairfacts, so singleton and
+      // over-cap baskets advance "now" too (r15 advice)
+      case None =>
+        // migration probe (r16 advice): a pre-late-data index has no
+        // claims table — the sliding anchor cannot be derived from it
+        IndexCommit.requireTable(s, dir, "basketitems",
+          "ingestServingTrendingSliding",
+          "the index was written by a version that did not persist raw " +
+            "claims, which the sliding anchor reads; rebuild it with " +
+            "save()/append() under this version, or use the fixed-anchor " +
+            "ingestServingTrending")
+        s.read.parquet(s"$dir/basketitems")
+          .agg(max(col("bday")).as("mx"))
+    }
+    // atomic generation publish (r15 advice: a plain overwrite
+    // deletes the served directory before rewriting — a reader
+    // racing the refresh, or a crash mid-write, saw a missing/
+    // partial table); readers resolve via [[trendingSnapshot]]
+    IndexCommit.publishSnapshot(
+      Graphs.trendingRelated(
+        decayedEdgesOf(s, dir, anchor,
+          halflifeDays, maxShift, minWeightPpm), k),
+      outDir, batchId, retainMillis)
+    ()
+  }
 
   /** The live trending snapshot the serving consumers publish — the
     * [[IndexCommit.publishSnapshot]] generation the pointer names;
     * fails closed before the first completed publish, and never
     * observes a half-written generation (the pointer swap is an atomic
-    * rename and the previous generation outlives it by one publish). */
+    * rename and the previous generation outlives it by one publish).
+    * Reader-staleness bound: a scan that starts after resolving the
+    * pointer keeps its files for at least one further publish interval
+    * — plus the publisher's `retainMillis` when set; a scan that can
+    * outlive that window must re-resolve and retry on
+    * FileNotFoundException. */
   def trendingSnapshot(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(IndexCommit.currentSnapshotDir(spark, outDir))
 
@@ -521,10 +566,44 @@ object TemporalEdgeIndex extends PersistedIndex {
     }
   }
 
+  /** Per-(session, sfDir) SERVED snapshot root (the d192 gate): one
+    * [[refreshTrendingSnapshot]] — the streaming consumers' exact
+    * per-batch refresh, sliding anchor included — published over the
+    * LATE-built index, read back through the snapshot pointer. */
+  private val servedDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def servedSnapshotDir(s: SparkSession, d: String): String = {
+    val k = (s, d)
+    val hit = servedDirMemo.get(k)
+    if (hit != null) hit
+    else {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-tedgeidx-served-q").toString
+      refreshTrendingSnapshot(s, lateSavedDir(s, d), anchorDay = None,
+        out, k = 10, halflifeDays = 180, maxShift = 30,
+        minWeightPpm = 1000000L, batchId = 1L)
+      val prev = servedDirMemo.putIfAbsent(k, out)
+      if (prev != null) { Corpus.deleteRecursively(out); prev }
+      else {
+        graft.Sessions.onStopOnce(s, "temporal-edgeindex-served-dirs") { () =>
+          val it = servedDirMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1 eq s) {
+              Corpus.deleteRecursively(e.getValue); it.remove()
+            }
+          }
+        }
+        out
+      }
+    }
+  }
+
   val MemoizedQueries: Set[String] =
     Set("d182_decayed_indexed", "d183_trending_indexed",
       "d184_decayed_pagerank_indexed", "d186_decayed_pagerank_warm",
-      "d191_decayed_late_indexed")
+      "d191_decayed_late_indexed", "d192_trending_snapshot_served")
 
   def queries: Seq[Q] = Seq(
     // d182: d174 served from the persisted temporal index — save the
@@ -547,6 +626,19 @@ object TemporalEdgeIndex extends PersistedIndex {
     Q("d191_decayed_late_indexed",
       (s, d) => decayedEdgesOf(s, lateSavedDir(s, d), anchorOf(s, d)),
       Some(Graphs.decayedCopurchaseSql)),
+
+    // d192: the SERVING-SNAPSHOT read path under d179's oracle VERBATIM
+    // (r16 verdict ask #1) — the snapshot is published over the
+    // LATE-built index by refreshTrendingSnapshot (the streaming
+    // consumers' exact per-batch refresh), with the SLIDING anchor
+    // derived from the basketitems claims (= the corpus max order date
+    // here, so the fixed-anchor oracle applies verbatim), and read back
+    // through the atomic snapshot pointer. One gate covers the whole
+    // late→serve chain: retraction-netted facts, read-time decay,
+    // trendingRelated, publishSnapshot, pointer resolution.
+    Q("d192_trending_snapshot_served",
+      (s, d) => trendingSnapshot(s, servedSnapshotDir(s, d)),
+      Some(Graphs.trendingRelatedSql)),
 
     // d183: a CONSUMER served from the temporal index — trending
     // related items over the index-served decayed edges, hash-gated by

@@ -134,6 +134,83 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       edgeSet(EdgeIndex.edgesOf(spark, batch, minSupport = 1L)))
   }
 
+  test("appendLate on a torn index fails closed; a same-id replay repairs it") {
+    // r16 advice (medium): crash between the basketids and basketitems
+    // commits of batch 1, then appendLate — before the fix it allocated
+    // batch 2, computed retractions from batch 1's MISSING claims
+    // (double-counting its orphaned pairfacts), and re-created the
+    // marker over the corruption.
+    val dir = tmp()
+    val b0 = Seq((1L, 1L), (1L, 2L), (3L, 4L), (3L, 5L))
+    val b1 = Seq((1L, 3L), (6L, 2L), (6L, 3L))
+    EdgeIndex.appendLate(baskets(b0), dir)
+    EdgeIndex.appendLate(baskets(b1), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the torn batch-1 write: marker gone, claims partial
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/basketitems/ingest_batch=1"), true)
+    val e = intercept[IllegalArgumentException] {
+      EdgeIndex.appendLate(baskets(Seq((9L, 1L), (9L, 2L))), dir)
+    }
+    assert(e.getMessage.contains("PARTIAL") && e.getMessage.contains("1"))
+    // the remedy the error names: replay the interrupted batch under
+    // its OWN id — reads exclude it, writes replace its partitions
+    EdgeIndex.writeLateBatch(baskets(b1), dir, batchId = 1L)
+    val direct = edgeSet(Graphs.copurchaseEdges(baskets(b0 ++ b1),
+      minSupport = 1))
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 1L)) == direct)
+    // ...and the repaired index accepts normal appends again
+    EdgeIndex.appendLate(baskets(Seq((9L, 1L), (9L, 2L))), dir)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 1L)) ==
+      edgeSet(Graphs.copurchaseEdges(
+        baskets(b0 ++ b1 ++ Seq((9L, 1L), (9L, 2L))), minSupport = 1)))
+  }
+
+  test("a torn batch whose claims never landed is scrubbed when its id is reused") {
+    // crash between the pairfacts and basketids commits: the next
+    // appendLate legitimately re-allocates the torn id (basketids never
+    // recorded it) — the orphaned pairfacts partition must be SCRUBBED
+    // first, or an empty/different replacement delta would leave it
+    // behind under the restored marker (dynamic overwrite only replaces
+    // partitions the new write produces).
+    val dir = tmp()
+    val b0 = Seq((1L, 1L), (1L, 2L))
+    EdgeIndex.appendLate(baskets(b0), dir)
+    EdgeIndex.appendLate(baskets(Seq((2L, 1L), (2L, 2L))), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/basketids/ingest_batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/basketitems/ingest_batch=1"), true)
+    // an ALL-SINGLETON batch reuses id 1 and writes zero pairfacts —
+    // without the scrub the orphaned (1,2)-weight-1 row would survive
+    EdgeIndex.appendLate(baskets(Seq((7L, 9L))), dir)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir, minSupport = 1L)) ==
+      edgeSet(Graphs.copurchaseEdges(baskets(b0 ++ Seq((7L, 9L))),
+        minSupport = 1)))
+  }
+
+  test("late reconciliation on a pre-late-data index names the migration remedy") {
+    // r16 advice: an index written before the basketitems claims table
+    // existed cannot be late-reconciled (its historical claims were
+    // never persisted) — the failure must name the fix, not throw a
+    // raw path error.
+    val dir = tmp()
+    EdgeIndex.save(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/basketitems"), true)
+    val e = intercept[IllegalArgumentException] {
+      EdgeIndex.appendLate(baskets(Seq((1L, 3L))), dir)
+    }
+    assert(e.getMessage.contains("basketitems") &&
+      e.getMessage.contains("rebuild"))
+  }
+
   test("streaming ingest fails loudly on a basket straddling micro-batches") {
     // r13 advice: micro-batch boundaries are time-sliced — basket 3's
     // rows arriving across TWO addData calls would miss the (5,6) pair

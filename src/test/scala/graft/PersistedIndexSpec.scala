@@ -125,6 +125,22 @@ class PersistedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!IndexCommit.isCommitted(spark, dir))
     }
 
+    test(s"${f.name}: append on an uncommitted index fails closed") {
+      // r16 advice (medium): append allocates a FRESH batch id, so it
+      // can never repair a torn write — proceeding would absorb the
+      // torn batch's partial tables as committed state and then
+      // RESTORE the marker over them. Only a same-id replay (streaming,
+      // from its checkpoint) may proceed on an uncommitted index.
+      val dir = tmp(f.name)
+      f.idx.save(f.inA(), dir)
+      val m = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+      val e = intercept[IllegalArgumentException] {
+        f.idx.append(f.inB(), dir)
+      }
+      assert(e.getMessage.contains("_graft_commit"))
+    }
+
     test(s"${f.name}: compaction preserves content and commits dst") {
       val dir = tmp(f.name)
       f.idx.save(f.inA(), dir)

@@ -445,4 +445,55 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         anchor("2024-01-01"), minWeightPpm = 0L)) ==
       Set((1L, 2L, 1000000L)))
   }
+
+  test("appendLate on a torn index fails closed; a same-id replay repairs it") {
+    // the r16-advice medium on the TEMPORAL family: a crash between the
+    // basketids and basketitems commits of batch 1 must not let a later
+    // appendLate absorb the torn batch's partial claims (wrong
+    // retraction deltas) and re-create the marker over them.
+    val dir = tmp()
+    val b0 = Seq((1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"))
+    val b1 = Seq((1L, 3L, "2024-12-31"), (6L, 2L, "2024-12-31"),
+      (6L, 3L, "2024-12-31"))
+    TemporalEdgeIndex.appendLate(baskets(b0), dir)
+    TemporalEdgeIndex.appendLate(baskets(b1), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/basketitems/ingest_batch=1"), true)
+    val e = intercept[IllegalArgumentException] {
+      TemporalEdgeIndex.appendLate(
+        baskets(Seq((9L, 1L, "2024-12-31"), (9L, 2L, "2024-12-31"))), dir)
+    }
+    assert(e.getMessage.contains("PARTIAL"))
+    // replaying the interrupted batch under its OWN id repairs the index
+    TemporalEdgeIndex.writeLateBatch(baskets(b1), dir, batchId = 1L)
+    val oneShot = tmp()
+    TemporalEdgeIndex.save(baskets(b0 ++ b1), oneShot)
+    val a = anchor("2024-12-31")
+    assert(edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+        minWeightPpm = 0L)) ==
+      edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, oneShot, a,
+        minWeightPpm = 0L)))
+  }
+
+  test("the sliding anchor on a pre-late-data index names the migration remedy") {
+    // r16 advice: refreshTrendingSnapshot's sliding anchor reads the
+    // basketitems claims table, which pre-upgrade indexes lack — the
+    // failure must name the rebuild remedy, not throw a raw path error.
+    val dir = tmp()
+    TemporalEdgeIndex.save(baskets(Seq((1L, 1L, "2024-01-01"),
+      (1L, 2L, "2024-01-01"))), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/basketitems"), true)
+    val e = intercept[IllegalArgumentException] {
+      TemporalEdgeIndex.refreshTrendingSnapshot(spark, dir,
+        anchorDay = None, tmp() + "/snap", k = 10, halflifeDays = 180,
+        maxShift = 30, minWeightPpm = 0L, batchId = 0L)
+    }
+    assert(e.getMessage.contains("basketitems") &&
+      e.getMessage.contains("rebuild"))
+  }
 }

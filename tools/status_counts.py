@@ -64,6 +64,17 @@ def main():
               f"{b.get('total_cold')}s cold; extended {b.get('extended_total')}s "
               f"across {n_ext} queries; errors {b.get('errors')}; "
               f"loadavg_pre {b.get('loadavg_pre')}")
+        for g in b.get("ext_groups", []):
+            if "sec" in g:
+                print(f"  group {g['tag']}: n={g['n']} {g['sec']}s "
+                      f"(cold {g['sec_cold']}s)")
+
+    spath = newest("CORRECTNESS_sf0.1_r*.json")
+    if spath:
+        c = json.load(open(spath))
+        green = sum(1 for v in c.values() if v.get("hash_match") is True)
+        print(f"{os.path.basename(spath)}: {len(c)} bench-scale queries, "
+              f"{green} hash-green")
 
 
 if __name__ == "__main__":
