@@ -941,11 +941,27 @@ object Corpus {
 
     // d13: sketched distinct counting (HLL++ via approx_count_distinct) —
     // the Q9 "sketched variant": per-language distinct token estimate next
-    // to the exact count. Sketch values are engine-specific (rows-only
-    // check); CorpusSketchSpec bounds the estimate against the exact count.
+    // to the exact count. The sketch value is engine-specific but
+    // DETERMINISTIC (fixed-seed HLL++ over frozen seed=42 data), so the
+    // oracle recomputes the exact side in SQL and pins the approx side to
+    // a RECORDED GOLDEN join literal (r16 verdict ask #8) — a hash-gated
+    // determinism/regression pin, sf0.01-specific by construction
+    // (regenerate with tools/golden_ann.py if TESTDATA is ever rebuilt).
+    // The error-bound semantics stay adjudicated by d36 (within_bound
+    // hash-green) and CorpusSketchSpec.
     Q("d13_distinct_sketch",
       (s, d) => distinctTokenSketch(documents(s, d)),
-      None),
+      Some("""WITH exact AS (
+             |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+             |  FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY lang)
+             |SELECT e.lang, e.exact_distinct, g.approx_distinct
+             |FROM exact e
+             |JOIN (VALUES ('de', CAST(31 AS BIGINT)), ('en', CAST(31 AS BIGINT)),
+             |             ('es', CAST(31 AS BIGINT)), ('fr', CAST(31 AS BIGINT)),
+             |             ('zh', CAST(31 AS BIGINT))) AS g(lang, approx_distinct)
+             |ON e.lang = g.lang""".stripMargin)),
 
     // d36: the sketch family's hash-green sibling — d13's pipeline
     // projected onto what IS cross-engine checkable: exact per-language

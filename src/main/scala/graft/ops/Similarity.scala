@@ -1500,6 +1500,62 @@ object Similarity {
       |  FROM sim)
       |WHERE rank <= 3""".stripMargin
 
+  /** Recorded sf0.01 golden for d30 (vec_id, predicted_label, votes) —
+    * see the d30 registration comment for why a literal is the right
+    * oracle here. Regenerate with tools/golden_ann.py if TESTDATA is
+    * ever rebuilt. */
+  private val D30GoldenRows: Seq[(Long, Int, Long)] = Seq(
+      (0L,0,1L), (1L,9,2L), (2L,3,1L), (3L,0,1L), (4L,2,1L), (5L,2,1L), (6L,1,1L), (7L,1,1L), (8L,2,1L), (9L,1,1L), (10L,0,1L), (11L,4,1L),
+      (12L,0,1L), (13L,4,2L), (14L,3,1L), (15L,0,1L), (16L,4,1L), (17L,1,1L), (18L,3,2L), (19L,0,1L), (20L,4,1L), (21L,1,1L), (22L,3,1L), (23L,8,2L),
+      (24L,3,2L), (25L,7,1L), (26L,2,1L), (27L,0,1L), (28L,4,1L), (29L,7,2L), (30L,4,1L), (31L,1,1L), (32L,3,1L), (33L,4,2L), (34L,3,1L), (35L,2,2L),
+      (36L,3,1L), (37L,8,2L), (38L,0,1L), (39L,5,1L), (40L,2,2L), (41L,5,1L), (42L,3,2L), (43L,7,1L), (44L,3,1L), (45L,4,2L), (46L,2,1L), (47L,0,1L),
+      (48L,2,1L), (49L,0,1L), (50L,1,1L), (51L,0,1L), (52L,4,1L), (53L,1,1L), (54L,0,1L), (55L,3,2L), (56L,4,2L), (57L,8,2L), (58L,1,1L), (59L,1,1L),
+      (60L,1,1L), (61L,1,1L), (62L,5,1L), (63L,9,2L), (64L,0,1L), (65L,1,1L), (66L,3,2L), (67L,1,1L), (68L,0,1L), (69L,1,1L), (70L,4,2L), (71L,2,1L),
+      (72L,1,1L), (73L,5,1L), (74L,5,1L), (75L,4,1L), (76L,2,1L), (77L,6,1L), (78L,1,1L), (79L,0,2L), (80L,3,1L), (81L,3,1L), (82L,1,2L), (83L,2,1L),
+      (84L,2,1L), (85L,3,2L), (86L,3,1L), (87L,1,2L), (88L,2,1L), (89L,3,1L), (90L,1,1L), (91L,3,2L), (92L,4,1L), (93L,0,1L), (94L,4,1L), (95L,4,1L),
+      (96L,3,1L), (97L,1,1L), (98L,2,1L), (99L,2,1L), (100L,1,1L), (101L,0,1L), (102L,0,1L), (103L,0,1L), (104L,0,1L), (105L,1,1L), (106L,3,1L), (107L,0,1L),
+      (108L,7,2L), (109L,1,1L), (110L,4,1L), (111L,0,1L), (112L,1,1L), (113L,2,1L), (114L,6,1L), (115L,0,2L), (116L,0,1L), (117L,6,2L), (118L,0,1L), (119L,4,2L),
+      (120L,3,2L), (121L,2,1L), (122L,1,1L), (123L,0,1L), (124L,2,1L), (125L,0,1L), (126L,1,2L), (127L,1,1L), (128L,2,1L), (129L,2,1L), (130L,8,2L), (131L,1,1L),
+      (132L,6,1L), (133L,5,1L), (134L,5,1L), (135L,0,1L), (136L,3,2L), (137L,1,1L), (138L,0,1L), (139L,6,2L), (140L,3,1L), (141L,1,1L), (142L,7,1L), (143L,8,2L),
+      (144L,1,1L), (145L,3,1L), (146L,4,2L), (147L,3,1L), (148L,0,1L), (149L,8,2L), (150L,2,2L), (151L,0,1L), (152L,1,1L), (153L,1,1L), (154L,7,2L), (155L,6,1L),
+      (156L,3,2L), (157L,4,2L), (158L,1,2L), (159L,7,2L), (160L,7,2L), (161L,1,1L), (162L,0,2L), (163L,2,1L), (164L,0,1L), (165L,0,1L), (166L,0,1L), (167L,4,2L),
+      (168L,0,1L), (169L,2,1L), (170L,1,1L), (171L,0,1L), (172L,3,1L), (173L,2,1L), (174L,0,1L), (175L,3,1L), (176L,1,1L), (177L,2,1L), (178L,2,1L), (179L,1,1L),
+      (180L,2,1L), (181L,6,2L), (182L,0,1L), (183L,5,1L), (184L,0,1L), (185L,0,1L), (186L,2,1L), (187L,4,1L), (188L,1,1L), (189L,0,1L), (190L,7,1L), (191L,2,1L),
+      (192L,5,2L), (193L,1,2L), (194L,3,2L), (195L,4,1L), (196L,3,1L), (197L,0,1L), (198L,1,1L), (199L,0,1L), (200L,7,2L), (201L,4,1L), (202L,1,1L), (203L,2,1L),
+      (204L,8,2L), (205L,0,1L), (206L,5,2L), (207L,3,2L), (208L,1,1L), (209L,0,1L), (210L,0,1L), (211L,5,3L), (212L,0,1L), (213L,2,1L), (214L,5,2L), (215L,0,1L),
+      (216L,4,2L), (217L,0,1L), (218L,2,1L), (219L,1,2L), (220L,3,2L), (221L,0,2L), (222L,0,1L), (223L,1,1L), (224L,4,1L), (225L,1,1L), (226L,1,1L), (227L,4,1L),
+      (228L,0,1L), (229L,2,1L), (230L,0,1L), (231L,3,1L), (232L,0,1L), (233L,0,1L), (234L,3,1L), (235L,0,1L), (236L,4,2L), (237L,3,1L), (238L,2,1L), (239L,7,2L),
+      (240L,2,1L), (241L,4,1L), (242L,1,1L), (243L,0,1L), (244L,1,1L), (245L,2,2L), (246L,3,1L), (247L,3,1L), (248L,1,1L), (249L,9,2L), (250L,4,1L), (251L,5,1L),
+      (252L,4,1L), (253L,2,1L), (254L,2,1L), (255L,0,1L), (256L,9,2L), (257L,0,1L), (258L,0,1L), (259L,3,1L), (260L,1,2L), (261L,9,2L), (262L,9,2L), (263L,3,2L),
+      (264L,3,2L), (265L,1,1L), (266L,1,2L), (267L,1,1L), (268L,1,1L), (269L,1,1L), (270L,1,1L), (271L,0,1L), (272L,1,1L), (273L,1,1L), (274L,4,1L), (275L,2,1L),
+      (276L,3,2L), (277L,3,1L), (278L,0,1L), (279L,0,2L), (280L,1,1L), (281L,0,1L), (282L,5,1L), (283L,3,2L), (284L,0,1L), (285L,0,2L), (286L,1,1L), (287L,2,1L),
+      (288L,2,1L), (289L,0,1L), (290L,2,1L), (291L,2,2L), (292L,0,1L), (293L,1,1L), (294L,7,2L), (295L,1,1L), (296L,1,1L), (297L,0,1L), (298L,7,2L), (299L,8,2L),
+      (300L,5,2L), (301L,0,1L), (302L,6,1L), (303L,7,2L), (304L,1,1L), (305L,3,1L), (306L,2,1L), (307L,3,2L), (308L,5,1L), (309L,2,1L), (310L,5,1L), (311L,1,2L),
+      (312L,0,1L), (313L,1,1L), (314L,9,2L), (315L,5,1L), (316L,0,1L), (317L,0,1L), (318L,1,1L), (319L,0,1L), (320L,2,1L), (321L,2,1L), (322L,3,1L), (323L,1,1L),
+      (324L,1,1L), (325L,2,1L), (326L,5,1L), (327L,5,2L), (328L,1,2L), (329L,2,1L), (330L,2,1L), (331L,2,1L), (332L,2,1L), (333L,7,2L), (334L,2,1L), (335L,6,1L),
+      (336L,6,2L), (337L,0,1L), (338L,2,1L), (339L,0,1L), (340L,0,2L), (341L,9,2L), (342L,1,1L), (343L,4,1L), (344L,8,2L), (345L,3,1L), (346L,1,1L), (347L,7,2L),
+      (348L,2,1L), (349L,0,1L), (350L,3,1L), (351L,0,1L), (352L,3,1L), (353L,0,2L), (354L,0,1L), (355L,0,1L), (356L,1,1L), (357L,4,1L), (358L,4,1L), (359L,0,1L),
+      (360L,1,2L), (361L,2,1L), (362L,3,1L), (363L,3,2L), (364L,5,1L), (365L,2,1L), (366L,0,1L), (367L,0,1L), (368L,8,2L), (369L,1,1L), (370L,0,1L), (371L,1,1L),
+      (372L,1,1L), (373L,2,2L), (374L,7,1L), (375L,0,1L), (376L,1,1L), (377L,9,2L), (378L,0,1L), (379L,4,1L), (380L,0,1L), (381L,0,1L), (382L,0,1L), (383L,1,1L),
+      (384L,0,1L), (385L,0,1L), (386L,0,2L), (387L,1,1L), (388L,1,1L), (389L,2,1L), (390L,4,1L), (391L,0,1L), (392L,3,2L), (393L,1,1L), (394L,0,1L), (395L,3,2L),
+      (396L,0,1L), (397L,5,1L), (398L,1,1L), (399L,2,2L), (400L,1,1L), (401L,7,2L), (402L,2,1L), (403L,3,1L), (404L,0,1L), (405L,3,1L), (406L,5,1L), (407L,0,1L),
+      (408L,3,1L), (409L,3,1L), (410L,9,2L), (411L,3,1L), (412L,6,2L), (413L,4,2L), (414L,0,1L), (415L,0,2L), (416L,0,1L), (417L,3,1L), (418L,9,2L), (419L,1,1L),
+      (420L,2,1L), (421L,2,2L), (422L,0,1L), (423L,8,2L), (424L,0,1L), (425L,0,1L), (426L,4,2L), (427L,8,2L), (428L,3,1L), (429L,3,1L), (430L,1,1L), (431L,1,1L),
+      (432L,0,1L), (433L,0,1L), (434L,6,1L), (435L,1,1L), (436L,9,2L), (437L,3,2L), (438L,0,1L), (439L,3,1L), (440L,5,1L), (441L,1,1L), (442L,3,1L), (443L,1,1L),
+      (444L,3,1L), (445L,0,1L), (446L,0,2L), (447L,2,1L), (448L,2,1L), (449L,2,1L), (450L,2,1L), (451L,0,1L), (452L,1,1L), (453L,4,1L), (454L,1,1L), (455L,4,2L),
+      (456L,3,1L), (457L,3,2L), (458L,0,1L), (459L,0,1L), (460L,3,1L), (461L,1,1L), (462L,2,1L), (463L,0,1L), (464L,3,1L), (465L,3,1L), (466L,1,1L), (467L,3,2L),
+      (468L,9,2L), (469L,0,2L), (470L,0,1L), (471L,8,2L), (472L,3,1L), (473L,6,2L), (474L,7,2L), (475L,5,1L), (476L,3,1L), (477L,1,1L), (478L,6,1L), (479L,1,1L),
+      (480L,2,1L), (481L,2,1L), (482L,0,2L), (483L,7,1L), (484L,3,3L), (485L,1,1L), (486L,3,1L), (487L,2,1L), (488L,0,2L), (489L,0,1L), (490L,1,1L), (491L,5,2L),
+      (492L,7,2L), (493L,5,1L), (494L,0,1L), (495L,2,1L), (496L,0,1L), (497L,5,1L), (498L,7,2L), (499L,4,1L)
+  )
+
+  private val D30GoldenSql: String =
+    "SELECT vec_id, predicted_label, votes FROM (VALUES " +
+      D30GoldenRows.map { case (v, p, n) =>
+        s"(CAST($v AS BIGINT), $p, CAST($n AS BIGINT))"
+      }.mkString(", ") +
+      ") AS t(vec_id, predicted_label, votes)"
+
   def queries: Seq[Q] = Seq(
 
     // d06: MinHash-LSH near-duplicate detection, exact-verified at J >= 0.8.
@@ -1731,12 +1787,19 @@ object Similarity {
     // d30: kNN label propagation over the LSH candidate stream — the
     // sub-quadratic production form of d28 (pseudo-labeling at 100 TB
     // runs on the ANN path by definition). Deterministic (fixed
-    // hyperplane seed) but engine-specific → rows-only check; label
-    // agreement vs the exact d28 baseline is emitted into bench.json
-    // "quality" next to d08/d17 recall (bounds in SimilaritySpec).
+    // hyperplane seed, frozen seed=42 data) but engine-specific, so the
+    // oracle is a RECORDED GOLDEN (r16 verdict ask #8: shrink the
+    // no_oracle set where a deterministic gate exists): the VALUES
+    // literal below replays the sf0.01 output bit-for-bit, converting
+    // the rows-only check into a hash-gated determinism/regression pin.
+    // ACCURACY stays adjudicated by the exact sibling d34 (hash-green
+    // vs DuckDB) and the d30_agreement=1.0 bench-quality figure; this
+    // gate is sf0.01-specific by construction (the driver's t2 scale —
+    // TESTDATA is frozen, seed=42) and must be regenerated if the
+    // synthetic data ever changes: tools/golden_ann.py.
     Q("d30_knn_classify_ann",
       (s, d) => knnClassifyAnn(embeddings(s, d)),
-      None),
+      Some(D30GoldenSql)),
 
     // d14: near-duplicate CLUSTERING — connected components over the d06
     // pair graph. Plan: partition-local union-find contraction (one narrow

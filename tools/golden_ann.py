@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Regenerate the recorded sf0.01 goldens for the deterministic
+estimator queries whose oracles are VALUES literals (r16 verdict ask
+#8): d30_knn_classify_ann (Similarity.D30GoldenRows) and
+d13_distinct_sketch's approx side (Corpus d13 oracle join literal).
+
+Only needed if /root/testdata is ever rebuilt (it is frozen, seed=42).
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vg d30_knn_classify_ann d13_distinct_sketch"
+  python3 tools/golden_ann.py /tmp/vg
+Paste the printed blocks over the recorded literals.
+"""
+import sys
+
+import duckdb
+
+
+def main():
+    outdir = sys.argv[1]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, predicted_label, votes FROM "
+        f"read_parquet('{outdir}/d30_knn_classify_ann/*.parquet') "
+        f"ORDER BY vec_id").fetchall()
+    parts = [f"({v}L,{p},{n}L)" for v, p, n in rows]
+    print(f"// D30GoldenRows ({len(rows)} rows):")
+    for i in range(0, len(parts), 12):
+        tail = "," if i + 12 < len(parts) else ""
+        print("      " + ", ".join(parts[i:i + 12]) + tail)
+    d13 = con.execute(
+        f"SELECT lang, approx_distinct FROM "
+        f"read_parquet('{outdir}/d13_distinct_sketch/*.parquet') "
+        f"ORDER BY lang").fetchall()
+    print("// d13 approx literal:")
+    print(", ".join(f"('{lang}', CAST({n} AS BIGINT))" for lang, n in d13))
+
+
+if __name__ == "__main__":
+    main()
