@@ -339,10 +339,11 @@ object TemporalEdgeIndex extends PersistedIndex {
   def ingestServingTrending(docs: DataFrame, dir: String, checkpoint: String,
       anchorDay: java.sql.Date, outDir: String, k: Int = 10,
       halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L, late: Boolean = false)
+      minWeightPpm: Long = 1000000L, late: Boolean = false,
+      snapshotRetainMillis: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestServing(docs, dir, checkpoint, Some(anchorDay), outDir, k,
-      halflifeDays, maxShift, minWeightPpm, late)
+      halflifeDays, maxShift, minWeightPpm, late, snapshotRetainMillis)
 
   /** [[ingestServingTrending]] with a SLIDING anchor: each refresh
     * anchors the decay at the newest basket date across the ENTIRE
@@ -361,10 +362,11 @@ object TemporalEdgeIndex extends PersistedIndex {
   def ingestServingTrendingSliding(docs: DataFrame, dir: String,
       checkpoint: String, outDir: String, k: Int = 10,
       halflifeDays: Int = 180, maxShift: Int = 30,
-      minWeightPpm: Long = 1000000L, late: Boolean = false)
+      minWeightPpm: Long = 1000000L, late: Boolean = false,
+      snapshotRetainMillis: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestServing(docs, dir, checkpoint, None, outDir, k,
-      halflifeDays, maxShift, minWeightPpm, late)
+      halflifeDays, maxShift, minWeightPpm, late, snapshotRetainMillis)
 
   /** `late = true` swaps the fail-loudly straddle guard for the
     * [[lateDelta]] reconciliation (the [[ingestLate]] write path), so a
@@ -375,7 +377,7 @@ object TemporalEdgeIndex extends PersistedIndex {
   private def ingestServing(docs: DataFrame, dir: String, checkpoint: String,
       anchorDay: Option[java.sql.Date], outDir: String, k: Int,
       halflifeDays: Int, maxShift: Int, minWeightPpm: Long,
-      late: Boolean)
+      late: Boolean, snapshotRetainMillis: Long)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -390,7 +392,7 @@ object TemporalEdgeIndex extends PersistedIndex {
             writeBatch(batch.toDF(), dir, id, overwriteAll = false)
           }
           refreshTrendingSnapshot(s, dir, anchorDay, outDir, k,
-            halflifeDays, maxShift, minWeightPpm, id)
+            halflifeDays, maxShift, minWeightPpm, id, snapshotRetainMillis)
         }
       }
       .start()
@@ -599,6 +601,11 @@ object TemporalEdgeIndex extends PersistedIndex {
       }
     }
   }
+
+  /** The late-built index dir for external rigs (ScaleProbe's
+    * compaction-after-retractions rung times compactTo over it). */
+  private[graft] def lateIndexDir(s: SparkSession, d: String): String =
+    lateSavedDir(s, d)
 
   val MemoizedQueries: Set[String] =
     Set("d182_decayed_indexed", "d183_trending_indexed",

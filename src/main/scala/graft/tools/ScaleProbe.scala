@@ -46,10 +46,23 @@ object ScaleProbe {
     "d186_decayed_pagerank_warm",
     // the ANN-served related-items path (d171's production sibling):
     // the exact baseline is N² BY SEMANTICS (≈100× pairs at 10× nodes
-    // — deliberately NOT probed); this rung shows the served path the
+    // — deliberately NOT probed at 10×; its cost curve is measured on
+    // the SMALL rungs instead — run `copies=2`/`copies=3` with
+    // d189_embedding_related_ann_exact as an explicit query arg and
+    // fit the exponent); this rung shows the served path the
     // 100 TB story actually runs stays near-linear (trainer chain +
     // IVF probed-cell candidates, probes·√N per query).
-    "d187_embedding_related_ann")
+    "d187_embedding_related_ann",
+    // the LATE-DATA write paths (r16 verdict ask #6): both indexes are
+    // built by two appendLate batches where EVERY multi-parity basket
+    // straddles — the worst-case reconciliation load (per-batch cost is
+    // the straddlers' prior-claim re-read + the delta's capped
+    // self-joins, linear-ish in claims) — then served once.
+    "d190_edge_index_late",
+    "d191_decayed_late_indexed",
+    // the serving-snapshot refresh over the late-built temporal index
+    // (sliding anchor over 10× claims + decayed serve + publish).
+    "d192_trending_snapshot_served")
 
   private val Letters = "etaoinshrd" // 10 common letters; rotation k per copy
 
@@ -93,6 +106,10 @@ object ScaleProbe {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // extra args = probe only these queries (e.g. the d189 small-rung
+    // exponent sweep); default = the committed rung list
+    val only = args.drop(3).toSeq
+    val probeList = if (only.nonEmpty) only else ProbeQueries
     val spark = graft.Sessions.build("graft-scale-probe")
     val loadPre = loadavg()
 
@@ -104,7 +121,7 @@ object ScaleProbe {
     val qmap = graft.SparkEntry.queries
     def f(d: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val timed = ProbeQueries.map { n =>
+    val timed = probeList.map { n =>
       val t = System.nanoTime()
       val sec =
         try {
@@ -118,12 +135,43 @@ object ScaleProbe {
       System.err.println(f"[probe] $n ${sec}%.1f s")
       n -> sec
     }
+    // compaction-after-retractions rung (r16 verdict ask #6): the
+    // late-built temporal index at this scale carries negative-n
+    // retraction facts from every straddling basket — compactTo must
+    // fold them away (net, drop zeros, dedup claims) in one bounded
+    // rewrite. Only measured when the late query built its memo dir.
+    val compactSec =
+      if (probeList.contains("d191_decayed_late_indexed")) {
+        val lateDir = graft.ops.TemporalEdgeIndex.lateIndexDir(spark, out)
+        val dst = java.nio.file.Files
+          .createTempDirectory("graft-probe-compact").toString
+        val t = System.nanoTime()
+        try {
+          graft.ops.TemporalEdgeIndex.compactTo(spark, lateDir, dst)
+          val sec = (System.nanoTime() - t) / 1e9
+          System.err.println(f"[probe] compact_late_temporal ${sec}%.1f s")
+          sec
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[probe] compact FAILED: ${e.getMessage}")
+            -1.0
+        } finally graft.ops.Corpus.deleteRecursively(dst)
+      } else -1.0
+    val compactJson =
+      if (compactSec >= 0) s""""compact_late_temporal":${f(compactSec)},"""
+      else ""
     val json =
       s"""{"metric":"sf1_probe","copies":$copies,"src":"$src","gen_sec":${f(genSec)},""" +
         s""""queries":{${timed.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")}},""" +
+        s"""$compactJson""" +
         s""""loadavg_pre":${f(loadPre)},"loadavg_post":${f(loadavg())}}"""
+    // the 10× artifact keeps its historical name; smaller exponent-sweep
+    // rungs land beside it so reruns never clobber the committed rung
+    val artifact =
+      if (copies == 10 && only.isEmpty) "bench_sf1_probe.json"
+      else s"bench_sf1_probe_c$copies.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_sf1_probe.json"), json + "\n")
+      java.nio.file.Paths.get(artifact), json + "\n")
     System.out.println(json)
     spark.stop()
   }
