@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
 """Regenerate the recorded sf0.01 goldens for the deterministic
 estimator queries whose oracles are VALUES literals (r16 verdict ask
-#8): d30_knn_classify_ann (Similarity.D30GoldenRows) and
+#8): d08_ann_lsh / d30_knn_classify_ann (Similarity.D08/D30GoldenRows) and
 d13_distinct_sketch's approx side (Corpus d13 oracle join literal).
 
 Only needed if /root/testdata is ever rebuilt (it is frozen, seed=42).
 Usage:
-  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vg d30_knn_classify_ann d13_distinct_sketch"
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vg d08_ann_lsh d30_knn_classify_ann d13_distinct_sketch"
   python3 tools/golden_ann.py /tmp/vg
 Paste the printed blocks over the recorded literals.
 """
@@ -27,6 +27,15 @@ def main():
     for i in range(0, len(parts), 12):
         tail = "," if i + 12 < len(parts) else ""
         print("      " + ", ".join(parts[i:i + 12]) + tail)
+    d08 = con.execute(
+        f"SELECT vec_id, neighbor_id, sim FROM "
+        f"read_parquet('{outdir}/d08_ann_lsh/*.parquet') "
+        f"ORDER BY vec_id, neighbor_id").fetchall()
+    parts = [f"({v}L,{n}L,{s!r})" for v, n, s in d08]
+    print(f"// D08GoldenRows ({len(d08)} rows):")
+    for i in range(0, len(parts), 8):
+        tail = "," if i + 8 < len(parts) else ""
+        print("      " + ", ".join(parts[i:i + 8]) + tail)
     d13 = con.execute(
         f"SELECT lang, approx_distinct FROM "
         f"read_parquet('{outdir}/d13_distinct_sketch/*.parquet') "
