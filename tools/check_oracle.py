@@ -114,6 +114,21 @@ def main():
             record(name, rows_match=(len(g) == len(e)), schema_match=True,
                    hash_match=False, spark_rows=len(g), oracle_rows=len(e))
             n_fail += 1
+    # queries dumped WITHOUT oracle SQL: record them the way the
+    # driver's artifact does (err=no_oracle, rows-only), so the local
+    # replica's counts line up with CORRECTNESS_r{N}.json's
+    import os
+    for d in sorted(os.listdir(outdir)):
+        if d in oracles or not os.path.isdir(f"{outdir}/{d}"):
+            continue
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{outdir}/{d}/*.parquet')"
+            ).fetchone()[0]
+        except Exception:
+            n = None
+        record(d, spark_rows=n, err="no_oracle")
+        print(f"SKIP {d}: no_oracle ({n} rows)")
     if json_out:
         with open(json_out, "w") as f:
             json.dump(records, f, indent=1, sort_keys=True)
