@@ -34,7 +34,11 @@ object ExtendedPlans {
     "d128_pagerank",
     "d145_hits",
     "d130_record_linkage",
-    "d160_edge_index")
+    "d160_edge_index",
+    // the production ANN serving path (the shape the 100 TB story
+    // actually runs — IVF probe join + bounded TopKAgg); a cartesian
+    // or lost-broadcast regression here re-quadratizes serving
+    "d187_embedding_related_ann")
 
   def pinnedSet: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame)] =

@@ -194,6 +194,65 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         minSupport = 1)))
   }
 
+  test("torn-write property: every crash point either repairs under the same id or refuses a new one") {
+    // systematic sweep of the three crash windows of a late batch
+    // write (tables commit in order pairfacts, basketids, basketitems;
+    // the marker is deleted first and restored last). For each crash
+    // point: a SAME-ID replay must repair the index to the one-shot
+    // build, and a NEW-id appendLate must either refuse (the torn
+    // batch is visible in the claim tables) or — when the torn id is
+    // legitimately re-allocated because basketids never recorded it —
+    // produce exactly the one-shot build over what was actually
+    // ingested, never double-counting the orphans.
+    val b0 = Seq((1L, 1L), (1L, 2L), (3L, 4L), (3L, 5L))
+    val b1 = Seq((1L, 3L), (6L, 2L), (6L, 3L), (3L, 4L))
+    val b2 = Seq((9L, 1L), (9L, 2L))
+    val crashPoints = Seq(
+      // tables REMAINING after the crash (of batch 1's three writes)
+      Seq("pairfacts"),                            // crashed before basketids
+      Seq("pairfacts", "basketids"),               // crashed before basketitems
+      Seq())                                       // crashed before pairfacts
+    def tornIndex(remaining: Seq[String]): String = {
+      val dir = tmp()
+      EdgeIndex.appendLate(baskets(b0), dir)
+      EdgeIndex.appendLate(baskets(b1), dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+      Seq("pairfacts", "basketids", "basketitems")
+        .filterNot(remaining.contains).foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/$t/ingest_batch=1"), true)
+        }
+      dir
+    }
+    def served(dir: String) = edgeSet(EdgeIndex.edgesOf(spark, dir, 1L))
+    def oneShot(rows: Seq[(Long, Long)]) =
+      edgeSet(Graphs.copurchaseEdges(baskets(rows), minSupport = 1))
+    crashPoints.foreach { remaining =>
+      // arm A: same-id replay repairs
+      val a = tornIndex(remaining)
+      EdgeIndex.writeLateBatch(baskets(b1), a, batchId = 1L)
+      assert(served(a) == oneShot(b0 ++ b1),
+        s"replay after crash leaving $remaining")
+      // arm B: new-id append refuses, or absorbs cleanly when batch 1
+      // was never id-allocated (basketids absent => id reuse is legal
+      // and the orphans must be scrubbed)
+      val b = tornIndex(remaining)
+      if (remaining.contains("basketids")) {
+        val e = intercept[IllegalArgumentException] {
+          EdgeIndex.appendLate(baskets(b2), b)
+        }
+        assert(e.getMessage.contains("PARTIAL"),
+          s"new id after crash leaving $remaining")
+      } else {
+        EdgeIndex.appendLate(baskets(b2), b)
+        assert(served(b) == oneShot(b0 ++ b2),
+          s"reused id after crash leaving $remaining")
+      }
+    }
+  }
+
   test("late reconciliation on a pre-late-data index names the migration remedy") {
     // r16 advice: an index written before the basketitems claims table
     // existed cannot be late-reconciled (its historical claims were

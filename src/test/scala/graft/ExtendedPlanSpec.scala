@@ -79,7 +79,12 @@ class ExtendedPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d128_pagerank" -> PlanSig(2, 0, 0, 2, 0, 7, 0),
     "d145_hits" -> PlanSig(8, 1, 0, 4, 0, 12, 0),
     "d130_record_linkage" -> PlanSig(2, 0, 0, 0, 0, 3, 1),
-    "d160_edge_index" -> PlanSig(0, 0, 0, 0, 0, 1, 0)
+    "d160_edge_index" -> PlanSig(0, 0, 0, 0, 0, 1, 0),
+    // the served sibling: one BHJ (probed-cell candidate join), one
+    // shuffle, TopKAgg/posexplode outside codegen — the same 8
+    // fallbacks as its exact-mode twin d189, whose only plan delta is
+    // probing all cells; a cartesian here would re-quadratize serving
+    "d187_embedding_related_ann" -> PlanSig(1, 0, 0, 0, 0, 1, 8)
   )
 
   test("the pinned set resolves against the registered surface") {
