@@ -478,6 +478,64 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         minWeightPpm = 0L)))
   }
 
+  test("torn-write property: every crash point either repairs under the same id or refuses a new one") {
+    // the EdgeIndexSpec sweep on the TEMPORAL family (the file the
+    // r16 advice named): all three crash windows of a late batch
+    // write, each arm asserting same-id replay repairs to the one-shot
+    // build and a NEW id refuses (torn batch id-allocated) or absorbs
+    // cleanly (id legitimately reused, orphans scrubbed).
+    val b0 = Seq((1L, 1L, "2024-07-01"), (1L, 2L, "2024-07-01"),
+      (3L, 4L, "2024-07-01"), (3L, 5L, "2024-07-01"))
+    val b1 = Seq((1L, 3L, "2024-12-31"), (6L, 2L, "2024-12-31"),
+      (6L, 3L, "2024-12-31"))
+    val b2 = Seq((9L, 1L, "2024-12-31"), (9L, 2L, "2024-12-31"))
+    val crashPoints = Seq(
+      Seq("pairfacts"),              // crashed before basketids
+      Seq("pairfacts", "basketids"), // crashed before basketitems
+      Seq())                         // crashed before pairfacts
+    def tornIndex(remaining: Seq[String]): String = {
+      val dir = tmp()
+      TemporalEdgeIndex.appendLate(baskets(b0), dir)
+      TemporalEdgeIndex.appendLate(baskets(b1), dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+      Seq("pairfacts", "basketids", "basketitems")
+        .filterNot(remaining.contains).foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/$t/ingest_batch=1"), true)
+        }
+      dir
+    }
+    val a = anchor("2024-12-31")
+    def served(dir: String) =
+      edgeSet(TemporalEdgeIndex.decayedEdgesOf(spark, dir, a,
+        minWeightPpm = 0L))
+    def oneShot(rows: Seq[(Long, Long, String)]) = {
+      val dir = tmp()
+      TemporalEdgeIndex.save(baskets(rows), dir)
+      served(dir)
+    }
+    crashPoints.foreach { remaining =>
+      val ra = tornIndex(remaining)
+      TemporalEdgeIndex.writeLateBatch(baskets(b1), ra, batchId = 1L)
+      assert(served(ra) == oneShot(b0 ++ b1),
+        s"replay after crash leaving $remaining")
+      val rb = tornIndex(remaining)
+      if (remaining.contains("basketids")) {
+        val e = intercept[IllegalArgumentException] {
+          TemporalEdgeIndex.appendLate(baskets(b2), rb)
+        }
+        assert(e.getMessage.contains("PARTIAL"),
+          s"new id after crash leaving $remaining")
+      } else {
+        TemporalEdgeIndex.appendLate(baskets(b2), rb)
+        assert(served(rb) == oneShot(b0 ++ b2),
+          s"reused id after crash leaving $remaining")
+      }
+    }
+  }
+
   test("the sliding anchor on a pre-late-data index names the migration remedy") {
     // r16 advice: refreshTrendingSnapshot's sliding anchor reads the
     // basketitems claims table, which pre-upgrade indexes lack — the
