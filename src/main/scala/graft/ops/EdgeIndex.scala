@@ -104,9 +104,17 @@ object EdgeIndex extends PersistedIndex {
     * batch-sized semi-join against the narrow basketids table per
     * micro-batch — the same scan append's checkDisjoint pays. */
   override protected def ingestGuard(batch: DataFrame, dir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // torn-write admission on the NORMAL ingest path too (the late
+    // path checks inside writeLateBatch): a checkpointed replay of the
+    // crashed batch id passes and scrubs its own partials, but a
+    // stream RESTARTED WITH A FRESH CHECKPOINT would re-number from 0
+    // and silently absorb the torn batch — refuse that like append.
+    IndexCommit.requireReplaySafe(batch.sparkSession, dir, batchId,
+      claimTables = Seq("basketids", "basketitems"), factTable = "pairfacts")
     requireNoStraddle(batch.toDF("basket_id", "item_id")
       .select(col("basket_id")), dir, batchId, "basket")
+  }
 
   /** The full co-purchase edge set across all indexed batches —
     * (src, dst, weight) with src < dst, weight = #distinct baskets

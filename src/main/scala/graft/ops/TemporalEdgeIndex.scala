@@ -104,9 +104,15 @@ object TemporalEdgeIndex extends PersistedIndex {
     * cannot deliver complete baskets per micro-batch run
     * [[ingestLate]], which reconciles stragglers instead of aborting. */
   override protected def ingestGuard(batch: DataFrame, dir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // torn-write admission on the NORMAL ingest path too — see
+    // [[EdgeIndex.ingestGuard]]: a fresh-checkpoint restart re-numbers
+    // from 0 and would otherwise absorb a torn batch's partials.
+    IndexCommit.requireReplaySafe(batch.sparkSession, dir, batchId,
+      claimTables = Seq("basketids", "basketitems"), factTable = "pairfacts")
     requireNoStraddle(batch.toDF("basket_id", "item_id", "bday")
       .select(col("basket_id")), dir, batchId, "basket")
+  }
 
   // ---- late-data ingest (r15 verdict forward item #2) -------------------
 

@@ -298,6 +298,38 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming ingest restarted with a FRESH checkpoint refuses a torn index") {
+    // the normal-path twin of the appendLate torn-write refusal: a
+    // checkpointed replay of the crashed batch id is safe, but a
+    // restart with a NEW checkpoint re-numbers micro-batches from 0 —
+    // its batch 0 would absorb the torn batch's partial claims and
+    // restore the marker over them. ingestGuard must fail the stream.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    EdgeIndex.appendLate(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    EdgeIndex.appendLate(baskets(Seq((2L, 1L), (2L, 2L))), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/basketitems/ingest_batch=1"), true)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = EdgeIndex.ingest(in.toDF().toDF("basket_id", "item_id"),
+      dir, tmp()) // fresh checkpoint => batch ids restart at 0
+    try {
+      in.addData((9L, 1L), (9L, 2L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("PARTIAL") ||
+        Option(e.getCause).exists(_.getMessage.contains("PARTIAL")))
+      // still fail-closed for readers — the marker was NOT restored
+      assert(!IndexCommit.isCommitted(spark, dir))
+    } finally q.stop()
+  }
+
   test("the per-batch cap gates a planted runaway basket at write time") {
     // one basket larger than the cap contributes NO pairs; the fact
     // table (not just the pruned read) must already exclude it
