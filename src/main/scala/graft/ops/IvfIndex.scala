@@ -85,17 +85,35 @@ object IvfIndex {
     math.max(1L, Seq(65536L, maxKForDim(dim),
       math.round(math.sqrt(n.toDouble))).min).toInt
 
+  /** Fixed-point scale of the Lloyd accumulators: each component is
+    * rounded to 1e-6 BEFORE summing, so the per-cell sums are exact
+    * integers — addition of longs is associative and commutative, which
+    * makes the trained centroids BIT-IDENTICAL under ANY partitioning
+    * (see [[build]]). Overflow headroom: a cell of n vectors with
+    * |component| <= M needs n·M·1e6 < 2^63 ≈ 9.2e18 — e.g. 1e9 vectors
+    * per cell at |v| <= 1e3 uses 1e18. */
+  private val LloydScale = 1e6
+
   /** Train the coarse quantizer and assign every vector to its cell.
     * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). `k = 0` (the
     * default) derives [[autoK]] ~ sqrt(N) from a corpus count.
     *
     * Each Lloyd iteration is ONE narrow pass: every partition folds its
     * vectors into K local (sum, count) accumulators and emits at most K
-    * tiny rows, which the driver folds in partition order (deterministic
-    * given a fixed partitioning; K x dim doubles ~ kilobytes — the only
-    * thing ever collected). No shuffle of the vector set anywhere — the
-    * MLlib-KMeans aggregation shape, vs the groupByKey form whose
-    * per-iteration shuffle moves the whole corpus. */
+    * tiny rows, which the driver folds (K x dim longs ~ kilobytes — the
+    * only thing ever collected). No shuffle of the vector set anywhere —
+    * the MLlib-KMeans aggregation shape, vs the groupByKey form whose
+    * per-iteration shuffle moves the whole corpus.
+    *
+    * DETERMINISM CONTRACT: the build is a pure function of the vector
+    * SET — bit-identical on any partitioning, split plan, executor
+    * count, or row order. Seeds are the first K vectors by vec_id, the
+    * Lloyd sums are fixed-point longs ([[LloydScale]] — integer
+    * addition is order-independent where double addition is not), the
+    * mean is an exact-integer quotient, and [[nearest]] breaks ties by
+    * lowest cell index. At cluster scale this means the same corpus
+    * trains the same quantizer on 10 executors or 1000 — index builds
+    * are reproducible and the d17 gate can pin the output. */
   def build(spark: SparkSession, vectors: DataFrame, k: Int = 0, iters: Int = 3): Model = {
     import spark.implicits._
     require(k >= 0, "k must be >= 0 (0 = derive ~sqrt(N))")
@@ -112,29 +130,34 @@ object IvfIndex {
       val bc = spark.sparkContext.broadcast(centroids)
       val parts = e.mapPartitions { it =>
         val cents = bc.value
-        val sums = new Array[Array[Double]](cents.length)
+        val sums = new Array[Array[Long]](cents.length)
         val counts = new Array[Long](cents.length)
         it.foreach { case (_, v) =>
           val c = nearest(cents, v)
-          if (sums(c) == null) sums(c) = new Array[Double](v.length)
+          if (sums(c) == null) sums(c) = new Array[Long](v.length)
           var i = 0
-          while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+          while (i < v.length) {
+            sums(c)(i) += math.rint(v(i) * LloydScale).toLong; i += 1
+          }
           counts(c) += 1
         }
         (0 until cents.length).iterator
           .filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
-      }.collect() // <= K rows per partition, driver-folded in partition order
+      }.collect() // <= K tiny rows per partition; fold order is immaterial
       val next = centroids.clone()
-      val acc = new Array[Array[Double]](kk)
+      val acc = new Array[Array[Long]](kk)
       val n = new Array[Long](kk)
       parts.foreach { case (c, s, cnt) =>
-        if (acc(c) == null) acc(c) = new Array[Double](s.length)
+        if (acc(c) == null) acc(c) = new Array[Long](s.length)
         var i = 0
         while (i < s.length) { acc(c)(i) += s(i); i += 1 }
         n(c) += cnt
       }
       (0 until kk).foreach { c =>
-        if (n(c) > 0) next(c) = acc(c).map(_ / n(c))
+        // one double division whose operands are pure functions of the
+        // exact integer sum and count — the mean's bits cannot depend
+        // on how the sum was partitioned
+        if (n(c) > 0) next(c) = acc(c).map(_.toDouble / (LloydScale * n(c)))
       }
       centroids = next
     }

@@ -1500,6 +1500,83 @@ object Similarity {
       |  FROM sim)
       |WHERE rank <= 3""".stripMargin
 
+  /** Recorded sf0.01 golden for d17 (vec_id, neighbor_id, sim) — made
+    * possible by [[IvfIndex.build]]'s determinism contract (fixed-point
+    * Lloyd sums => bit-identical centroids on any partitioning).
+    * Regenerate with tools/golden_ann.py if TESTDATA is ever rebuilt. */
+  private val D17GoldenRows: Seq[(Long, Long, Double)] = Seq(
+      (0L,365L,0.37), (1L,386L,0.3715), (2L,117L,0.3181), (3L,130L,0.3999), (4L,114L,0.3985), (5L,404L,0.3284), (6L,350L,0.3245), (7L,340L,0.4928),
+      (8L,39L,0.3847), (9L,49L,0.3852), (10L,233L,0.3622), (11L,30L,0.3678), (12L,127L,0.3505), (13L,440L,0.3584), (14L,146L,0.3543), (15L,424L,0.3633),
+      (16L,402L,0.4463), (17L,135L,0.3378), (18L,120L,0.327), (19L,87L,0.4032), (20L,117L,0.3457), (21L,331L,0.3249), (22L,431L,0.2862), (23L,452L,0.325),
+      (24L,234L,0.4315), (25L,109L,0.3477), (26L,162L,0.352), (27L,134L,0.3917), (28L,305L,0.4564), (29L,264L,0.3671), (30L,11L,0.3678), (31L,367L,0.3201),
+      (32L,200L,0.4379), (33L,279L,0.3567), (34L,386L,0.3435), (35L,351L,0.4065), (36L,150L,0.3099), (37L,324L,0.38), (38L,155L,0.3453), (39L,8L,0.3847),
+      (40L,359L,0.3719), (41L,410L,0.3611), (42L,376L,0.3757), (43L,198L,0.3561), (44L,301L,0.4597), (45L,337L,0.3406), (46L,114L,0.3798), (47L,406L,0.3017),
+      (48L,60L,0.3841), (49L,9L,0.3852), (50L,429L,0.3983), (51L,73L,0.3443), (52L,221L,0.3195), (53L,300L,0.453), (54L,404L,0.3867), (55L,298L,0.3135),
+      (56L,271L,0.3994), (57L,324L,0.3615), (58L,131L,0.3653), (59L,15L,0.3196), (60L,48L,0.3841), (61L,494L,0.2831), (62L,281L,0.3731), (63L,125L,0.3959),
+      (64L,353L,0.3364), (65L,299L,0.3318), (66L,306L,0.2933), (67L,458L,0.3614), (68L,240L,0.3501), (69L,458L,0.3863), (70L,210L,0.4065), (71L,415L,0.3946),
+      (72L,463L,0.3767), (73L,438L,0.398), (74L,148L,0.3973), (75L,256L,0.4563), (76L,250L,0.2852), (77L,190L,0.3544), (78L,437L,0.3333), (79L,480L,0.3189),
+      (80L,230L,0.3948), (81L,252L,0.3864), (82L,456L,0.3282), (83L,310L,0.4024), (84L,190L,0.4124), (85L,404L,0.4393), (86L,306L,0.3358), (87L,19L,0.4032),
+      (88L,123L,0.3271), (89L,250L,0.3704), (90L,447L,0.3994), (91L,50L,0.3481), (92L,427L,0.2881), (93L,229L,0.3099), (94L,260L,0.3466), (95L,302L,0.3912),
+      (96L,494L,0.3425), (97L,197L,0.3223), (98L,172L,0.3612), (99L,419L,0.3674), (100L,398L,0.3584), (101L,118L,0.3838), (102L,74L,0.3583), (103L,170L,0.2879),
+      (104L,70L,0.3506), (105L,111L,0.3772), (106L,119L,0.3171), (107L,306L,0.3805), (108L,142L,0.4372), (109L,187L,0.3594), (110L,210L,0.3467), (111L,105L,0.3772),
+      (112L,442L,0.3397), (113L,299L,0.3452), (114L,4L,0.3985), (115L,17L,0.3357), (116L,87L,0.3593), (117L,247L,0.365), (118L,101L,0.3838), (119L,227L,0.348),
+      (120L,421L,0.4104), (121L,312L,0.3471), (122L,194L,0.3304), (123L,288L,0.3729), (124L,373L,0.3495), (125L,63L,0.3959), (126L,419L,0.3459), (127L,12L,0.3505),
+      (128L,207L,0.3158), (129L,69L,0.2878), (130L,3L,0.3999), (131L,456L,0.4322), (132L,46L,0.3376), (133L,397L,0.3655), (134L,27L,0.3917), (135L,17L,0.3378),
+      (136L,350L,0.3778), (137L,169L,0.3654), (138L,8L,0.3567), (139L,170L,0.355), (140L,111L,0.3335), (141L,313L,0.3323), (142L,108L,0.4372), (143L,409L,0.3773),
+      (144L,437L,0.3617), (145L,29L,0.3367), (146L,14L,0.3543), (147L,473L,0.3283), (148L,74L,0.3973), (149L,382L,0.3736), (150L,152L,0.4183), (151L,220L,0.3331),
+      (152L,150L,0.4183), (153L,407L,0.3167), (154L,175L,0.3268), (155L,493L,0.394), (156L,438L,0.4749), (157L,251L,0.3614), (158L,452L,0.472), (159L,202L,0.4031),
+      (160L,432L,0.3928), (161L,402L,0.3968), (162L,282L,0.4334), (163L,399L,0.3227), (164L,160L,0.3358), (165L,185L,0.3916), (166L,324L,0.474), (167L,368L,0.3852),
+      (168L,240L,0.3987), (169L,466L,0.5128), (170L,139L,0.355), (171L,324L,0.3307), (172L,440L,0.4315), (173L,276L,0.3695), (174L,41L,0.361), (175L,154L,0.3268),
+      (176L,476L,0.3269), (177L,204L,0.3454), (178L,125L,0.3095), (179L,370L,0.3343), (180L,265L,0.3499), (181L,194L,0.4084), (182L,445L,0.331), (183L,399L,0.4033),
+      (184L,375L,0.3924), (185L,165L,0.3916), (186L,60L,0.3166), (187L,246L,0.3653), (188L,347L,0.3096), (189L,445L,0.3795), (190L,84L,0.4124), (191L,431L,0.4421),
+      (192L,455L,0.3678), (193L,452L,0.318), (194L,181L,0.4084), (195L,317L,0.4494), (196L,366L,0.3252), (197L,318L,0.4479), (198L,468L,0.4292), (199L,361L,0.3368),
+      (200L,204L,0.4429), (201L,464L,0.3547), (202L,245L,0.41), (203L,414L,0.4098), (204L,200L,0.4429), (205L,485L,0.4074), (206L,457L,0.3531), (207L,326L,0.4168),
+      (208L,248L,0.3286), (209L,7L,0.3945), (210L,70L,0.4065), (211L,156L,0.355), (212L,496L,0.3049), (213L,170L,0.3186), (214L,81L,0.3647), (215L,195L,0.32),
+      (216L,16L,0.3643), (217L,429L,0.3387), (218L,372L,0.3528), (219L,430L,0.3621), (220L,494L,0.3631), (221L,7L,0.3247), (222L,16L,0.3342), (223L,27L,0.2934),
+      (224L,477L,0.3702), (225L,489L,0.3265), (226L,125L,0.2925), (227L,304L,0.385), (228L,177L,0.3064), (229L,271L,0.3819), (230L,204L,0.3133), (231L,355L,0.3264),
+      (232L,108L,0.4068), (233L,10L,0.3622), (234L,384L,0.4448), (235L,195L,0.3994), (236L,415L,0.3044), (237L,347L,0.3489), (238L,287L,0.4516), (239L,343L,0.3393),
+      (240L,168L,0.3987), (241L,363L,0.3662), (242L,279L,0.3987), (243L,450L,0.3329), (244L,272L,0.2963), (245L,202L,0.41), (246L,187L,0.3653), (247L,117L,0.365),
+      (248L,420L,0.3573), (249L,83L,0.3111), (250L,470L,0.3755), (251L,379L,0.3691), (252L,81L,0.3864), (253L,385L,0.4046), (254L,314L,0.3883), (255L,396L,0.3302),
+      (256L,75L,0.4563), (257L,333L,0.379), (258L,187L,0.3093), (259L,394L,0.3875), (260L,94L,0.3466), (261L,141L,0.307), (262L,291L,0.4174), (263L,295L,0.3755),
+      (264L,29L,0.3671), (265L,180L,0.3499), (266L,396L,0.3946), (267L,319L,0.3193), (268L,162L,0.2973), (269L,340L,0.4338), (270L,479L,0.3359), (271L,56L,0.3994),
+      (272L,158L,0.3852), (273L,410L,0.3263), (274L,277L,0.3543), (275L,481L,0.3774), (276L,71L,0.3857), (277L,274L,0.3543), (278L,101L,0.3807), (279L,242L,0.3987),
+      (280L,391L,0.339), (281L,62L,0.3731), (282L,162L,0.4334), (283L,90L,0.3078), (284L,473L,0.3574), (285L,497L,0.3177), (286L,171L,0.3248), (287L,238L,0.4516),
+      (288L,359L,0.3789), (289L,265L,0.345), (290L,325L,0.4588), (291L,262L,0.4174), (292L,345L,0.3374), (293L,91L,0.3314), (294L,49L,0.3777), (295L,263L,0.3755),
+      (296L,286L,0.3093), (297L,384L,0.3884), (298L,45L,0.4556), (299L,72L,0.3534), (300L,53L,0.453), (301L,44L,0.4597), (302L,209L,0.3468), (303L,429L,0.3282),
+      (304L,227L,0.385), (305L,28L,0.4564), (306L,107L,0.3805), (307L,90L,0.3511), (308L,477L,0.3975), (309L,24L,0.3076), (310L,83L,0.4024), (311L,498L,0.3289),
+      (312L,410L,0.3754), (313L,272L,0.3419), (314L,254L,0.3883), (315L,199L,0.3995), (316L,5L,0.2911), (317L,195L,0.4494), (318L,197L,0.4479), (319L,267L,0.3193),
+      (320L,462L,0.3605), (321L,342L,0.3549), (322L,216L,0.3484), (323L,470L,0.3835), (324L,166L,0.474), (325L,290L,0.4588), (326L,207L,0.4168), (327L,399L,0.3401),
+      (328L,98L,0.3127), (329L,218L,0.3175), (330L,408L,0.3581), (331L,325L,0.4282), (332L,468L,0.3344), (333L,257L,0.379), (334L,382L,0.4297), (335L,439L,0.4426),
+      (336L,399L,0.3636), (337L,163L,0.3605), (338L,406L,0.4827), (339L,67L,0.3533), (340L,7L,0.4928), (341L,474L,0.328), (342L,321L,0.3549), (343L,239L,0.3393),
+      (344L,238L,0.373), (345L,89L,0.3678), (346L,462L,0.2683), (347L,225L,0.312), (348L,271L,0.3025), (349L,281L,0.3252), (350L,479L,0.4429), (351L,35L,0.4065),
+      (352L,488L,0.312), (353L,64L,0.3364), (354L,247L,0.3639), (355L,417L,0.4007), (356L,50L,0.375), (357L,498L,0.376), (358L,172L,0.313), (359L,288L,0.3789),
+      (360L,189L,0.3717), (361L,419L,0.3383), (362L,436L,0.3596), (363L,241L,0.3662), (364L,365L,0.3577), (365L,0L,0.37), (366L,48L,0.3551), (367L,31L,0.3201),
+      (368L,167L,0.3852), (369L,413L,0.384), (370L,323L,0.3602), (371L,443L,0.3501), (372L,450L,0.3541), (373L,467L,0.3526), (374L,398L,0.3731), (375L,184L,0.3924),
+      (376L,42L,0.3757), (377L,70L,0.3459), (378L,454L,0.3496), (379L,251L,0.3691), (380L,39L,0.343), (381L,413L,0.3711), (382L,334L,0.4297), (383L,405L,0.378),
+      (384L,234L,0.4448), (385L,253L,0.4046), (386L,1L,0.3715), (387L,388L,0.4666), (388L,387L,0.4666), (389L,83L,0.337), (390L,233L,0.3242), (391L,280L,0.339),
+      (392L,383L,0.3654), (393L,83L,0.279), (394L,259L,0.3875), (395L,350L,0.4071), (396L,266L,0.3946), (397L,133L,0.3655), (398L,374L,0.3731), (399L,183L,0.4033),
+      (400L,451L,0.3785), (401L,253L,0.3875), (402L,16L,0.4463), (403L,298L,0.3815), (404L,85L,0.4393), (405L,383L,0.378), (406L,338L,0.4827), (407L,1L,0.327),
+      (408L,330L,0.3581), (409L,143L,0.3773), (410L,312L,0.3754), (411L,177L,0.3415), (412L,187L,0.3589), (413L,369L,0.384), (414L,203L,0.4098), (415L,71L,0.3946),
+      (416L,171L,0.3229), (417L,355L,0.4007), (418L,442L,0.3695), (419L,99L,0.3674), (420L,248L,0.3573), (421L,120L,0.4104), (422L,473L,0.3117), (423L,385L,0.339),
+      (424L,15L,0.3633), (425L,7L,0.4075), (426L,369L,0.3461), (427L,254L,0.3489), (428L,35L,0.3661), (429L,50L,0.3983), (430L,53L,0.4079), (431L,191L,0.4421),
+      (432L,160L,0.3928), (433L,101L,0.2789), (434L,137L,0.3433), (435L,95L,0.3669), (436L,362L,0.3596), (437L,144L,0.3617), (438L,156L,0.4749), (439L,335L,0.4426),
+      (440L,172L,0.4315), (441L,460L,0.3584), (442L,418L,0.3695), (443L,400L,0.3782), (444L,462L,0.3749), (445L,189L,0.3795), (446L,300L,0.363), (447L,90L,0.3994),
+      (448L,484L,0.3861), (449L,134L,0.3421), (450L,465L,0.356), (451L,400L,0.3785), (452L,158L,0.472), (453L,227L,0.3535), (454L,378L,0.3496), (455L,192L,0.3678),
+      (456L,131L,0.4322), (457L,384L,0.3711), (458L,69L,0.3863), (459L,280L,0.3328), (460L,441L,0.3584), (461L,317L,0.335), (462L,444L,0.3749), (463L,72L,0.3767),
+      (464L,201L,0.3547), (465L,450L,0.356), (466L,169L,0.5128), (467L,373L,0.3526), (468L,198L,0.4292), (469L,158L,0.3684), (470L,323L,0.3835), (471L,427L,0.3488),
+      (472L,495L,0.3299), (473L,284L,0.3574), (474L,341L,0.328), (475L,353L,0.3322), (476L,176L,0.3269), (477L,308L,0.3975), (478L,97L,0.3138), (479L,350L,0.4429),
+      (480L,79L,0.3189), (481L,275L,0.3774), (482L,26L,0.3455), (483L,32L,0.3453), (484L,373L,0.3453), (485L,205L,0.4074), (486L,170L,0.3443), (487L,35L,0.2942),
+      (488L,195L,0.3901), (489L,9L,0.3435), (490L,460L,0.3123), (491L,172L,0.3163), (492L,202L,0.2766), (493L,155L,0.394), (494L,220L,0.3631), (495L,125L,0.3796),
+      (496L,399L,0.3834), (497L,138L,0.3548), (498L,357L,0.376), (499L,133L,0.335)
+  )
+
+  private val D17GoldenSql: String =
+    "SELECT vec_id, neighbor_id, sim FROM (VALUES " +
+      D17GoldenRows.map { case (v, n, sim) =>
+        s"(CAST($v AS BIGINT), CAST($n AS BIGINT), CAST($sim AS DOUBLE))"
+      }.mkString(", ") +
+      ") AS t(vec_id, neighbor_id, sim)"
+
   /** Recorded sf0.01 golden for d08 (vec_id, neighbor_id, sim) — see
     * the d08 registration comment. Sims are the 4dp-rounded doubles the
     * path emits; both engines parse the same shortest-round-trip
@@ -1991,9 +2068,15 @@ object Similarity {
     // RECALL-tuned for this unclustered test table (>= 0.95 recall@1 vs
     // the exact baseline, emitted with both knobs into bench.json
     // "quality") — clustered production corpora run probes<<K; both knobs
-    // are caller-set on the IvfIndex/Graft surface. Rows-only check
-    // (float summation order makes borderline cell assignments
-    // engine-specific); quality bounds in SimilaritySpec.
+    // are caller-set on the IvfIndex/Graft surface. The build is now
+    // BIT-DETERMINISTIC under any partitioning (IvfIndex.build trains
+    // with fixed-point Lloyd accumulators — integer addition is
+    // order-independent where double addition is not; spec-pinned
+    // across partition counts and row orders in IvfIndexSpec), so the
+    // formerly rows-only check is a RECORDED-GOLDEN hash gate like
+    // d08/d30's: the VALUES literal replays the sf0.01 output
+    // bit-for-bit (tools/golden_ann.py regenerates). Quality bounds
+    // stay in SimilaritySpec + bench.json "quality".
     Q("d17_ivf_ann",
       (s, d) => {
         val e = embeddings(s, d)
@@ -2001,7 +2084,7 @@ object Similarity {
         val model = IvfIndex.build(s, e, k = D17Cells, iters = 3)
         IvfIndex.search(s, model, e, probes = D17Probes)
       },
-      None),
+      Some(D17GoldenSql)),
 
     // d33: the IVF machinery under an EXACT-mode oracle. At probes = K
     // every query probes every cell, so the candidate set is the whole

@@ -43,6 +43,27 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("build is bit-deterministic under any partitioning and row order") {
+    // the determinism contract build()'s scaladoc declares: seeds are
+    // id-ordered, Lloyd accumulates fixed-point LONGS (integer addition
+    // is order-independent where double addition is not), means divide
+    // exact operands, ties break by lowest cell — so the trained
+    // quantizer must be BIT-identical across partition counts, split
+    // plans, and row orders. This is what lets the same corpus train
+    // the same index on 10 executors or 1000, and what makes d17
+    // golden-gateable.
+    import spark.implicits._
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    def cents(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
+      IvfIndex.build(spark, df, k = 8, iters = 3).centroids.toSeq.map(_.toSeq)
+    val base = cents(e)
+    assert(cents(e.repartition(3)) == base, "3-partition build differs")
+    assert(cents(e.repartition(17)) == base, "17-partition build differs")
+    assert(cents(e.orderBy(col("vec_id").desc)) == base,
+      "reversed row order differs")
+  }
+
   test("searchTopK at probes = K equals the exact cosine top-k") {
     import spark.implicits._
     // with every cell probed the candidate set is the whole corpus, so

@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
 """Regenerate the recorded sf0.01 goldens for the deterministic
 estimator queries whose oracles are VALUES literals (r16 verdict ask
-#8): d08_ann_lsh / d30_knn_classify_ann (Similarity.D08/D30GoldenRows) and
+#8): d08/d17/d30 (Similarity.D08/D17/D30GoldenRows) and
 d13_distinct_sketch's approx side (Corpus d13 oracle join literal).
 
 Only needed if /root/testdata is ever rebuilt (it is frozen, seed=42).
 Usage:
-  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vg d08_ann_lsh d30_knn_classify_ann d13_distinct_sketch"
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vg d08_ann_lsh d17_ivf_ann d30_knn_classify_ann d13_distinct_sketch"
   python3 tools/golden_ann.py /tmp/vg
 Paste the printed blocks over the recorded literals.
 """
@@ -33,6 +33,15 @@ def main():
         f"ORDER BY vec_id, neighbor_id").fetchall()
     parts = [f"({v}L,{n}L,{s!r})" for v, n, s in d08]
     print(f"// D08GoldenRows ({len(d08)} rows):")
+    for i in range(0, len(parts), 8):
+        tail = "," if i + 8 < len(parts) else ""
+        print("      " + ", ".join(parts[i:i + 8]) + tail)
+    d17 = con.execute(
+        f"SELECT vec_id, neighbor_id, sim FROM "
+        f"read_parquet('{outdir}/d17_ivf_ann/*.parquet') "
+        f"ORDER BY vec_id, neighbor_id").fetchall()
+    parts = [f"({v}L,{n}L,{s!r})" for v, n, s in d17]
+    print(f"// D17GoldenRows ({len(d17)} rows):")
     for i in range(0, len(parts), 8):
         tail = "," if i + 8 < len(parts) else ""
         print("      " + ", ".join(parts[i:i + 8]) + tail)
