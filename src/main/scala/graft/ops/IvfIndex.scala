@@ -92,7 +92,7 @@ object IvfIndex {
     * (see [[build]]). Overflow headroom: a cell of n vectors with
     * |component| <= M needs n·M·1e6 < 2^63 ≈ 9.2e18 — e.g. 1e9 vectors
     * per cell at |v| <= 1e3 uses 1e18. */
-  private val LloydScale = 1e6
+  private[ops] val LloydScale = 1e6
 
   /** Train the coarse quantizer and assign every vector to its cell.
     * `vectors` must be (vec_id LONG, v ARRAY<DOUBLE>). `k = 0` (the

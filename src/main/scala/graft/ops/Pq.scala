@@ -197,12 +197,19 @@ object Pq {
 
   /** Lloyd-trained codebook, all `m` subspaces in the same pass: each
     * iteration folds every partition into m×k local (sum, count)
-    * accumulators and collects at most m×k tiny rows per partition,
-    * driver-folded in partition order (deterministic under a fixed
-    * partitioning — the [[IvfIndex.build]] shape; the vector set itself
-    * never shuffles). Init is the first `k` vectors' subvectors in
-    * vec_id order; a cell that captures no vectors keeps its previous
-    * centroid (standard Lloyd). */
+    * accumulators and collects at most m×k tiny rows per partition
+    * (the [[IvfIndex.build]] shape; the vector set itself never
+    * shuffles). Init is the first `k` vectors' subvectors in vec_id
+    * order; a cell that captures no vectors keeps its previous
+    * centroid (standard Lloyd).
+    *
+    * DETERMINISM CONTRACT (the [[IvfIndex.build]] one): accumulators
+    * are FIXED-POINT LONGS ([[IvfIndex]]'s 1e-6 scale — integer
+    * addition is order-independent where double addition is not) and
+    * the mean divides exact operands, so the trained codebook is
+    * bit-identical under any partitioning, split plan, executor count,
+    * or row order (PqSpec pins it) — reproducible codebooks at any
+    * cluster topology. */
   def train(spark: SparkSession, vectors: DataFrame, m: Int, k: Int = 256,
       iters: Int = 3): PqCodebook = {
     import spark.implicits._
@@ -223,16 +230,20 @@ object Pq {
       val bc = spark.sparkContext.broadcast(PqCodebook(w, cents))
       val parts = e.mapPartitions { it =>
         val cb = bc.value
-        val sums = Array.ofDim[Array[Double]](cb.m, cb.kmax)
+        val sums = Array.ofDim[Array[Long]](cb.m, cb.kmax)
         val counts = Array.ofDim[Long](cb.m, cb.kmax)
         it.foreach { case (_, v) =>
           val codes = cb.encodeOne(v)
           var s = 0
           while (s < cb.m) {
             val c = codes(s)
-            if (sums(s)(c) == null) sums(s)(c) = new Array[Double](cb.subDim)
+            if (sums(s)(c) == null) sums(s)(c) = new Array[Long](cb.subDim)
             var i = 0
-            while (i < cb.subDim) { sums(s)(c)(i) += v(s * cb.subDim + i); i += 1 }
+            while (i < cb.subDim) {
+              sums(s)(c)(i) +=
+                math.rint(v(s * cb.subDim + i) * IvfIndex.LloydScale).toLong
+              i += 1
+            }
             counts(s)(c) += 1
             s += 1
           }
@@ -241,18 +252,20 @@ object Pq {
           s <- (0 until cb.m).iterator; c <- 0 until cb.kmax
           if counts(s)(c) > 0
         } yield (s, c, sums(s)(c), counts(s)(c))
-      }.collect() // <= m*k rows per partition, driver-folded in partition order
-      val acc = Array.ofDim[Array[Double]](m, kk)
+      }.collect() // <= m*k tiny rows per partition; fold order is immaterial
+      val acc = Array.ofDim[Array[Long]](m, kk)
       val n = Array.ofDim[Long](m, kk)
       parts.foreach { case (s, c, sum, cnt) =>
-        if (acc(s)(c) == null) acc(s)(c) = new Array[Double](w)
+        if (acc(s)(c) == null) acc(s)(c) = new Array[Long](w)
         var i = 0
         while (i < w) { acc(s)(c)(i) += sum(i); i += 1 }
         n(s)(c) += cnt
       }
       cents = Array.tabulate(m) { s =>
         Array.tabulate(kk) { c =>
-          if (n(s)(c) > 0) acc(s)(c).map(_ / n(s)(c)) else cents(s)(c)
+          if (n(s)(c) > 0)
+            acc(s)(c).map(_.toDouble / (IvfIndex.LloydScale * n(s)(c)))
+          else cents(s)(c)
         }
       }
     }

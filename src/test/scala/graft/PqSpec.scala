@@ -68,6 +68,17 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = Graft.pqTrain(spark, vecs, m = 8, k = 16, iters = 3)
     val b = Graft.pqTrain(spark, vecs, m = 8, k = 16, iters = 3)
     assert(a.centroids.flatten.map(_.toSeq).toSeq == b.centroids.flatten.map(_.toSeq).toSeq)
+    // ...and bit-identical under any PARTITIONING or row order (the
+    // IvfIndex.build determinism contract, extended to the codebook
+    // trainer: fixed-point Lloyd sums make the fold order immaterial)
+    def flat(cb: graft.ops.Pq.PqCodebook) =
+      cb.centroids.flatten.map(_.toSeq).toSeq
+    assert(flat(Graft.pqTrain(spark, vecs.repartition(3), m = 8, k = 16,
+      iters = 3)) == flat(a), "3-partition codebook differs")
+    assert(flat(Graft.pqTrain(spark, vecs.repartition(13), m = 8, k = 16,
+      iters = 3)) == flat(a), "13-partition codebook differs")
+    assert(flat(Graft.pqTrain(spark, vecs.orderBy(col("vec_id").desc),
+      m = 8, k = 16, iters = 3)) == flat(a), "reversed row order differs")
     val codes = Graft.pqEncode(spark, vecs, a)
     val hi = codes.select(max(array_max(col("codes")))).head().getInt(0)
     val lo = codes.select(min(array_min(col("codes")))).head().getInt(0)
