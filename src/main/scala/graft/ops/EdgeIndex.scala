@@ -168,7 +168,7 @@ object EdgeIndex extends PersistedIndex {
     * [[TemporalEdgeIndex.lateDelta]] for the full design notes
     * (replay safety, cost envelope, why no watermark horizon is
     * needed). */
-  private def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
+  private[graft] def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
     val spark = b.sparkSession
     val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
     val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -194,12 +194,15 @@ object EdgeIndex extends PersistedIndex {
       .join(straddleIds, Seq("basket_id"), "left_semi")
       .distinct()
       .localCheckpoint()
-    val fresh = b.join(straddleIds, Seq("basket_id"), "left_anti")
-    val merged = b.join(straddleIds, Seq("basket_id"), "left_semi")
-      .select(col("basket_id"), col("item_id"))
-      .union(prior).distinct()
-    pairFactsOf(fresh)
-      .unionByName(pairFactsOf(merged))
+    // POSITIVE side in ONE quadratic fan-out (r18 optimization — see
+    // [[TemporalEdgeIndex.lateDelta]] for the full argument): fresh ⊎
+    // merged = b ∪ prior as a claim set (straddleIds ⊆ b's ids), and
+    // pairFactsOf is per-basket, so one window + self-join pass over
+    // the union replaces two passes plus the fresh/merged
+    // anti/semi-join split — row-identical after the final (src, dst)
+    // re-aggregation.
+    pairFactsOf(b.select(col("basket_id"), col("item_id"))
+        .union(prior).distinct())
       .unionByName(pairFactsOf(prior).withColumn("weight", -col("weight")))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).as("weight"))

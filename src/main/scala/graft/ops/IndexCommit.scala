@@ -156,6 +156,17 @@ private[graft] object IndexCommit {
     * see [[publishSnapshot]]. */
   val SnapshotPointer = "_graft_current"
 
+  /** Stamp file inside a snapshot generation recording WHEN the pointer
+    * swapped off it (its modification time is the supersession instant)
+    * — the [[publishSnapshot]] `retainMillis` clock. Age measured from
+    * the DIRECTORY's creation instead (the r17 implementation) broke
+    * the documented guarantee: a generation that served as the live
+    * pointer for longer than retainMillis and was then superseded by
+    * two quick publishes was deleted at the second publish, mid-scan
+    * for any reader that resolved it before the first (r17 advice,
+    * medium). */
+  val SupersededAtMarker = "_graft_superseded_at"
+
   /** Filesystems whose rename is ATOMIC — the property the
     * [[publishSnapshot]] pointer swap requires (a reader must see the
     * old complete pointer or the new complete one, never a partial).
@@ -233,13 +244,31 @@ private[graft] object IndexCommit {
     out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // stamp the generation the pointer just left: retainMillis measures
+    // reader staleness from SUPERSESSION, not from directory creation
+    // (see [[SupersededAtMarker]])
+    prev.filter(_ != gen).foreach { p =>
+      val d = new org.apache.hadoop.fs.Path(rootPath, p)
+      if (fs.exists(d))
+        fs.create(new org.apache.hadoop.fs.Path(d, SupersededAtMarker), true)
+          .close()
+    }
     val now = java.lang.System.currentTimeMillis()
     fs.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("gen-") && n != gen &&
-          !prev.contains(n) &&
-          (retainMillis <= 0L || now - st.getModificationTime >= retainMillis))
-        fs.delete(st.getPath, true)
+      if (st.isDirectory && n.startsWith("gen-") && n != gen && !prev.contains(n)) {
+        if (retainMillis <= 0L) fs.delete(st.getPath, true)
+        else {
+          val m = new org.apache.hadoop.fs.Path(st.getPath, SupersededAtMarker)
+          if (!fs.exists(m))
+            // unknown supersession instant (a crash between the pointer
+            // swap and the stamp): start the clock NOW — conservatively
+            // late, so a slow reader never loses files early
+            fs.create(m, true).close()
+          else if (now - fs.getFileStatus(m).getModificationTime >= retainMillis)
+            fs.delete(st.getPath, true)
+        }
+      }
     }
     s"$root/$gen"
   }

@@ -118,13 +118,20 @@ object IvfIndex {
     import spark.implicits._
     require(k >= 0, "k must be >= 0 (0 = derive ~sqrt(N))")
     val e = vectors.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
-    val dim = e.take(1).headOption.map(_._2.length).getOrElse(0)
+    // ONE aggregation job probes corpus size and width together (r18:
+    // the previous take(1) + count() pair cost two scheduler round
+    // trips per build — pure driver overhead, no arithmetic involved;
+    // every row has the same width, so first() is deterministic here)
+    val probe = e.toDF("vec_id", "v")
+      .agg(count(lit(1)).as("n"), first(col("v")).as("v0")).head
+    val n = probe.getLong(0)
+    val dim = if (probe.isNullAt(1)) 0 else probe.getSeq[Double](1).length
     // an explicit k must still fit the centroid collect in driver heap —
     // fail fast instead of OOMing the driver mid-Lloyd
     require(k == 0 || k <= maxKForDim(dim),
       s"k=$k centroids of dim=$dim exceed the ${CentroidBudgetBytes >> 20} MB " +
         "centroid budget; shrink k or raise probes instead")
-    val kk = if (k > 0) k else autoK(e.count(), dim)
+    val kk = if (k > 0) k else autoK(n, dim)
     var centroids = e.orderBy(col("vec_id")).limit(kk).collect().map(_._2)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)

@@ -88,11 +88,18 @@ trait PersistedIndex {
     // would absorb the torn batch's partial tables and then re-create
     // the marker over them. Only a same-id replay can repair that
     // (streaming does, from its checkpoint) — batch-mode append always
-    // allocates a fresh id, so it must fail closed here.
+    // allocates a fresh id, so it must fail closed here. The probe
+    // checks EVERY batch table, not just the disjoint table (r17
+    // advice, medium): tables commit in [[batchTables]] order, so a
+    // crash after the lead fact table but before the disjoint table
+    // leaves orphaned fact partitions with no disjoint table at all —
+    // a disjoint-table-only probe would skip the check, allocate a
+    // fresh id, and restore the marker over the orphans.
     val spark = docs.sparkSession
-    val lead = new org.apache.hadoop.fs.Path(s"$dir/$disjointTable")
-    if (lead.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(lead))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchTables.exists(bt =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${bt.spec.name}"))))
       IndexCommit.requireCommitted(spark, dir, "append")
     if (checkDisjoint)
       disjointIdCol.foreach(c =>

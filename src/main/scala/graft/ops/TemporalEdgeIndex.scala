@@ -146,7 +146,7 @@ object TemporalEdgeIndex extends PersistedIndex {
     * prior state is read with the arriving batch id EXCLUDED, so a
     * replayed micro-batch recomputes the identical delta and dynamic
     * overwrite replaces its own partitions idempotently. */
-  private def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
+  private[graft] def lateDelta(b: DataFrame, dir: String, batchId: Long): DataFrame = {
     val spark = b.sparkSession
     val idsPath = new org.apache.hadoop.fs.Path(s"$dir/basketids")
     val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,12 +172,19 @@ object TemporalEdgeIndex extends PersistedIndex {
       .join(straddleIds, Seq("basket_id"), "left_semi")
       .distinct()
       .localCheckpoint()
-    val fresh = b.join(straddleIds, Seq("basket_id"), "left_anti")
-    val merged = b.join(straddleIds, Seq("basket_id"), "left_semi")
-      .select(col("basket_id"), col("item_id"), col("bday"))
-      .union(prior).distinct()
-    pairFactsOf(fresh)
-      .unionByName(pairFactsOf(merged))
+    // POSITIVE side in ONE quadratic fan-out (r18 optimization): the
+    // fresh baskets' claims plus the straddlers' MERGED claims are
+    // exactly `b ∪ prior` as a claim set — straddleIds ⊆ b's ids, so
+    // prior adds no baskets b lacks, and [[pairFactsOf]] is per-basket
+    // (per-basket item set, per-basket max-date, per-basket cap), so
+    // facts(fresh ⊎ merged) = facts(b ∪ prior) ROW FOR ROW after the
+    // final (src, dst, bday) re-aggregation. The previous form built
+    // fresh (left_anti) and merged (left_semi + union) separately and
+    // paid the window + self-join fan-out TWICE over the same total
+    // row volume, plus the two straddle-split joins (guide §2.4:
+    // remove shuffles outright).
+    pairFactsOf(b.select(col("basket_id"), col("item_id"), col("bday"))
+        .union(prior).distinct())
       .unionByName(pairFactsOf(prior).withColumn("n", -col("n")))
       .groupBy(col("src"), col("dst"), col("bday"))
       .agg(sum(col("n")).as("n"))
@@ -503,12 +510,17 @@ object TemporalEdgeIndex extends PersistedIndex {
     else {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-tedgeidx-q").toString
+      // materialize the basket join ONCE (r18, guide §2.4/§5): without
+      // the checkpoint every batch table build of both write batches —
+      // plus the disjointness probe — re-evaluates the lineitem⋈orders
+      // join (7 evaluations for the save+append pair)
       val baskets = lineitem(s, d)
         .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
         .join(orders(s, d).select(col("o_orderkey"),
           col("o_orderdate").cast("date").as("bday")), Seq("o_orderkey"))
         .select(col("o_orderkey").as("basket_id"),
           col("l_partkey").as("item_id"), col("bday"))
+        .localCheckpoint()
       save(baskets.where(col("basket_id") % 2 === 0), dir)
       append(baskets.where(col("basket_id") % 2 === 1), dir,
         checkDisjoint = true)
@@ -549,12 +561,16 @@ object TemporalEdgeIndex extends PersistedIndex {
     else {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-tedgeidx-late-q").toString
+      // one evaluation of the basket join for both late batches (r18 —
+      // writeLateBatch checkpoints its own batch, but each appendLate
+      // would still re-run the join to produce it)
       val baskets = lineitem(s, d)
         .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
         .join(orders(s, d).select(col("o_orderkey"),
           col("o_orderdate").cast("date").as("bday")), Seq("o_orderkey"))
         .select(col("o_orderkey").as("basket_id"),
           col("l_partkey").as("item_id"), col("bday"))
+        .localCheckpoint()
       appendLate(baskets.where(col("item_id") % 2 === 0), dir)
       appendLate(baskets.where(col("item_id") % 2 === 1), dir)
       val prev = lateDirMemo.putIfAbsent(k, dir)

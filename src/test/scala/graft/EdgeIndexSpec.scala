@@ -168,6 +168,31 @@ class EdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         baskets(b0 ++ b1 ++ Seq((9L, 1L), (9L, 2L))), minSupport = 1)))
   }
 
+  test("plain append on an index whose ONLY surviving table is orphaned facts fails closed (r17 advice)") {
+    // crash after the pairfacts commit but before basketids ever
+    // existed (the very first write, torn between its table commits):
+    // the disjoint table is ABSENT, so the previous gate — which probed
+    // only basketids — skipped requireCommitted, allocated a fresh id,
+    // and withGuard restored the marker over the orphaned facts, which
+    // edgesOf then served as committed. The gate must fire when ANY
+    // batch table exists.
+    val dir = tmp()
+    EdgeIndex.save(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/basketids"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/basketitems"), true)
+    val e = intercept[IllegalArgumentException] {
+      EdgeIndex.append(baskets(Seq((2L, 1L), (2L, 2L))), dir)
+    }
+    assert(e.getMessage.contains("_graft_commit"))
+    // the remedy the error names: rebuild with save()
+    EdgeIndex.save(baskets(Seq((1L, 1L), (1L, 2L))), dir)
+    EdgeIndex.append(baskets(Seq((2L, 1L), (2L, 2L))), dir)
+    assert(edgeSet(EdgeIndex.edgesOf(spark, dir)) == Set((1L, 2L, 2L)))
+  }
+
   test("a torn batch whose claims never landed is scrubbed when its id is reused") {
     // crash between the pairfacts and basketids commits: the next
     // appendLate legitimately re-allocates the torn id (basketids never

@@ -121,4 +121,38 @@ class SnapshotPublishSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served(root) == 5L)
     assert(gens(root).size == 2, s"floor off => one-publish grace: ${gens(root)}")
   }
+
+  test("retainMillis measures from SUPERSESSION, not directory creation (r17 advice)") {
+    // The slow-reader/fast-micro-batch race: a generation that served
+    // as the live pointer for LONGER than retainMillis and is then
+    // superseded by two quick publishes. Age-from-creation (the r17
+    // implementation) deleted it at the second publish — a reader that
+    // resolved the pointer just before the first publish lost its
+    // files mid-scan, inside the documented retainMillis window. The
+    // clock must start when the pointer swaps OFF the generation.
+    val root = tmp()
+    val retain = 3600000L // 1 h — "old by creation" is simulated below
+    IndexCommit.publishSnapshot(df(1L), root, 0L, retainMillis = retain)
+    val g1 = s"$root/${IndexCommit.currentSnapshotName(spark, root).get}"
+    // simulate a long serving life: backdate the generation directory
+    // (and its files) well past retainMillis
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = java.lang.System.currentTimeMillis() - 2 * retain
+    fs.setTimes(new org.apache.hadoop.fs.Path(g1), old, old)
+    // two quick publishes: g1 becomes prev, then neither current nor prev
+    IndexCommit.publishSnapshot(df(2L), root, 1L, retainMillis = retain)
+    IndexCommit.publishSnapshot(df(3L), root, 2L, retainMillis = retain)
+    assert(new java.io.File(g1).exists(),
+      "a generation superseded moments ago must survive retainMillis " +
+        "regardless of how long it previously served")
+    // and the clock does expire: backdate the supersession stamp itself,
+    // then the next publish GCs g1
+    val stamp = new org.apache.hadoop.fs.Path(g1, IndexCommit.SupersededAtMarker)
+    assert(fs.exists(stamp), "the pointer swap must stamp the superseded generation")
+    fs.setTimes(stamp, old, old)
+    IndexCommit.publishSnapshot(df(4L), root, 3L, retainMillis = retain)
+    assert(!new java.io.File(g1).exists(),
+      "a generation whose supersession stamp aged past retainMillis is GC'd")
+  }
 }

@@ -414,6 +414,20 @@ class TemporalEdgeIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy(col("src"), col("dst"), col("bday"))
         .agg(sum(col("n")).as("net"))
       assert(nets.where(col("net") < 0L).count() == 0L, s"trial $trial negative net")
+      // and the nets EQUAL the one-shot fact table per (pair, date) —
+      // the row-level induction the r18 single-fan-out delta rewrite
+      // (facts(fresh ⊎ merged) = facts(b ∪ prior)) must preserve, a
+      // stronger pin than the served decayed weights above (which could
+      // mask a compensating per-date error at coarse anchors)
+      def keyed(df: DataFrame) = df
+        .select(col("src"), col("dst"), col("bday").cast("string").as("bday"),
+          col("net"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      val oneShot = spark.read.parquet(s"$batch/pairfacts")
+        .groupBy(col("src"), col("dst"), col("bday"))
+        .agg(sum(col("n")).as("net"))
+      assert(keyed(nets.where(col("net") =!= 0L)) == keyed(oneShot),
+        s"trial $trial per-(pair, date) nets diverge from the one-shot build")
     }
   }
 
