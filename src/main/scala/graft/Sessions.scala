@@ -13,11 +13,19 @@ object Sessions {
 
   def build(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitioning is SCALE-dependent (guide §2.2): the local
+    // default (32 — one per harness core; AQE coalesces smaller) keeps
+    // the driver's bench comparable across rounds, and a cluster
+    // deployment overrides via env to ~(2-3 × total executor cores) or
+    // sizes partitions to the 100 MB–1 GB band, letting AQE coalesce
+    // down — never a constant tuned to either environment.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
