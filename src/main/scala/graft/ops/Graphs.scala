@@ -214,11 +214,24 @@ object Graphs {
     val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
     // node universe + out-degree (0 for dst-only nodes = dangling)
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(outdeg, Seq("node"), "left")
       .na.fill(0L, Seq("outdeg"))
-    val nNodes = nodes.select(count(lit(1)).as("n_nodes"))
+    // eager regime: the (node, outdeg) universe is iteration-invariant —
+    // materialize it once for the count below + the r0 build (r18)
+    val nodes = if (checkpointEvery > 0) nodes0.localCheckpoint() else nodes0
+    // N is ITERATION-CONSTANT: under the eager (checkpointed) regime
+    // collect it once (one long — the bounded-collect class) instead of
+    // re-deriving the whole union+distinct+join node universe inside
+    // every iteration's 1-row broadcast (r18, guide §2.4: the per-job
+    // profile showed the nNodes subtree re-evaluated per iteration —
+    // at cluster scale that is a full node-universe shuffle per round
+    // for a constant). The lazy regime keeps the unevaluated frame.
+    val nNodes =
+      if (checkpointEvery > 0)
+        edges.sparkSession.range(1).select(lit(nodes.count()).as("n_nodes"))
+      else nodes.select(count(lit(1)).as("n_nodes"))
 
     var ranks = nodes.select(col("node"), col("outdeg"), lit(Scale).as("rank"))
     for (it <- 1 to iterations) {
@@ -312,11 +325,20 @@ object Graphs {
     val e0 = edges.toDF("src", "dst", "weight")
     val e = if (materialize) e0.localCheckpoint() else e0
     val wout = e.groupBy(col("src").as("node")).agg(sum(col("weight")).as("wout"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(wout, Seq("node"), "left")
       .na.fill(0L, Seq("wout"))
-    (e, nodes, nodes.select(count(lit(1)).as("n_nodes")))
+    // eager regime: the (node, wout) universe is iteration-invariant —
+    // materialize it once for the count below + the r0 build (r18)
+    val nodes = if (materialize) nodes0.localCheckpoint() else nodes0
+    // iteration-constant N collected once under the eager regime — see
+    // pageRank's nNodes note (r18)
+    val nNodes =
+      if (materialize)
+        e.sparkSession.range(1).select(lit(nodes.count()).as("n_nodes"))
+      else nodes.select(count(lit(1)).as("n_nodes"))
+    (e, nodes, nNodes)
   }
 
   /** ONE weighted-PR update: ranks (node, wout, rank) → next ranks. */
@@ -423,12 +445,23 @@ object Graphs {
     val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val src = sources.toDF("node").distinct().select(col("node"), lit(1L).as("is_src"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(outdeg, Seq("node"), "left")
       .join(src, Seq("node"), "left")
       .na.fill(0L, Seq("outdeg", "is_src"))
-    val nSrc = nodes.select(sum(col("is_src")).as("n_src"))
+    // eager regime: the universe is iteration-invariant and |S| is an
+    // iteration CONSTANT — materialize once, collect once, instead of
+    // re-deriving the union+distinct+2-join tree inside every
+    // iteration's 1-row nSrc broadcast (r18 — the pageRank nNodes note;
+    // the coalesce-to-0 reproduces sum-over-empty's effective divisor,
+    // greatest(·, 1) guarding both forms identically)
+    val nodes = if (checkpointEvery > 0) nodes0.localCheckpoint() else nodes0
+    val nSrc =
+      if (checkpointEvery > 0)
+        edges.sparkSession.range(1).select(lit(nodes
+          .agg(coalesce(sum(col("is_src")), lit(0L))).head.getLong(0)).as("n_src"))
+      else nodes.select(sum(col("is_src")).as("n_src"))
 
     var ranks = nodes.select(col("node"), col("outdeg"), col("is_src"),
       (col("is_src") * Scale).as("rank"))
@@ -2406,8 +2439,12 @@ object Graphs {
     // frame too.
     val e0 = edges.toDF("src", "dst").distinct()
     val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // eager regime: the node universe is iteration-invariant but feeds
+    // BOTH normalizations of every iteration — materialize it once
+    // (r18; was re-derived 2× per iteration)
+    val nodes = if (checkpointEvery > 0) nodes0.localCheckpoint() else nodes0
     def normalized(raw: DataFrame, valueCol: String): DataFrame = {
       val mx = raw.agg(max(col(valueCol)).as("mx"))
       nodes.join(raw, Seq("node"), "left")
@@ -2466,10 +2503,18 @@ object Graphs {
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e0 = edges.toDF("src", "dst").distinct()
     val e = if (checkpointEvery > 0) e0.localCheckpoint() else e0
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
-    val nodes = e.select(col("src").as("node"))
+    val outdeg0 = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val indeg0 = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // eager regime: degrees and the node universe are iteration-
+    // invariant but each is re-derived per iteration (outdeg/indeg once
+    // each, nodes twice) — materialize them once (r18)
+    val (outdeg, indeg, nodes) =
+      if (checkpointEvery > 0)
+        (outdeg0.localCheckpoint(), indeg0.localCheckpoint(),
+          nodes0.localCheckpoint())
+      else (outdeg0, indeg0, nodes0)
     var hubs = nodes.select(col("node"), lit(Scale).as("h"))
     var auths = nodes.select(col("node"), lit(0L).as("a"))
     for (it <- 1 to iterations) {

@@ -15,6 +15,22 @@ object Profile {
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.build("graft-profile")
+    // SPARK_GRAFT_PROFILE_JOBS=1: print each Spark job's wall time under
+    // the query being profiled — separates per-job fixed overhead from
+    // data work (the r18 measure-first instrument).
+    if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description")).getOrElse("?")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = starts.remove(j.jobId)
+          if (st != null)
+            println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
+        }
+      })
+    }
     val byName = graft.SparkEntry.registered.map(q => q.name -> q).toMap
     val names = if (args.nonEmpty) args.toSeq else byName.keys.toSeq.sorted
     // representative warmup: a real scan + agg (see Bench)
@@ -27,6 +43,7 @@ object Profile {
         println(s"==== $name ====")
         q.fn(spark, sfDir).explain("formatted")
       }
+      spark.sparkContext.setJobDescription(s"$name rep$r")
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9

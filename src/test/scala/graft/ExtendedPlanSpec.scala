@@ -73,10 +73,14 @@ class ExtendedPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d171_embedding_related" -> PlanSig(0, 0, 0, 0, 1, 1, 2),
     "d189_embedding_related_ann_exact" -> PlanSig(1, 0, 0, 0, 0, 1, 8),
     "d54_training_shards" -> PlanSig(0, 0, 0, 0, 0, 1, 1),
-    "d186_decayed_pagerank_warm" -> PlanSig(2, 0, 0, 2, 0, 5, 0),
+    // r18: −2 Exchanges — the iteration-constant nNodes broadcast now
+    // reads a driver-collected literal instead of re-deriving the
+    // union+distinct+join node universe inside every iteration
+    "d186_decayed_pagerank_warm" -> PlanSig(2, 0, 0, 2, 0, 3, 0),
     "d182_decayed_indexed" -> PlanSig(0, 0, 0, 1, 0, 1, 0),
     "d153_bm25_topk_indexed" -> PlanSig(2, 0, 0, 1, 0, 5, 3),
-    "d128_pagerank" -> PlanSig(2, 0, 0, 2, 0, 7, 0),
+    // r18: −2 Exchanges — same nNodes-literal change as d186
+    "d128_pagerank" -> PlanSig(2, 0, 0, 2, 0, 5, 0),
     "d145_hits" -> PlanSig(8, 1, 0, 4, 0, 12, 0),
     "d130_record_linkage" -> PlanSig(2, 0, 0, 0, 0, 3, 1),
     "d160_edge_index" -> PlanSig(0, 0, 0, 0, 0, 1, 0),
